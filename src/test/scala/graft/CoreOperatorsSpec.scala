@@ -1,0 +1,142 @@
+package graft
+
+import graft.config.{ConfigError, JobConfig, SortOrder, TableConfig}
+import graft.operators.{ApplyMapping, Bookmarks, DropNullFields}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class CoreOperatorsSpec extends SparkSpec {
+  import ApplyMapping.Mapping
+
+  // --- ApplyMapping (P1) ---------------------------------------------------
+
+  test("ApplyMapping selects, renames and casts") {
+    val df = spark.read.parquet(sf("lineitem"))
+    val out = ApplyMapping(df, Seq(
+      Mapping("l_orderkey", "order_id", "bigint"),
+      Mapping("l_quantity", "qty_int", "int"),
+      Mapping("l_returnflag", "rflag", "string")))
+    assert(out.columns.toSeq == Seq("order_id", "qty_int", "rflag"))
+    assert(out.schema("qty_int").dataType == IntegerType)
+    assert(out.count() == df.count())
+  }
+
+  test("ApplyMapping widening and narrowing casts behave like SQL CAST") {
+    import spark.implicits._
+    val df = Seq((1, "2.5"), (2, "7")).toDF("k", "v")
+    val out = ApplyMapping(df, Seq(Mapping("k", "k", "bigint"), Mapping("v", "v", "double")))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getDouble(1) == 2.5 && out(1).getDouble(1) == 7.0)
+  }
+
+  test("identityMappings reproduces the catalog schema") {
+    val df = spark.read.parquet(sf("orders"))
+    val out = ApplyMapping(df, ApplyMapping.identityMappings(df.schema))
+    assert(out.schema == df.schema)
+  }
+
+  // --- DropNullFields (P2/A2) ----------------------------------------------
+
+  test("DropNullFields drops all-null columns, keeps partially-null ones") {
+    import org.apache.spark.sql.functions._
+    // customer_nulls fixture per FIXTURES.md B.1
+    val df = spark.read.parquet(sf("customer"))
+      .withColumn("all_null", lit(null).cast(StringType))
+      .withColumn("some_null", when(col("c_custkey") % 2 === 0, lit("x")))
+    val out = DropNullFields(df)
+    assert(!out.columns.contains("all_null"))
+    assert(out.columns.contains("some_null"))
+    assert(out.columns.contains("c_name"))
+  }
+
+  test("DropNullFields drops NullType-schema columns without a scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(sf("region")).withColumn("nt", lit(null))
+    assert(df.schema("nt").dataType == NullType)
+    assert(!DropNullFields(df).columns.contains("nt"))
+  }
+
+  // --- Bookmarks (P4/A3) ---------------------------------------------------
+
+  private val ordersCfg = TableConfig("orders", Seq("o_orderkey"), SortOrder.Asc)
+
+  test("bookmark filter ASC reads only keys beyond the bookmark") {
+    val df = spark.read.parquet(sf("orders"))
+    val out = Bookmarks.filterNew(df, ordersCfg, Map("o_orderkey" -> "750"))
+    import spark.implicits._
+    assert(out.agg(org.apache.spark.sql.functions.min($"o_orderkey")).head().getLong(0) > 750)
+    val expected = df.filter($"o_orderkey" > 750).count()
+    assert(out.count() == expected)
+  }
+
+  test("bookmark filter with empty bookmark reads everything") {
+    val df = spark.read.parquet(sf("orders"))
+    assert(Bookmarks.filterNew(df, ordersCfg, Map.empty).count() == df.count())
+  }
+
+  test("bookmark advance ASC=max, DESC=min") {
+    val df = spark.read.parquet(sf("orders"))
+    import spark.implicits._
+    val hi = df.agg(org.apache.spark.sql.functions.max($"o_orderkey")).head().getLong(0)
+    val lo = df.agg(org.apache.spark.sql.functions.min($"o_orderkey")).head().getLong(0)
+    assert(Bookmarks.advance(df, ordersCfg).get("o_orderkey") == hi.toString)
+    val desc = ordersCfg.copy(sortOrder = SortOrder.Desc)
+    assert(Bookmarks.advance(df, desc).get("o_orderkey") == lo.toString)
+  }
+
+  test("composite bookmark is lexicographic (predicate and advance agree)") {
+    import spark.implicits._
+    val df = Seq((5L, 9), (6L, 1), (6L, 5)).toDF("k1", "k2")
+    val cfg = TableConfig("t", Seq("k1", "k2"), SortOrder.Asc)
+    val bk = Bookmarks.advance(df, cfg).get
+    assert(bk == Map("k1" -> "6", "k2" -> "5")) // lexicographic max, not per-key max
+    val next = Seq((6L, 5), (6L, 6), (7L, 0)).toDF("k1", "k2")
+    val out = Bookmarks.filterNew(next, cfg, bk).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out == Set((6L, 6), (7L, 0)))
+  }
+
+  test("bookmark advance on empty batch is None") {
+    val df = spark.read.parquet(sf("orders")).filter("o_orderkey < 0")
+    assert(Bookmarks.advance(df, ordersCfg).isEmpty)
+  }
+
+  test("DESC bookmark filter reads keys below the bookmark") {
+    import spark.implicits._
+    val cfg = ordersCfg.copy(sortOrder = SortOrder.Desc)
+    val df = spark.read.parquet(sf("orders"))
+    val out = Bookmarks.filterNew(df, cfg, Map("o_orderkey" -> "10"))
+    assert(out.agg(org.apache.spark.sql.functions.max($"o_orderkey")).head().getLong(0) < 10)
+  }
+
+  // --- Sharding (D1) — golden vectors from Python hashlib -------------------
+
+  test("md5 sharding matches Python int(md5(name),16) % n") {
+    val golden = Seq(
+      ("orders", Seq(1 -> 0, 2 -> 1, 5 -> 3, 7 -> 1)),
+      ("lineitem", Seq(1 -> 0, 2 -> 1, 5 -> 0, 7 -> 3)),
+      ("events", Seq(1 -> 0, 2 -> 1, 5 -> 2, 7 -> 4)),
+      ("prefix_customer", Seq(1 -> 0, 2 -> 1, 5 -> 3, 7 -> 4)),
+      ("x", Seq(1 -> 0, 2 -> 0, 5 -> 3, 7 -> 5)))
+    for ((name, cases) <- golden; (n, want) <- cases)
+      assert(Sharding.md5Mod(name, n) == want, s"md5Mod($name, $n)")
+  }
+
+  // --- Config (§2.8) --------------------------------------------------------
+
+  test("table_config JSON parses with partitionSpec order preserved") {
+    val cfgs = JobConfig.parseTableConfig(
+      """[{"tableName":"orders","bookmarkKeys":["o_orderkey"],"sortOrder":"ASC","partitionSpec":"a/b"},
+         {"tableName":"lineitem","bookmarkKeys":["l_orderkey","l_linenumber"],"sortOrder":"DESC"}]""")
+    assert(cfgs.map(_.tableName) == Seq("orders", "lineitem"))
+    assert(cfgs.head.partitionCols == Seq("a", "b"))
+    assert(cfgs(1).bookmarkKeys == Seq("l_orderkey", "l_linenumber"))
+    assert(cfgs(1).sortOrder == SortOrder.Desc)
+  }
+
+  test("config validation errors match the reference") {
+    intercept[ConfigError](JobConfig.parseTableConfig("""[{"tableName":"t","sortOrder":"ASC"}]"""))
+    intercept[ConfigError](JobConfig.parseTableConfig("""[{"tableName":"t","bookmarkKeys":["k"]}]"""))
+    intercept[ConfigError](JobConfig.validateFormat("orc"))
+    JobConfig.validateFormat("parquet") // ok
+  }
+}
