@@ -1,13 +1,499 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.config.{SortOrder, TableConfig}
+import graft.functions.TextFunctions
+import graft.operators.{ApplyMapping, Bookmarks, Dedup, DropNullFields, Multimodal, Similarity}
+import graft.sinks.PartitionedSink
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 + north-star), each with a DuckDB oracle in `oracleSql`
+  * where SQL-expressible. Column names are aligned pairwise (the driver
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Normalize a raw `events` read: the testdata stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark reads only as a nanos long (via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in every session
+    * builder). Convert to a proper micros timestamp.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    if (df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+
+  private def tmpdir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Mutated near-dup corpus: originals ∪ first-token-dropped copies at
+    * id+100000 — guarantees a deterministic non-empty near-dup structure
+    * on the synthetic word-salad texts (which contain no natural dups).
+    * Mirrored exactly in the oracle SQL.
+    */
+  private def nearDupCorpus(docs: DataFrame): DataFrame = {
+    val mutant = expr(
+      "CASE WHEN instr(text, ' ') > 0 THEN substring(text, instr(text, ' ') + 1) ELSE text END")
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + 100000).as("doc_id"), mutant.as("text")))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_partition_write_counts")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----------------------------------------------------- parity (SURVEY §2.11)
+
+    // S1/P4 — incremental scan: bookmark predicate pushed into the source.
+    "q1_incremental_scan" -> ((s, dir) =>
+      Bookmarks.filterNew(
+          tbl(s, dir, "orders"),
+          TableConfig("orders", Seq("o_orderkey"), SortOrder.Asc),
+          Map("o_orderkey" -> "1200"))
+        .orderBy("o_orderkey")),
+
+    // P1 — ApplyMapping: select + rename + cast.
+    "q2_apply_mapping" -> ((s, dir) =>
+      ApplyMapping(tbl(s, dir, "lineitem"), Seq(
+        ApplyMapping.Mapping("l_orderkey", "order_id", "bigint"),
+        ApplyMapping.Mapping("l_linenumber", "line_no", "int"),
+        ApplyMapping.Mapping("l_quantity", "qty", "double"),
+        ApplyMapping.Mapping("l_returnflag", "rflag", "string")))
+        .orderBy("order_id", "line_no")),
+
+    // P2/A2 — the DropNullFields prepass: per-column non-null counts.
+    "q3_dropnull_counts" -> ((s, dir) =>
+      tbl(s, dir, "customer").agg(
+        count(col("c_custkey")).as("c1"), count(col("c_name")).as("c2"),
+        count(col("c_nationkey")).as("c3"), count(col("c_acctbal")).as("c4"),
+        count(col("c_mktsegment")).as("c5"))),
+
+    // P3/A1 — distinct partition values.
+    "q4_distinct_partitions" -> ((s, dir) =>
+      tbl(s, dir, "orders").select("o_orderstatus").distinct().orderBy("o_orderstatus")),
+
+    // S3/C4 — partitioned write + readback: per-partition row counts.
+    "q5_partition_write_counts" -> ((s, dir) => {
+      val out = tmpdir("graft-q5")
+      PartitionedSink.write(tbl(s, dir, "orders"), out, "parquet", Seq("o_orderstatus"))
+      s.read.parquet(out).groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // S3 — write/readback fidelity (row count + exact decimal sum).
+    "q6_write_readback_agg" -> ((s, dir) => {
+      val out = tmpdir("graft-q6")
+      PartitionedSink.write(tbl(s, dir, "orders"), out, "parquet", Seq.empty)
+      s.read.parquet(out).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("st"))
+    }),
+
+    // S2 — empty probe.
+    "q7_empty_probe" -> ((s, dir) =>
+      tbl(s, dir, "orders").filter(col("o_orderkey") > 999999999L)
+        .agg(count(lit(1)).as("n"))),
+
+    // P4/A3 — bookmark advance (ASC commits hi, DESC commits lo).
+    "q8_bookmark_advance" -> ((s, dir) =>
+      tbl(s, dir, "orders").filter(col("o_orderkey") > 1200L)
+        .agg(max(col("o_orderkey")).as("hi"), min(col("o_orderkey")).as("lo"))),
+
+    // D2/D3/S1→S3 — full incremental ingest e2e: two bookmark-gated runs
+    // (≤750, then the rest) must reproduce the one-shot table exactly.
+    "q9_incremental_ingest" -> ((s, dir) => {
+      import graft.catalog.InMemoryCatalog
+      import graft.sources.ParquetSource
+      import graft.state.FileBookmarkStore
+      val work = tmpdir("graft-q9")
+      val full = tbl(s, dir, "orders")
+      full.filter(col("o_orderkey") <= 750).write.parquet(s"$work/src1/orders.parquet")
+      full.write.parquet(s"$work/src2/orders.parquet")
+      val cfg = graft.config.JobConfig(
+        jobName = "q9", sourceTablePrefix = "", targetLocation = s"$work/target",
+        targetDatabase = "db", targetFormat = "parquet",
+        tables = Seq(TableConfig("orders", Seq("o_orderkey"), SortOrder.Asc,
+          Some("o_orderstatus"))))
+      val catalog = new InMemoryCatalog
+      val bookmarks = new FileBookmarkStore(s"$work/bookmarks.json")
+      new Driver(s, cfg, new ParquetSource(s"$work/src1"), catalog, bookmarks).run()
+      new Driver(s, cfg, new ParquetSource(s"$work/src2"), catalog, bookmarks).run()
+      s.read.parquet(s"$work/target/orders").agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("st"),
+        max(col("o_orderkey")).as("hi"))
+    }),
+
+    // S4 — CSV round-trip (header + ',' delimiter per the reference).
+    "q10_csv_roundtrip" -> ((s, dir) => {
+      val out = tmpdir("graft-q10")
+      val src = tbl(s, dir, "orders")
+      PartitionedSink.write(src, out, "csv", Seq.empty)
+      s.read.schema(src.schema).option("header", "true").csv(out).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("st"),
+        max(col("o_orderkey")).as("hi"))
+    }),
+
+    // S4 — JSON round-trip.
+    "q11_json_roundtrip" -> ((s, dir) => {
+      val out = tmpdir("graft-q11")
+      val src = tbl(s, dir, "orders")
+      PartitionedSink.write(src, out, "json", Seq.empty)
+      s.read.schema(src.schema).json(out).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("st"),
+        max(col("o_orderkey")).as("hi"))
+    }),
+
+    // ------------------------------------------------- dedup (north-star)
+
+    // Exact dedup by normalized fingerprint.
+    "d1_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text").orderBy("fp")),
+
+    // MinHash-LSH near-dup pairs (verified with exact Jaccard ≥ 0.8).
+    "d2_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLsh(nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text",
+          numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+        .orderBy("a", "b")),
+
+    // SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures).
+    "d3_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text",
+          maxHamming = 3, shingleN = 3)
+        .orderBy("a", "b")),
+
+    // Brute-force n-gram Jaccard baseline: top-20 most-similar pairs over a
+    // bounded window (doc_id < 500) — the quadratic baseline stays O(1) as
+    // the corpus grows; the LSH path (d2) is the at-scale variant.
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardAllPairs(
+          tbl(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text", shingleN = 3)
+        .orderBy(col("jaccard").desc, col("a"), col("b")).limit(20)),
+
+    // Token counting.
+    "d5_token_count" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    // Marker-word language ID.
+    "d6_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // Quality scoring (rounded for cross-engine hash stability).
+    "d7_quality_score" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")),
+
+    // Document fingerprinting.
+    "d8_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Near-dup clusters from verified MinHash pairs (min-label propagation).
+    "d9_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+          Dedup.minHashLsh(nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text",
+            numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8))
+        .orderBy("doc", "cluster")),
+
+    // -------------------------------------------- similarity (north-star)
+
+    // Exact brute-force cosine top-5 (query side broadcast).
+    "e1_knn_brute" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // SRP-LSH ANN top-5 (approximate; rows-only check).
+    "e2_knn_lsh" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      // 16 tables × 4 bits: on THIS corpus (pure-random vectors, max
+      // pairwise cos ≈ 0.51) recall needs permissive buckets; clustered
+      // real-world embeddings warrant more bits per table.
+      Similarity.lshTopK(
+          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, dim = 64,
+          numTables = 16, bitsPerTable = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Embedding near-duplicate pairs (cosine ≥ 0.99 against perturbed copies).
+    "e3_embedding_neardup" -> ((s, dir) => {
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+      Dedup.embeddingNearDupLsh(base.union(mut), "vec_id", "v", threshold = 0.99, dim = 64)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos6"))
+        .orderBy("a", "b")
+    }),
+
+    // ------------------------------------------------ events (north-star)
+
+    // Tumbling-window aggregation (batch twin of st1).
+    "ev1_hourly_agg" -> ((s, dir) =>
+      StreamingOps.hourlyAgg(tbl(s, dir, "events")).orderBy("event_type", "h")),
+
+    // JSON payload extraction.
+    "ev2_json_extract" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")),
+
+    // Sessionization (30-min gap) via window functions.
+    "ev3_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+      val newSess = when(gap.isNull || gap > 1800, 1).otherwise(0)
+      tbl(s, dir, "events")
+        .withColumn("sid", sum(newSess).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // --------------------------------------------- streaming (north-star)
+
+    // Structured Streaming file-source windowed agg == its batch twin.
+    "st1_stream_hourly_agg" -> ((s, dir) => {
+      val work = tmpdir("graft-st1")
+      val raw = s.read.parquet(s"$dir/events.parquet") // pre-normalize schema
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events_0.parquet"))
+      StreamingOps.drainToMemory(s, work, raw.schema,
+          df => StreamingOps.hourlyAgg(normalizeTs(df)), OutputMode.Complete())
+        .orderBy("event_type", "h")
+    }),
+
+    // mapGroupsWithState running per-user counts; final state == batch counts.
+    "st2_stream_user_counts" -> ((s, dir) => {
+      val work = tmpdir("graft-st2")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events_0.parquet"))
+      StreamingOps.drainToMemory(s, work, raw.schema,
+          df => StreamingOps.runningUserCounts(s, normalizeTs(df)).toDF("user_id", "n"),
+          OutputMode.Update())
+        .groupBy("user_id").agg(max(col("n")).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---------------------------------------------- multimodal (north-star)
+
+    // Binary-column plumbing: prune → mapPartitions decode (stubbed) → meta.
+    "m1_media_metadata" -> ((s, dir) =>
+      Multimodal.decodeMetadata(s,
+          tbl(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("media")))
+        .toDF().orderBy("doc_id"))
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  /** DuckDB shingle expression mirroring TextFunctions.shingles(text, 3). */
+  private val duckShingles =
+    """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |  i -> array_to_string(toks[i:i+2], ' '))) END""".stripMargin
+
+  private val duckMutantCorpus =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id,
+      |  CASE WHEN instr(text, ' ') > 0 THEN substr(text, instr(text, ' ') + 1)
+      |       ELSE text END AS text
+      |FROM documents""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_incremental_scan" ->
+      "SELECT * FROM orders WHERE o_orderkey > 1200 ORDER BY o_orderkey",
+
+    "q2_apply_mapping" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS order_id, CAST(l_linenumber AS INT) AS line_no,
+        |CAST(l_quantity AS DOUBLE) AS qty, CAST(l_returnflag AS VARCHAR) AS rflag
+        |FROM lineitem ORDER BY order_id, line_no""".stripMargin,
+
+    "q3_dropnull_counts" ->
+      """SELECT COUNT(c_custkey) AS c1, COUNT(c_name) AS c2, COUNT(c_nationkey) AS c3,
+        |COUNT(c_acctbal) AS c4, COUNT(c_mktsegment) AS c5 FROM customer""".stripMargin,
+
+    "q4_distinct_partitions" ->
+      "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
+
+    "q5_partition_write_counts" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q6_write_readback_agg" ->
+      """SELECT COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS st
+        |FROM orders""".stripMargin,
+
+    "q7_empty_probe" ->
+      "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey > 999999999",
+
+    "q8_bookmark_advance" ->
+      """SELECT MAX(o_orderkey) AS hi, MIN(o_orderkey) AS lo FROM orders
+        |WHERE o_orderkey > 1200""".stripMargin,
+
+    "q9_incremental_ingest" ->
+      """SELECT COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS st,
+        |MAX(o_orderkey) AS hi FROM orders""".stripMargin,
+
+    "q10_csv_roundtrip" ->
+      """SELECT COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS st,
+        |MAX(o_orderkey) AS hi FROM orders""".stripMargin,
+
+    "q11_json_roundtrip" ->
+      """SELECT COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS st,
+        |MAX(o_orderkey) AS hi FROM orders""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d2_dedup_minhash" ->
+      s"""WITH corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+         |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
+         |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
+         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents WHERE doc_id < 500),
+         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+         |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
+         |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
+         |SELECT a, b, jaccard FROM pairs ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
+
+    "d5_token_count" ->
+      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INT) END AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d6_lang_id" -> {
+      val scores = TextFunctions.langMarkers.map { case (lang, words) =>
+        val hits = words.map(w =>
+          s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        lang -> s"($hits)"
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (lang, sc) =>
+        s"WHEN $sc = m AND m > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id, text, $best AS m FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "d7_quality_score" ->
+      """SELECT doc_id, round(
+        |  0.4 * least(n_tokens / 100.0, 1.0)
+        |+ 0.3 * (CASE WHEN n_tokens > 0 AND n_chars / n_tokens >= 3
+        |              AND n_chars / n_tokens <= 10 THEN 1.0 ELSE 0.5 END)
+        |+ 0.15 * (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) * 10.0, 1.0))
+        |+ 0.15 * (1.0 - least((CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END) * 10.0, 1.0))
+        |, 6) AS quality
+        |FROM (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "d8_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e1_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "e3_embedding_neardup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mut AS (SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |pairs AS (SELECT l.vec_id AS a, r.vec_id AS b,
+        |  list_cosine_similarity(l.v, r.v) AS c
+        |  FROM corpus l, corpus r WHERE l.vec_id < r.vec_id)
+        |SELECT a, b, round(c, 6) AS cos6 FROM pairs WHERE c >= 0.99
+        |ORDER BY a, b""".stripMargin,
+
+    "ev1_hourly_agg" ->
+      """SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev2_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "ev3_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, SUM(ns) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, MAX(sid) AS n_sessions, COUNT(*) AS n_events
+        |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "st1_stream_hourly_agg" ->
+      """SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st2_stream_user_counts" ->
+      "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id",
+
+    "m1_media_metadata" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+        |CAST(16 + strlen(text) % 64 AS INT) AS width,
+        |CAST(16 + (strlen(text) // 64) % 64 AS INT) AS height,
+        |CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines (north-star surface).
+  *
+  * Scale design notes (the point of each choice at 100 TB):
+  *  - exact dedup: one hash-aggregate on a 32-byte fingerprint — the
+  *    shuffle moves (fingerprint, doc_id), never the text.
+  *  - MinHash / SimHash signatures: computed as `explode(shingles)` →
+  *    codegen'd hash aggregates (128 `min(...)` / 64 `sum(...)` columns),
+  *    NOT per-row higher-order array functions — HOFs are interpreted in
+  *    Spark and become the bottleneck once docs × shingles is large. The
+  *    shuffle moves only (doc_id, hash), with map-side partial
+  *    aggregation.
+  *  - LSH candidate generation explodes only (band, bucket, doc_id) and
+  *    joins bucket-locally, so the quadratic all-pairs comparison never
+  *    materializes; only bucket-colliding pairs are verified exactly.
+  *  - SimHash banding uses the pigeonhole principle over 4×16-bit blocks
+  *    (hamming ≤ 3 ⇒ at least one block equal).
+  *  - clustering: iterative min-label propagation over the pair list —
+  *    pure DataFrame joins; near-dup clusters have tiny diameters so a
+  *    few rounds converge.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** One row per distinct normalized fingerprint: the kept (minimum) id and
+    * the duplicate count. Equivalent SQL: GROUP BY md5(normalized text).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  // ------------------------------------------------------------- MinHash
+
+  /** Deterministic universal-hash parameters for the MinHash permutations.
+    * Base hash is truncated to 32 bits and coefficients kept below 2^30 so
+    * `a*x + b` stays within a long under ANSI arithmetic (max ~2^62).
+    */
+  private val MinHashPrime = 4294967311L // smallest prime > 2^32
+  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)(((rnd.nextInt((1 << 30) - 1) + 1).toLong, rnd.nextInt(1 << 30).toLong))
+  }
+
+  /** (id, shingle-hash) rows: one per (doc, distinct shingle). The codegen
+    * base of both signature kinds.
+    */
+  private def explodedShingleHashes(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), shingleN)).as("_s"))
+      .select(col(idCol), xxhash64(col("_s")).as("_x"))
+
+  /** MinHash signatures as k columns `m0..m{k-1}`: per doc,
+    * min((a_i * x32 + b_i) mod p) over shingle hashes — one hash-aggregate
+    * with map-side combine.
+    */
+  def minHashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int, seed: Long = 42L): DataFrame = {
+    val x32 = col("_x").bitwiseAND(lit(0xFFFFFFFFL))
+    val sigCols = perms(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(x32 * lit(a) + lit(b), lit(MinHashPrime))).as(s"m$i")
+    }
+    explodedShingleHashes(docs, idCol, textCol, shingleN)
+      .groupBy(col(idCol))
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Candidate pairs from LSH banding: docs sharing any band-bucket, where
+    * a band's bucket is the hash of its `numHashes/bands` signature
+    * columns. Emits (a, b) with a < b, deduplicated.
+    */
+  def lshCandidates(
+      sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    require(r * bands == numHashes, s"bands=$bands must divide numHashes=$numHashes")
+    val bandHashes = (0 until bands).map { j =>
+      xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*)
+    }
+    val banded = sigs.select(col(idCol).as("doc"), posexplode(array(bandHashes: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("a"), col("r.doc").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between the shingle sets of candidate pairs.
+    * Joins the (small) candidate list back to the shingle arrays and
+    * verifies with set intersection — no UDF.
+    */
+  def verifyJaccard(
+      candidates: DataFrame, shingled: DataFrame, idCol: String, shCol: String): DataFrame = {
+    val l = shingled.select(col(idCol).as("a"), col(shCol).as("sh_a"))
+    val r = shingled.select(col(idCol).as("b"), col(shCol).as("sh_b"))
+    candidates.join(l, "a").join(r, "b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("a"), col("b"), (col("inter") / col("uni")).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → signature → banded
+    * candidates → exact-Jaccard filter ≥ `threshold`. Returns verified
+    * pairs (a < b, jaccard).
+    */
+  def minHashLsh(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val shingled = docs.select(col(idCol),
+      TextFunctions.shingles(col(textCol), shingleN).as("sh")).persist()
+    val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleN)
+    val cands = lshCandidates(sigs, idCol, numHashes, bands)
+    verifyJaccard(cands, shingled, idCol, "sh").filter(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force n-gram Jaccard over all pairs — the small-data oracle twin
+    * of `minHashLsh` (quadratic; only for validation and bounded subsets).
+    */
+  def ngramJaccardAllPairs(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("sh"))
+    val pairs = sh.as("l").join(sh.as("r"), col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("a"), col("b"), (col("inter") / col("uni")).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc as (doc, sig): per-bit ±1 sums via 64 codegen'd
+    * aggregate columns over exploded shingle hashes, then packed to a long.
+    */
+  def simHashSignatures(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("_x"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$i")
+    }
+    val counts = explodedShingleHashes(docs, idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
+    val packed = (0 until 64)
+      .map(i => when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    counts.select(col(idCol).as("doc"), packed.as("sig"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 16).
+    * Pigeonhole banding on 4×16-bit blocks makes candidate generation
+    * linear; exact popcount verifies.
+    */
+  def simHashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
+    val sigs = simHashSignatures(docs, idCol, textCol, shingleN)
+    val blockCols = (0 until 4).map(b => shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF))
+    val blocks = sigs.select(col("doc"), col("sig"), posexplode(array(blockCols: _*)))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "blkval")
+    val hamming = bit_count(col("l.sig").bitwiseXOR(col("r.sig")))
+    blocks.as("l").join(blocks.as("r"),
+        col("l.blk") === col("r.blk") && col("l.blkval") === col("r.blkval") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("a"), col("r.doc").as("b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --------------------------------------------------- embedding near-dup
+
+  /** Exact cosine similarity between two `array<float|double>` columns,
+    * computed in double with a fixed left-to-right accumulation order
+    * (bit-stable across engines).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ `threshold`, candidates from
+    * sign-random-projection buckets (near-identical vectors collide with
+    * overwhelming probability), verified with exact cosine. Linear in
+    * corpus size; the brute-force twin below is the validation oracle.
+    */
+  def embeddingNearDupLsh(
+      embs: DataFrame, idCol: String, vecCol: String, threshold: Double, dim: Int,
+      numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L): DataFrame = {
+    val withB = embs.select(col(idCol).as("doc"), col(vecCol).as("v"),
+        posexplode(Similarity.srpSignature(col(vecCol), dim, numTables, bitsPerTable, seed)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val cands = withB.as("l").join(withB.as("r"),
+        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("a"), col("r.doc").as("b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .groupBy("a", "b").agg(first("va").as("va"), first("vb").as("vb"))
+    cands.select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Brute-force all-pairs variant (quadratic; validation / small corpora). */
+  def embeddingNearDup(
+      embs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val l = embs.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = embs.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  // ----------------------------------------------------------- clustering
+
+  /** Connected components over a near-dup pair list via iterative min-label
+    * propagation: each doc's label becomes the min label in its
+    * neighborhood; `iters` rounds double the reach per round. Returns
+    * (doc, cluster) where cluster = min doc id of the component (for the
+    * small-diameter clusters near-dup graphs produce).
+    */
+  def clusters(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("cluster", col("doc"))
+    for (_ <- 1 to iters) {
+      val viaNeighbor = edges.join(labels, edges("b") === labels("doc"))
+        .select(edges("a").as("doc"), col("cluster"))
+      labels = labels.union(viaNeighbor)
+        .groupBy("doc").agg(min("cluster").as("cluster"))
+    }
+    labels
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class Event(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Structured-Streaming operators over the `events` shape (north-star
+  * surface). Batch parity: every streaming pipeline here has a batch twin
+  * with identical results once the stream is drained, which is what the
+  * DuckDB oracle checks.
+  *
+  * Scale notes: windowed aggregation state is bounded by (windows ×
+  * event_types) per watermark horizon; `mapGroupsWithState` state is one
+  * counter per user key, hash-partitioned across executors.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour window × event_type counts and value sums. Works on a
+    * streaming OR batch DataFrame (same plan — Spark unifies them).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sv"))
+      .select(col("event_type"), col("w.start").as("h"), col("n"), col("sv"))
+
+  /** Per-user running event count via mapGroupsWithState — the canonical
+    * custom-state operator. In update mode the LAST emitted row per user
+    * is the total count.
+    */
+  def runningUserCounts(spark: SparkSession, events: DataFrame): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + batch.size
+          state.update(n)
+          (user, n)
+      }
+  }
+
+  /** Drain a parquet-file stream through `pipeline` into an in-memory
+    * table and return its final contents. `outputMode` must match the
+    * pipeline (complete for aggregations, update for stateful map).
+    */
+  def drainToMemory(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      pipeline: DataFrame => DataFrame,
+      outputMode: OutputMode): DataFrame = {
+    val name = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val q = pipeline(stream).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

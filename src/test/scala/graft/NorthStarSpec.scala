@@ -1,0 +1,148 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Specs for the training-data-pipeline operators (dedup, similarity,
+  * text analysis, multimodal). sf0.001 keeps them fast.
+  */
+class NorthStarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(sf("documents"))
+  private def embs = spark.read.parquet(sf("embeddings"))
+
+  private def mutantCorpus = {
+    val m = expr("CASE WHEN instr(text,' ') > 0 THEN substring(text, instr(text,' ')+1) ELSE text END")
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + 100000).as("doc_id"), m.as("text")))
+  }
+
+  // --- text functions -------------------------------------------------------
+
+  test("tokenCount handles empties, runs of whitespace") {
+    val df = Seq((1L, "a  b\tc"), (2L, ""), (3L, "   "), (4L, "x")).toDF("id", "text")
+    val out = df.select(col("id"), TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq((1L, "The  Quick Fox"), (2L, "the quick   fox"), (3L, "other")).toDF("id", "text")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("langId picks marker-word argmax, und on no hits") {
+    val df = Seq(
+      (1L, "the cat and the dog is here"), // en
+      (2L, "der hund und das ist gut"),    // de
+      (3L, "zzz qqq www")                  // none
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("shingles produces n-grams, falls back to whole text when short") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val out = df.select(col("id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq("a b"))
+  }
+
+  // --- dedup ----------------------------------------------------------------
+
+  test("exact dedup collapses normalized duplicates") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "bye")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id = min
+  }
+
+  test("minHashLsh finds all constructed near-dup pairs (recall vs brute force)") {
+    val pairs = Dedup.minHashLsh(mutantCorpus, "doc_id", "text", threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.ngramJaccardAllPairs(mutantCorpus, "doc_id", "text")
+      .filter(col("jaccard") >= 0.8).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == brute, "LSH+verify must equal brute-force at this threshold")
+    assert(pairs.count { case (a, b) => b == a + 100000 } == docs.count())
+  }
+
+  test("simHash signatures put near-dups within small hamming distance") {
+    val pairs = Dedup.simHashPairs(mutantCorpus, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val mutantPairs = pairs.count { case (a, b) => b == a + 100000 }
+    assert(mutantPairs >= docs.count() * 0.3,
+      s"expected ≥30% of mutant pairs within hamming 3, got $mutantPairs")
+  }
+
+  test("clusters: min-label propagation finds connected components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("embeddingNearDupLsh matches brute force on perturbed corpus") {
+    val base = embs.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+    val corpus = base.union(mut)
+    val lsh = Dedup.embeddingNearDupLsh(corpus, "vec_id", "v", 0.99, dim = 64)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.embeddingNearDup(corpus, "vec_id", "v", 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh == brute)
+    assert(lsh.nonEmpty)
+  }
+
+  // --- similarity -----------------------------------------------------------
+
+  test("bruteForceTopK is exact: agrees with a driver-side computation") {
+    val all = embs.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val q = all.filter(_._1 < 3)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = q.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(5).map(_._1).toSeq
+    }.toMap
+    val got = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._3).map(_._2).toSeq }
+    assert(got == expected)
+  }
+
+  test("lshTopK recall vs brute force is reasonable on random data") {
+    val brute = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(embs, embs.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, dim = 64, numTables = 16, bitsPerTable = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  // --- multimodal -----------------------------------------------------------
+
+  test("multimodal decode plumbing: binary in, typed metadata out") {
+    val pruned = docs.select(col("doc_id"), col("text").cast("binary").as("media"))
+    val out = Multimodal.decodeMetadata(spark, pruned)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("doc_id", "byte_len", "width", "height", "format"))
+    val joined = out.toDF().join(docs.select("doc_id", "n_chars"), "doc_id")
+      .filter(col("byte_len") =!= col("n_chars"))
+    assert(joined.count() == 0, "ascii byte length must equal n_chars")
+  }
+}
