@@ -44,6 +44,9 @@ object SparkEntry {
       "CASE WHEN instr(text, ' ') > 0 THEN substring(text, instr(text, ' ') + 1) ELSE text END")
     docs.select(col("doc_id"), col("text"))
       .union(docs.select((col("doc_id") + 100000).as("doc_id"), mutant.as("text")))
+      // the testdata is one small parquet file → one input split; spread the
+      // signature computation across cores (a real corpus has many splits)
+      .repartition(64, col("doc_id"))
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * The `functions.aggregate`/`zip_with` composition of a dot product is
+  * evaluated interpreted (higher-order functions don't codegen) and
+  * allocates an intermediate array per row — at N·k pair scorings this
+  * dominates the ANN/near-dup runtime. These expressions run a tight
+  * primitive loop instead: `CosineSimilarity` participates in whole-stage
+  * codegen; `SrpSignature` is a single interpreted call per row around a
+  * primitive loop (the plane matrix lives in the expression instance).
+  */
+
+/** cosine(a, b) over two numeric arrays (float or double elements),
+  * accumulated in double, left-to-right — bit-identical to the HOF
+  * formulation it replaces. Null elements count as 0; length mismatch
+  * scores over the common prefix.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e =>
+      Seq(FloatType, DoubleType).contains(elemType(e)))
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double> inputs, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]; val bd = b.asInstanceOf[ArrayData]
+    val aFloat = elemType(left) == FloatType
+    val bFloat = elemType(right) == FloatType
+    val n = math.min(ad.numElements(), bd.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (ad.isNullAt(i)) 0.0 else if (aFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
+      val y = if (bd.isNullAt(i)) 0.0 else if (bFloat) bd.getFloat(i).toDouble else bd.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val aGet = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      val bGet = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double x = $a.isNullAt(i) ? 0.0 : $aGet;
+         |  double y = $b.isNullAt(i) ? 0.0 : $bGet;
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sign-random-projection signature: `numTables` bucket ids, each packing
+  * `bitsPerTable` hyperplane sign bits, planes drawn deterministically
+  * from `seed` (components in {-1, 1}). One primitive pass per row; the
+  * plane matrix is materialized once per expression instance.
+  */
+case class SrpSignature(
+    child: Expression, dim: Int, numTables: Int, bitsPerTable: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_srp_signature"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double> input, got $other")
+    }
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numTables * bitsPerTable)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+  @transient private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val vd = v.asInstanceOf[ArrayData]
+    val n = math.min(vd.numElements(), dim)
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        val plane = planes(t * bitsPerTable + b)
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (vd.isNullAt(i)) 0.0
+            else if (childIsFloat) vd.getFloat(i).toDouble else vd.getDouble(i)
+          dot += x * plane(i)
+          i += 1
+        }
+        if (dot >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   *  - exact dedup: one hash-aggregate on a 32-byte fingerprint — the
   *    shuffle moves (fingerprint, doc_id), never the text.
   *  - MinHash / SimHash signatures: computed as `explode(shingles)` →
-  *    codegen'd hash aggregates (128 `min(...)` / 64 `sum(...)` columns),
-  *    NOT per-row higher-order array functions — HOFs are interpreted in
-  *    Spark and become the bottleneck once docs × shingles is large. The
-  *    shuffle moves only (doc_id, hash), with map-side partial
+  *    custom single-buffer TypedImperativeAggregates
+  *    ([[graft.functions.MinHashAggregate]] / SimHashAggregate) — one
+  *    primitive JVM loop per row, NOT per-row higher-order array
+  *    functions (interpreted) nor 128 independent aggregate columns.
+  *    The shuffle moves only (doc_id, hash) with map-side partial
   *    aggregation.
   *  - LSH candidate generation explodes only (band, bucket, doc_id) and
   *    joins bucket-locally, so the quadratic all-pairs comparison never
@@ -39,16 +40,6 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash
 
-  /** Deterministic universal-hash parameters for the MinHash permutations.
-    * Base hash is truncated to 32 bits and coefficients kept below 2^30 so
-    * `a*x + b` stays within a long under ANSI arithmetic (max ~2^62).
-    */
-  private val MinHashPrime = 4294967311L // smallest prime > 2^32
-  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)(((rnd.nextInt((1 << 30) - 1) + 1).toLong, rnd.nextInt(1 << 30).toLong))
-  }
-
   /** (id, shingle-hash) rows: one per (doc, distinct shingle). The codegen
     * base of both signature kinds.
     */
@@ -58,32 +49,34 @@ object Dedup {
         explode(TextFunctions.shingles(col(textCol), shingleN)).as("_s"))
       .select(col(idCol), xxhash64(col("_s")).as("_x"))
 
-  /** MinHash signatures as k columns `m0..m{k-1}`: per doc,
-    * min((a_i * x32 + b_i) mod p) over shingle hashes — one hash-aggregate
-    * with map-side combine.
+  /** MinHash signatures as (id, sig: array<bigint>): per doc,
+    * min((a_i * x32 + b_i) mod p) over shingle hashes — a single
+    * [[graft.functions.MinHashAggregate]] buffer (one primitive loop per
+    * row) instead of `numHashes` independent aggregate columns, with
+    * map-side partial aggregation.
     */
   def minHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int, seed: Long = 42L): DataFrame = {
-    val x32 = col("_x").bitwiseAND(lit(0xFFFFFFFFL))
-    val sigCols = perms(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(x32 * lit(a) + lit(b), lit(MinHashPrime))).as(s"m$i")
-    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.MinHashAggregate(
+        ColumnBridge.expression(col("_x")), numHashes, seed).toAggregateExpression())
     explodedShingleHashes(docs, idCol, textCol, shingleN)
       .groupBy(col(idCol))
-      .agg(sigCols.head, sigCols.tail: _*)
+      .agg(agg.as("sig"))
   }
 
   /** Candidate pairs from LSH banding: docs sharing any band-bucket, where
     * a band's bucket is the hash of its `numHashes/bands` signature
-    * columns. Emits (a, b) with a < b, deduplicated.
+    * slots. Emits (a, b) with a < b, deduplicated.
     */
   def lshCandidates(
       sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
     require(r * bands == numHashes, s"bands=$bands must divide numHashes=$numHashes")
     val bandHashes = (0 until bands).map { j =>
-      xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*)
+      xxhash64((j * r until (j + 1) * r).map(i => element_at(col("sig"), i + 1)): _*)
     }
     val banded = sigs.select(col(idCol).as("doc"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -116,9 +109,17 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // shingle ONCE; signatures and the verify step both read the cache
     val shingled = docs.select(col(idCol),
       TextFunctions.shingles(col(textCol), shingleN).as("sh")).persist()
-    val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleN)
+    val agg = ColumnBridge.column(
+      graft.functions.MinHashAggregate(
+        ColumnBridge.expression(col("_x")), numHashes, seed = 42L).toAggregateExpression())
+    val sigs = shingled
+      .select(col(idCol), explode(col("sh")).as("_s"))
+      .select(col(idCol), xxhash64(col("_s")).as("_x"))
+      .groupBy(col(idCol)).agg(agg.as("sig"))
     val cands = lshCandidates(sigs, idCol, numHashes, bands)
     verifyJaccard(cands, shingled, idCol, "sh").filter(col("jaccard") >= threshold)
   }
@@ -140,20 +141,19 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per doc as (doc, sig): per-bit ±1 sums via 64 codegen'd
-    * aggregate columns over exploded shingle hashes, then packed to a long.
+  /** 64-bit SimHash per doc as (doc, sig): per-bit ±1 sums packed to a
+    * long, via a single [[graft.functions.SimHashAggregate]] buffer over
+    * exploded shingle hashes.
     */
   def simHashSignatures(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
-    val bitCols = (0 until 64).map { i =>
-      sum(when(shiftright(col("_x"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$i")
-    }
-    val counts = explodedShingleHashes(docs, idCol, textCol, shingleN)
-      .groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
-    val packed = (0 until 64)
-      .map(i => when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    counts.select(col(idCol).as("doc"), packed.as("sig"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.SimHashAggregate(
+        ColumnBridge.expression(col("_x"))).toAggregateExpression())
+    explodedShingleHashes(docs, idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(agg.as("sig"))
+      .withColumnRenamed(idCol, "doc")
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 16).
@@ -181,16 +181,15 @@ object Dedup {
 
   /** Exact cosine similarity between two `array<float|double>` columns,
     * computed in double with a fixed left-to-right accumulation order
-    * (bit-stable across engines).
+    * (bit-stable across engines). Backed by the codegen'd
+    * [[graft.functions.CosineSimilarity]] expression — the HOF
+    * (`aggregate`/`zip_with`) formulation evaluates interpreted and
+    * dominates pair-scoring time at scale.
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ `threshold`, candidates from
@@ -236,13 +235,16 @@ object Dedup {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist()
+    edges.count() // materialize once — upstream (LSH+verify) is expensive
     var labels = edges.select(col("a").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
     for (_ <- 1 to iters) {
       val viaNeighbor = edges.join(labels, edges("b") === labels("doc"))
         .select(edges("a").as("doc"), col("cluster"))
-      labels = labels.union(viaNeighbor)
+      val next = labels.union(viaNeighbor)
         .groupBy("doc").agg(min("cluster").as("cluster"))
+        .persist() // labels is referenced twice next round — cap the lineage
+      labels = next
     }
     labels
   }

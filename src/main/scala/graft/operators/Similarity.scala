@@ -45,21 +45,16 @@ object Similarity {
 
   /** Sign-random-projection signature: one bucket id per hash table, each
     * from `bitsPerTable` hyperplane sign bits. Returns an
-    * `array<bigint>` Column of length `numTables`.
+    * `array<bigint>` Column of length `numTables`. Backed by the
+    * single-pass [[graft.functions.SrpSignature]] expression (one
+    * primitive loop per row instead of `numTables × bitsPerTable`
+    * interpreted HOF dot products).
     */
   def srpSignature(
       vec: Column, dim: Int, numTables: Int, bitsPerTable: Int, seed: Long = 7L): Column = {
-    val planes = hyperplanes(numTables * bitsPerTable, dim, seed)
-    val buckets = (0 until numTables).map { t =>
-      (0 until bitsPerTable).map { b =>
-        val plane = planes(t * bitsPerTable + b)
-        val dot = aggregate(
-          zip_with(vec, lit(plane), (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-      }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-    }
-    array(buckets: _*)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SrpSignature(
+      ColumnBridge.expression(vec), dim, numTables, bitsPerTable, seed))
   }
 
   /** ANN top-k: SRP-LSH candidate generation (same bucket in ANY table)
