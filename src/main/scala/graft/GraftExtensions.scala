@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.{CosineSimilarity, MinHashAggregate, SimHashAggregate, SrpSignature}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the custom expressions — install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`:
+  *
+  *   SELECT graft_cosine(a.embedding, b.embedding)           -- double
+  *   SELECT graft_srp_signature(embedding, 64, 8, 8, 7)      -- array<bigint>
+  *   SELECT graft_minhash(xxhash64(s), 128, 42) ... GROUP BY -- array<bigint>
+  *   SELECT graft_simhash(xxhash64(s)) ...        GROUP BY   -- bigint
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Number, _) => v.intValue()
+    case Literal(v: Any, _)    => v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name must be a literal, got $other")
+  }
+  private def longArg(e: Expression, name: String): Long = intArg(e, name).toLong
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp_signature"),
+      new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_signature"),
+      (args: Seq[Expression]) => SrpSignature(args(0),
+        intArg(args(1), "dim"), intArg(args(2), "numTables"),
+        intArg(args(3), "bitsPerTable"), longArg(args(4), "seed"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAggregate].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashAggregate(args(0),
+        intArg(args(1), "numHashes"), longArg(args(2), "seed")).toAggregateExpression()))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAggregate].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHashAggregate(args(0)).toAggregateExpression()))
+  }
+}

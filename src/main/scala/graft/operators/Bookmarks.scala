@@ -33,9 +33,12 @@ object Bookmarks {
       case SortOrder.Desc => _ < _
     }
     val typed: Seq[(Column, Column)] = cfg.bookmarkKeys.map { k =>
-      val c = col(k)
-      val dt = df.schema(k).dataType
-      (c, lit(bookmark(k)).cast(dt))
+      // case-insensitive field resolution, matching Spark's analyzer (JDBC
+      // databases often fold unquoted identifiers to upper case)
+      val field = df.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"bookmark key '$k' not in schema ${df.schema.fieldNames.mkString(", ")}"))
+      (col(field.name), lit(bookmark(k)).cast(field.dataType))
     }
     // lexicographic strict-greater over the key tuple
     val clauses = typed.indices.map { i =>

@@ -1,0 +1,64 @@
+package graft
+
+import graft.config.{ConfigError, TableConfig, TableResolution, SortOrder}
+
+/** SQL-registered custom functions (GraftExtensions) and C6 table
+  * resolution semantics.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_cosine is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
+        " graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS o").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("graft_srp_signature / graft_minhash / graft_simhash from SQL") {
+    val sig = spark.sql(
+      "SELECT graft_srp_signature(array(0.5D, -0.2D), 2, 4, 8, 7) AS s").head().getSeq[Long](0)
+    assert(sig.length == 4)
+    val mh = spark.sql(
+      "SELECT graft_minhash(xxhash64(v), 16, 42) AS sig FROM VALUES ('a'), ('b') AS t(v)")
+      .head().getSeq[Long](0)
+    assert(mh.length == 16 && mh.forall(_ >= 0))
+    val sh = spark.sql(
+      "SELECT graft_simhash(xxhash64(v)) AS sig FROM VALUES ('a'), ('b') AS t(v)").head().getLong(0)
+    assert(sh != 0L)
+  }
+
+  test("SQL minhash equals the operator API signature") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("documents")).limit(50)
+    docs.createOrReplaceTempView("docs_mh")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_minhash(xxhash64(s), 32, 42) AS sig
+        |FROM (SELECT doc_id, explode(graft_shingles) AS s
+        |      FROM (SELECT doc_id, split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ') AS toks,
+        |            transform(sequence(0, greatest(size(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ')) - 3, 0)),
+        |                      i -> array_join(slice(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' '), i + 1, 3), ' ')) AS graft_shingles
+        |            FROM docs_mh))
+        |GROUP BY doc_id""".stripMargin)
+    val viaApi = graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text", 32, 3)
+    val sqlMap = viaSql.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val apiMap = viaApi.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // same docs; signatures agree where shingle sets agree (all docs here
+    // have >= 3 tokens so the fallback branch never diverges)
+    assert(sqlMap.keySet == apiMap.keySet)
+    assert(sqlMap.forall { case (k, v) => apiMap(k) == v })
+  }
+
+  test("table resolution: exactly-one match, ambiguity and absence are errors") {
+    val available = Seq("pre_mydb_orders", "pre_mydb_lineitem", "other_mydb_orders_x")
+    val cfg = Seq(TableConfig("orders", Seq("k"), SortOrder.Asc))
+    val resolved = TableResolution.resolve(available, "mydb", cfg)
+    assert(resolved == Map("orders" -> "pre_mydb_orders"))
+    intercept[ConfigError] {
+      TableResolution.resolve(available :+ "x_mydb_orders", "mydb", cfg)
+    }
+    intercept[ConfigError] {
+      TableResolution.resolve(Seq.empty, "mydb", cfg)
+    }
+  }
+}
