@@ -200,16 +200,20 @@ object Dedup {
   def embeddingNearDupLsh(
       embs: DataFrame, idCol: String, vecCol: String, threshold: Double, dim: Int,
       numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L): DataFrame = {
-    val withB = embs.select(col(idCol).as("doc"), col(vecCol).as("v"),
+    // bucket join on ids only — vectors never ride through the candidate
+    // dedup shuffle; they are fetched once per distinct pair afterwards
+    val withB = embs.select(col(idCol).as("doc"),
         posexplode(Similarity.srpSignature(col(vecCol), dim, numTables, bitsPerTable, seed)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val cands = withB.as("l").join(withB.as("r"),
         col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
           col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("a"), col("r.doc").as("b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
-      .groupBy("a", "b").agg(first("va").as("va"), first("vb").as("vb"))
-    cands.select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("l.doc").as("a"), col("r.doc").as("b"))
+      .distinct()
+    val va = embs.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = embs.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    cands.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

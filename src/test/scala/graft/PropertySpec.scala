@@ -1,0 +1,101 @@
+package graft
+
+import graft.catalog.SchemaEvolution
+import graft.config.{SortOrder, TableConfig}
+import graft.operators.Bookmarks
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based pins for the semantics SURVEY §5.2 calls out: schema
+  * merge laws, bookmark monotonicity, and re-ingest idempotence.
+  * (Raw ScalaCheck runner — the scalatest bridge artifact isn't in the
+  * offline dependency set.)
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop, tests: Int = 50): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(tests), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val fieldGen: Gen[StructField] = for {
+    name <- Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    dt <- Gen.oneOf[DataType](LongType, IntegerType, StringType, DoubleType,
+      DecimalType(10, 2), TimestampType)
+  } yield StructField(name, dt)
+
+  private val schemaGen: Gen[StructType] = Gen.listOf(fieldGen)
+    .map(fs => StructType(fs.groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)))
+
+  test("schema merge is idempotent: merge(merge(t,s), s) == merge(t,s)") {
+    check(Prop.forAll(schemaGen, schemaGen) { (t, s) =>
+      val once = SchemaEvolution.merge(t, s, Nil)
+      SchemaEvolution.merge(once, s, Nil) == once
+    })
+  }
+
+  test("schema merge preserves target column order as a prefix") {
+    check(Prop.forAll(schemaGen, schemaGen) { (t, s) =>
+      SchemaEvolution.merge(t, s, Nil).fieldNames.take(t.fields.length).toSeq ==
+        t.fieldNames.toSeq
+    })
+  }
+
+  test("schema merge never loses target columns, partition cols never appended") {
+    check(Prop.forAll(schemaGen, schemaGen) { (t, s) =>
+      val parts = Seq("a", "b")
+      val merged = SchemaEvolution.merge(t, s, parts)
+      t.fieldNames.toSet.subsetOf(merged.fieldNames.toSet) &&
+        merged.fieldNames.drop(t.fields.length).forall(n => !parts.contains(n))
+    })
+  }
+
+  test("bookmark advances monotonically under arbitrary batches (ASC)") {
+    import spark.implicits._
+    val cfg = TableConfig("t", Seq("k"), SortOrder.Asc)
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)),
+        Gen.chooseNum(-500L, 500L)) { (keys, bookmark) =>
+      val df = keys.toDF("k")
+      val fresh = Bookmarks.filterNew(df, cfg, Map("k" -> bookmark.toString))
+      Bookmarks.advance(fresh, cfg) match {
+        case Some(bk) => bk("k").toLong > bookmark
+        case None     => keys.forall(_ <= bookmark)
+      }
+    }, tests = 20)
+  }
+
+  test("re-filtering an ingested batch at its committed bookmark yields nothing") {
+    import spark.implicits._
+    val cfg = TableConfig("t", Seq("k"), SortOrder.Asc)
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))) { keys =>
+      val df = keys.toDF("k")
+      val bk = Bookmarks.advance(df, cfg).get
+      Bookmarks.filterNew(df, cfg, bk).isEmpty
+    }, tests = 20)
+  }
+
+  test("DESC mirror: advance commits the min; re-filter yields nothing") {
+    import spark.implicits._
+    val cfg = TableConfig("t", Seq("k"), SortOrder.Desc)
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))) { keys =>
+      val df = keys.toDF("k")
+      val bk = Bookmarks.advance(df, cfg).get
+      bk("k").toLong == keys.min && Bookmarks.filterNew(df, cfg, bk).isEmpty
+    }, tests = 20)
+  }
+
+  test("composite-key property: predicate admits exactly tuples beyond the advance") {
+    import spark.implicits._
+    val cfg = TableConfig("t", Seq("k1", "k2"), SortOrder.Asc)
+    val tupleGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0, 20)))
+    check(Prop.forAll(tupleGen, tupleGen) { (batch1, batch2) =>
+      val df1 = batch1.toDF("k1", "k2")
+      val bk = Bookmarks.advance(df1, cfg).get
+      val hi = batch1.max // lexicographic max of (Long, Int)
+      val expected = batch2.filter(t => implicitly[Ordering[(Long, Int)]].gt(t, hi)).toSet
+      val got = Bookmarks.filterNew(batch2.toDF("k1", "k2"), cfg, bk)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      got == expected
+    }, tests = 20)
+  }
+}
