@@ -277,6 +277,28 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Session windows via the built-in session_window (gap-merge semantics
+    // on exact micros: a new session starts when the gap is ≥ 30 min).
+    "ev4_session_window" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        .orderBy("user_id")),
+
+    // IVF ANN top-5: spherical k-means cells + nprobe search (approximate;
+    // rows-only check, recall pinned in NorthStarSpec).
+    "e4_knn_ivf" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      val centroids = graft.operators.Ivf.train(embs, "embedding", k = 16)
+      graft.operators.Ivf.topK(
+          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+          centroids, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // --------------------------------------------- streaming (north-star)
 
     // Structured Streaming file-source windowed agg == its batch twin.
@@ -311,7 +333,15 @@ object SparkEntry {
     "m1_media_metadata" -> ((s, dir) =>
       Multimodal.decodeMetadata(s,
           tbl(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("media")))
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // Frame sampling: one row per 500-byte frame window, fan-out inside
+    // mapPartitions (demuxer iterator shape).
+    "m2_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(s,
+          tbl(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("media")),
+          every = 500)
+        .toDF().orderBy("doc_id", "frame_idx"))
   )
 
   // -------------------------------------------------------------- oracles
@@ -483,6 +513,24 @@ object SparkEntry {
         |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x)
         |SELECT user_id, MAX(sid) AS n_sessions, COUNT(*) AS n_events
         |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev4_session_window" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, SUM(ns) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, MAX(sid) AS n_sessions, COUNT(*) AS n_events
+        |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m2_frame_sample" ->
+      """WITH d AS (SELECT doc_id, strlen(text) AS len,
+        |  greatest(1, CAST(ceil(strlen(text) / 500.0) AS BIGINT)) AS n FROM documents),
+        |e AS (SELECT doc_id, len, unnest(range(n)) AS i FROM d)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx, i * 500 AS frame_off,
+        |CAST(greatest(least(500, len - i * 500), 0) AS INT) AS frame_len
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
 
     "st1_stream_hourly_agg" ->
       """SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,

@@ -6,6 +6,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 final case class MediaMeta(
     doc_id: Long, byte_len: Long, width: Int, height: Int, format: String)
 
+/** One sampled frame: byte offset + length of the frame window. */
+final case class MediaFrame(
+    doc_id: Long, frame_idx: Int, frame_off: Long, frame_len: Int)
+
 /** Multimodal-column plumbing (north-star surface): media travels as an
   * opaque `binary` column with typed metadata alongside.
   *
@@ -46,6 +50,27 @@ object Multimodal {
       it.map { case (id, bytes) =>
         val (w, h, fmt) = fakeDecode(bytes)
         MediaMeta(id, bytes.length.toLong, w, h, fmt)
+      }
+    }
+  }
+
+  /** Frame sampling STUB: one frame window per `every` bytes (a real
+    * build seeks keyframes via the container index). One input row fans
+    * out to ceil(len/every) frame rows — the iterator shape a codec's
+    * demuxer produces. Fan-out happens inside `mapPartitions`, so no
+    * exploded intermediate materializes.
+    */
+  def sampleFrames(spark: SparkSession, pruned: DataFrame, every: Int): Dataset[MediaFrame] = {
+    import spark.implicits._
+    require(every > 0, "frame stride must be positive")
+    pruned.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val n = math.max(1, (bytes.length + every - 1) / every)
+        (0 until n).iterator.map { i =>
+          val off = i.toLong * every
+          val len = math.min(every, bytes.length - off).toInt max 0
+          MediaFrame(id, i, off, len)
+        }
       }
     }
   }

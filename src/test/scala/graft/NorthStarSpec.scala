@@ -145,4 +145,42 @@ class NorthStarSpec extends SparkSpec {
       .filter(col("byte_len") =!= col("n_chars"))
     assert(joined.count() == 0, "ascii byte length must equal n_chars")
   }
+
+  // --- IVF / skew / frames --------------------------------------------------
+
+  test("ivfTopK recall vs brute force with nprobe=4 of 16 cells") {
+    import graft.operators.Ivf
+    val centroids = Ivf.train(embs, "embedding", k = 16)
+    assert(centroids.length == 16)
+    val brute = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.topK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, centroids, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    import graft.operators.Skew
+    val df = spark.read.parquet(sf("events"))
+    val expected = df.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(df, Seq("event_type"), salts = 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == expected)
+  }
+
+  test("sampleFrames covers every byte exactly once, handles empty media") {
+    import graft.operators.Multimodal
+    val df = Seq((1L, "x" * 1234), (2L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val frames = Multimodal.sampleFrames(spark, df, every = 500).collect()
+    val d1 = frames.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(d1.map(_.frame_len).sum == 1234 && d1.length == 3)
+    assert(d1.map(_.frame_off).toSeq == Seq(0L, 500L, 1000L))
+    val d2 = frames.filter(_.doc_id == 2L)
+    assert(d2.length == 1 && d2.head.frame_len == 0)
+  }
 }
