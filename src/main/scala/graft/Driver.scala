@@ -109,10 +109,12 @@ class Driver(
       // S3 — partitioned append.
       PartitionedSink.write(aligned, location, config.targetFormat, cfg.partitionCols)
 
-      // A3/D3 — stage the new bookmark; committed after all tables.
-      Bookmarks.advance(batch, cfg).foreach(bookmarks.stage(cfg.tableName, _))
+      // A3/D3 — stage the new bookmark; committed after all tables. One
+      // fused job also yields the written row count.
+      val (bk, rows) = Bookmarks.advanceWithCount(batch, cfg)
+      bk.foreach(bookmarks.stage(cfg.tableName, _))
 
-      TableResult(cfg.tableName, aligned.count(), skippedEmpty = false)
+      TableResult(cfg.tableName, rows, skippedEmpty = false)
     } finally batch.unpersist()
   }
 

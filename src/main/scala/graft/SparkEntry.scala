@@ -159,6 +159,31 @@ object SparkEntry {
         max(col("o_orderkey")).as("hi"))
     }),
 
+    // Star join: broadcast dimensions, shuffled fact aggregation.
+    "q12_star_join" -> ((s, dir) =>
+      tbl(s, dir, "orders").as("o")
+        .join(broadcast(tbl(s, dir, "customer").as("c")),
+          col("o.o_custkey") === col("c.c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation").as("n")),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .groupBy(col("n.n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o.o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("st"))
+        .orderBy("n_name")),
+
+    // Global top-k (TakeOrderedAndProject — no full sort materializes).
+    "q13_topk" -> ((s, dir) =>
+      tbl(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)),
+
+    // Set difference: customers with F orders but no O orders.
+    "q14_set_ops" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
     // ------------------------------------------------- dedup (north-star)
 
     // Exact dedup by normalized fingerprint.
@@ -210,11 +235,14 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    // Near-dup clusters from verified MinHash pairs (min-label propagation).
+    // Near-dup clusters from verified MinHash pairs (min-label propagation;
+    // 4 rounds cover the shallow diameters near-dup graphs produce —
+    // checked against the oracle's full transitive closure).
     "d9_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(
           Dedup.minHashLsh(nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text",
-            numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8))
+            numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8),
+          iters = 4)
         .orderBy("doc", "cluster")),
 
     // -------------------------------------------- similarity (north-star)
@@ -297,6 +325,21 @@ object SparkEntry {
           centroids, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
+    }),
+
+    // AS-OF join: each purchase matched to the user's latest signup event
+    // at-or-before it (union + ordered-window carry; DuckDB ASOF oracle).
+    "ev5_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("sts"))
+        .agg(max(col("event_id")).as("signup_id"))
+      graft.operators.AsOfJoin.asOf(purchases, signups,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "sts")
+        .select(col("purchase_id"), col("user_id"), col("signup_id"))
+        .orderBy("purchase_id")
     }),
 
     // --------------------------------------------- streaming (north-star)
@@ -407,6 +450,31 @@ object SparkEntry {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS st,
         |MAX(o_orderkey) AS hi FROM orders""".stripMargin,
 
+    "q12_star_join" ->
+      """SELECT n.n_name, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS st
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q14_set_ops" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "ev5_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS sts, MAX(event_id) AS signup_id FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id, ts)
+        |SELECT p.purchase_id, p.user_id, s.signup_id
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.sts
+        |ORDER BY purchase_id""".stripMargin,
+
     "d1_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
@@ -421,6 +489,21 @@ object SparkEntry {
          |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
          |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
          |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+
+    "d9_dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+         |prs AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sh l, sh r WHERE l.doc_id < r.doc_id
+         |  AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) >= 0.8),
+         |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a WHERE e.b != r.src)
+         |SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster FROM reach
+         |GROUP BY src ORDER BY doc""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks

@@ -58,6 +58,28 @@ object Bookmarks {
     * per-key independent max would be wrong for composite keys). Returns
     * None for an empty batch (bookmark unchanged).
     */
+  /** Bookmark advance AND batch row count in ONE aggregate job — the
+    * Driver needs both after a write; fusing them saves a pass over the
+    * (cached) batch per table.
+    */
+  def advanceWithCount(batch: DataFrame, cfg: TableConfig): (Option[Map[String, String]], Long) = {
+    val tuple = org.apache.spark.sql.functions.struct(cfg.bookmarkKeys.map(col): _*)
+    val agg = cfg.sortOrder match {
+      case SortOrder.Asc  => max(tuple)
+      case SortOrder.Desc => min(tuple)
+    }
+    val row: Row = batch.agg(agg.as("bk"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    if (row.isNullAt(0)) (None, n)
+    else {
+      val bk = row.getStruct(0)
+      (Some(cfg.bookmarkKeys.zipWithIndex.map { case (k, i) =>
+        k -> String.valueOf(bk.get(i))
+      }.toMap), n)
+    }
+  }
+
   def advance(batch: DataFrame, cfg: TableConfig): Option[Map[String, String]] = {
     val tuple = org.apache.spark.sql.functions.struct(cfg.bookmarkKeys.map(col): _*)
     val agg = cfg.sortOrder match {
