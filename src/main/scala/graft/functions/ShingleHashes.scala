@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct xxhash64 values of the word n-gram shingles of a text column,
+  * in one primitive pass (sorted ascending).
+  *
+  * Semantically equals `transform(shingles(text, n), s => xxhash64(s))`
+  * minus the intermediate shingle-string array: tokens come from
+  * lowercase, whitespace-collapsed text; fewer than `n` tokens hash the
+  * whole normalized text (the `shingles` fallback). Hashing matches
+  * Spark's `xxhash64` exactly (XxHash64Function, seed 42), so signatures
+  * built from these hashes are identical to the HOF formulation — the
+  * HOF version walks interpreted array expressions per row and was the
+  * single largest stage of the MinHash pipeline.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string input, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val norm = text.trim.toLowerCase.split("\\s+")
+    val toks = if (norm.isEmpty) Array("") else norm
+    val hashes = new java.util.TreeSet[java.lang.Long]()
+    if (toks.length < n) {
+      hashes.add(hash(toks.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        hashes.add(hash(sb.toString))
+        i += 1
+      }
+    }
+    val out = new Array[Long](hashes.size())
+    val it = hashes.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def hash(s: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -40,14 +40,22 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash
 
-  /** (id, shingle-hash) rows: one per (doc, distinct shingle). The codegen
-    * base of both signature kinds.
+  /** Distinct shingle hashes per doc, via the single-pass
+    * [[graft.functions.ShingleHashes]] expression (the HOF shingle-array
+    * formulation was the most expensive stage of the pipeline).
+    */
+  def shingleHashes(df: DataFrame, textCol: String, shingleN: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.ShingleHashes(
+      ColumnBridge.expression(col(textCol)), shingleN))
+  }
+
+  /** (id, shingle-hash) rows: one per (doc, distinct shingle). The
+    * aggregation base of both signature kinds.
     */
   private def explodedShingleHashes(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    docs.select(col(idCol),
-        explode(TextFunctions.shingles(col(textCol), shingleN)).as("_s"))
-      .select(col(idCol), xxhash64(col("_s")).as("_x"))
+    docs.select(col(idCol), explode(shingleHashes(docs, textCol, shingleN)).as("_x"))
 
   /** MinHash signatures as (id, sig: array<bigint>): per doc,
     * min((a_i * x32 + b_i) mod p) over shingle hashes — a single
@@ -110,18 +118,19 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    // shingle ONCE; signatures and the verify step both read the cache
-    val shingled = docs.select(col(idCol),
-      TextFunctions.shingles(col(textCol), shingleN).as("sh")).persist()
+    // hash shingles ONCE (single-pass expression); signatures aggregate
+    // the exploded hashes, verify intersects the hash sets — the shingle
+    // STRINGS never materialize
+    val hashed = docs.select(col(idCol),
+      shingleHashes(docs, textCol, shingleN).as("hs")).persist()
     val agg = ColumnBridge.column(
       graft.functions.MinHashAggregate(
         ColumnBridge.expression(col("_x")), numHashes, seed = 42L).toAggregateExpression())
-    val sigs = shingled
-      .select(col(idCol), explode(col("sh")).as("_s"))
-      .select(col(idCol), xxhash64(col("_s")).as("_x"))
+    val sigs = hashed
+      .select(col(idCol), explode(col("hs")).as("_x"))
       .groupBy(col(idCol)).agg(agg.as("sig"))
     val cands = lshCandidates(sigs, idCol, numHashes, bands)
-    verifyJaccard(cands, shingled, idCol, "sh").filter(col("jaccard") >= threshold)
+    verifyJaccard(cands, hashed, idCol, "hs").filter(col("jaccard") >= threshold)
   }
 
   /** Brute-force n-gram Jaccard over all pairs — the small-data oracle twin
@@ -129,7 +138,7 @@ object Dedup {
     */
   def ngramJaccardAllPairs(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), TextFunctions.shingles(col(textCol), shingleN).as("sh"))
+    val sh = docs.select(col(idCol), shingleHashes(docs, textCol, shingleN).as("sh"))
     val pairs = sh.as("l").join(sh.as("r"), col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
         col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
@@ -235,21 +244,46 @@ object Dedup {
     * (doc, cluster) where cluster = min doc id of the component (for the
     * small-diameter clusters near-dup graphs produce).
     */
-  def clusters(pairs: DataFrame, iters: Int = 3): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist()
-    edges.count() // materialize once — upstream (LSH+verify) is expensive
-    var labels = edges.select(col("a").as("doc")).distinct()
-      .withColumn("cluster", col("doc"))
-    for (_ <- 1 to iters) {
-      val viaNeighbor = edges.join(labels, edges("b") === labels("doc"))
-        .select(edges("a").as("doc"), col("cluster"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("doc").agg(min("cluster").as("cluster"))
-        .persist() // labels is referenced twice next round — cap the lineage
-      labels = next
+  def clusters(pairs: DataFrame, iters: Int = 3, driverThreshold: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("a").cast("long"), col("b").cast("long")).persist()
+    val nPairs = edges.count() // materialize once — upstream (LSH+verify) is expensive
+    if (nPairs <= driverThreshold) {
+      // near-dup pair lists are tiny relative to the corpus (they fit the
+      // driver by construction — they become delete lists); exact
+      // union-find beats launching iters × 3 distributed stages
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.map(x => (x, find(x)))
+      import spark.implicits._
+      out.toDF("doc", "cluster")
+    } else {
+      // distributed min-label propagation; `iters` rounds reach
+      // `iters`-hop neighborhoods (near-dup components are shallow)
+      var labels = edges.select(col("a").as("doc")).union(edges.select(col("b").as("doc")))
+        .distinct().withColumn("cluster", col("doc"))
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+      for (_ <- 1 to iters) {
+        val viaNeighbor = sym.join(labels, sym("b") === labels("doc"))
+          .select(sym("a").as("doc"), col("cluster"))
+        val next = labels.union(viaNeighbor)
+          .groupBy("doc").agg(min("cluster").as("cluster"))
+          .persist() // labels is referenced twice next round — cap the lineage
+        labels = next
+      }
+      labels
     }
-    labels
   }
 }
