@@ -1,0 +1,69 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Small-file compaction for partitioned targets. Incremental appends
+  * (the engine's write mode, matching the reference) accumulate one file
+  * per batch per partition; at high batch cadence the target degrades
+  * into millions of tiny files — the classic lake problem.
+  *
+  * `compact` rewrites the table with one task per Hive partition
+  * (`repartition(partitionCols)` → each partition's rows co-locate), with
+  * `maxRecordsPerFile` as the roll-over bound for oversized partitions.
+  * The rewrite lands in a sibling directory and swaps in via two renames
+  * (read-path-overwrite is illegal in Spark, and the swap keeps the
+  * window where readers see a half-written table to the rename itself).
+  */
+object Compaction {
+
+  final case class Result(rowCount: Long, filesBefore: Int, filesAfter: Int)
+
+  private def dataFiles(spark: SparkSession, dir: Path): Seq[Path] = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val it = fs.listFiles(dir, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) out += f.getPath
+    }
+    out.toSeq
+  }
+
+  def compact(
+      spark: SparkSession,
+      location: String,
+      format: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Result = {
+    val loc = new Path(location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = dataFiles(spark, loc)
+
+    val df = PartitionedSink.configureRead(spark.read, format).load(location)
+    val arranged =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df.coalesce(1)
+    val tmp = new Path(loc.getParent, loc.getName + "_compacting")
+    fs.delete(tmp, true)
+    val writer = PartitionedSink.configureFormat(
+        arranged.write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile),
+        format)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .save(tmp.toString)
+
+    val rows = PartitionedSink.configureRead(spark.read, format).load(tmp.toString).count()
+    val old = new Path(loc.getParent, loc.getName + "_precompact")
+    fs.delete(old, true)
+    if (!fs.rename(loc, old)) throw new java.io.IOException(s"rename $loc -> $old failed")
+    if (!fs.rename(tmp, loc)) {
+      fs.rename(old, loc) // roll back
+      throw new java.io.IOException(s"rename $tmp -> $loc failed")
+    }
+    fs.delete(old, true)
+    Result(rows, before.size, dataFiles(spark, loc).size)
+  }
+}

@@ -31,6 +31,18 @@ object PartitionedSink {
       case other     => throw new IllegalArgumentException(s"Unsupported format: $other")
     }
 
+  /** Read-side counterpart of [[configureFormat]] (same dialect options).
+    * CSV reads untyped (string columns) — sufficient for byte-preserving
+    * rewrites like compaction; pass an explicit schema for typed reads.
+    */
+  def configureRead(r: org.apache.spark.sql.DataFrameReader, format: String): org.apache.spark.sql.DataFrameReader =
+    format.toLowerCase match {
+      case "parquet" => r.format("parquet")
+      case "csv"     => r.format("csv").option("header", "true").option("delimiter", ",")
+      case "json"    => r.format("json")
+      case other     => throw new IllegalArgumentException(s"Unsupported format: $other")
+    }
+
   /** Append `df` to `location`, Hive-partitioned by `partitionCols` (spec
     * order). No repartition is forced here: at scale the caller controls
     * file sizing; AQE coalescing keeps small batches from producing a
