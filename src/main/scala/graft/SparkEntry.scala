@@ -245,6 +245,24 @@ object SparkEntry {
           iters = 4)
         .orderBy("doc", "cluster")),
 
+    // Top distinctive term per doc: tf desc, then rarest (df asc), then
+    // term — integer-only ranking (a float tf-idf would hash-diverge
+    // across engines in the last ulp; the ordering is the same idea).
+    "d10_top_terms" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(df, "term")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+        .orderBy("doc_id")
+    }),
+
     // -------------------------------------------- similarity (north-star)
 
     // Exact brute-force cosine top-5 (query side broadcast).
@@ -556,6 +574,17 @@ object SparkEntry {
     "d8_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d10_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+        |  FROM tf JOIN df ON tf.term = df.term)
+        |SELECT doc_id, term, tf, df FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "e1_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
