@@ -2,7 +2,7 @@ package graft
 
 import graft.catalog.{CatalogClient, SchemaEvolution, TableDef}
 import graft.config.{ConfigError, JobConfig, TableConfig}
-import graft.operators.{ApplyMapping, Bookmarks, DropNullFields}
+import graft.operators.ApplyMapping
 import graft.sinks.PartitionedSink
 import graft.sources.IncrementalSource
 import graft.state.BookmarkStore
@@ -34,12 +34,28 @@ class Driver(
 
   def run(): Seq[TableResult] = {
     val selected = resolveTables()
-    val results = selected.map { cfg =>
+    def one(cfg: TableConfig): TableResult = {
       val t0 = System.currentTimeMillis()
       val r = runTable(cfg)
       stampJobInfo(cfg, t0)
       r
     }
+    val results =
+      if (config.maxConcurrentTables <= 1 || selected.size <= 1) selected.map(one)
+      else {
+        // D2 at scale: tables are independent pipelines; running them
+        // concurrently overlaps source I/O with shuffle/write (the
+        // reference achieves this with md5-sharded separate processes).
+        // Spark's scheduler interleaves the jobs; state (bookmarks,
+        // catalog) is thread-safe.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(config.maxConcurrentTables)
+        try {
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          Await.result(Future.sequence(selected.map(cfg => Future(one(cfg)))), Duration.Inf)
+        } finally pool.shutdown()
+      }
     bookmarks.commitAll() // D3: single job-end commit (jdbc_incremental.py:639)
     results
   }
@@ -68,10 +84,16 @@ class Driver(
     // One source read for probe-already-done + distinct + write + bookmark.
     val batch = mapped.persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // P2/A2 + A3 fused: ONE aggregate job yields the all-null column set
+      // (DropNullFields prepass), the bookmark advance, and the row count
+      // (the reference traverses its source once per concern).
+      val stats = graft.operators.BatchStats.compute(batch, cfg)
+
       // P2 — drop all-null columns of THIS batch (SURVEY §7.4: per-batch,
       // not per-table; the target keeps previously-seen columns via the
       // schema-evolution rules).
-      val cleaned = DropNullFields(batch)
+      val cleaned =
+        if (stats.allNullColumns.isEmpty) batch else batch.drop(stats.allNullColumns: _*)
 
       // C1→C2|C3 — create or evolve the target table.
       val targetName = config.targetTablePrefix + cfg.tableName
@@ -109,12 +131,11 @@ class Driver(
       // S3 — partitioned append.
       PartitionedSink.write(aligned, location, config.targetFormat, cfg.partitionCols)
 
-      // A3/D3 — stage the new bookmark; committed after all tables. One
-      // fused job also yields the written row count.
-      val (bk, rows) = Bookmarks.advanceWithCount(batch, cfg)
-      bk.foreach(bookmarks.stage(cfg.tableName, _))
+      // A3/D3 — stage the new bookmark (from the fused stats job), only
+      // after the write succeeded; committed after all tables.
+      stats.bookmark.foreach(bookmarks.stage(cfg.tableName, _))
 
-      TableResult(cfg.tableName, rows, skippedEmpty = false)
+      TableResult(cfg.tableName, stats.rows, skippedEmpty = false)
     } finally batch.unpersist()
   }
 

@@ -47,7 +47,8 @@ final case class JobConfig(
     jobIndex: Int = 0,
     numJobs: Int = 1,
     hashField: Option[String] = None,
-    hashPartitions: Option[Int] = None
+    hashPartitions: Option[Int] = None,
+    maxConcurrentTables: Int = 1
 ) {
   JobConfig.validateFormat(targetFormat)
 }

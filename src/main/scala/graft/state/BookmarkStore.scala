@@ -30,11 +30,14 @@ trait BookmarkStore {
 class InMemoryBookmarkStore extends BookmarkStore {
   protected var committed: Map[String, Map[String, String]] = Map.empty
   protected var staged: Map[String, Map[String, String]] = Map.empty
-  def get(table: String): Map[String, String] = committed.getOrElse(table, Map.empty)
-  def stage(table: String, values: Map[String, String]): Unit = staged += table -> values
-  def commitAll(): Unit = { committed ++= staged; staged = Map.empty; persist() }
-  def commitTable(table: String): Unit = staged.get(table).foreach { v =>
-    committed += table -> v; staged -= table; persist()
+  def get(table: String): Map[String, String] =
+    synchronized { committed.getOrElse(table, Map.empty) }
+  def stage(table: String, values: Map[String, String]): Unit =
+    synchronized { staged += table -> values }
+  def commitAll(): Unit =
+    synchronized { committed ++= staged; staged = Map.empty; persist() }
+  def commitTable(table: String): Unit = synchronized {
+    staged.get(table).foreach { v => committed += table -> v; staged -= table; persist() }
   }
   protected def persist(): Unit = ()
 }
