@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def longArg(e: Expression, name: String): Long = intArg(e, name).toLong
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: native sort-merge AS-OF join
+    // (LogicalPlan node + Strategy + SparkPlan)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftexec.AsOfJoinStrategy)
+
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

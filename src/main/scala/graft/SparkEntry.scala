@@ -245,6 +245,21 @@ object SparkEntry {
           iters = 4)
         .orderBy("doc", "cluster")),
 
+    // Native sort-merge AS-OF join (custom LogicalPlan+Strategy+SparkPlan
+    // via SparkSessionExtensions) — same semantics as ev5, one merge pass.
+    "ev6_asof_native" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("sts"))
+        .agg(max(col("event_id")).as("signup_id"))
+      org.apache.spark.sql.graftexec.NativeAsOf.asOf(purchases, signups,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "sts")
+        .select(col("purchase_id"), col("user_id"), col("signup_id"))
+        .orderBy("purchase_id")
+    }),
+
     // Top distinctive term per doc: tf desc, then rarest (df asc), then
     // term — integer-only ranking (a float tf-idf would hash-diverge
     // across engines in the last ulp; the ordering is the same idea).
@@ -651,6 +666,15 @@ object SparkEntry {
 
     "st2_stream_user_counts" ->
       "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id",
+
+    "ev6_asof_native" ->
+      """WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS sts, MAX(event_id) AS signup_id FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id, ts)
+        |SELECT p.purchase_id, p.user_id, s.signup_id
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.sts
+        |ORDER BY purchase_id""".stripMargin,
 
     "m1_media_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,

@@ -42,4 +42,36 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts")
     }
   }
+
+  test("native sort-merge asOf equals the window formulation on events") {
+    import org.apache.spark.sql.graftexec.NativeAsOf
+    val ev = spark.read.parquet(sf("events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("sts"))
+      .agg(max(col("event_id")).as("signup_id"))
+    val window = graft.operators.AsOfJoin.asOf(purchases, signups,
+        Seq("user_id"), "ts", "sts")
+      .select("purchase_id", "user_id", "signup_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val native = NativeAsOf.asOf(purchases, signups, Seq("user_id"), "ts", "sts")
+      .select("purchase_id", "user_id", "signup_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(native == window)
+    assert(native.nonEmpty)
+  }
+
+  test("native asOf plan uses AsOfJoinExec with clustered+sorted children") {
+    import org.apache.spark.sql.graftexec.NativeAsOf
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a")).toDF("k", "lts", "lv")
+    val r = Seq((1L, 5L, "x")).toDF("k", "rts", "rv")
+    val df = NativeAsOf.asOf(l, r, Seq("k"), "lts", "rts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in plan:\n$plan")
+    val out = df.select("lv", "rv").collect().head
+    assert(out.getString(0) == "a" && out.getString(1) == "x")
+  }
 }
