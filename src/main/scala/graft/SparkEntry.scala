@@ -265,6 +265,7 @@ object SparkEntry {
     // across engines in the last ulp; the ordering is the same idea).
     "d10_top_terms" -> ((s, dir) => {
       val toks = tbl(s, dir, "documents")
+        .repartition(64, col("doc_id")) // single-file input → spread the explode
         .select(col("doc_id"), explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("term"))
         .filter(length(col("term")) > 0)
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
