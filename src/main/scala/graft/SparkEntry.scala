@@ -245,6 +245,36 @@ object SparkEntry {
           iters = 4)
         .orderBy("doc", "cluster")),
 
+    // Pivot: per-user event-type counts as columns (0-filled).
+    "q15_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = tbl(s, dir, "events").groupBy("user_id")
+        .pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    }),
+
+    // Rollup: subtotals over (status, priority) with NULL subtotal rows.
+    "q16_rollup" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // Bounded range join: purchases within 7 days after each signup
+    // (bucketed equi-join + residual filter — no per-key nested loop).
+    "ev7_range_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"), col("event_id").as("signup_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+      graft.operators.RangeJoin.range(signups, purchases,
+          Seq("user_id"), "sts", "pts", loSec = 0L, hiSec = 604800L)
+        .groupBy("signup_id").agg(count(lit(1)).as("n_purchases"))
+        .orderBy("signup_id")
+    }),
+
     // Native sort-merge AS-OF join (custom LogicalPlan+Strategy+SparkPlan
     // via SparkSessionExtensions) — same semantics as ev5, one merge pass.
     "ev6_asof_native" -> ((s, dir) => {
@@ -667,6 +697,30 @@ object SparkEntry {
 
     "st2_stream_user_counts" ->
       "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id",
+
+    "q15_pivot" ->
+      """SELECT user_id,
+        |SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "ev7_range_join" ->
+      """WITH s AS (SELECT user_id, ts AS sts, event_id AS signup_id FROM events
+        |  WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, ts AS pts, event_id AS purchase_id FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT s.signup_id, COUNT(*) AS n_purchases
+        |FROM s JOIN p ON s.user_id = p.user_id
+        |  AND date_diff('second', s.sts, p.pts) BETWEEN 0 AND 604800
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ev6_asof_native" ->
       """WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
