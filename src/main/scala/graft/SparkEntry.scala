@@ -196,9 +196,10 @@ object SparkEntry {
           numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
         .orderBy("a", "b")),
 
-    // SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures).
+    // SimHash near-dup pairs (hamming ≤ 3), over the cross-engine md5-60bit
+    // hash so the DuckDB oracle can reproduce the signatures exactly.
     "d3_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text",
+      Dedup.simHashPairsPortable(nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text",
           maxHamming = 3, shingleN = 3)
         .orderBy("a", "b")),
 
@@ -298,12 +299,13 @@ object SparkEntry {
         .repartition(64, col("doc_id")) // single-file input → spread the explode
         .select(col("doc_id"), explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("term"))
         .filter(length(col("term")) > 0)
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = toks.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      // tf is the distinct (doc, term) set with counts — df derives from
+      // it directly (one explode pass, not two; tf is tiny post-agg)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist()
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tf").desc, col("df").asc, col("term"))
-      tf.join(df, "term")
+      tf.join(broadcast(df), "term")
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("doc_id"), col("term"), col("tf"), col("df"))
         .orderBy("doc_id")
@@ -553,6 +555,27 @@ object SparkEntry {
          |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
          |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
          |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+
+    "d3_dedup_simhash" -> {
+      val bitSums = (0 until 60)
+        .map(i => s"SUM(CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+        .mkString(", ")
+      val pack = (0 until 60)
+        .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+        .mkString(" | ")
+      s"""WITH corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS x FROM sh),
+         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $pack AS sig FROM bits),
+         |blocks AS (SELECT doc_id, sig, unnest([0,1,2,3]) AS blk FROM sig),
+         |b2 AS (SELECT doc_id, sig, blk, (sig >> (blk * 16)) & 65535 AS blkval FROM blocks),
+         |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+         |  FROM b2 l JOIN b2 r ON l.blk = r.blk AND l.blkval = r.blkval AND l.doc_id < r.doc_id)
+         |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+    },
 
     "d9_dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS ($duckMutantCorpus),

@@ -165,6 +165,30 @@ object Dedup {
       .withColumnRenamed(idCol, "doc")
   }
 
+  /** SimHash over a cross-engine-reproducible hash: the first 15 hex chars
+    * of md5(shingle) as a 60-bit integer (`conv(substr(md5, 1, 15))` here
+    * == `('0x' || substr(md5, 1, 15))::BIGINT` in DuckDB) — this is what
+    * makes the d3 oracle expressible in SQL. xxhash64 (the default path)
+    * is faster but exists only in Spark.
+    */
+  def simHashPairsPortable(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), shingleN)).as("_s"))
+      .select(col(idCol),
+        conv(substring(md5(col("_s")), 1, 15), 16, 10).cast("long").as("_x"))
+    simHashBlockPairs(simHashFromExploded(exploded, idCol), maxHamming)
+  }
+
+  private def simHashFromExploded(exploded: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.SimHashAggregate(
+        ColumnBridge.expression(col("_x"))).toAggregateExpression())
+    exploded.groupBy(col(idCol)).agg(agg.as("sig")).withColumnRenamed(idCol, "doc")
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 16).
     * Pigeonhole banding on 4×16-bit blocks makes candidate generation
     * linear; exact popcount verifies.
@@ -173,6 +197,10 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
     val sigs = simHashSignatures(docs, idCol, textCol, shingleN)
+    simHashBlockPairs(sigs, maxHamming)
+  }
+
+  private def simHashBlockPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val blockCols = (0 until 4).map(b => shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF))
     val blocks = sigs.select(col("doc"), col("sig"), posexplode(array(blockCols: _*)))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "blkval")
