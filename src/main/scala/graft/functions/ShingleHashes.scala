@@ -67,3 +67,74 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Like [[ShingleHashes]] but hashing each shingle to the 60-bit integer
+  * value of the first 15 hex chars of its md5 — the cross-engine hash the
+  * DuckDB oracle can reproduce (`('0x' || substr(md5(s),1,15))::BIGINT`).
+  * Equals `conv(substring(md5(s),1,15),16,10)` per shingle without
+  * materializing the shingle-string array.
+  */
+case class ShingleHashesMd5(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes_md5"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string input, got $other")
+    }
+
+  @transient private lazy val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val norm = text.trim.toLowerCase.split("\\s+")
+    val toks = if (norm.isEmpty) Array("") else norm
+    val hashes = new java.util.TreeSet[java.lang.Long]()
+    if (toks.length < n) {
+      hashes.add(hash(toks.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        hashes.add(hash(sb.toString))
+        i += 1
+      }
+    }
+    val out = new Array[Long](hashes.size())
+    val it = hashes.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** First 15 hex chars of md5 == top 60 bits of the first 8 digest bytes
+    * (big-endian), shifted right by 4.
+    */
+  private def hash(s: String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

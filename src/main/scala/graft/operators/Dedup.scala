@@ -174,10 +174,10 @@ object Dedup {
   def simHashPairsPortable(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), shingleN)).as("_s"))
-      .select(col(idCol),
-        conv(substring(md5(col("_s")), 1, 15), 16, 10).cast("long").as("_x"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashed = ColumnBridge.column(graft.functions.ShingleHashesMd5(
+      ColumnBridge.expression(col(textCol)), shingleN))
+    val exploded = docs.select(col(idCol), explode(hashed).as("_x"))
     simHashBlockPairs(simHashFromExploded(exploded, idCol), maxHamming)
   }
 
