@@ -116,6 +116,11 @@ object NativeAsOf {
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // self-contained even without GraftExtensions: the planner strategy can
+    // also ride the public experimental hook
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val lPlan = left.queryExecution.analyzed
     val rPlan0 = right.queryExecution.analyzed
     // both sides may derive from the same base plan and share exprIds (the
