@@ -246,6 +246,24 @@ object SparkEntry {
           iters = 4)
         .orderBy("doc", "cluster")),
 
+    // Distinct-count aggregates (exact; the approx twins are spec-tested).
+    "q17_count_distinct" -> ((s, dir) =>
+      tbl(s, dir, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus"), col("o_orderpriority")).as("n_status_prio"))),
+
+    // Scalar function suite: string/date/math over a projected scan.
+    "q18_scalar_funcs" -> ((s, dir) =>
+      tbl(s, dir, "orders").select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 1)).as("prio_code"),
+          length(col("o_orderpriority")).as("prio_len"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          col("o_totalprice").cast("decimal(18,2)").as("price2"),
+          (col("o_orderkey") % 7).as("k7"))
+        .orderBy("o_orderkey")),
+
     // Pivot: per-user event-type counts as columns (0-filled).
     "q15_pivot" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -720,6 +738,19 @@ object SparkEntry {
 
     "st2_stream_user_counts" ->
       "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id",
+
+    "q17_count_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+        |COUNT(DISTINCT (o_orderstatus, o_orderpriority)) AS n_status_prio
+        |FROM orders""".stripMargin,
+
+    "q18_scalar_funcs" ->
+      """SELECT o_orderkey, upper(substr(o_orderpriority, 1, 1)) AS prio_code,
+        |CAST(length(o_orderpriority) AS INT) AS prio_len,
+        |CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        |CAST(o_totalprice AS DECIMAL(18,2)) AS price2,
+        |o_orderkey % 7 AS k7
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q15_pivot" ->
       """SELECT user_id,
