@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the properties that make these operators
+  * scale are visible in the physical plan — pin them so a refactor can't
+  * silently lose pushdown, broadcast, group-limit, or the custom node.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q1: bookmark predicate reaches the parquet scan") {
+    val p = plan("q1_incremental_scan")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_orderkey,1200)"), p)
+  }
+
+  test("q2: mapping folds into the scan (pruned ReadSchema, no extra exchange)") {
+    val p = plan("q2_apply_mapping")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int"), p)
+  }
+
+  test("e1: query side broadcasts; top-k uses WindowGroupLimit") {
+    val p = plan("e1_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("graft_cosine"), p)
+  }
+
+  test("q12: dimension joins broadcast, never sort-merge") {
+    val p = plan("q12_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q13: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ev6: the custom AsOfJoin node plans with sorted, clustered children") {
+    val p = plan("ev6_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+  }
+
+  test("ev7: range join plans as an equi-join, not a nested loop") {
+    val p = plan("ev7_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+}
