@@ -39,7 +39,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout under sbt is interleaved with [info] noise (BENCH_r01 arrived
+    // unparseable) — persist the line to a file as the canonical artifact.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    println(line)
     spark.stop()
   }
 }

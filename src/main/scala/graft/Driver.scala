@@ -124,12 +124,13 @@ class Driver(
       val target = catalog.getTable(config.targetDatabase, targetName)
       val aligned = alignToTarget(cleaned, target.schema, cfg.partitionCols)
 
-      // P3+A1→C4 — register distinct partition tuples.
+      // S3 — partitioned append, THEN P3+A1→C4 partition registration: a
+      // failed write must not leave the catalog pointing at data that was
+      // never written (registration is idempotent-upsert, so a crash
+      // between write and register heals on the next run).
+      PartitionedSink.write(aligned, location, config.targetFormat, cfg.partitionCols)
       PartitionedSink.registerPartitions(
         aligned, catalog, config.targetDatabase, targetName, location, cfg.partitionCols)
-
-      // S3 — partitioned append.
-      PartitionedSink.write(aligned, location, config.targetFormat, cfg.partitionCols)
 
       // A3/D3 — stage the new bookmark (from the fused stats job), only
       // after the write succeeded; committed after all tables.

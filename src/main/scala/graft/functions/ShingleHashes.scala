@@ -35,7 +35,11 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val text = v.asInstanceOf[UTF8String].toString
-    val norm = text.trim.toLowerCase.split("\\s+")
+    // split-on-\s+ dropping empty tokens == regex-strip borders then split:
+    // identical to the SQL formulation (TextFunctions.shingles) and the
+    // DuckDB oracles for ANY whitespace kind — Java String.trim strips
+    // controls/tabs that SQL trim does not (ADVICE r1)
+    val norm = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     val toks = if (norm.isEmpty) Array("") else norm
     val hashes = new java.util.TreeSet[java.lang.Long]()
     if (toks.length < n) {
@@ -96,7 +100,11 @@ case class ShingleHashesMd5(child: Expression, n: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val text = v.asInstanceOf[UTF8String].toString
-    val norm = text.trim.toLowerCase.split("\\s+")
+    // split-on-\s+ dropping empty tokens == regex-strip borders then split:
+    // identical to the SQL formulation (TextFunctions.shingles) and the
+    // DuckDB oracles for ANY whitespace kind — Java String.trim strips
+    // controls/tabs that SQL trim does not (ADVICE r1)
+    val norm = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     val toks = if (norm.isEmpty) Array("") else norm
     val hashes = new java.util.TreeSet[java.lang.Long]()
     if (toks.length < n) {

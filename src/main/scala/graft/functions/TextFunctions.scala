@@ -16,19 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization count. `split(trim(x), "\\s+")` with the
-    * empty-string guard both engines share.
+  /** Regex-strip all border whitespace (SQL `trim` is space-only; Java
+    * `String.trim` strips controls — this is the one normalization every
+    * path shares, mirrored as `^\s+|\s+$` with the 'g' flag in DuckDB).
     */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  private def wsStrip(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
+  /** Whitespace tokenization count: split on `\s+` after border-strip,
+    * with the empty-string guard both engines share.
+    */
+  def tokenCount(text: Column): Column = {
+    val t = wsStrip(text)
+    when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+")))
+  }
 
   /** Normalized document fingerprint: md5 of lowercase,
     * whitespace-collapsed text. Identical content → identical fingerprint
     * regardless of spacing/case — the exact-dedup key.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(regexp_replace(wsStrip(lower(text)), "\\s+", " "))
 
   /** Marker-word language-ID heuristic: count hits from a tiny per-language
     * stopword set; predict the argmax, ties broken by language order,
@@ -84,7 +92,7 @@ object TextFunctions {
     * stays codegen-adjacent (no UDF).
     */
   def shingles(text: Column, n: Int): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    val toks = split(regexp_replace(wsStrip(lower(text)), "\\s+", " "), " ")
     val starts = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     array_distinct(
       when(size(toks) < n, array(array_join(toks, " ")))

@@ -111,7 +111,10 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     * candidates → exact-Jaccard filter ≥ `threshold`. Returns verified
-    * pairs (a < b, jaccard).
+    * pairs (a < b, jaccard), MATERIALIZED and persisted — the pair list is
+    * tiny by construction (it becomes a delete list), and eager evaluation
+    * lets the expensive shingle-hash cache be released before returning.
+    * Callers that are done with the pairs may `unpersist()` them.
     */
   def minHashLsh(
       docs: DataFrame, idCol: String, textCol: String,
@@ -123,14 +126,19 @@ object Dedup {
     // STRINGS never materialize
     val hashed = docs.select(col(idCol),
       shingleHashes(docs, textCol, shingleN).as("hs")).persist()
-    val agg = ColumnBridge.column(
-      graft.functions.MinHashAggregate(
-        ColumnBridge.expression(col("_x")), numHashes, seed = 42L).toAggregateExpression())
-    val sigs = hashed
-      .select(col(idCol), explode(col("hs")).as("_x"))
-      .groupBy(col(idCol)).agg(agg.as("sig"))
-    val cands = lshCandidates(sigs, idCol, numHashes, bands)
-    verifyJaccard(cands, hashed, idCol, "hs").filter(col("jaccard") >= threshold)
+    try {
+      val agg = ColumnBridge.column(
+        graft.functions.MinHashAggregate(
+          ColumnBridge.expression(col("_x")), numHashes, seed = 42L).toAggregateExpression())
+      val sigs = hashed
+        .select(col(idCol), explode(col("hs")).as("_x"))
+        .groupBy(col(idCol)).agg(agg.as("sig"))
+      val cands = lshCandidates(sigs, idCol, numHashes, bands)
+      val verified = verifyJaccard(cands, hashed, idCol, "hs")
+        .filter(col("jaccard") >= threshold).persist()
+      verified.count() // materialize while the shingle-hash cache is hot
+      verified
+    } finally hashed.unpersist(blocking = false)
   }
 
   /** Brute-force n-gram Jaccard over all pairs — the small-data oracle twin
@@ -275,43 +283,52 @@ object Dedup {
   def clusters(pairs: DataFrame, iters: Int = 3, driverThreshold: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("a").cast("long"), col("b").cast("long")).persist()
-    val nPairs = edges.count() // materialize once — upstream (LSH+verify) is expensive
-    if (nPairs <= driverThreshold) {
-      // near-dup pair lists are tiny relative to the corpus (they fit the
-      // driver by construction — they become delete lists); exact
-      // union-find beats launching iters × 3 distributed stages
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-        r
+    try {
+      val nPairs = edges.count() // materialize once — upstream (LSH+verify) is expensive
+      if (nPairs <= driverThreshold) {
+        // near-dup pair lists are tiny relative to the corpus (they fit the
+        // driver by construction — they become delete lists); exact
+        // union-find beats launching iters × 3 distributed stages
+        val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val out = parent.keys.toSeq.map(x => (x, find(x)))
+        import spark.implicits._
+        out.toDF("doc", "cluster")
+      } else {
+        // distributed min-label propagation; `iters` rounds reach
+        // `iters`-hop neighborhoods (near-dup components are shallow).
+        // Each round is materialized so the previous round's cache can be
+        // released — otherwise a long-lived session accumulates one cached
+        // label table per iteration (ADVICE r1).
+        var labels = edges.select(col("a").as("doc")).union(edges.select(col("b").as("doc")))
+          .distinct().withColumn("cluster", col("doc")).persist()
+        val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+        try {
+          for (_ <- 1 to iters) {
+            val viaNeighbor = sym.join(labels, sym("b") === labels("doc"))
+              .select(sym("a").as("doc"), col("cluster"))
+            val next = labels.union(viaNeighbor)
+              .groupBy("doc").agg(min("cluster").as("cluster"))
+              .persist() // labels is referenced twice next round — cap the lineage
+            next.count()
+            labels.unpersist(blocking = false)
+            labels = next
+          }
+          labels
+        } finally sym.unpersist(blocking = false)
       }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val out = parent.keys.toSeq.map(x => (x, find(x)))
-      import spark.implicits._
-      out.toDF("doc", "cluster")
-    } else {
-      // distributed min-label propagation; `iters` rounds reach
-      // `iters`-hop neighborhoods (near-dup components are shallow)
-      var labels = edges.select(col("a").as("doc")).union(edges.select(col("b").as("doc")))
-        .distinct().withColumn("cluster", col("doc"))
-      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).persist()
-      for (_ <- 1 to iters) {
-        val viaNeighbor = sym.join(labels, sym("b") === labels("doc"))
-          .select(sym("a").as("doc"), col("cluster"))
-        val next = labels.union(viaNeighbor)
-          .groupBy("doc").agg(min("cluster").as("cluster"))
-          .persist() // labels is referenced twice next round — cap the lineage
-        labels = next
-      }
-      labels
-    }
+    } finally edges.unpersist(blocking = false)
   }
 }

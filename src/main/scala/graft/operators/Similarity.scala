@@ -72,13 +72,16 @@ object Similarity {
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val qb = broadcast(withBuckets(queries, qIdCol, "qvec"))
     val cb = withBuckets(corpus, "neighbor_id", "cvec")
-    val cands = cb.join(qb,
+    // Cosine is computed MAP-SIDE on the bucket join output (vectors never
+    // enter an exchange); a pair colliding in several tables is deduplicated
+    // by the ids-only groupBy — the sole shuffle carries (qid, nid, sim).
+    // Re-scoring a duplicate collision (≤ numTables×) is far cheaper at
+    // scale than shuffling corpus vectors through a distinct or a re-join.
+    val scored = cb.join(qb,
         Seq("table", "bucket")) // bucket-local join, map-side via broadcast
       .filter(col(qIdCol) =!= col("neighbor_id"))
-      .select(col(qIdCol), col("neighbor_id"), col("qvec"), col("cvec"))
-      .distinct()
-    val scored = cands
       .select(col(qIdCol), col("neighbor_id"), Dedup.cosine(col("qvec"), col("cvec")).as("sim"))
+      .groupBy(col(qIdCol), col("neighbor_id")).agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

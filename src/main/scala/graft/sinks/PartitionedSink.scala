@@ -73,7 +73,11 @@ object PartitionedSink {
     val tuples: Array[Row] =
       batch.select(partitionCols.map(col): _*).distinct().collect()
     val defs = tuples.toSeq.map { row =>
-      val values = partitionCols.indices.map(i => String.valueOf(row.get(i)))
+      // NULL partition values must use Spark/Hive's default-partition dir
+      // name — stringifying to "null" would register a location the writer
+      // never creates.
+      val values = partitionCols.indices.map(i =>
+        if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else String.valueOf(row.get(i)))
       val path = partitionCols.zip(values).map { case (k, v) => s"$k=$v" }.mkString("/")
       PartitionDef(values, s"${location.stripSuffix("/")}/$path/")
     }

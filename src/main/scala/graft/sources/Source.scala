@@ -38,16 +38,27 @@ class ParquetSource(dir: String) extends IncrementalSource {
   *    builder pushes `>`/`=`/`AND`/`OR` into the remote query, so the
   *    database only ships the delta;
   *  - `hashfield`/`hashpartitions` (jdbc_incremental.py:181-184,291-297):
-  *    realized as `predicates: Array[String]` of `MOD(ABS(<hashExpr>), N) = i`
-  *    clauses — one JDBC partition per clause, any column type. Numeric
-  *    columns could use partitionColumn/bounds instead; the mod-hash split
-  *    is uniform regardless of key skew, matching the reference.
+  *    realized as `predicates: Array[String]` of `MOD(<hash>, N) = i`
+  *    clauses — one JDBC partition per clause. Numeric columns could use
+  *    partitionColumn/bounds instead; the mod-hash split is uniform
+  *    regardless of key range skew, matching the reference (which
+  *    md5-hashes the value server-side in Glue).
+  *
+  * The hash expression defaults to `ABS(col)` — NUMERIC COLUMNS ONLY. For
+  * string keys (UUID PKs etc.) pass `hashExpr`: a SQL fragment with `%s`
+  * placeholders for the column that evaluates to a non-negative integer on
+  * the target database — e.g. [[JdbcSource.asciiStringHash]] for databases
+  * with ASCII()/SUBSTR()/LENGTH() (MySQL, Postgres, Oracle, SQL Server,
+  * DB2). Rows with a NULL hash key match the i=0 predicate explicitly —
+  * with plain `MOD(...) = i` clauses they would match none and be silently
+  * dropped from the read.
   */
 class JdbcSource(
     url: String,
     connProps: Map[String, String] = Map.empty,
     hashField: Option[String] = None,
-    hashPartitions: Int = 1
+    hashPartitions: Int = 1,
+    hashExpr: Option[String] = None
 ) extends IncrementalSource {
 
   private def props: java.util.Properties = {
@@ -59,15 +70,25 @@ class JdbcSource(
   def read(spark: SparkSession, table: String): DataFrame =
     hashField match {
       case Some(h) if hashPartitions > 1 =>
-        // Portable-SQL hash split: ASCII sum of the stringified key is not a
-        // great hash, but mirrors the reference's intent (uniform-ish mod
-        // split without DB-specific hash functions). For numeric columns the
-        // value itself is used.
+        val hx = hashExpr.map(_.replace("%s", h)).getOrElse(s"ABS($h)")
         val preds = (0 until hashPartitions).map { i =>
-          s"MOD(ABS($h), $hashPartitions) = $i"
+          val p = s"MOD($hx, $hashPartitions) = $i"
+          if (i == 0) s"($p OR $h IS NULL)" else p // NULL keys land in split 0
         }.toArray
         spark.read.jdbc(url, table, preds, props)
       case _ =>
         spark.read.jdbc(url, table, props)
     }
+}
+
+object JdbcSource {
+  /** Portable string-key hash template for `hashExpr`: mixes the first two
+    * characters and the length. Works on any database with ASCII, SUBSTR
+    * and LENGTH; COALESCE guards short strings (ASCII('') is NULL on most
+    * engines, and a NULL hash would silently drop the row's predicate
+    * match). Derby lacks ASCII — use a LOCATE-based template there.
+    */
+  val asciiStringHash: String =
+    "(COALESCE(ASCII(SUBSTR(%s, 1, 1)), 0) * 961 + " +
+      "COALESCE(ASCII(SUBSTR(%s, 2, 1)), 0) * 31 + LENGTH(%s))"
 }

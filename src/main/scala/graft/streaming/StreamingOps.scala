@@ -26,7 +26,7 @@ object StreamingOps {
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sv"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
       .select(col("event_type"), col("w.start").as("h"), col("n"), col("sv"))
 
   /** Per-user running event count via mapGroupsWithState — the canonical

@@ -57,6 +57,39 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.select("o_orderkey").distinct().count() == 200)
   }
 
+  test("string hashfield splits N ways: disjoint, complete, NULL-safe") {
+    // Derby lacks ASCII() (and its LOCATE is broken under Spark's mixed
+    // derby jars) — any Derby-legal integer-valued hashExpr template works;
+    // the MOD wrapper guarantees disjoint+complete splits regardless of
+    // the hash function's quality.
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    try st.execute("DROP TABLE skeys") catch { case _: Exception => () }
+    st.execute("CREATE TABLE skeys (k VARCHAR(36), v INT)")
+    val ps = conn.prepareStatement("INSERT INTO skeys VALUES (?, ?)")
+    (0 until 100).foreach { i =>
+      ps.setString(1, i.toString)
+      ps.setInt(2, i); ps.addBatch()
+    }
+    ps.setNull(1, java.sql.Types.VARCHAR); ps.setInt(2, 100); ps.addBatch()
+    ps.executeBatch()
+    conn.close()
+    val derbyHash = "(CAST(%s AS INT) * 7 + LENGTH(%s))"
+    val src = new JdbcSource(url, props, hashField = Some("k"),
+      hashPartitions = 4, hashExpr = Some(derbyHash))
+    val df = src.read(spark, "skeys")
+    assert(df.rdd.getNumPartitions == 4)
+    // complete: every row (incl. the NULL key) appears exactly once
+    assert(df.count() == 101)
+    assert(df.select("v").distinct().count() == 101)
+    // disjoint is implied by count == distinct-count; check the split is
+    // non-degenerate (more than one partition actually receives rows)
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.sum == 101 && sizes.count(_ > 0) > 1, sizes.mkString(","))
+    // NULL key must land in partition 0, not vanish
+    assert(df.filter("k IS NULL").count() == 1)
+  }
+
   test("empty incremental batch short-circuits (S2 probe)") {
     val src = new JdbcSource(url, props)
     val df = src.readIncremental(spark, cfg, Map("o_orderkey" -> "999999999"))

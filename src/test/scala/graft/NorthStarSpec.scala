@@ -146,6 +146,20 @@ class NorthStarSpec extends SparkSpec {
     assert(joined.count() == 0, "ascii byte length must equal n_chars")
   }
 
+  test("headerDecode parses real PNG/JPEG/GIF headers; unknown falls back") {
+    assert(Multimodal.headerDecode(Multimodal.pngFixture(640, 480)) ==
+      Some((640, 480, "png")))
+    assert(Multimodal.headerDecode(Multimodal.pngFixture(70000, 3)) ==
+      Some((70000, 3, "png"))) // > 16 bits — 32-bit big-endian path
+    assert(Multimodal.headerDecode(Multimodal.jpegFixture(1920, 1080)) ==
+      Some((1920, 1080, "jpeg")))
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x21, 0x03, 0x0F, 0x00) // 801 × 15 little-endian
+    assert(Multimodal.headerDecode(gif) == Some((801, 15, "gif")))
+    assert(Multimodal.headerDecode("not an image".getBytes) == None)
+    assert(Multimodal.headerDecode(Array.empty[Byte]) == None)
+  }
+
   // --- IVF / skew / frames --------------------------------------------------
 
   test("ivfTopK recall vs brute force with nprobe=4 of 16 cells") {

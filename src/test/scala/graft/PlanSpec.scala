@@ -29,6 +29,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), p)
   }
 
+  test("e2: vectors never enter a shuffle (ids+sim only through exchanges)") {
+    // the design rule the r1 verdict flagged: candidate dedup must not
+    // carry qvec/cvec payloads — the only exchange rows are (ids, sim)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("e2_knn_lsh")(spark, "/root/testdata/sf0.001")
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty, df.queryExecution.executedPlan.toString)
+      val bad = shuffles.filter(_.output.exists(a =>
+        a.name == "qvec" || a.name == "cvec" || a.dataType.typeName == "array"))
+      assert(bad.isEmpty,
+        bad.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(","))
+          .mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("q12: dimension joins broadcast, never sort-merge") {
     val p = plan("q12_star_join")
     assert(p.contains("BroadcastHashJoin"), p)
