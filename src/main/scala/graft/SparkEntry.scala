@@ -259,6 +259,36 @@ object SparkEntry {
         countDistinct(col("o_custkey")).as("n_cust"),
         countDistinct(col("o_orderstatus"), col("o_orderpriority")).as("n_status_prio"))),
 
+    // Approximate distinct (HLL++): the cardinality primitive for a
+    // 100 TB pipeline (exact distinct shuffles every key; the sketch is
+    // mergeable map-side state). Oracle-gated via a bound check: the
+    // engine emits the exact count plus a boolean that the estimate lands
+    // within 5% — the oracle recomputes the exact count and expects TRUE.
+    "q19_approx_distinct" -> ((s, dir) =>
+      tbl(s, dir, "orders").agg(
+          countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
+        .select(col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.05).as("approx_ok"))),
+
+    // HLL sketch build + UNION across groups (Apache DataSketches, built in
+    // since Spark 3.5): per-status sketches merged to a global estimate —
+    // the mergeable-state pattern that replaces a second global shuffle at
+    // scale. Same bound-check oracle shape as q19.
+    "q20_hll_sketch_union" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val perStatus = o.groupBy("o_orderstatus")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val unioned = perStatus.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_union"))
+      o.agg(countDistinct(col("o_custkey")).as("n_exact"))
+        .crossJoin(unioned)
+        .select(col("n_exact"),
+          (abs(col("n_union") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.05).as("union_ok"))
+    }),
+
     // Scalar function suite: string/date/math over a projected scan.
     "q18_scalar_funcs" -> ((s, dir) =>
       tbl(s, dir, "orders").select(
@@ -766,6 +796,14 @@ object SparkEntry {
     "q17_count_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
         |COUNT(DISTINCT (o_orderstatus, o_orderpriority)) AS n_status_prio
+        |FROM orders""".stripMargin,
+
+    "q19_approx_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS approx_ok
+        |FROM orders""".stripMargin,
+
+    "q20_hll_sketch_union" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS union_ok
         |FROM orders""".stripMargin,
 
     "q18_scalar_funcs" ->
