@@ -289,6 +289,38 @@ object SparkEntry {
             col("n_exact").cast("double") <= 0.05).as("union_ok"))
     }),
 
+    // Exact interpolated quantiles (sort-based `percentile`, matching
+    // DuckDB's quantile_cont) plus a bound-checked approx_percentile —
+    // the sketch the 100 TB path uses (mergeable KLL-style state instead
+    // of a global sort).
+    "q21_quantiles" -> ((s, dir) =>
+      tbl(s, dir, "orders").agg(
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"))
+        .select(col("p25"), col("p50"), col("p75"), col("p95"),
+          (abs(col("ap50") - col("p50")) / col("p50") <= 0.05).as("approx_ok"))),
+
+    // Window-function suite: rank/dense_rank/row_number/ntile/lag/lead
+    // over a total order (ties broken by key) — integer outputs only, so
+    // the cross-engine hash is exact.
+    "q22_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          row_number().over(w).as("rn"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"))
+        .orderBy("o_orderkey")
+    }),
+
     // Scalar function suite: string/date/math over a projected scan.
     "q18_scalar_funcs" -> ((s, dir) =>
       tbl(s, dir, "orders").select(
@@ -489,6 +521,27 @@ object SparkEntry {
           OutputMode.Update())
         .groupBy("user_id").agg(max(col("n")).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // Streaming exact dedup: the input arrives TWICE across separate
+    // micro-batches (maxFilesPerTrigger=1); state-store-backed
+    // dropDuplicates must collapse them so downstream counts equal the
+    // single-copy batch result — the streaming twin of d1's exact dedup.
+    "st3_stream_dedup" -> ((s, dir) => {
+      val work = tmpdir("graft-st3")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events_0.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events_1.parquet"))
+      StreamingOps.drainToMemory(s, work, raw.schema,
+          df => normalizeTs(df).dropDuplicates("event_id")
+            .groupBy("event_type").agg(count(lit(1)).as("n")),
+          OutputMode.Complete(),
+          readerOptions = Map("maxFilesPerTrigger" -> "1"))
+        .orderBy("event_type")
     }),
 
     // ---------------------------------------------- multimodal (north-star)
@@ -797,6 +850,30 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
         |COUNT(DISTINCT (o_orderstatus, o_orderpriority)) AS n_status_prio
         |FROM orders""".stripMargin,
+
+    "st3_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q21_quantiles" ->
+      """SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+        |quantile_cont(o_totalprice, 0.5) AS p50,
+        |quantile_cont(o_totalprice, 0.75) AS p75,
+        |quantile_cont(o_totalprice, 0.95) AS p95,
+        |TRUE AS approx_ok FROM orders""".stripMargin,
+
+    "q22_window_suite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CAST(rank() OVER w AS INT) AS rnk,
+        |CAST(dense_rank() OVER w AS INT) AS drnk,
+        |CAST(row_number() OVER w AS INT) AS rn,
+        |CAST(ntile(4) OVER w AS INT) AS quartile,
+        |lag(o_orderkey, 1) OVER w AS prev_key,
+        |lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q19_approx_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS approx_ok

@@ -103,7 +103,14 @@ object Dedup {
       candidates: DataFrame, shingled: DataFrame, idCol: String, shCol: String): DataFrame = {
     val l = shingled.select(col(idCol).as("a"), col(shCol).as("sh_a"))
     val r = shingled.select(col(idCol).as("b"), col(shCol).as("sh_b"))
-    candidates.join(l, "a").join(r, "b")
+    // Candidate pair lists are delete-list-sized by construction, so the
+    // (wide) shingle-hash arrays must never ride a hash-partition shuffle:
+    // 1) map-side prune the corpus to candidate docs (broadcast ids join),
+    // 2) broadcast the pruned, array-carrying sides into the pair list.
+    // Every exchange here is a broadcast of candidate-bounded data.
+    val la = l.join(broadcast(candidates.select("a").distinct()), "a")
+    val rb = r.join(broadcast(candidates.select("b").distinct()), "b")
+    candidates.join(broadcast(la), "a").join(broadcast(rb), "b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("a"), col("b"), (col("inter") / col("uni")).as("jaccard"))
@@ -133,11 +140,15 @@ object Dedup {
       val sigs = hashed
         .select(col(idCol), explode(col("hs")).as("_x"))
         .groupBy(col(idCol)).agg(agg.as("sig"))
-      val cands = lshCandidates(sigs, idCol, numHashes, bands)
-      val verified = verifyJaccard(cands, hashed, idCol, "hs")
-        .filter(col("jaccard") >= threshold).persist()
-      verified.count() // materialize while the shingle-hash cache is hot
-      verified
+      // the candidate list is referenced three times by the verify join
+      // (pair list + the two id-prune sides) — cache it
+      val cands = lshCandidates(sigs, idCol, numHashes, bands).persist()
+      try {
+        val verified = verifyJaccard(cands, hashed, idCol, "hs")
+          .filter(col("jaccard") >= threshold).persist()
+        verified.count() // materialize while the shingle-hash cache is hot
+        verified
+      } finally cands.unpersist(blocking = false)
     } finally hashed.unpersist(blocking = false)
   }
 
@@ -254,12 +265,20 @@ object Dedup {
         col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("a"), col("r.doc").as("b"))
-      .distinct()
-    val va = embs.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val vb = embs.select(col(idCol).as("b"), col(vecCol).as("vb"))
-    cands.join(va, "a").join(vb, "b")
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= threshold)
+      .distinct().persist()
+    try {
+      // same exchange discipline as verifyJaccard: vectors reach the pair
+      // list via map-side prune + broadcast, never a hash-partition shuffle
+      val va = embs.select(col(idCol).as("a"), col(vecCol).as("va"))
+        .join(broadcast(cands.select("a").distinct()), "a")
+      val vb = embs.select(col(idCol).as("b"), col(vecCol).as("vb"))
+        .join(broadcast(cands.select("b").distinct()), "b")
+      val out = cands.join(broadcast(va), "a").join(broadcast(vb), "b")
+        .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") >= threshold).persist()
+      out.count() // materialize before releasing the candidate cache
+      out
+    } finally cands.unpersist(blocking = false)
   }
 
   /** Brute-force all-pairs variant (quadratic; validation / small corpora). */

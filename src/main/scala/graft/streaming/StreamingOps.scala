@@ -54,9 +54,10 @@ object StreamingOps {
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType,
       pipeline: DataFrame => DataFrame,
-      outputMode: OutputMode): DataFrame = {
+      outputMode: OutputMode,
+      readerOptions: Map[String, String] = Map.empty): DataFrame = {
     val name = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val stream = spark.readStream.schema(schema).options(readerOptions).parquet(inputDir)
     val q = pipeline(stream).writeStream
       .format("memory").queryName(name).outputMode(outputMode).start()
     try q.processAllAvailable() finally q.stop()

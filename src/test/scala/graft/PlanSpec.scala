@@ -49,6 +49,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("d2: shingle-hash arrays never enter a shuffle (verify joins broadcast)") {
+    // verifyJaccard must move the wide `hs` arrays only via broadcast of the
+    // candidate-pruned sides; every hash-partition exchange carries scalars
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val sh = docs.select(col("doc_id"),
+        graft.operators.Dedup.shingleHashes(docs, "text", 3).as("hs"))
+      val cands = graft.operators.Dedup.lshCandidates(
+        graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text", 128, 3),
+        "doc_id", 128, 32)
+      val verified = graft.operators.Dedup.verifyJaccard(cands, sh, "doc_id", "hs")
+      val shuffles = verified.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty, verified.queryExecution.executedPlan.toString)
+      val bad = shuffles.filter(_.output.exists(_.dataType.typeName == "array"))
+      assert(bad.isEmpty,
+        bad.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(","))
+          .mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("q12: dimension joins broadcast, never sort-merge") {
     val p = plan("q12_star_join")
     assert(p.contains("BroadcastHashJoin"), p)
