@@ -2,7 +2,7 @@ package graft
 
 import graft.config.{SortOrder, TableConfig}
 import graft.functions.TextFunctions
-import graft.operators.{ApplyMapping, Bookmarks, Dedup, DropNullFields, Multimodal, Similarity}
+import graft.operators.{ApplyMapping, Bookmarks, Dedup, DropNullFields, Multimodal, Similarity, Skew}
 import graft.sinks.PartitionedSink
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -321,6 +321,52 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Cube with GROUPING() markers: all four aggregation levels in one
+    // pass (Spark expands grouping sets map-side; one shuffle total).
+    "q23_cube" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("st"))
+        .orderBy(col("g_status"), col("g_prio"),
+          asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Skew-safe two-phase salted aggregation: result must equal the plain
+    // groupBy (oracle), while the first shuffle spreads any hot key over
+    // 16 reducers. Decimal partials keep the two-phase sum exact (double
+    // partial sums would not be associative).
+    "q24_salted_agg" -> ((s, dir) =>
+      Skew.saltedAgg(tbl(s, dir, "events"), Seq("event_type"), 16, Map(
+          "n" -> (count(lit(1)), (c: Column) => sum(c)),
+          "sv" -> (sum(col("value").cast("decimal(18,2)")), (c: Column) => sum(c))))
+        .select(col("event_type"), col("n"), col("sv").cast("double").as("sv"))
+        .orderBy("event_type")),
+
+    // CDC latest-wins upsert: one surviving record per (user_id,
+    // event_type) by newest ts (event_id tie-break) — the merge step of an
+    // incremental ingest with late updates. WindowGroupLimit prunes
+    // map-side before the shuffle.
+    "q25_upsert_latest" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("latest_event"), col("ts"), col("value"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Anti-join: customers with no orders (plans as a broadcast/shuffled
+    // hash anti join, never a subquery-per-row).
+    "q26_anti_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
     // Scalar function suite: string/date/math over a projected scan.
     "q18_scalar_funcs" -> ((s, dir) =>
       tbl(s, dir, "orders").select(
@@ -396,6 +442,31 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("doc_id"), col("term"), col("tf"), col("df"))
         .orderBy("doc_id")
+    }),
+
+    // Edit-distance near-dup over 48-char prefixes, with LOSSLESS length
+    // blocking: lev(a,b) <= k implies |len(a)-len(b)| <= k, so bucketing
+    // lengths at width k and joining each doc into its own and the next
+    // bucket covers every qualifying pair without the all-pairs product.
+    // Bounded subset (doc_id < 150) — the quadratic oracle stays O(1).
+    "d11_edit_distance" -> ((s, dir) => {
+      val k = 16
+      val corpus = nearDupCorpus(tbl(s, dir, "documents").filter(col("doc_id") < 150))
+        .select(col("doc_id"), substring(col("text"), 1, 48).as("t"))
+      val withLen = corpus.withColumn("len", length(col("t")))
+      val bucketed = withLen.select(col("doc_id"), col("len"),
+        explode(array((col("len") / k).cast("int"),
+          (col("len") / k).cast("int") + 1)).as("bkt"))
+      val cand = bucketed.as("l").join(bucketed.as("r"),
+          col("l.bkt") === col("r.bkt") && col("l.doc_id") < col("r.doc_id") &&
+            abs(col("l.len") - col("r.len")) <= k)
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+      val ta = corpus.select(col("doc_id").as("a"), col("t").as("ta"))
+      val tb = corpus.select(col("doc_id").as("b"), col("t").as("tb"))
+      cand.join(broadcast(ta), "a").join(broadcast(tb), "b")
+        .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).as("dist"))
+        .filter(col("dist") <= k)
+        .orderBy("a", "b")
     }),
 
     // -------------------------------------------- similarity (north-star)
@@ -542,6 +613,27 @@ object SparkEntry {
           OutputMode.Complete(),
           readerOptions = Map("maxFilesPerTrigger" -> "1"))
         .orderBy("event_type")
+    }),
+
+    // Stream-static enrichment: the event stream joins a broadcast
+    // dimension inside each micro-batch (no stream-side shuffle for the
+    // join), then aggregates. Oracle = the batch join.
+    "st4_stream_static_join" -> ((s, dir) => {
+      val work = tmpdir("graft-st4")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events.parquet"))
+      val dim = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      StreamingOps.drainToMemory(s, work, raw.schema,
+          df => normalizeTs(df)
+            .join(broadcast(dim), col("user_id") === col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).as("svd")),
+          OutputMode.Complete())
+        .select(col("c_mktsegment"), col("n"), col("svd").cast("double").as("sv"))
+        .orderBy("c_mktsegment")
     }),
 
     // ---------------------------------------------- multimodal (north-star)
@@ -874,6 +966,53 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q23_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio,
+        |o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q24_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q25_upsert_latest" ->
+      """SELECT user_id, event_type, event_id AS latest_event, ts, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q26_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "d11_edit_distance" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0 THEN substr(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id < 150),
+        |t AS (SELECT doc_id, substr(text, 1, 48) AS t FROM corpus)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |CAST(levenshtein(l.t, r.t) AS INT) AS dist
+        |FROM t l, t r WHERE l.doc_id < r.doc_id AND levenshtein(l.t, r.t) <= 16
+        |ORDER BY a, b""".stripMargin,
+
+    "st4_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q19_approx_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS approx_ok
