@@ -367,6 +367,14 @@ object SparkEntry {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
 
+    // Per-group exact quantiles (sort-based percentile, matching DuckDB's
+    // quantile_cont semantics — interpolation proven exact by q21).
+    "q27_group_quantiles" -> ((s, dir) =>
+      tbl(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy("o_orderstatus")),
+
     // Scalar function suite: string/date/math over a projected scan.
     "q18_scalar_funcs" -> ((s, dir) =>
       tbl(s, dir, "orders").select(
@@ -634,6 +642,37 @@ object SparkEntry {
           OutputMode.Complete())
         .select(col("c_mktsegment"), col("n"), col("svd").cast("double").as("sv"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Stream-stream inner join with watermarks on both sides: clicks
+    // joined to errors from the same user within 5 minutes. The time
+    // bound + watermarks cap the join state Spark keeps per side — the
+    // property that makes stream-stream joins runnable indefinitely.
+    "st5_stream_stream_join" -> ((s, dir) => {
+      val work = tmpdir("graft-st5")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events.parquet"))
+      StreamingOps.drainToMemory(s, work, raw.schema,
+          df => {
+            val ev = normalizeTs(df)
+            val clicks = ev.filter(col("event_type") === "click")
+              .select(col("event_id").as("click_id"), col("user_id"),
+                col("ts").as("cts"))
+              .withWatermark("cts", "10 minutes")
+            val errors = ev.filter(col("event_type") === "error")
+              .select(col("event_id").as("error_id"), col("user_id").as("uid"),
+                col("ts").as("ets"))
+              .withWatermark("ets", "10 minutes")
+            clicks.join(errors,
+              col("user_id") === col("uid") &&
+                col("ets") >= col("cts") &&
+                col("ets") <= col("cts") + expr("INTERVAL 5 MINUTES"))
+              .select(col("click_id"), col("error_id"), col("user_id"))
+          },
+          OutputMode.Append())
+        .orderBy("click_id", "error_id")
     }),
 
     // ---------------------------------------------- multimodal (north-star)
@@ -966,6 +1005,19 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "st5_stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS error_id, a.user_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'error'
+        |AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY click_id, error_id""".stripMargin,
+
+    "q27_group_quantiles" ->
+      """SELECT o_orderstatus,
+        |quantile_cont(o_totalprice, 0.5) AS p50,
+        |quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q23_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
