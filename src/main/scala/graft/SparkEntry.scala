@@ -367,6 +367,34 @@ object SparkEntry {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
 
+    // Unpivot/melt: wide metrics to long (key, metric, value) — the
+    // narrow-table reshape; map-side only, no shuffle.
+    "q28_unpivot" -> ((s, dir) =>
+      tbl(s, dir, "orders").filter(col("o_orderkey") <= 100)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("price"),
+          col("o_custkey").cast("double").as("cust"))
+        .unpivot(Array(col("o_orderkey")), Array(col("price"), col("cust")),
+          "metric", "val")
+        .orderBy("o_orderkey", "metric")),
+
+    // Star-schema revenue rollup: one fact-fact shuffle join
+    // (lineitem x orders), dimensions broadcast, status filter pushed to
+    // the orders scan.
+    "q29_star_revenue" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      val c = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = tbl(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+
     // Per-group exact quantiles (sort-based percentile, matching DuckDB's
     // quantile_cont semantics — interpolation proven exact by q21).
     "q27_group_quantiles" -> ((s, dir) =>
@@ -547,6 +575,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
         .orderBy("user_id")),
 
+    // Sliding windows: 10-minute windows every 5 minutes — each event
+    // lands in exactly two windows; Spark expands the window list
+    // map-side, so the shuffle carries (window, partials), not events x2.
+    "ev8_sliding_window" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+        .select(col("window.start").as("ws"), col("n"), col("sv"))
+        .orderBy("ws")),
+
     // IVF ANN top-5: spherical k-means cells + nprobe search (approximate;
     // rows-only check, recall pinned in NorthStarSpec).
     "e4_knn_ivf" -> ((s, dir) => {
@@ -708,6 +747,20 @@ object SparkEntry {
       Multimodal.decodeMetadata(s, media).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("format"))
         .orderBy("doc_id")
+    }),
+
+    // REAL audio header decode: PCM WAV fixtures whose shape encodes
+    // doc_id — wavHeaderDecode must walk the actual RIFF chunk chain
+    // (fmt + data with honest payload sizes) to recover it.
+    "m4_wav_header_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val rate = 8000 * (1 + (id % 3).toInt)
+        val ch = 1 + (id % 2).toInt
+        val n = (id % 1000 + 1).toInt
+        (id, Multimodal.wavFixture(rate, ch, 16, n))
+      }.toDF("doc_id", "media")
+      Multimodal.decodeAudioMetadata(s, media).toDF().orderBy("doc_id")
     })
   )
 
@@ -1006,6 +1059,35 @@ object SparkEntry {
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "ev8_sliding_window" ->
+      """WITH w AS (
+        |  SELECT value,
+        |    to_timestamp(floor(epoch(ts)/300)*300 - 300)::TIMESTAMP AS ws
+        |  FROM events
+        |  UNION ALL
+        |  SELECT value, to_timestamp(floor(epoch(ts)/300)*300)::TIMESTAMP AS ws
+        |  FROM events)
+        |SELECT ws, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |FROM w GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "q28_unpivot" ->
+      """SELECT o_orderkey, metric, val FROM (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+        |         CAST(o_custkey AS DOUBLE) AS cust
+        |  FROM orders WHERE o_orderkey <= 100)
+        |UNPIVOT (val FOR metric IN (price, cust))
+        |ORDER BY o_orderkey, metric""".stripMargin,
+
+    "q29_star_revenue" ->
+      """SELECT n_name, COUNT(*) AS n_items,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     "st5_stream_stream_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS error_id, a.user_id
         |FROM events a JOIN events b ON a.user_id = b.user_id
@@ -1126,6 +1208,14 @@ object SparkEntry {
       """SELECT doc_id, CAST(doc_id % 512 + 1 AS INT) AS width,
         |CAST(doc_id % 256 + 1 AS INT) AS height,
         |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m4_wav_header_decode" ->
+      """SELECT doc_id,
+        |CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        |CAST(1 + doc_id % 2 AS INT) AS channels,
+        |CAST(16 AS INT) AS bits,
+        |CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

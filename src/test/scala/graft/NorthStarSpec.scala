@@ -160,6 +160,21 @@ class NorthStarSpec extends SparkSpec {
     assert(Multimodal.headerDecode(Array.empty[Byte]) == None)
   }
 
+  test("wavHeaderDecode walks the real RIFF chunk chain; non-WAV is None") {
+    assert(Multimodal.wavHeaderDecode(Multimodal.wavFixture(44100, 2, 16, 1000)) ==
+      Some((44100, 2, 16, 1000L)))
+    assert(Multimodal.wavHeaderDecode(Multimodal.wavFixture(8000, 1, 8, 3)) ==
+      Some((8000, 1, 8, 3L)))
+    // an extra chunk before fmt/data must be skipped, not break the walk
+    val fx = Multimodal.wavFixture(16000, 1, 16, 10)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val padded = fx.take(12) ++ listChunk ++ fx.drop(12)
+    assert(Multimodal.wavHeaderDecode(padded) == Some((16000, 1, 16, 10L)))
+    assert(Multimodal.wavHeaderDecode("RIFFxxxxAVI ".getBytes("US-ASCII")) == None)
+    assert(Multimodal.wavHeaderDecode(Array.empty[Byte]) == None)
+  }
+
   // --- IVF / skew / frames --------------------------------------------------
 
   test("ivfTopK recall vs brute force with nprobe=4 of 16 cells") {
