@@ -162,6 +162,18 @@ object SparkEntry {
         max(col("o_orderkey")).as("hi"))
     }),
 
+    // S4 — ORC round-trip (the columnar alternative for Hive-ecosystem
+    // interop).
+    "q30_orc_roundtrip" -> ((s, dir) => {
+      val out = tmpdir("graft-q30")
+      val src = tbl(s, dir, "orders")
+      PartitionedSink.write(src, out, "orc", Seq.empty)
+      s.read.orc(out).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("st"),
+        max(col("o_orderkey")).as("hi"))
+    }),
+
     // S4 — JSON round-trip.
     "q11_json_roundtrip" -> ((s, dir) => {
       val out = tmpdir("graft-q11")
@@ -575,6 +587,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
         .orderBy("user_id")),
 
+    // IVF with FULL probe (nprobe = k cells): every query scores every
+    // cell, so the result must equal brute force exactly — a hash-checked
+    // oracle over the whole IVF machinery (train determinism, cell
+    // assignment, probe ranking, re-rank). e4 (partial probe) stays the
+    // approximate production path.
+    "e5_knn_ivf_full" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      val centroids = graft.operators.Ivf.train(embs, "embedding", k = 16)
+      graft.operators.Ivf.topK(
+          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+          centroids, nprobe = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Sliding windows: 10-minute windows every 5 minutes — each event
     // lands in exactly two windows; Spark expands the window list
     // map-side, so the shuffle carries (window, partials), not events x2.
@@ -973,6 +1000,21 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+
+    "e5_knn_ivf_full" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "q30_orc_roundtrip" ->
+      """SELECT COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st,
+        |MAX(o_orderkey) AS hi FROM orders""".stripMargin,
 
     "e3_embedding_neardup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions.col
   */
 object PartitionedSink {
 
-  val SupportedFormats: Set[String] = Set("parquet", "csv", "json")
+  val SupportedFormats: Set[String] = Set("parquet", "csv", "json", "orc")
 
   /** Format dispatch (S4). CSV matches the reference's descriptor: `,`
     * delimiter + header line (skip.header.line.count=1,
@@ -28,6 +28,7 @@ object PartitionedSink {
       case "parquet" => w.format("parquet")
       case "csv"     => w.format("csv").option("header", "true").option("delimiter", ",")
       case "json"    => w.format("json")
+      case "orc"     => w.format("orc")
       case other     => throw new IllegalArgumentException(s"Unsupported format: $other")
     }
 
@@ -40,6 +41,7 @@ object PartitionedSink {
       case "parquet" => r.format("parquet")
       case "csv"     => r.format("csv").option("header", "true").option("delimiter", ",")
       case "json"    => r.format("json")
+      case "orc"     => r.format("orc")
       case other     => throw new IllegalArgumentException(s"Unsupported format: $other")
     }
 
