@@ -484,11 +484,16 @@ object SparkEntry {
       // it directly (one explode pass, not two; tf is tiny post-agg)
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist()
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      // top term per doc as a min_by hash-aggregate (partial agg map-side)
+      // instead of a sort+window pass; (doc_id, term) rows are unique so
+      // the composite ordering key is total and the result deterministic
       tf.join(broadcast(df), "term")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+        .groupBy("doc_id")
+        .agg(min_by(
+          struct(col("term"), col("tf"), col("df")),
+          struct((-col("tf")).as("o1"), col("df").as("o2"), col("term").as("o3"))).as("top"))
+        .select(col("doc_id"), col("top.term").as("term"),
+          col("top.tf").as("tf"), col("top.df").as("df"))
         .orderBy("doc_id")
     }),
 
@@ -788,6 +793,21 @@ object SparkEntry {
         (id, Multimodal.wavFixture(rate, ch, 16, n))
       }.toDF("doc_id", "media")
       Multimodal.decodeAudioMetadata(s, media).toDF().orderBy("doc_id")
+    }),
+
+    // REAL multi-frame extraction from real GIF container bytes: the
+    // frame count, offsets, and per-frame dimensions all come from
+    // walking the actual block chain — the honest upgrade of m2's
+    // byte-stride stub for the one container format that needs no codec.
+    "m5_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val n = (id % 4 + 1).toInt
+        val ws = (0 until n).map(k => (id % 64 + k + 1).toInt)
+        val hs = (0 until n).map(k => (id % 32 + k + 1).toInt)
+        (id, Multimodal.gifFixture(ws, hs))
+      }.toDF("doc_id", "media")
+      Multimodal.decodeGifFrames(s, media).toDF().orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -1258,6 +1278,14 @@ object SparkEntry {
         |CAST(1 + doc_id % 2 AS INT) AS channels,
         |CAST(16 AS INT) AS bits,
         |CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m5_gif_frames" ->
+      """SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |CAST(13 + 17*k AS BIGINT) AS frame_off,
+        |CAST(doc_id % 64 + k + 1 AS INT) AS width,
+        |CAST(doc_id % 32 + k + 1 AS INT) AS height
+        |FROM documents, UNNEST(range(doc_id % 4 + 1)) AS t(k)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -14,6 +14,12 @@ final case class MediaFrame(
 final case class AudioMeta(
     doc_id: Long, sample_rate: Int, channels: Int, bits: Int, n_samples: Long)
 
+/** One real frame parsed from a GIF container: byte offset of the image
+  * descriptor plus the frame's own dimensions.
+  */
+final case class GifFrame(
+    doc_id: Long, frame_idx: Int, frame_off: Long, width: Int, height: Int)
+
 /** Multimodal-column plumbing (north-star surface): media travels as an
   * opaque `binary` column with typed metadata alongside.
   *
@@ -185,6 +191,83 @@ object Multimodal {
       .put("JFIF ".getBytes("US-ASCII")).put(new Array[Byte](9))
     out.put(Array(0xFF, 0xC0).map(_.toByte)).putShort(8.toShort)
       .put(8.toByte).putShort(height.toShort).putShort(width.toShort).put(1.toByte)
+    out.array()
+  }
+
+  /** REAL GIF frame walk — the honest version of frame sampling for the
+    * one container format parseable without codecs: skips the logical
+    * screen descriptor + global color table, then walks the block chain
+    * (0x21 extensions with length-prefixed sub-blocks, 0x2C image
+    * descriptors with optional local color tables + LZW data) and emits
+    * one (offset, width, height) per image descriptor. Returns Nil for
+    * non-GIF bytes.
+    */
+  def gifFrames(bytes: Array[Byte]): Seq[(Long, Int, Int)] = {
+    def le16(i: Int): Int = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    if (bytes.length < 13 || bytes(0) != 'G' || bytes(1) != 'I' ||
+        bytes(2) != 'F' || bytes(3) != '8') return Nil
+    val gctFlag = (bytes(10) & 0x80) != 0
+    val gctSize = if (gctFlag) 3 * (1 << ((bytes(10) & 0x07) + 1)) else 0
+    var i = 13 + gctSize
+    val out = Seq.newBuilder[(Long, Int, Int)]
+    def skipSubBlocks(): Unit = {
+      while (i < bytes.length && bytes(i) != 0) i += 1 + (bytes(i) & 0xFF)
+      i += 1 // block terminator
+    }
+    var done = false
+    while (!done && i < bytes.length) {
+      (bytes(i) & 0xFF) match {
+        case 0x2C if i + 10 <= bytes.length => // image descriptor
+          out += ((i.toLong, le16(i + 5), le16(i + 7)))
+          val lctFlag = (bytes(i + 9) & 0x80) != 0
+          val lctSize = if (lctFlag) 3 * (1 << ((bytes(i + 9) & 0x07) + 1)) else 0
+          i += 10 + lctSize + 1 // descriptor + local table + LZW min code size
+          skipSubBlocks()
+        case 0x21 if i + 2 <= bytes.length => // extension: label + sub-blocks
+          i += 2
+          skipSubBlocks()
+        case 0x3B => done = true // trailer
+        case _    => done = true // malformed — stop, keep what we have
+      }
+    }
+    out.result()
+  }
+
+  /** Parse every frame of a (id, gif) pair stream via [[gifFrames]] —
+    * real multi-frame extraction from real container bytes, same
+    * pruned-input/mapPartitions discipline as the other decode stages.
+    */
+  def decodeGifFrames(spark: SparkSession, pruned: DataFrame): Dataset[GifFrame] = {
+    import spark.implicits._
+    pruned.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        gifFrames(bytes).iterator.zipWithIndex.map { case ((off, w, h), idx) =>
+          GifFrame(id, idx, off, w, h)
+        }
+      }
+    }
+  }
+
+  /** Minimal multi-frame GIF (no color tables, 4-byte LZW payload per
+    * frame) — a test/oracle fixture for [[gifFrames]]. Frame k is
+    * `widths(k)` × `heights(k)` at byte offset 13 + 17k.
+    */
+  def gifFixture(widths: Seq[Int], heights: Seq[Int]): Array[Byte] = {
+    require(widths.length == heights.length)
+    val out = java.nio.ByteBuffer.allocate(13 + 17 * widths.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(widths.max.toShort).putShort(heights.max.toShort)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // no global color table
+    widths.indices.foreach { k =>
+      out.put(0x2C.toByte).putShort(0.toShort).putShort(0.toShort)
+        .putShort(widths(k).toShort).putShort(heights(k).toShort)
+        .put(0.toByte)            // no local color table
+        .put(2.toByte)            // LZW minimum code size
+        .put(4.toByte).putInt(0)  // one 4-byte data sub-block
+        .put(0.toByte)            // block terminator
+    }
+    out.put(0x3B.toByte)
     out.array()
   }
 

@@ -48,6 +48,13 @@ object StreamingOps {
   /** Drain a parquet-file stream through `pipeline` into an in-memory
     * table and return its final contents. `outputMode` must match the
     * pipeline (complete for aggregations, update for stateful map).
+    *
+    * `statePartitions` sizes the state-store layout (shuffle partitions
+    * at checkpoint creation — FIXED for the life of a real streaming
+    * job, so it is a deliberate knob, not a default): one state store
+    * instance per partition per stateful operator means the partition
+    * count should track state volume, not the batch-side core count.
+    * Results never depend on it.
     */
   def drainToMemory(
       spark: SparkSession,
@@ -55,12 +62,17 @@ object StreamingOps {
       schema: org.apache.spark.sql.types.StructType,
       pipeline: DataFrame => DataFrame,
       outputMode: OutputMode,
-      readerOptions: Map[String, String] = Map.empty): DataFrame = {
+      readerOptions: Map[String, String] = Map.empty,
+      statePartitions: Int = 8): DataFrame = {
     val name = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream.schema(schema).options(readerOptions).parquet(inputDir)
-    val q = pipeline(stream).writeStream
-      .format("memory").queryName(name).outputMode(outputMode).start()
-    try q.processAllAvailable() finally q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val stream = spark.readStream.schema(schema).options(readerOptions).parquet(inputDir)
+      val q = pipeline(stream).writeStream
+        .format("memory").queryName(name).outputMode(outputMode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }

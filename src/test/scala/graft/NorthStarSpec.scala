@@ -175,6 +175,25 @@ class NorthStarSpec extends SparkSpec {
     assert(Multimodal.wavHeaderDecode(Array.empty[Byte]) == None)
   }
 
+  test("gifFrames walks the real block chain: GCT, extensions, multi-frame") {
+    val fx = Multimodal.gifFixture(Seq(10, 20, 30), Seq(5, 6, 7))
+    assert(Multimodal.gifFrames(fx) ==
+      Seq((13L, 10, 5), (30L, 20, 6), (47L, 30, 7)))
+    // interpose a graphic-control extension before each frame and a
+    // global color table after the screen descriptor — offsets shift,
+    // dimensions must still parse from the descriptors
+    val gce = Array[Byte](0x21, 0xF9.toByte, 4, 0, 0, 0, 0, 0)
+    val gct = Array.fill[Byte](3 * 4)(0x11) // packed size bits 001 -> 12 bytes
+    val withExtras =
+      fx.take(10) ++ Array[Byte]((0x80 | 0x01).toByte) ++ fx.slice(11, 13) ++ gct ++
+        fx.slice(13, 30) ++ gce ++ fx.slice(30, 47) ++ fx.drop(47)
+    val frames = Multimodal.gifFrames(withExtras)
+    assert(frames.map(f => (f._2, f._3)) == Seq((10, 5), (20, 6), (30, 7)))
+    assert(frames.map(_._1) == Seq(25L, 50L, 67L)) // 13+12, +17+8ext, +17
+    assert(Multimodal.gifFrames("PNG not gif".getBytes) == Nil)
+    assert(Multimodal.gifFrames(Array.empty[Byte]) == Nil)
+  }
+
   // --- IVF / skew / frames --------------------------------------------------
 
   test("ivfTopK recall vs brute force with nprobe=4 of 16 cells") {
