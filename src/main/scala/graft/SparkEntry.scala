@@ -407,6 +407,42 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // Explicitly salted skew join: hot-key rows spread over 8 reducers,
+    // small side replicated 8x — result must equal the plain join
+    // (aggregated per key for a compact oracle).
+    "q31_salted_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val dim = ev.select("event_type").distinct()
+        .withColumn("type_len", length(col("event_type")).cast("int"))
+      Skew.saltedJoin(ev, dim, Seq("event_type"), salts = 8)
+        .groupBy("event_type", "type_len")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+        .orderBy("event_type")
+    }),
+
+    // Dynamic partition overwrite: rewrite ONLY the partitions present in
+    // the patch batch (the idempotent re-run primitive for partitioned
+    // incremental loads); untouched partitions must survive byte-for-byte.
+    "q32_dynamic_overwrite" -> ((s, dir) => {
+      val out = tmpdir("graft-q32")
+      val orders = tbl(s, dir, "orders")
+      PartitionedSink.write(orders, out, "parquet", Seq("o_orderstatus"))
+      val patch = orders.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try patch.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(out).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("st"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Per-group exact quantiles (sort-based percentile, matching DuckDB's
     // quantile_cont semantics — interpolation proven exact by q21).
     "q27_group_quantiles" -> ((s, dir) =>
@@ -1156,6 +1192,18 @@ object SparkEntry {
         |WHERE a.event_type = 'click' AND b.event_type = 'error'
         |AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         |ORDER BY click_id, error_id""".stripMargin,
+
+    "q31_salted_join" ->
+      """SELECT event_type, CAST(LENGTH(event_type) AS INT) AS type_len,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q32_dynamic_overwrite" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+        |                   ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS st
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q27_group_quantiles" ->
       """SELECT o_orderstatus,

@@ -41,4 +41,24 @@ object Skew {
   def saltedCount(df: DataFrame, keys: Seq[String], salts: Int = 16): DataFrame =
     saltedAgg(df, keys, salts,
       Map("count" -> (count(lit(1)), (c: Column) => sum(c))))
+
+  /** Explicitly salted equi-join for a known-skewed big side: each big
+    * row gets a random salt in [0, salts); the small side replicates
+    * `salts`× so every (key, salt) bucket still finds its match. The hot
+    * key's rows spread over `salts` reducers instead of one. Result
+    * equals the plain inner join (row multiplicity preserved — the small
+    * side must be unique per key, as dimension tables are).
+    *
+    * This is the STATIC form for when the skew is known up front (the
+    * salt is in the layout, e.g. pre-bucketed tables); AQE's runtime
+    * skew split (SkewJoinSpec) is the dynamic form.
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, keys: Seq[String], salts: Int = 16): DataFrame = {
+    val salted = big.withColumn(
+      "_salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = small.withColumn(
+      "_salt", explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
 }

@@ -98,4 +98,27 @@ class PropertySpec extends SparkSpec {
       got == expected
     }, tests = 20)
   }
+
+  test("WAV fixture/parse roundtrip for any PCM shape") {
+    import graft.operators.Multimodal
+    val shapeGen = Gen.zip(
+      Gen.chooseNum(8000, 192000), Gen.chooseNum(1, 8),
+      Gen.oneOf(8, 16, 24, 32), Gen.chooseNum(0, 2000))
+    check(Prop.forAll(shapeGen) { case (rate, ch, bits, n) =>
+      Multimodal.wavHeaderDecode(Multimodal.wavFixture(rate, ch, bits, n))
+        .contains((rate, ch, bits, n.toLong))
+    })
+  }
+
+  test("GIF fixture/walk roundtrip for any frame list") {
+    import graft.operators.Multimodal
+    val dimsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1, 4000), Gen.chooseNum(1, 4000))).map(_.take(20))
+    check(Prop.forAll(dimsGen) { dims =>
+      val (ws, hs) = dims.unzip
+      val frames = Multimodal.gifFrames(Multimodal.gifFixture(ws, hs))
+      frames.map(f => (f._2, f._3)) == dims &&
+        frames.zipWithIndex.forall { case (f, k) => f._1 == 13L + 17 * k }
+    })
+  }
 }

@@ -44,4 +44,14 @@ class SkewJoinSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("saltedJoin equals the plain join row-for-row") {
+    import graft.operators.Skew
+    val big = spark.range(10000).select((col("id") % 7).as("k"), col("id").as("v"))
+    val dim = spark.range(7).select(col("id").as("k"), (col("id") * 100).as("w"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows(Skew.saltedJoin(big, dim, Seq("k"), salts = 8)) == rows(big.join(dim, "k")))
+  }
 }
