@@ -407,6 +407,20 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // Orders above their customer's average price, via exact decimal
+    // cross-multiplication (price * n > sum) — no float division, so the
+    // boundary is bit-identical across engines.
+    "q33_above_avg" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val agg = o.groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"), sum(col("price")).as("s"))
+      o.join(agg, "o_custkey")
+        .filter(col("price") * col("cnt") > col("s"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_above"))
+        .orderBy("o_custkey")
+    }),
+
     // Explicitly salted skew join: hot-key rows spread over 8 reducers,
     // small side replicated 8x — result must equal the plain join
     // (aggregated per key for a compact oracle).
@@ -556,6 +570,30 @@ object SparkEntry {
         .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).as("dist"))
         .filter(col("dist") <= k)
         .orderBy("a", "b")
+    }),
+
+    // Bigram OOV-rate quality scoring: train a bigram vocabulary on one
+    // corpus slice, score the rest by out-of-vocabulary occurrence counts
+    // — the train/apply vocabulary join every LM-data quality filter
+    // needs. Integer outputs keep the cross-engine hash exact.
+    "d12_bigram_oov" -> ((s, dir) => {
+      val toksCol = filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0)
+      val bigrams = tbl(s, dir, "documents")
+        .select(col("doc_id"), toksCol.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      val vocab = bigrams.filter(col("doc_id") < 50)
+        .select("bigram").distinct().withColumn("seen", lit(1))
+      bigrams.filter(col("doc_id") >= 50)
+        .join(vocab, Seq("bigram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("seen").isNull, 1).otherwise(0)).as("n_oov"))
+        .orderBy("doc_id")
     }),
 
     // -------------------------------------------- similarity (north-star)
@@ -1192,6 +1230,28 @@ object SparkEntry {
         |WHERE a.event_type = 'click' AND b.event_type = 'error'
         |AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         |ORDER BY click_id, error_id""".stripMargin,
+
+    "d12_bigram_oov" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM tok WHERE len(toks) >= 2),
+        |vocab AS (SELECT DISTINCT bigram FROM bg WHERE doc_id < 50)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |CAST(SUM(CASE WHEN v.bigram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM bg b LEFT JOIN vocab v USING (bigram)
+        |WHERE b.doc_id >= 50 GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q33_above_avg" ->
+      """WITH agg AS (SELECT o_custkey, COUNT(*) AS cnt,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o.o_custkey, COUNT(*) AS n_above
+        |FROM orders o JOIN agg a USING (o_custkey)
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * a.cnt > a.s
+        |GROUP BY o.o_custkey ORDER BY o.o_custkey""".stripMargin,
 
     "q31_salted_join" ->
       """SELECT event_type, CAST(LENGTH(event_type) AS INT) AS type_len,
