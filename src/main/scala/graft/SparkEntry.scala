@@ -526,17 +526,22 @@ object SparkEntry {
     // term — integer-only ranking (a float tf-idf would hash-diverge
     // across engines in the last ulp; the ordering is the same idea).
     "d10_top_terms" -> ((s, dir) => {
-      val toks = tbl(s, dir, "documents")
-        .repartition(64, col("doc_id")) // single-file input → spread the explode
-        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
-        .filter(length(col("term")) > 0)
-      // tf is the distinct (doc, term) set with counts — df derives from
-      // it directly (one explode pass, not two; tf is tiny post-agg)
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist()
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val docs = tbl(s, dir, "documents")
+        .repartition(64, col("doc_id")) // single-file input → spread the compute
+      val tc = ColumnBridge.column(
+        graft.functions.TermCounts(ColumnBridge.expression(col("text"))))
+      // (doc, term, tf) with NO shuffle: the TermCounts expression counts
+      // row-locally, so exploding its map never moves token occurrences —
+      // the groupBy(doc, term) formulation shuffles every token instance
+      val tf = docs.select(col("doc_id"), explode(tc))
+        .select(col("doc_id"), col("key").as("term"), col("value").cast("long").as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       // top term per doc as a min_by hash-aggregate (partial agg map-side)
       // instead of a sort+window pass; (doc_id, term) rows are unique so
-      // the composite ordering key is total and the result deterministic
+      // the composite ordering key is total and the result deterministic.
+      // doc_id partitioning is preserved end-to-end → the final groupBy
+      // reuses it; the df aggregation is the query's ONLY shuffle
       tf.join(broadcast(df), "term")
         .groupBy("doc_id")
         .agg(min_by(
