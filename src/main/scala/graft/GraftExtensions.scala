@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashAggregate, SimHashAggregate, SrpSignature}
+import graft.functions.{CosineSimilarity, MinHashAggregate, ShingleHashes, SimHashAggregate, SrpSignature, TermCounts}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -50,5 +50,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAggregate].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHashAggregate(args(0)).toAggregateExpression()))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args(0), intArg(args(1), "n"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_term_counts"),
+      new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts"),
+      (args: Seq[Expression]) => TermCounts(args(0))))
   }
 }

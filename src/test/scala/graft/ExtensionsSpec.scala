@@ -28,6 +28,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(sh != 0L)
   }
 
+  test("graft_shingle_hashes / graft_term_counts from SQL") {
+    val n = spark.sql(
+      "SELECT size(graft_shingle_hashes('a b c d', 3)) AS n").head().getInt(0)
+    assert(n == 2) // 'a b c', 'b c d'
+    val tc = spark.sql(
+      "SELECT graft_term_counts('The the  cat') AS m").head().getMap[String, Int](0)
+    assert(tc == Map("the" -> 2, "cat" -> 1))
+  }
+
   test("SQL minhash equals the operator API signature") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(sf("documents")).limit(50)
