@@ -465,6 +465,15 @@ object SparkEntry {
           expr("percentile(o_totalprice, 0.9)").as("p90"))
         .orderBy("o_orderstatus")),
 
+    // Semi join: customers that have at least one order (the EXISTS
+    // counterpart of q26's anti join).
+    "q34_semi_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+    }),
+
     // Scalar function suite: string/date/math over a projected scan.
     "q18_scalar_funcs" -> ((s, dir) =>
       tbl(s, dir, "orders").select(
@@ -599,6 +608,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_bigrams"),
           sum(when(col("seen").isNull, 1).otherwise(0)).as("n_oov"))
         .orderBy("doc_id")
+    }),
+
+    // Exact heavy hitters: terms present in >= 5% of documents. Map keys
+    // from TermCounts are already per-doc-distinct, so the document
+    // frequency is one count per (doc, term) with no dedup pass.
+    "d13_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val tc = ColumnBridge.column(
+        graft.functions.TermCounts(ColumnBridge.expression(col("text"))))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(map_keys(tc)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 25)
+        .orderBy(col("df").desc, col("term"))
     }),
 
     // -------------------------------------------- similarity (north-star)
@@ -1235,6 +1258,19 @@ object SparkEntry {
         |WHERE a.event_type = 'click' AND b.event_type = 'error'
         |AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
         |ORDER BY click_id, error_id""".stripMargin,
+
+    "d13_heavy_hitters" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
+        |SELECT term, COUNT(*) AS df FROM t GROUP BY term
+        |HAVING COUNT(*) >= 25 ORDER BY df DESC, term""".stripMargin,
+
+    "q34_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "d12_bigram_oov" ->
       """WITH tok AS (SELECT doc_id,

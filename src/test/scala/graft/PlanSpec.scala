@@ -94,4 +94,24 @@ class PlanSpec extends SparkSpec {
     val p = plan("ev7_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q25: the latest-wins merge pre-prunes map-side (WindowGroupLimit)") {
+    val p = plan("q25_upsert_latest")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q29: star revenue joins hash-based, never nested-loop") {
+    val p = plan("q29_star_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q26/q34: anti and semi joins plan as hash joins") {
+    val anti = plan("q26_anti_join")
+    assert(anti.contains("LeftAnti"), anti)
+    assert(!anti.contains("BroadcastNestedLoopJoin"), anti)
+    val semi = plan("q34_semi_join")
+    assert(semi.contains("LeftSemi"), semi)
+    assert(!semi.contains("BroadcastNestedLoopJoin"), semi)
+  }
 }
