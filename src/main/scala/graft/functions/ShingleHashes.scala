@@ -41,29 +41,35 @@ case class ShingleHashes(child: Expression, n: Int)
     // controls/tabs that SQL trim does not (ADVICE r1)
     val norm = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     val toks = if (norm.isEmpty) Array("") else norm
-    val hashes = new java.util.TreeSet[java.lang.Long]()
-    if (toks.length < n) {
-      hashes.add(hash(toks.mkString(" ")))
-    } else {
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      while (i <= toks.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
+    // primitive sort + in-place dedup (a boxed TreeSet per row dominated
+    // the signature stage at bench scale)
+    val raw =
+      if (toks.length < n) Array(hash(toks.mkString(" ")))
+      else {
+        val tmp = new Array[Long](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          tmp(i) = hash(sb.toString)
+          i += 1
         }
-        hashes.add(hash(sb.toString))
-        i += 1
+        tmp
       }
+    java.util.Arrays.sort(raw)
+    var w = 0
+    var r = 0
+    while (r < raw.length) {
+      if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+      r += 1
     }
-    val out = new Array[Long](hashes.size())
-    val it = hashes.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
   }
 
   private def hash(s: String): Long =
@@ -106,29 +112,35 @@ case class ShingleHashesMd5(child: Expression, n: Int)
     // controls/tabs that SQL trim does not (ADVICE r1)
     val norm = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     val toks = if (norm.isEmpty) Array("") else norm
-    val hashes = new java.util.TreeSet[java.lang.Long]()
-    if (toks.length < n) {
-      hashes.add(hash(toks.mkString(" ")))
-    } else {
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      while (i <= toks.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
+    // primitive sort + in-place dedup (a boxed TreeSet per row dominated
+    // the signature stage at bench scale)
+    val raw =
+      if (toks.length < n) Array(hash(toks.mkString(" ")))
+      else {
+        val tmp = new Array[Long](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          tmp(i) = hash(sb.toString)
+          i += 1
         }
-        hashes.add(hash(sb.toString))
-        i += 1
+        tmp
       }
+    java.util.Arrays.sort(raw)
+    var w = 0
+    var r = 0
+    while (r < raw.length) {
+      if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+      r += 1
     }
-    val out = new Array[Long](hashes.size())
-    val it = hashes.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
   }
 
   /** First 15 hex chars of md5 == top 60 bits of the first 8 digest bytes

@@ -17,6 +17,24 @@ import org.apache.spark.sql.types._
   * (map-side partial aggregation) is an elementwise primitive loop.
   */
 
+/** Shared MinHash permutation math — the aggregate and the row-local
+  * expression MUST produce identical signatures (parity is spec-pinned).
+  */
+object MinHashMath {
+  val P = 4294967311L // smallest prime > 2^32
+
+  def coeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = new Array[Long](numHashes); val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = (rnd.nextInt((1 << 30) - 1) + 1).toLong; b(i) = rnd.nextInt(1 << 30).toLong
+      i += 1
+    }
+    (a, b)
+  }
+}
+
 /** MinHash sketch: per group, `min((a_i * x32 + b_i) mod p)` for
   * `numHashes` seeded permutations of the (32-bit-truncated) input hash.
   * Returns `array<bigint>` of length `numHashes`.
@@ -29,17 +47,9 @@ case class MinHashAggregate(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
-  private val P = 4294967311L // smallest prime > 2^32
-  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(seed)
-    val a = new Array[Long](numHashes); val b = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      a(i) = (rnd.nextInt((1 << 30) - 1) + 1).toLong; b(i) = rnd.nextInt(1 << 30).toLong
-      i += 1
-    }
-    (a, b)
-  }
+  private val P = MinHashMath.P
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) =
+    MinHashMath.coeffs(numHashes, seed)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -92,6 +102,54 @@ case class MinHashAggregate(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c.head)
+}
+
+/** Row-local MinHash: the signature of ONE document computed from its
+  * shingle-hash array in a single tight loop — identical output to
+  * grouping [[MinHashAggregate]] over the exploded hashes (shared
+  * [[MinHashMath]]; parity spec-pinned), but with no explode, no
+  * aggregation state, and no shuffle: a MinHash signature is a pure
+  * function of one row, so at scale it should be computed where the row
+  * already sits. The aggregate remains the right tool when shingle rows
+  * arrive pre-exploded (e.g. from a SQL surface or a streaming source).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) =
+    MinHashMath.coeffs(numHashes, seed)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_signature"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<bigint> input, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val buf = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val x = arr.getLong(j) & 0xFFFFFFFFL
+      var i = 0
+      while (i < numHashes) {
+        val h = (as(i) * x + bs(i)) % MinHashMath.P
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** SimHash sketch: per group, per-bit ±1 sums over the input hashes,

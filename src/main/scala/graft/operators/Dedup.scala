@@ -134,12 +134,13 @@ object Dedup {
     val hashed = docs.select(col(idCol),
       shingleHashes(docs, textCol, shingleN).as("hs")).persist()
     try {
-      val agg = ColumnBridge.column(
-        graft.functions.MinHashAggregate(
-          ColumnBridge.expression(col("_x")), numHashes, seed = 42L).toAggregateExpression())
-      val sigs = hashed
-        .select(col(idCol), explode(col("hs")).as("_x"))
-        .groupBy(col(idCol)).agg(agg.as("sig"))
+      // row-local signatures: MinHash is a pure function of one doc's
+      // shingle-hash set, so no explode / aggregation state / shuffle —
+      // identical output to the MinHashAggregate formulation (parity
+      // spec-pinned in NorthStarSpec)
+      val sigs = hashed.select(col(idCol), ColumnBridge.column(
+        graft.functions.MinHashSignature(
+          ColumnBridge.expression(col("hs")), numHashes, 42L)).as("sig"))
       // the candidate list is referenced three times by the verify join
       // (pair list + the two id-prune sides) — cache it
       val cands = lshCandidates(sigs, idCol, numHashes, bands).persist()
