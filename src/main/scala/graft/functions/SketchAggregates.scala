@@ -152,6 +152,49 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Row-local SimHash: the 64-bit signature of ONE document from its
+  * shingle-hash array (per-bit ±1 sums packed to a long) — identical to
+  * grouping [[SimHashAggregate]] over the exploded hashes, with no
+  * explode/aggregation/shuffle (same rationale as [[MinHashSignature]]).
+  */
+case class SimHashSignature(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_signature"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<bigint> input, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sums = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val x = arr.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((x >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (sums(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** SimHash sketch: per group, per-bit ±1 sums over the input hashes,
   * packed to the 64-bit signature (bit set iff its sum is positive).
   */

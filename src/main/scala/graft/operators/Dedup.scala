@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * Scale design notes (the point of each choice at 100 TB):
   *  - exact dedup: one hash-aggregate on a 32-byte fingerprint — the
   *    shuffle moves (fingerprint, doc_id), never the text.
-  *  - MinHash / SimHash signatures: computed as `explode(shingles)` →
-  *    custom single-buffer TypedImperativeAggregates
-  *    ([[graft.functions.MinHashAggregate]] / SimHashAggregate) — one
-  *    primitive JVM loop per row, NOT per-row higher-order array
-  *    functions (interpreted) nor 128 independent aggregate columns.
-  *    The shuffle moves only (doc_id, hash) with map-side partial
-  *    aggregation.
+  *  - MinHash / SimHash signatures: a signature is a pure function of
+  *    one document's shingle-hash set, so it is computed ROW-LOCALLY by
+  *    the [[graft.functions.MinHashSignature]] /
+  *    [[graft.functions.SimHashSignature]] expressions (one primitive
+  *    JVM loop per doc; no explode, no aggregation state, no shuffle).
+  *    The single-buffer TypedImperativeAggregates
+  *    ([[graft.functions.MinHashAggregate]] / SimHashAggregate) remain
+  *    for pre-exploded inputs (SQL surface, streaming shingle feeds) —
+  *    both formulations are bit-identical, parity spec-pinned.
   *  - LSH candidate generation explodes only (band, bucket, doc_id) and
   *    joins bucket-locally, so the quadratic all-pairs comparison never
   *    materializes; only bucket-colliding pairs are verified exactly.
@@ -171,18 +173,17 @@ object Dedup {
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc as (doc, sig): per-bit ±1 sums packed to a
-    * long, via a single [[graft.functions.SimHashAggregate]] buffer over
-    * exploded shingle hashes.
+    * long, computed ROW-LOCALLY by [[graft.functions.SimHashSignature]]
+    * over the doc's shingle-hash array (no explode/agg/shuffle — a
+    * signature is a pure function of one row; parity with the
+    * [[graft.functions.SimHashAggregate]] formulation is spec-pinned).
     */
   def simHashSignatures(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val agg = ColumnBridge.column(
-      graft.functions.SimHashAggregate(
-        ColumnBridge.expression(col("_x"))).toAggregateExpression())
-    explodedShingleHashes(docs, idCol, textCol, shingleN)
-      .groupBy(col(idCol)).agg(agg.as("sig"))
-      .withColumnRenamed(idCol, "doc")
+    docs.select(col(idCol).as("doc"), ColumnBridge.column(
+      graft.functions.SimHashSignature(ColumnBridge.expression(
+        shingleHashes(docs, textCol, shingleN)))).as("sig"))
   }
 
   /** SimHash over a cross-engine-reproducible hash: the first 15 hex chars
@@ -197,16 +198,9 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val hashed = ColumnBridge.column(graft.functions.ShingleHashesMd5(
       ColumnBridge.expression(col(textCol)), shingleN))
-    val exploded = docs.select(col(idCol), explode(hashed).as("_x"))
-    simHashBlockPairs(simHashFromExploded(exploded, idCol), maxHamming)
-  }
-
-  private def simHashFromExploded(exploded: DataFrame, idCol: String): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val agg = ColumnBridge.column(
-      graft.functions.SimHashAggregate(
-        ColumnBridge.expression(col("_x"))).toAggregateExpression())
-    exploded.groupBy(col(idCol)).agg(agg.as("sig")).withColumnRenamed(idCol, "doc")
+    val sigs = docs.select(col(idCol).as("doc"), ColumnBridge.column(
+      graft.functions.SimHashSignature(ColumnBridge.expression(hashed))).as("sig"))
+    simHashBlockPairs(sigs, maxHamming)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (< 16).

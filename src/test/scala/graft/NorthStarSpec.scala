@@ -192,6 +192,23 @@ class NorthStarSpec extends SparkSpec {
     assert(viaExpr == viaAgg)
   }
 
+  test("row-local SimHashSignature equals the SimHashAggregate formulation") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = spark.read.parquet(sf("documents")).limit(50)
+    val hashed = docs.select(col("doc_id"),
+      Dedup.shingleHashes(docs, "text", 3).as("hs"))
+    val viaExpr = hashed.select(col("doc_id"), ColumnBridge.column(
+        graft.functions.SimHashSignature(
+          ColumnBridge.expression(col("hs")))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = ColumnBridge.column(graft.functions.SimHashAggregate(
+      ColumnBridge.expression(col("_x"))).toAggregateExpression())
+    val viaAgg = hashed.select(col("doc_id"), explode(col("hs")).as("_x"))
+      .groupBy("doc_id").agg(agg.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("gifFrames walks the real block chain: GCT, extensions, multi-frame") {
     val fx = Multimodal.gifFixture(Seq(10, 20, 30), Seq(5, 6, 7))
     assert(Multimodal.gifFrames(fx) ==
