@@ -126,8 +126,13 @@ class Driver(
 
       // S3 — partitioned append, THEN P3+A1→C4 partition registration: a
       // failed write must not leave the catalog pointing at data that was
-      // never written (registration is idempotent-upsert, so a crash
-      // between write and register heals on the next run).
+      // never written. A crash BETWEEN write and register heals because
+      // the bookmark for this batch is staged below and committed only at
+      // job end — after a crash the next run re-reads the SAME delta and
+      // re-registers the same partition tuples (idempotent upsert). The
+      // replayed append can duplicate rows (inherent to append sinks with
+      // job-end bookmarks, shared with the reference); the streaming twin
+      // (StreamingIngest) is the exactly-once path.
       PartitionedSink.write(aligned, location, config.targetFormat, cfg.partitionCols)
       PartitionedSink.registerPartitions(
         aligned, catalog, config.targetDatabase, targetName, location, cfg.partitionCols)

@@ -58,10 +58,15 @@ object SparkEntry {
     */
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def minHashPairs(s: SparkSession, dir: String): DataFrame =
+  private def minHashPairs(s: SparkSession, dir: String): DataFrame = {
+    // bound the cache: entries from earlier (possibly stopped) sessions
+    // pin persisted DataFrames — a long-lived JVM running many sessions
+    // must not accumulate them (only same-session reuse is ever a hit)
+    if (pairsCache.size > 4) pairsCache.clear()
     pairsCache.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ =>
       Dedup.minHashLsh(nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text",
         numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8))
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -545,7 +550,8 @@ object SparkEntry {
       // the groupBy(doc, term) formulation shuffles every token instance
       val tf = docs.select(col("doc_id"), explode(tc))
         .select(col("doc_id"), col("key").as("term"), col("value").cast("long").as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .persist() // consumed twice (df build + join probe) — cache the
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df")) // counted rows, not the raw scan
       // top term per doc as a min_by hash-aggregate (partial agg map-side)
       // instead of a sort+window pass; (doc_id, term) rows are unique so
       // the composite ordering key is total and the result deterministic.
@@ -610,17 +616,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Exact heavy hitters: terms present in >= 5% of documents. Map keys
-    // from TermCounts are already per-doc-distinct, so the document
-    // frequency is one count per (doc, term) with no dedup pass.
+    // Exact heavy hitters: terms present in >= 5% of documents (threshold
+    // computed from the corpus size, so the semantics hold at every scale
+    // factor). Map keys from TermCounts are already per-doc-distinct, so
+    // the document frequency is one count per (doc, term), no dedup pass.
     "d13_heavy_hitters" -> ((s, dir) => {
       import org.apache.spark.sql.graftbridge.ColumnBridge
+      val docs = tbl(s, dir, "documents")
+      val threshold = math.ceil(docs.count() * 0.05).toLong
       val tc = ColumnBridge.column(
         graft.functions.TermCounts(ColumnBridge.expression(col("text"))))
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), explode(map_keys(tc)).as("term"))
+      docs.select(col("doc_id"), explode(map_keys(tc)).as("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 25)
+        .filter(col("df") >= threshold)
         .orderBy(col("df").desc, col("term"))
     }),
 
@@ -1265,7 +1273,8 @@ object SparkEntry {
         |  FROM documents),
         |t AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
         |SELECT term, COUNT(*) AS df FROM t GROUP BY term
-        |HAVING COUNT(*) >= 25 ORDER BY df DESC, term""".stripMargin,
+        |HAVING COUNT(*) >= CEIL(0.05 * (SELECT COUNT(*) FROM documents))
+        |ORDER BY df DESC, term""".stripMargin,
 
     "q34_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer

@@ -137,12 +137,16 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val x = arr.getLong(j) & 0xFFFFFFFFL
-      var i = 0
-      while (i < numHashes) {
-        val h = (as(i) * x + bs(i)) % MinHashMath.P
-        if (h < buf(i)) buf(i) = h
-        i += 1
+      // skip null elements exactly as the aggregate's null-input guard
+      // does — the spec-pinned parity must hold for nullable arrays too
+      if (!arr.isNullAt(j)) {
+        val x = arr.getLong(j) & 0xFFFFFFFFL
+        var i = 0
+        while (i < numHashes) {
+          val h = (as(i) * x + bs(i)) % MinHashMath.P
+          if (h < buf(i)) buf(i) = h
+          i += 1
+        }
       }
       j += 1
     }
@@ -178,11 +182,14 @@ case class SimHashSignature(child: Expression)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val x = arr.getLong(j)
-      var i = 0
-      while (i < 64) {
-        if (((x >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
-        i += 1
+      // null elements skipped to keep aggregate parity (see MinHashSignature)
+      if (!arr.isNullAt(j)) {
+        val x = arr.getLong(j)
+        var i = 0
+        while (i < 64) {
+          if (((x >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+          i += 1
+        }
       }
       j += 1
     }

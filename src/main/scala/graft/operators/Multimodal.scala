@@ -58,14 +58,18 @@ object Multimodal {
       var i = 2
       var res: Option[(Int, Int, String)] = None
       while (res.isEmpty && i + 9 < bytes.length && bytes(i) == 0xFF.toByte) {
-        val marker = bytes(i + 1) & 0xFF
-        if (marker >= 0xC0 && marker <= 0xCF &&
-            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
-          res = Some((be16(i + 7), be16(i + 5), "jpeg")) // (width, height)
-        } else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) {
-          i += 2 // standalone marker, no length field
+        if (bytes(i + 1) == 0xFF.toByte) {
+          i += 1 // 0xFF fill bytes before a marker are legal padding
         } else {
-          i += 2 + be16(i + 2)
+          val marker = bytes(i + 1) & 0xFF
+          if (marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+            res = Some((be16(i + 7), be16(i + 5), "jpeg")) // (width, height)
+          } else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) {
+            i += 2 // standalone marker (TEM/RSTn/SOI/EOI), no length field
+          } else {
+            i += 2 + be16(i + 2)
+          }
         }
       }
       res
@@ -88,17 +92,18 @@ object Multimodal {
       (0 until 4).forall(j => bytes(i + j) == s.charAt(j).toByte)
 
     if (bytes.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var i = 12
+    var i = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // (rate, channels, bits, blockAlign)
     var dataSize = -1L
     while (i + 8 <= bytes.length && (fmt.isEmpty || dataSize < 0)) {
-      val size = le32(i + 4)
-      if (tag(i, "fmt ") && i + 24 <= bytes.length) {
-        fmt = Some((le32(i + 12).toInt, le16(i + 10), le16(i + 22), le16(i + 20)))
-      } else if (tag(i, "data")) {
-        dataSize = size
+      val ii = i.toInt
+      val size = le32(ii + 4) // unsigned — keep as Long so a corrupt/huge
+      if (tag(ii, "fmt ") && ii + 24 <= bytes.length) { // size can't drive i
+        fmt = Some((le32(ii + 12).toInt, le16(ii + 10), le16(ii + 22), le16(ii + 20)))
+      } else if (tag(ii, "data")) { // backwards (infinite loop) or negative
+        dataSize = size // (index crash) — the walk just runs off the end
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1L) // chunks are word-aligned
     }
     fmt.collect { case (rate, ch, bits, ba) if dataSize >= 0 && ba > 0 =>
       (rate, ch, bits, dataSize / ba)

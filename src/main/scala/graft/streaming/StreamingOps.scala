@@ -65,14 +65,15 @@ object StreamingOps {
       readerOptions: Map[String, String] = Map.empty,
       statePartitions: Int = 8): DataFrame = {
     val name = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val stream = spark.readStream.schema(schema).options(readerOptions).parquet(inputDir)
-      val q = pipeline(stream).writeStream
-        .format("memory").queryName(name).outputMode(outputMode).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    // a cloned session scopes the state-partition override to this drain —
+    // the caller's session (and anything running on it concurrently)
+    // keeps its own shuffle-partition setting
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val stream = sess.readStream.schema(schema).options(readerOptions).parquet(inputDir)
+    val q = pipeline(stream).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    sess.table(name)
   }
 }

@@ -173,6 +173,24 @@ class NorthStarSpec extends SparkSpec {
     assert(Multimodal.wavHeaderDecode(padded) == Some((16000, 1, 16, 10L)))
     assert(Multimodal.wavHeaderDecode("RIFFxxxxAVI ".getBytes("US-ASCII")) == None)
     assert(Multimodal.wavHeaderDecode(Array.empty[Byte]) == None)
+    // corrupt chunk size (unsigned 0xFFFFFFF8 / sign-bit values) must not
+    // hang or crash the walk — the cursor runs off the end and yields None
+    val corrupt = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    assert(Multimodal.wavHeaderDecode(corrupt) == None)
+    val corrupt2 = corrupt.dropRight(4) ++
+      Array[Byte](0, 0, 0, 0x80.toByte) // size = 0x80000000
+    assert(Multimodal.wavHeaderDecode(corrupt2) == None)
+  }
+
+  test("headerDecode handles JPEG fill bytes and standalone TEM markers") {
+    val base = Multimodal.jpegFixture(320, 240)
+    // 0xFF fill padding and a TEM (0x01) marker before the segments are
+    // spec-legal; the walker must stay in sync and still find SOF0
+    val padded = base.take(2) ++ Array[Byte](0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0x01) ++ base.drop(2)
+    assert(Multimodal.headerDecode(padded) == Some((320, 240, "jpeg")))
   }
 
   test("row-local MinHashSignature equals the MinHashAggregate formulation") {
