@@ -462,6 +462,15 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Monthly revenue rollup over the date dimension (date_trunc cast
+    // back to DATE so both engines emit the same representation).
+    "q35_monthly_revenue" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+        .orderBy("m")),
+
     // Per-group exact quantiles (sort-based percentile, matching DuckDB's
     // quantile_cont semantics — interpolation proven exact by q21).
     "q27_group_quantiles" -> ((s, dir) =>
@@ -632,6 +641,14 @@ object SparkEntry {
         .orderBy(col("df").desc, col("term"))
     }),
 
+    // Fixed-width document-length histogram (the profiling primitive for
+    // corpus length filtering) — one hash aggregate on the bucket id.
+    "d14_length_histogram" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy((col("n_chars") / 200).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
     // -------------------------------------------- similarity (north-star)
 
     // Exact brute-force cosine top-5 (query side broadcast).
@@ -715,6 +732,17 @@ object SparkEntry {
           centroids, nprobe = 16)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
+    }),
+
+    // Trending top-3 event types per hour: windowed counts + per-window
+    // rank (WindowGroupLimit prunes map-side before the rank shuffle).
+    "ev9_trending" -> ((s, dir) => {
+      val hourly = tbl(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("h").orderBy(col("n").desc, col("event_type"))
+      hourly.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .orderBy("h", "rn")
     }),
 
     // Sliding windows: 10-minute windows every 5 minutes — each event
@@ -1230,6 +1258,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "ev9_trending" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |  COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT h, event_type, n, row_number() OVER (
+        |  PARTITION BY h ORDER BY n DESC, event_type) AS rn FROM hourly)
+        |SELECT h, event_type, n, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3
+        |ORDER BY h, rn""".stripMargin,
+
+    "q35_monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders GROUP BY m ORDER BY m""".stripMargin,
+
+    "d14_length_histogram" ->
+      """SELECT CAST(n_chars // 200 AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "ev8_sliding_window" ->
       """WITH w AS (
