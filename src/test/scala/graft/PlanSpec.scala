@@ -106,6 +106,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("sweep: no nested-loop/cartesian shapes outside the documented twins") {
+    // whitelist: d4 is the bounded quadratic validation twin, e1 is
+    // brute-force kNN by definition (broadcast queries x corpus), q20
+    // cross-joins two single-row aggregates. Anything else nested-loop
+    // is a scale bug. Streaming and write-side-effect queries are
+    // excluded (building them executes work).
+    val skip = Set("q5_partition_write_counts", "q6_write_readback_agg",
+      "q9_incremental_ingest", "q10_csv_roundtrip", "q11_json_roundtrip",
+      "q30_orc_roundtrip", "q32_dynamic_overwrite")
+    val expected = Set("d4_ngram_jaccard", "e1_knn_brute", "q20_hll_sketch_union")
+    val flagged = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => n.startsWith("st") || skip(n))
+      .filter { n =>
+        val p = plan(n)
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      }
+    assert(flagged.toSet == expected, s"flagged=$flagged")
+  }
+
   test("q26/q34: anti and semi joins plan as hash joins") {
     val anti = plan("q26_anti_join")
     assert(anti.contains("LeftAnti"), anti)
