@@ -719,6 +719,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
         .orderBy("user_id")),
 
+    // SRP-LSH with a degenerate bucket (0 sign bits): every pair
+    // collides, so the result must equal brute force exactly — the
+    // hash-checked gate over the LSH scoring/dedup/top-k machinery
+    // (mirrors e5 for IVF; e2 stays the approximate production path).
+    "e6_knn_lsh_full" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      Similarity.lshTopK(
+          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+          dim = 64, numTables = 1, bitsPerTable = 0)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // IVF with FULL probe (nprobe = k cells): every query scores every
     // cell, so the result must equal brute force exactly — a hash-checked
     // oracle over the whole IVF machinery (train determinism, cell
@@ -1160,6 +1173,16 @@ object SparkEntry {
         |ORDER BY query_id, rnk""".stripMargin,
 
     "e5_knn_ivf_full" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "e6_knn_lsh_full" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
         |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
