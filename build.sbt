@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep sbt's "[success] Total time: …" off stdout: the bench harness reads
+// only a 2000-char tail of the run's output, and the trailing success line
+// pushed the front of Bench's JSON line out of that window in rounds 1–2
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

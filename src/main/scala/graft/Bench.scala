@@ -36,16 +36,28 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout under sbt is interleaved with [info] noise (BENCH_r01 arrived
-    // unparseable) — persist the line to a file as the canonical artifact.
+    def jsonLine(keyOf: String => String, dp: String, sf: String): String = {
+      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + dp.format(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    // Full-precision, full-name line → file (canonical artifact, committed).
+    val full = jsonLine(identity, "%.3f", sfDir)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
+    // stdout line → the harness captures only the LAST 2000 chars of output
+    // (BENCH_r01/r02 both arrived front-truncated and unparseable). Keep the
+    // stdout line well under that window: short query keys (the `q12`/`d3`
+    // prefix before the first '_' is unique across all queries), 2-decimal
+    // values, short sf tag; printed after spark.stop() so no shutdown noise
+    // can land behind it.
+    val prefixesUnique =
+      results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size
+    val short = jsonLine(
+      if (prefixesUnique) _.takeWhile(_ != '_') else identity, "%.2f",
+      new java.io.File(sfDir).getName)
     spark.stop()
+    println(short)
   }
 }

@@ -56,17 +56,31 @@ object SparkEntry {
     * value is the tiny materialized pair list, not the heavy intermediates
     * (minHashLsh persists the verified pairs and releases its own caches).
     */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def minHashPairs(s: SparkSession, dir: String): DataFrame = {
-    // bound the cache: entries from earlier (possibly stopped) sessions
-    // pin persisted DataFrames — a long-lived JVM running many sessions
-    // must not accumulate them (only same-session reuse is ever a hit)
-    if (pairsCache.size > 4) pairsCache.clear()
-    pairsCache.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ =>
+  // Per-session cache of persisted intermediate results (the MinHash pair
+  // list shared by d2/d9, and d9's cluster labels). Keyed by the
+  // SparkSession *instance* (weak keys): a stopped session that gets GC'd
+  // drops its entry — identity hash codes can be reused after GC, so a
+  // string key of identityHashCode could hand a new session a cached
+  // DataFrame bound to a dead one. This map is the OWNER of every persisted
+  // DataFrame the Dedup pipeline returns: eviction unpersists (the session
+  // is live at eviction time, so the cached blocks are still pinned by it).
+  private val sessionCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def cachedDf(s: SparkSession, key: String)(compute: => DataFrame): DataFrame =
+    sessionCache.synchronized {
+      val perSession = sessionCache.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty[String, DataFrame])
+      if (perSession.size > 8) {
+        perSession.values.foreach(df => df.unpersist(blocking = false))
+        perSession.clear()
+      }
+      perSession.getOrElseUpdate(key, compute)
+    }
+  private def minHashPairs(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, s"pairs|$dir") {
       Dedup.minHashLsh(nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text",
-        numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8))
-  }
+        numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -268,7 +282,10 @@ object SparkEntry {
     // 4 rounds cover the shallow diameters near-dup graphs produce —
     // checked against the oracle's full transitive closure).
     "d9_dedup_clusters" -> ((s, dir) =>
-      Dedup.clusters(minHashPairs(s, dir), iters = 4).orderBy("doc", "cluster")),
+      // clusters() may return a persisted labels table (distributed branch);
+      // routing it through the session cache gives that persist an owner
+      cachedDf(s, s"clusters|$dir")(Dedup.clusters(minHashPairs(s, dir), iters = 4))
+        .orderBy("doc", "cluster")),
 
     // Distinct-count aggregates (exact; the approx twins are spec-tested).
     "q17_count_distinct" -> ((s, dir) =>

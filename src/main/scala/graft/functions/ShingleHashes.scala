@@ -19,7 +19,9 @@ private[functions] object ShingleTokenize {
     * fewer than `n` tokens hash the whole normalized text.
     */
   def shingleHashes(text: String, n: Int, hash: String => Long): GenericArrayData = {
-    val norm = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // Locale.ROOT: the default toLowerCase is JVM-locale-sensitive (tr_TR
+    // maps 'I' -> 'ı'), which would diverge from DuckDB's lower()
+    val norm = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     val toks = if (norm.isEmpty) Array("") else norm
     // primitive sort + in-place dedup (a boxed TreeSet per row dominated
     // the signature stage at bench scale)

@@ -33,7 +33,8 @@ case class TermCounts(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val text = v.asInstanceOf[UTF8String].toString
     val counts = new java.util.TreeMap[String, Int]()
-    text.toLowerCase.split("\\s+").foreach { t =>
+    // Locale.ROOT mirrors ShingleTokenize: JVM-locale-independent lowercase
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { t =>
       if (t.nonEmpty) counts.merge(t, 1, Integer.sum)
     }
     val n = counts.size()

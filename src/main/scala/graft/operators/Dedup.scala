@@ -293,6 +293,11 @@ object Dedup {
     * neighborhood; `iters` rounds double the reach per round. Returns
     * (doc, cluster) where cluster = min doc id of the component (for the
     * small-diameter clusters near-dup graphs produce).
+    *
+    * Ownership: in the distributed branch the returned labels table is
+    * persisted (it was materialized round-by-round to cap lineage) — the
+    * caller owns the unpersist (SparkEntry routes it through its
+    * session cache, which unpersists on eviction).
     */
   def clusters(pairs: DataFrame, iters: Int = 3, driverThreshold: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession

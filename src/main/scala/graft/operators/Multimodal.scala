@@ -73,11 +73,18 @@ object Multimodal {
         }
       }
       res
-    } else if (bytes.length >= 10 &&
-        bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') {
+    } else if (bytes.length >= 10 && isGif(bytes)) {
       Some((le16(6), le16(8), "gif"))
     } else None
   }
+
+  /** Full 6-byte GIF signature (GIF87a / GIF89a). Checking only "GIF8"
+    * would let text bytes that happen to start with those ASCII chars
+    * switch from the stub decode to a "real" parse.
+    */
+  private def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
 
   /** REAL WAV (RIFF) header parse — pure byte inspection, no codec: walks
     * the chunk chain for `fmt ` (rate/channels/bits) and `data` (sample
@@ -209,8 +216,7 @@ object Multimodal {
     */
   def gifFrames(bytes: Array[Byte]): Seq[(Long, Int, Int)] = {
     def le16(i: Int): Int = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
-    if (bytes.length < 13 || bytes(0) != 'G' || bytes(1) != 'I' ||
-        bytes(2) != 'F' || bytes(3) != '8') return Nil
+    if (bytes.length < 13 || !isGif(bytes)) return Nil
     val gctFlag = (bytes(10) & 0x80) != 0
     val gctSize = if (gctFlag) 3 * (1 << ((bytes(10) & 0x07) + 1)) else 0
     var i = 13 + gctSize
