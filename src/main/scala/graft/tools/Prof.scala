@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Times selected SparkEntry queries through the noop sink (same
+  * measurement as Bench) without running the whole suite — the inner
+  * loop for per-query optimization. Usage:
+  * `SPARK_GRAFT_SF_DIR=... runMain graft.tools.Prof q d3_dedup_simhash ...`
+  * Each query runs `SPARK_GRAFT_PROF_REPS` times (default 2; rep 1 warms
+  * codegen/caches, the last rep is the steady-state number).
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROF_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    // optional cross-sf warm-up: run each query once at WARM_DIR (tiny sf)
+    // before timing at sfDir — isolates JIT/codegen compile from real work
+    val warmDir = sys.env.get("SPARK_GRAFT_PROF_WARM_DIR")
+    args.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      warmDir.foreach { w =>
+        try fn(spark, w).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => println(s"[prof] warm $n failed: ${e.getMessage}") }
+      }
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROF $n%-24s ${times.map(t => f"$t%.2f").mkString("  ")}")
+    }
+    spark.stop()
+  }
+}
