@@ -20,6 +20,12 @@ final case class AudioMeta(
 final case class GifFrame(
     doc_id: Long, frame_idx: Int, frame_off: Long, width: Int, height: Int)
 
+/** MP4/ISO-BMFF movie-header metadata: global timescale, duration in
+  * that timescale, and the number of track boxes.
+  */
+final case class Mp4Meta(
+    doc_id: Long, timescale: Int, duration: Long, n_trak: Int)
+
 /** Multimodal-column plumbing (north-star surface): media travels as an
   * opaque `binary` column with typed metadata alongside.
   *
@@ -242,6 +248,96 @@ object Multimodal {
       }
     }
     out.result()
+  }
+
+  /** REAL MP4 (ISO-BMFF) box walk — pure byte inspection of the fourth
+    * codec-less container format: top-level boxes are `[size:BE32][type:
+    * 4 ASCII]`; `moov`'s children include one `mvhd` (movie header:
+    * version byte selects 32- vs 64-bit create/modify/duration fields)
+    * and one `trak` per track. Returns (timescale, duration, n_trak);
+    * None for non-BMFF bytes or a missing/truncated mvhd. Defensive like
+    * the RIFF walker: sizes ride a Long cursor, a size < 8 (malformed —
+    * would loop) aborts the walk.
+    */
+  def mp4Metadata(bytes: Array[Byte]): Option[(Int, Long, Int)] = {
+    def be32(i: Int): Long =
+      ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def typ(i: Int): String =
+      new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // a real brand check: the first box must be ftyp (per ISO 14496-12 the
+    // file type box comes first) — random bytes never pass
+    if (bytes.length < 16 || typ(0) != "ftyp") return None
+    var i = 0L
+    var res: Option[(Int, Long, Int)] = None
+    while (res.isEmpty && i + 8 <= bytes.length) {
+      val ii = i.toInt
+      val rawSize = be32(ii)
+      val size = if (rawSize == 1 && ii + 16 <= bytes.length) be64(ii + 8)
+        else if (rawSize == 0) bytes.length - i
+        else rawSize
+      if (size < 8) return res // malformed — never advance by < 8
+      if (typ(ii) == "moov") {
+        // walk moov's children within [ii+8, ii+size)
+        var j = i + 8
+        val end = math.min(i + size, bytes.length.toLong)
+        var timescale = -1
+        var duration = -1L
+        var nTrak = 0
+        while (j + 8 <= end) {
+          val jj = j.toInt
+          val csize = be32(jj)
+          if (csize < 8) return res
+          typ(jj) match {
+            case "mvhd" if jj + 12 <= bytes.length =>
+              val v1 = bytes(jj + 8) == 1
+              if (v1 && jj + 40 <= bytes.length) {
+                timescale = be32(jj + 28).toInt; duration = be64(jj + 32)
+              } else if (!v1 && jj + 32 <= bytes.length) {
+                timescale = be32(jj + 20).toInt; duration = be32(jj + 24)
+              }
+            case "trak" => nTrak += 1
+            case _ => ()
+          }
+          j += csize
+        }
+        if (timescale > 0) res = Some((timescale, duration, nTrak))
+      }
+      i += size
+    }
+    res
+  }
+
+  /** Decode a (id, mp4) pair stream into movie metadata via
+    * [[mp4Metadata]]; non-BMFF rows are dropped. Same pruned-input /
+    * mapPartitions discipline as the other decode stages.
+    */
+  def decodeMp4Metadata(spark: SparkSession, pruned: DataFrame): Dataset[Mp4Meta] = {
+    import spark.implicits._
+    pruned.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        mp4Metadata(bytes).map { case (ts, dur, n) => Mp4Meta(id, ts, dur, n) }
+      }
+    }
+  }
+
+  /** Minimal well-formed BMFF file: ftyp + moov(mvhd v0 + `nTrak` empty
+    * trak boxes) — a test/oracle fixture for [[mp4Metadata]].
+    */
+  def mp4Fixture(timescale: Int, duration: Int, nTrak: Int): Array[Byte] = {
+    val moovSize = 8 + 108 + 8 * nTrak
+    val out = java.nio.ByteBuffer.allocate(16 + moovSize)
+    out.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    out.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    out.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    out.putInt(0) // version 0 + flags
+    out.putInt(0).putInt(0) // creation/modification time
+    out.putInt(timescale).putInt(duration)
+    out.put(new Array[Byte](108 - 28)) // rate/volume/matrix/next_track_id
+    (1 to nTrak).foreach(_ => out.putInt(8).put("trak".getBytes("US-ASCII")))
+    out.array()
   }
 
   /** Parse every frame of a (id, gif) pair stream via [[gifFrames]] —

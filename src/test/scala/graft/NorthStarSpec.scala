@@ -184,6 +184,36 @@ class NorthStarSpec extends SparkSpec {
     assert(Multimodal.wavHeaderDecode(corrupt2) == None)
   }
 
+  test("GIF detection needs the full 6-byte signature, not just 'GIF8'") {
+    // text that merely starts with the 4 ASCII chars must NOT be parsed as
+    // GIF (it would silently switch from the stub decode to a real parse)
+    val impostor = "GIF8 is a string, not an image".getBytes("US-ASCII")
+    assert(Multimodal.headerDecode(impostor).isEmpty)
+    assert(Multimodal.gifFrames(impostor).isEmpty)
+    val gif87 = "GIF87a".getBytes("US-ASCII") ++
+      Array[Byte](0x21, 0x03, 0x0F, 0x00)
+    assert(Multimodal.headerDecode(gif87) == Some((801, 15, "gif")))
+  }
+
+  test("mp4Metadata walks real BMFF boxes; malformed input is None") {
+    assert(Multimodal.mp4Metadata(Multimodal.mp4Fixture(600, 120000, 2)) ==
+      Some((600, 120000L, 2)))
+    assert(Multimodal.mp4Metadata(Multimodal.mp4Fixture(90000, 1, 1)) ==
+      Some((90000, 1L, 1)))
+    assert(Multimodal.mp4Metadata("not a movie at all!!".getBytes).isEmpty)
+    assert(Multimodal.mp4Metadata(Array.empty[Byte]).isEmpty)
+    // corrupt child size < 8 must abort, not loop
+    val fx = Multimodal.mp4Fixture(600, 100, 1)
+    val corrupt = fx.clone()
+    corrupt(16 + 3) = 2 // moov's first child claims size 2
+    assert(Multimodal.mp4Metadata(corrupt).isEmpty)
+    // extra box between ftyp and moov is skipped
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4)
+    val padded = fx.take(16) ++ free ++ fx.drop(16)
+    assert(Multimodal.mp4Metadata(padded) == Some((600, 100L, 1)))
+  }
+
   test("headerDecode handles JPEG fill bytes and standalone TEM markers") {
     val base = Multimodal.jpegFixture(320, 240)
     // 0xFF fill padding and a TEM (0x01) marker before the segments are

@@ -125,6 +125,34 @@ class PlanSpec extends SparkSpec {
     assert(flagged.toSet == expected, s"flagged=$flagged")
   }
 
+  test("q38/q39: TPC-H-shaped joins broadcast dims and avoid nested loops") {
+    val p38 = plan("q38_shipping_priority")
+    assert(p38.contains("BroadcastHashJoin"), p38)
+    assert(p38.contains("TakeOrderedAndProject"), p38) // top-10, no global sort
+    assert(!p38.contains("CartesianProduct") && !p38.contains("BroadcastNestedLoopJoin"), p38)
+    val p39 = plan("q39_region_nation_volume")
+    assert(p39.contains("BroadcastHashJoin"), p39)
+    assert(!p39.contains("CartesianProduct") && !p39.contains("BroadcastNestedLoopJoin"), p39)
+  }
+
+  test("q36: SCD2 reuses the window's user_id partitioning — one hash shuffle") {
+    // lag-window, running-sum window, groupBy(user_id, seg) and the lead
+    // window all cluster by user_id: EnsureRequirements must plan exactly
+    // one hash exchange (the final ORDER BY adds a range exchange only)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q36_scd2")(spark, "/root/testdata/sf0.001")
+      val hashShuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashShuffles.size == 1,
+        df.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("q26/q34: anti and semi joins plan as hash joins") {
     val anti = plan("q26_anti_join")
     assert(anti.contains("LeftAnti"), anti)

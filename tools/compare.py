@@ -52,6 +52,11 @@ def render(v):
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 results = {}
+# A query that FAILED inside Verify leaves no output dir — that must be a
+# loud failure here, not a silent skip (st6 round 3 was invisible at first).
+for name in sorted(oracle):
+    if not os.path.isdir(os.path.join(out_dir, name)):
+        results[name] = "MISSING ENGINE OUTPUT (query failed in Verify?)"
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
