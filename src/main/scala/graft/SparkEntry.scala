@@ -1144,7 +1144,132 @@ object SparkEntry {
         (id, Multimodal.mp4Fixture(ts, dur, n))
       }.toDF("doc_id", "media")
       Multimodal.decodeMp4Metadata(s, media).toDF().orderBy("doc_id")
-    })
+    }),
+
+    // Correlated EXISTS subquery — Catalyst decorrelates it to a left-semi
+    // join (RewritePredicateSubquery); distinct from q34's explicit semi
+    // join because the user writes the subquery form.
+    "q41_exists_subquery" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_q41")
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q41")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders_q41 o
+        |WHERE EXISTS (SELECT 1 FROM lineitem_q41 l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // Frame-based window aggregates (beyond q22's ranking functions):
+    // running total, 3-row moving sum, first_value and nth_value — exact
+    // decimal partials under every frame, cast to double at the boundary.
+    "q42_window_frames" -> ((s, dir) => {
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val wRun = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wMov = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+      tbl(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          sum(price).over(wRun).cast("double").as("running_total"),
+          sum(price).over(wMov).cast("double").as("moving3"),
+          first(price).over(wRun).cast("double").as("first_price"),
+          nth_value(price, 2).over(wRun).cast("double").as("second_price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // CDC upsert WITH tombstones (q25 has no deletes): the latest event
+    // per user decides presence — an 'error' tombstone deletes the user.
+    // max_by(struct) keeps it a hash aggregate (map-side partials, no
+    // window sort) per the latest-wins pattern q25 pinned.
+    "q43_cdc_tombstones" -> ((s, dir) => {
+      val latest = tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.ts").as("last_ts"),
+          col("last.event_type").as("event_type"), col("last.value").as("value"))
+      latest.filter(col("event_type") =!= "error").orderBy("user_id")
+    }),
+
+    // Stopword-occurrence quality signal: one TermCounts map per doc
+    // (materialized in its own projection), then a fixed fan of codegen'd
+    // map lookups — integer counts plus a bounded-ratio double.
+    "d16_stopword_ratio" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val tc = ColumnBridge.column(
+        graft.functions.TermCounts(ColumnBridge.expression(col("text"))))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          tc.as("tc"))
+        .select(col("doc_id"), col("n_tokens"),
+          TextFunctions.stopwordCount(col("tc")).as("n_stop"))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") /
+            greatest(col("n_tokens"), lit(1)).cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Late-data accounting under a watermark, with an EXACT cross-engine
+    // oracle. Spark's aggregation drops a batch-N input row iff its window
+    // end expired vs batch N-1's EVICTION watermark (the late-events
+    // watermark lags one batch — measured, not assumed), so observable
+    // drops need a 4-file cascade (maxFilesPerTrigger=1 + ordered mtimes
+    // pin the batch order):
+    //   b1 bulk history (90%, ts ≤ max-72h)    → establishes wm_a
+    //   b2 advancer (90%, max-72h < ts ≤ -24h) → eviction wm becomes wm_a
+    //   b3 the stragglers (the event_id%10 slice, all ts): dropped iff
+    //      window end ≤ wm_a, merged into live windows otherwise
+    //   b4 fresh tail (90%, ts > max-24h)      → advances to the final wm
+    // Append mode then emits exactly the windows whose end precedes the
+    // final watermark, with the surviving straggler rows counted. Event
+    // times are microsecond-random, so no window boundary ties a
+    // watermark.
+    "st7_late_data" -> ((s, dir) => {
+      val work = tmpdir("graft-st7")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val maxTs = normalizeTs(raw).agg(max(col("ts"))).head().getTimestamp(0)
+      val t72 = new java.sql.Timestamp(maxTs.getTime - 72L * 3600 * 1000)
+      val t24 = new java.sql.Timestamp(maxTs.getTime - 24L * 3600 * 1000)
+      def arrive(chunk: DataFrame, name: String, mtime: Long): Unit = {
+        chunk.coalesce(1).write.parquet(s"$work/$name")
+        new java.io.File(s"$work/in").mkdirs()
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/$name")).forEach { p =>
+          if (p.toString.endsWith(".parquet")) {
+            val dst = java.nio.file.Paths.get(s"$work/in/$name.parquet")
+            java.nio.file.Files.copy(p, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(mtime))
+          }
+        }
+      }
+      val tsCol = timestamp_micros(expr("ts div 1000")) // raw file carries nanos longs
+      val onTime = raw.filter(col("event_id") % 10 =!= 0)
+      val t0 = System.currentTimeMillis()
+      arrive(onTime.filter(tsCol <= lit(t72)), "b1", t0 - 90000)
+      arrive(onTime.filter(tsCol > lit(t72) && tsCol <= lit(t24)), "b2", t0 - 60000)
+      arrive(raw.filter(col("event_id") % 10 === 0), "b3", t0 - 30000)
+      arrive(onTime.filter(tsCol > lit(t24)), "b4", t0)
+      StreamingOps.drainToMemory(s, work + "/in", raw.schema,
+          df => normalizeTs(df)
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("h"), col("n")),
+          OutputMode.Append(),
+          readerOptions = Map("maxFilesPerTrigger" -> "1"))
+        .orderBy("h")
+    }),
+
+    // Per-source dedup profile: document count vs distinct-fingerprint
+    // count per source — the corpus-level view of d1's exact dedup.
+    "d17_source_dedup_stats" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("source"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .orderBy("source"))
   )
 
   // -------------------------------------------------------------- oracles
@@ -1804,6 +1929,65 @@ object SparkEntry {
       """SELECT doc_id, CAST(600 * (1 + doc_id % 3) AS INT) AS timescale,
         |CAST(((doc_id % 5000) + 1) * 100 AS BIGINT) AS duration,
         |CAST(1 + doc_id % 3 AS INT) AS n_trak
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q41_exists_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q42_window_frames" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS running_total,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wm AS DOUBLE) AS moving3,
+        |CAST(first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS first_price,
+        |CAST(nth_value(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER wr AS DOUBLE) AS second_price
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW wr AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |wm AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q43_cdc_tombstones" ->
+      """WITH latest AS (SELECT user_id, ts, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, event_type, value FROM latest
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+
+    "d16_stopword_ratio" -> {
+      val set = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |CAST(len(list_filter(toks, t -> list_contains($set, t))) AS INT) AS n_stop,
+         |round(CAST(len(list_filter(toks, t -> list_contains($set, t))) AS DOUBLE)
+         |  / greatest(len(toks), 1), 6) AS stop_ratio
+         |FROM (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "d17_source_dedup_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |COUNT(DISTINCT md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS n_unique
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "st7_late_data" ->
+      """WITH t AS (SELECT max(ts) AS m FROM events),
+        |a AS (SELECT ts FROM events, t
+        |  WHERE event_id % 10 <> 0 AND ts <= t.m - INTERVAL 72 HOUR),
+        |wma AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM a),
+        |fwm AS (SELECT m - INTERVAL 1 HOUR AS w FROM t),
+        |acc AS (SELECT ts FROM events WHERE event_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT e.ts FROM events e, wma
+        |  WHERE event_id % 10 = 0
+        |  AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wma.w)
+        |SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |FROM acc, fwm
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= fwm.w
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

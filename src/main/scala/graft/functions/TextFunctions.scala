@@ -38,6 +38,25 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(wsStrip(lower(text)), "\\s+", " "))
 
+  /** Shared English stopword list for ratio-style quality signals —
+    * one constant used by BOTH the engine expression and the generated
+    * DuckDB oracle so the two can never drift.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "and", "of", "is", "to", "in", "a", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be")
+
+  /** Occurrence count of [[stopwords]] in `termCounts` (a TermCounts
+    * map<term,count> column): a fixed fan of codegen'd map lookups, no
+    * HOF (higher-order functions evaluate interpreted). Callers must
+    * materialize the TermCounts column in a separate projection first —
+    * referencing it here many times would otherwise duplicate the
+    * map-building expression per lookup.
+    */
+  def stopwordCount(termCounts: Column): Column =
+    stopwords.map(w => coalesce(element_at(termCounts, lit(w)), lit(0)))
+      .reduce(_ + _)
+
   /** Marker-word language-ID heuristic: count hits from a tiny per-language
     * stopword set; predict the argmax, ties broken by language order,
     * no hits → "und". Deterministic and SQL-expressible; a real system
