@@ -764,6 +764,34 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // PQ ANN with FULL re-rank: the product-quantization machinery
+    // (per-subspace codebooks, 8-byte codes, per-query ADC tables, window
+    // prune, broadcast re-rank) runs end-to-end, and re-ranking every
+    // candidate makes the result equal brute force exactly — the
+    // hash-checked gate over the PQ plumbing (same pattern as e5 for IVF).
+    "e7_knn_pq_full" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      val books = graft.operators.Pq.train(embs, "embedding", dim = 64)
+      graft.operators.Pq.topK(
+          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+          books, m = 8, ksub = 16, dsub = 8, candidates = 1 << 30)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // PQ ANN fast path: top-40 by compressed ADC scan, exact re-rank of
+    // only those candidates (approximate — recall pinned in NorthStarSpec;
+    // rows-only driver check like e2/e4).
+    "e8_knn_pq" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      val books = graft.operators.Pq.train(embs, "embedding", dim = 64)
+      graft.operators.Pq.topK(
+          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+          books, m = 8, ksub = 16, dsub = 8, candidates = 40)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Trending top-3 event types per hour: windowed counts + per-window
     // rank (WindowGroupLimit prunes map-side before the rank shuffle).
     "ev9_trending" -> ((s, dir) => {
@@ -1483,6 +1511,16 @@ object SparkEntry {
         |ORDER BY query_id, rnk""".stripMargin,
 
     "e5_knn_ivf_full" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "e7_knn_pq_full" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
         |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim

@@ -292,6 +292,24 @@ class NorthStarSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("pqTopK: full re-rank equals brute force; 40-candidate recall holds") {
+    import graft.operators.Pq
+    val books = Pq.train(embs, "embedding", dim = 64)
+    assert(books.length == 8 * 16 * 8)
+    val brute = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Pq.topK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, books, m = 8, ksub = 16, dsub = 8, candidates = 1 << 30)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "full re-rank must equal brute force exactly")
+    val fast = Pq.topK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, books, m = 8, ksub = 16, dsub = 8, candidates = 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & fast).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall $recall too low")
+  }
+
   test("saltedCount equals plain groupBy count") {
     import graft.operators.Skew
     val df = spark.read.parquet(sf("events"))
