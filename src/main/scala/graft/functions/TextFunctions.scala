@@ -54,7 +54,7 @@ object TextFunctions {
     * map-building expression per lookup.
     */
   def stopwordCount(termCounts: Column): Column =
-    stopwords.map(w => coalesce(element_at(termCounts, lit(w)), lit(0)))
+    stopwords.map(w => coalesce(try_element_at(termCounts, lit(w)), lit(0)))
       .reduce(_ + _)
 
   /** Marker-word language-ID heuristic: count hits from a tiny per-language
