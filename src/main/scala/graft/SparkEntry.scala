@@ -792,6 +792,36 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVF-PQ, full probe + full re-rank: the composed production ANN index
+    // (coarse cells prune, PQ codes compress, ADC scan is an EQUI-join on
+    // cell id) — hash-checked equal to brute force, gating the whole
+    // composition end-to-end.
+    "e9_knn_ivfpq_full" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      val centroids = graft.operators.Ivf.train(embs, "embedding", k = 16)
+      val books = graft.operators.Pq.train(embs, "embedding", dim = 64)
+      graft.operators.Pq.ivfPqTopK(
+          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+          centroids, books, m = 8, ksub = 16, dsub = 8,
+          nprobe = 16, candidates = 1 << 30)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // IVF-PQ fast path: probe 4 of 16 cells, top-40 ADC candidates, exact
+    // re-rank (approximate — recall pinned in NorthStarSpec).
+    "e10_knn_ivfpq" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      val centroids = graft.operators.Ivf.train(embs, "embedding", k = 16)
+      val books = graft.operators.Pq.train(embs, "embedding", dim = 64)
+      graft.operators.Pq.ivfPqTopK(
+          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+          centroids, books, m = 8, ksub = 16, dsub = 8,
+          nprobe = 4, candidates = 40)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Trending top-3 event types per hour: windowed counts + per-window
     // rank (WindowGroupLimit prunes map-side before the rank shuffle).
     "ev9_trending" -> ((s, dir) => {
@@ -1511,6 +1541,16 @@ object SparkEntry {
         |ORDER BY query_id, rnk""".stripMargin,
 
     "e5_knn_ivf_full" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "e9_knn_ivfpq_full" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
         |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim

@@ -91,6 +91,37 @@ object Pq {
       ColumnBridge.expression(vec), books, m, ksub, dsub))
   }
 
+  /** ADC distance column: sum of the `m` per-subspace table lookups for a
+    * codes column — plain codegen'd `element_at` composition.
+    */
+  def adcScore(codes: Column, tbl: Column, m: Int, ksub: Int): Column =
+    (0 until m).map(s =>
+        element_at(tbl, element_at(codes, s + 1) + lit(s * ksub) + 1))
+      .reduce(_ + _)
+
+  /** Shared tail of every PQ search: top-`candidates` per query by ADC
+    * distance (WindowGroupLimit prunes map-side; (ids, adist) rows only),
+    * then exact-cosine re-rank with vectors fetched map-side + broadcast.
+    */
+  private def pruneAndRerank(
+      scored: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, candidates: Int,
+      qIdCol: String): DataFrame = {
+    val wAdc = Window.partitionBy(qIdCol).orderBy(col("adist"), col("neighbor_id"))
+    val cand = scored.withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= candidates)
+      .select(col(qIdCol), col("neighbor_id"))
+    val cvecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .join(broadcast(cand.select("neighbor_id").distinct()), "neighbor_id")
+    val qvecs = queries.select(col(idCol).as(qIdCol), col(vecCol).as("qvec"))
+    val exact = cand.join(broadcast(qvecs), qIdCol)
+      .join(broadcast(cvecs), "neighbor_id")
+      .select(col(qIdCol), col("neighbor_id"),
+        Dedup.cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** PQ ANN top-k: ADC scan over codes → top-`candidates` per query →
     * exact-cosine re-rank. With `candidates` ≥ corpus size the result
     * equals brute force exactly (the e7 oracle); small `candidates` is
@@ -110,25 +141,37 @@ object Pq {
     // codegen'd element_at lookups — deliberately a broadcast nested-loop
     // (the scan IS the operator; the whole point is that it touches 8-byte
     // codes, not 256-byte vectors)
-    val adc = (0 until m).map(s =>
-        element_at(col("tbl"), element_at(col("codes"), s + 1) + lit(s * ksub) + 1))
-      .reduce(_ + _)
     val scored = codes.join(qside)
       .filter(col(qIdCol) =!= col("neighbor_id"))
-      .select(col(qIdCol), col("neighbor_id"), adc.as("adist"))
-    val wAdc = Window.partitionBy(qIdCol).orderBy(col("adist"), col("neighbor_id"))
-    val cand = scored.withColumn("crank", row_number().over(wAdc))
-      .filter(col("crank") <= candidates)
-      .select(col(qIdCol), col("neighbor_id"))
-    // exact re-rank: vectors reach the candidate list map-side + broadcast
-    val cvecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-      .join(broadcast(cand.select("neighbor_id").distinct()), "neighbor_id")
-    val qvecs = queries.select(col(idCol).as(qIdCol), col(vecCol).as("qvec"))
-    val exact = cand.join(broadcast(qvecs), qIdCol)
-      .join(broadcast(cvecs), "neighbor_id")
       .select(col(qIdCol), col("neighbor_id"),
-        Dedup.cosine(col("qvec"), col("cvec")).as("sim"))
-    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col("neighbor_id"))
-    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        adcScore(col("codes"), col("tbl"), m, ksub).as("adist"))
+    pruneAndRerank(scored, corpus, queries, idCol, vecCol, k, candidates, qIdCol)
+  }
+
+  /** IVF-PQ ANN top-k — the composed production index (coarse cells prune
+    * the corpus, PQ codes compress what remains): the corpus carries
+    * (cell, codes) only; a query probes its `nprobe` best cells and the
+    * ADC scan becomes an EQUI-join on cell id (no nested loop at all).
+    * With `nprobe` = all cells and `candidates` ≥ corpus size the result
+    * equals brute force exactly (the e9 oracle).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]],
+      books: Seq[Double], m: Int, ksub: Int, dsub: Int,
+      nprobe: Int, candidates: Int,
+      qIdCol: String = "query_id"): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      Ivf.cellId(col(vecCol), centroids).as("cid"),
+      encode(col(vecCol), books, m, ksub, dsub).as("codes"))
+    val qside = broadcast(queries.select(col(idCol).as(qIdCol),
+        explode(Ivf.probeCells(col(vecCol), centroids, nprobe)).as("cid"),
+        adcTable(col(vecCol), books, m, ksub, dsub).as("tbl")))
+    val scored = assigned.join(qside, "cid")
+      .filter(col(qIdCol) =!= col("neighbor_id"))
+      .select(col(qIdCol), col("neighbor_id"),
+        adcScore(col("codes"), col("tbl"), m, ksub).as("adist"))
+    pruneAndRerank(scored, corpus, queries, idCol, vecCol, k, candidates, qIdCol)
   }
 }

@@ -310,6 +310,26 @@ class NorthStarSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall $recall too low")
   }
 
+  test("ivfPqTopK: full probe + full re-rank equals brute force; fast recall holds") {
+    import graft.operators.{Ivf, Pq}
+    val centroids = Ivf.train(embs, "embedding", k = 16)
+    val books = Pq.train(embs, "embedding", dim = 64)
+    val brute = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Pq.ivfPqTopK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, centroids, books, m = 8, ksub = 16, dsub = 8,
+        nprobe = 16, candidates = 1 << 30)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "full IVF-PQ must equal brute force exactly")
+    val fast = Pq.ivfPqTopK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, centroids, books, m = 8, ksub = 16, dsub = 8,
+        nprobe = 4, candidates = 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & fast).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF-PQ recall $recall too low")
+  }
+
   test("saltedCount equals plain groupBy count") {
     import graft.operators.Skew
     val df = spark.read.parquet(sf("events"))
