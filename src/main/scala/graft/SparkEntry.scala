@@ -1319,6 +1319,32 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // Array aggregation: per-user sorted distinct event-type list —
+    // collect_set + array_sort gives a deterministic array column (raw
+    // collect_list order is partition-dependent; sorting restores a total
+    // order both engines agree on).
+    "q44_collect_list" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("types"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")),
+
+    // Full outer join — the one join type the suite didn't cover: orders
+    // per day vs events per day over disjoint-ish calendars, null-safe
+    // coalesced keys and zero-filled counts.
+    "q45_full_outer" -> ((s, dir) => {
+      val od = tbl(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d")).agg(count(lit(1)).as("n_orders"))
+      val ed = tbl(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n_events"))
+      od.join(ed, Seq("d"), "full_outer")
+        .select(col("d"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("d")
+    }),
+
     // Per-source dedup profile: document count vs distinct-fingerprint
     // count per source — the corpus-level view of d1's exact dedup.
     "d17_source_dedup_stats" -> ((s, dir) =>
@@ -2051,6 +2077,21 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n_docs,
         |COUNT(DISTINCT md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS n_unique
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q44_collect_list" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+        |COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q45_full_outer" ->
+      """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |ed AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT COALESCE(od.d, ed.d) AS d,
+        |COALESCE(n_orders, 0) AS n_orders,
+        |COALESCE(n_events, 0) AS n_events
+        |FROM od FULL OUTER JOIN ed ON od.d = ed.d
+        |ORDER BY d""".stripMargin,
 
     "st7_late_data" ->
       """WITH t AS (SELECT max(ts) AS m FROM events),
