@@ -1345,6 +1345,31 @@ object SparkEntry {
         .orderBy("d")
     }),
 
+    // Bucketed co-located join surfaced as an oracle query (BucketingSpec
+    // pins the zero-exchange plan): both facts are written bucketed on the
+    // join key, the join runs exchange-free, and the aggregated result is
+    // checked against the plain-join oracle. Unique table names + DROP
+    // keep repeated invocations (bench warm pass + timed pass) clean.
+    "q46_bucketed_join" -> ((s, dir) => {
+      val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val out = tmpdir("graft-q46")
+      val (to, tl) = (s"b_orders_$id", s"b_lineitem_$id")
+      tbl(s, dir, "orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$out/orders").saveAsTable(to)
+      tbl(s, dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$out/lineitem").saveAsTable(tl)
+      try {
+        s.table(to).join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sq"))
+          .write.mode("overwrite").parquet(s"$out/result")
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $to"); s.sql(s"DROP TABLE IF EXISTS $tl")
+      }
+      s.read.parquet(s"$out/result").orderBy("o_orderstatus")
+    }),
+
     // Per-source dedup profile: document count vs distinct-fingerprint
     // count per source — the corpus-level view of d1's exact dedup.
     "d17_source_dedup_stats" -> ((s, dir) =>
@@ -2092,6 +2117,12 @@ object SparkEntry {
         |COALESCE(n_events, 0) AS n_events
         |FROM od FULL OUTER JOIN ed ON od.d = ed.d
         |ORDER BY d""".stripMargin,
+
+    "q46_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "st7_late_data" ->
       """WITH t AS (SELECT max(ts) AS m FROM events),
