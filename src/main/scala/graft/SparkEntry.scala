@@ -1385,6 +1385,42 @@ object SparkEntry {
       s.read.parquet(s"$out/result").orderBy("o_orderstatus")
     }),
 
+    // Streaming sessionization: session_window + watermark in append mode
+    // emits exactly the sessions whose end (last event + gap) precedes
+    // the final watermark — the oracle replays the gap rule (lag >= 30min
+    // starts a session) and the emission rule in SQL. Single-file arrival:
+    // no drops, so this isolates session-close semantics from st7's
+    // late-data semantics.
+    "st8_stream_session" -> ((s, dir) => {
+      val work = tmpdir("graft-st8")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events_0.parquet"))
+      StreamingOps.drainToMemory(s, work, raw.schema,
+          df => normalizeTs(df)
+            .withWatermark("ts", "1 hour")
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("user_id"), col("sw.start").as("s_start"),
+              col("sw.end").as("s_end"), col("n")),
+          OutputMode.Append())
+        .orderBy("user_id", "s_start")
+    }),
+
+    // Small-file compaction surfaced in the oracle gate: 40-way
+    // fragmented write → Compaction.compact rewrite+swap → byte-exact
+    // fidelity agg vs the source (file-count reduction is spec-tested).
+    "q47_compaction" -> ((s, dir) => {
+      val out = tmpdir("graft-q47")
+      tbl(s, dir, "orders").repartition(40).write.parquet(s"$out/t")
+      graft.sinks.Compaction.compact(s, s"$out/t", "parquet", Seq.empty)
+      s.read.parquet(s"$out/t").agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("st"),
+        max(col("o_orderkey")).as("hi"))
+    }),
+
     // Per-source dedup profile: document count vs distinct-fingerprint
     // count per source — the corpus-level view of d1's exact dedup.
     "d17_source_dedup_stats" -> ((s, dir) =>
@@ -2145,6 +2181,26 @@ object SparkEntry {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "st8_stream_session" ->
+      """WITH fwm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        |x AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, ts, SUM(ns) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+        |g AS (SELECT user_id, sid, MIN(ts) AS s_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n
+        |  FROM y GROUP BY user_id, sid)
+        |SELECT user_id, s_start, s_end, n FROM g, fwm
+        |WHERE s_end <= fwm.w
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    "q47_compaction" ->
+      """SELECT COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st,
+        |MAX(o_orderkey) AS hi FROM orders""".stripMargin,
 
     "st7_late_data" ->
       """WITH t AS (SELECT max(ts) AS m FROM events),

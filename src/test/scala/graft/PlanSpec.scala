@@ -114,7 +114,8 @@ class PlanSpec extends SparkSpec {
     // excluded (building them executes work).
     val skip = Set("q5_partition_write_counts", "q6_write_readback_agg",
       "q9_incremental_ingest", "q10_csv_roundtrip", "q11_json_roundtrip",
-      "q30_orc_roundtrip", "q32_dynamic_overwrite", "q46_bucketed_join")
+      "q30_orc_roundtrip", "q32_dynamic_overwrite", "q46_bucketed_join",
+      "q47_compaction")
     // e7/e8: the PQ ADC scan is DELIBERATELY a broadcast nested loop — a
     // compressed linear scan over 8-byte codes is the operator's design
     val expected = Set("d4_ngram_jaccard", "e1_knn_brute", "q20_hll_sketch_union",
