@@ -34,6 +34,25 @@ object SparkEntry {
   private def tmpdir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Surface `chunk` as ONE plain parquet file at `work/in/<name>.parquet`
+    * (the streaming file source lists files, not directory-shaped
+    * datasets); `mtime` pins the source's listing order for multi-batch
+    * arrival cascades (st6/st7).
+    */
+  private def arriveFile(
+      work: String, chunk: DataFrame, name: String, mtime: Option[Long] = None): Unit = {
+    chunk.coalesce(1).write.parquet(s"$work/$name")
+    new java.io.File(s"$work/in").mkdirs()
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/$name")).forEach { p =>
+      if (p.toString.endsWith(".parquet")) {
+        val dst = java.nio.file.Paths.get(s"$work/in/$name.parquet")
+        java.nio.file.Files.copy(p, dst)
+        mtime.foreach(t => java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t)))
+      }
+    }
+  }
+
   /** Mutated near-dup corpus: originals ∪ first-token-dropped copies at
     * id+100000 — guarantees a deterministic non-empty near-dup structure
     * on the synthetic word-salad texts (which contain no natural dups).
@@ -58,24 +77,33 @@ object SparkEntry {
     */
   // Per-session cache of persisted intermediate results (the MinHash pair
   // list shared by d2/d9, and d9's cluster labels). Keyed by the
-  // SparkSession *instance* (weak keys): a stopped session that gets GC'd
-  // drops its entry — identity hash codes can be reused after GC, so a
-  // string key of identityHashCode could hand a new session a cached
-  // DataFrame bound to a dead one. This map is the OWNER of every persisted
-  // DataFrame the Dedup pipeline returns: eviction unpersists (the session
-  // is live at eviction time, so the cached blocks are still pinned by it).
+  // SparkSession *instance* — never by identityHashCode, whose values can
+  // be reused after GC and hand a new session a DataFrame bound to a dead
+  // one. Cached DataFrames strongly reference their session, so weak keys
+  // alone could never be collected (the WeakHashMap value→key cycle);
+  // instead every access REAPS entries whose SparkContext is stopped —
+  // their cached blocks died with the context, so dropping the entry
+  // frees the whole session graph. This map is the OWNER of every
+  // persisted DataFrame the Dedup pipeline returns: live-session eviction
+  // unpersists. Compute runs under a PER-SESSION lock only (the LSH
+  // pipeline takes seconds — a global lock would serialize unrelated
+  // sessions).
   private val sessionCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-  private def cachedDf(s: SparkSession, key: String)(compute: => DataFrame): DataFrame =
-    sessionCache.synchronized {
-      val perSession = sessionCache.computeIfAbsent(s,
+    new java.util.HashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def cachedDf(s: SparkSession, key: String)(compute: => DataFrame): DataFrame = {
+    val perSession = sessionCache.synchronized {
+      sessionCache.keySet().removeIf(sess => sess.sparkContext.isStopped)
+      sessionCache.computeIfAbsent(s,
         _ => scala.collection.mutable.Map.empty[String, DataFrame])
+    }
+    perSession.synchronized {
       if (perSession.size > 8) {
         perSession.values.foreach(df => df.unpersist(blocking = false))
         perSession.clear()
       }
       perSession.getOrElseUpdate(key, compute)
     }
+  }
   private def minHashPairs(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, s"pairs|$dir") {
       Dedup.minHashLsh(nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text",
@@ -1167,20 +1195,10 @@ object SparkEntry {
       val work = tmpdir("graft-st6")
       val full = tbl(s, dir, "orders")
       val cfg = TableConfig("orders", Seq("o_orderkey"), SortOrder.Asc)
-      // the file source lists plain files, not directory-shaped datasets:
-      // write each chunk, then surface its part file as in/<chunk>.parquet
-      def arrive(chunk: DataFrame, name: String): Unit = {
-        chunk.coalesce(1).write.parquet(s"$work/$name")
-        new java.io.File(s"$work/in").mkdirs()
-        java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/$name")).forEach { p =>
-          if (p.toString.endsWith(".parquet"))
-            java.nio.file.Files.copy(p, java.nio.file.Paths.get(s"$work/in/$name.parquet"))
-        }
-      }
-      arrive(full.filter(col("o_orderkey") <= 750), "b1")
+      arriveFile(work, full.filter(col("o_orderkey") <= 750), "b1")
       graft.streaming.StreamingIngest.start(
         s, s"$work/in", full.schema, cfg, s"$work/target").awaitTermination()
-      arrive(full.filter(col("o_orderkey") > 750), "b2")
+      arriveFile(work, full.filter(col("o_orderkey") > 750), "b2")
       graft.streaming.StreamingIngest.start(
         s, s"$work/in", full.schema, cfg, s"$work/target").awaitTermination()
       graft.streaming.StreamingIngest.start( // no new files — must be a no-op
@@ -1301,28 +1319,22 @@ object SparkEntry {
     "st7_late_data" -> ((s, dir) => {
       val work = tmpdir("graft-st7")
       val raw = s.read.parquet(s"$dir/events.parquet")
+      // microsecond-exact split boundaries: java.sql.Timestamp retains the
+      // sub-millisecond part in its nanos field and lit() carries it into
+      // Catalyst, so the engine's cut matches the oracle's
+      // `m - INTERVAL 72 HOUR` exactly (a getTime-based cut would truncate
+      // to millis and could route a sub-millisecond-boundary event into
+      // the wrong batch, shifting the watermark the oracle models)
       val maxTs = normalizeTs(raw).agg(max(col("ts"))).head().getTimestamp(0)
-      val t72 = new java.sql.Timestamp(maxTs.getTime - 72L * 3600 * 1000)
-      val t24 = new java.sql.Timestamp(maxTs.getTime - 24L * 3600 * 1000)
-      def arrive(chunk: DataFrame, name: String, mtime: Long): Unit = {
-        chunk.coalesce(1).write.parquet(s"$work/$name")
-        new java.io.File(s"$work/in").mkdirs()
-        java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/$name")).forEach { p =>
-          if (p.toString.endsWith(".parquet")) {
-            val dst = java.nio.file.Paths.get(s"$work/in/$name.parquet")
-            java.nio.file.Files.copy(p, dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(mtime))
-          }
-        }
-      }
+      val cut72 = lit(maxTs) - expr("INTERVAL 72 HOURS")
+      val cut24 = lit(maxTs) - expr("INTERVAL 24 HOURS")
       val tsCol = timestamp_micros(expr("ts div 1000")) // raw file carries nanos longs
       val onTime = raw.filter(col("event_id") % 10 =!= 0)
       val t0 = System.currentTimeMillis()
-      arrive(onTime.filter(tsCol <= lit(t72)), "b1", t0 - 90000)
-      arrive(onTime.filter(tsCol > lit(t72) && tsCol <= lit(t24)), "b2", t0 - 60000)
-      arrive(raw.filter(col("event_id") % 10 === 0), "b3", t0 - 30000)
-      arrive(onTime.filter(tsCol > lit(t24)), "b4", t0)
+      arriveFile(work, onTime.filter(tsCol <= cut72), "b1", Some(t0 - 90000))
+      arriveFile(work, onTime.filter(tsCol > cut72 && tsCol <= cut24), "b2", Some(t0 - 60000))
+      arriveFile(work, raw.filter(col("event_id") % 10 === 0), "b3", Some(t0 - 30000))
+      arriveFile(work, onTime.filter(tsCol > cut24), "b4", Some(t0))
       StreamingOps.drainToMemory(s, work + "/in", raw.schema,
           df => normalizeTs(df)
             .withWatermark("ts", "1 hour")
@@ -1340,6 +1352,10 @@ object SparkEntry {
     // order both engines agree on).
     "q44_collect_list" -> ((s, dir) =>
       tbl(s, dir, "events")
+        // pin NULL semantics explicitly: collect_set drops NULLs while
+        // DuckDB's list(DISTINCT) keeps them — filter both sides so a
+        // future fixture with NULL event_type can't diverge the oracle
+        .filter(col("event_type").isNotNull)
         .groupBy("user_id")
         .agg(array_sort(collect_set(col("event_type"))).as("types"),
           count(lit(1)).as("n"))
@@ -1447,6 +1463,20 @@ object SparkEntry {
       |  CASE WHEN instr(text, ' ') > 0 THEN substr(text, instr(text, ' ') + 1)
       |       ELSE text END AS text
       |FROM documents""".stripMargin
+
+  /** One brute-force cosine top-5 oracle shared by e1 and every exact
+    * full-probe ANN gate (e5 IVF, e6 LSH, e7 PQ, e9 IVF-PQ) — a tweak to
+    * the tie-break or query set cannot desynchronize the gates.
+    */
+  private val bruteForceTopKOracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+      |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+      |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+      |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_incremental_scan" ->
@@ -1633,54 +1663,19 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "e1_knn_brute" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
-        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
-        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
-        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
+      bruteForceTopKOracle,
 
     "e5_knn_ivf_full" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
-        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
-        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
-        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
+      bruteForceTopKOracle,
 
     "e9_knn_ivfpq_full" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
-        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
-        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
-        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
+      bruteForceTopKOracle,
 
     "e7_knn_pq_full" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
-        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
-        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
-        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
+      bruteForceTopKOracle,
 
     "e6_knn_lsh_full" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
-        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
-        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
-        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
+      bruteForceTopKOracle,
 
     "q30_orc_roundtrip" ->
       """SELECT COUNT(*) AS n,
@@ -2163,7 +2158,8 @@ object SparkEntry {
 
     "q44_collect_list" ->
       """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
-        |COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |COUNT(*) AS n FROM events WHERE event_type IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q45_full_outer" ->
       """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders

@@ -372,7 +372,12 @@ object Multimodal {
         }
         Some((w, h, img.getRGB(0, 0) & 0xFF, (sum / (w.toLong * h)).toInt))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: JDK readers throw unchecked
+      // exceptions (IllegalArgument/IndexOutOfBounds/NegativeArraySize)
+      // on bytes that pass the format probe but are internally malformed
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Decode a (id, image) pair stream into pixel-level facts via
     * [[decodePixels]]; undecodable rows are dropped. Same pruned-input /
