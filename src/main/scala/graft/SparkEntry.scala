@@ -1437,6 +1437,47 @@ object SparkEntry {
         max(col("o_orderkey")).as("hi"))
     }),
 
+    // Calendar densification (date spine): generate the full day range,
+    // left-join the daily aggregate, zero-fill gaps — the resample
+    // primitive every time-series rollup needs.
+    "q48_date_spine" -> ((s, dir) => {
+      val daily = tbl(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      val spine = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      spine.join(daily, Seq("d"), "left")
+        .select(col("d"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("rev"), lit(0.0)).as("rev"))
+        .orderBy("d")
+    }),
+
+    // Snapshot diff (SCD1 change detection): full-outer join of two
+    // snapshots on the key, classifying every row as insert / delete /
+    // update / same — the reconciliation primitive behind incremental
+    // merges. Snapshot 2 is derived deterministically (updates on %7,
+    // deletes on %13 taking precedence, inserts from %17 at shifted
+    // keys); prices compared as exact decimals.
+    "q49_snapshot_diff" -> ((s, dir) => {
+      val s1 = tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val s2 = s1.filter(col("k") % 13 =!= 0)
+        .select(col("k"),
+          when(col("k") % 7 === 0, col("p") + 1).otherwise(col("p")).as("p"))
+        .union(s1.filter(col("k") % 17 === 0)
+          .select((col("k") + 10000000L).as("k"), col("p")))
+      s1.as("a").join(s2.as("b"), col("a.k") === col("b.k"), "full_outer")
+        .select(
+          when(col("a.p").isNull, "insert")
+            .when(col("b.p").isNull, "delete")
+            .when(col("a.p") =!= col("b.p"), "update")
+            .otherwise("same").as("change_type"))
+        .groupBy("change_type").agg(count(lit(1)).as("n"))
+        .orderBy("change_type")
+    }),
+
     // Per-source dedup profile: document count vs distinct-fingerprint
     // count per source — the corpus-level view of d1's exact dedup.
     "d17_source_dedup_stats" -> ((s, dir) =>
@@ -2177,6 +2218,32 @@ object SparkEntry {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q48_date_spine" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |  (SELECT min(d) FROM daily), (SELECT max(d) FROM daily),
+        |  INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT spine.d AS d, COALESCE(n_orders, 0) AS n_orders,
+        |COALESCE(rev, 0.0) AS rev
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY spine.d""".stripMargin,
+
+    "q49_snapshot_diff" ->
+      """WITH s1 AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |s2 AS (SELECT k, CASE WHEN k % 7 = 0 THEN p + 1 ELSE p END AS p
+        |       FROM s1 WHERE k % 13 <> 0
+        |       UNION ALL
+        |       SELECT k + 10000000 AS k, p FROM s1 WHERE k % 17 = 0),
+        |d AS (SELECT s1.p AS p1, s2.p AS p2
+        |      FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k)
+        |SELECT CASE WHEN p1 IS NULL THEN 'insert'
+        |            WHEN p2 IS NULL THEN 'delete'
+        |            WHEN p1 <> p2 THEN 'update'
+        |            ELSE 'same' END AS change_type, COUNT(*) AS n
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st8_stream_session" ->
       """WITH fwm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
