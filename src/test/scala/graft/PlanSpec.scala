@@ -157,6 +157,18 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("partitioned sink output prunes partitions on readback") {
+    // SCALING §Storage: the Hive layout our sink writes must let readers
+    // skip non-matching partitions — the filter has to land in
+    // PartitionFilters (directory-level skip), not PushedFilters
+    val dir = tmpDir("graft-prune")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val p = spark.read.parquet(dir).filter(col("o_orderstatus") === "O")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("(o_orderstatus"), p)
+  }
+
   test("q26/q34: anti and semi joins plan as hash joins") {
     val anti = plan("q26_anti_join")
     assert(anti.contains("LeftAnti"), anti)
