@@ -1385,9 +1385,14 @@ object SparkEntry {
       val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       val out = tmpdir("graft-q46")
       val (to, tl) = (s"b_orders_$id", s"b_lineitem_$id")
-      tbl(s, dir, "orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      // prune to the joined/aggregated columns BEFORE paying the bucketed
+      // write — materialized layouts should carry only what their
+      // consumers read
+      tbl(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$out/orders").saveAsTable(to)
-      tbl(s, dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$out/lineitem").saveAsTable(tl)
       try {
         s.table(to).join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
