@@ -1237,6 +1237,20 @@ object SparkEntry {
       Multimodal.decodeImagePixels(s, media).toDF().orderBy("doc_id")
     }),
 
+    // Decode → resize → probe (m8): a real raster transform over real
+    // compressed bytes — diagonal-gradient fixtures make the
+    // nearest-neighbor resample's probes exact integer arithmetic, so the
+    // oracle replays output pixel (x,y) = gradient(x*w/ow, y*h/oh).
+    "m8_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 4 + (id % 8).toInt
+        (id, Multimodal.pngGradientBytes(w, h))
+      }.toDF("doc_id", "media")
+      Multimodal.decodeAndResize(s, media).toDF().orderBy("doc_id")
+    }),
+
     // Correlated EXISTS subquery — Catalyst decorrelates it to a left-semi
     // join (RewritePredicateSubquery); distinct from q34's explicit semi
     // join because the user writes the subquery form.
@@ -2158,6 +2172,16 @@ object SparkEntry {
         |CAST(doc_id % 256 AS INT) AS px00,
         |CAST(doc_id % 256 AS INT) AS px_mean
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m8_image_resize" ->
+      """WITH p AS (SELECT doc_id,
+        |  8 + doc_id % 16 AS w, 4 + doc_id % 8 AS h,
+        |  (8 + doc_id % 16) // 2 AS ow, (4 + doc_id % 8) // 2 AS oh
+        |  FROM documents)
+        |SELECT doc_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |CAST((((ow - 1) * w) // ow + ((oh - 1) * h) // oh) % 256 AS INT) AS px_last,
+        |CAST((((ow // 2) * w) // ow + ((oh // 2) * h) // oh) % 256 AS INT) AS px_mid
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q41_exists_subquery" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders o

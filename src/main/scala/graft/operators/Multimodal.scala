@@ -32,6 +32,12 @@ final case class Mp4Meta(
 final case class ImagePixels(
     doc_id: Long, width: Int, height: Int, px00: Int, px_mean: Int)
 
+/** Decode→resize output: new dimensions plus two probes into the
+  * resampled raster.
+  */
+final case class ResizedImage(
+    doc_id: Long, out_w: Int, out_h: Int, px_last: Int, px_mid: Int)
+
 /** Multimodal-column plumbing (north-star surface): media travels as an
   * opaque `binary` column with typed metadata alongside.
   *
@@ -408,6 +414,72 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic nearest-neighbor resize: output pixel (x, y) samples
+    * source pixel (x*srcW/outW, y*srcH/outH) — pure integer math, no
+    * Graphics2D interpolation whose rounding could vary by JVM. The
+    * standard thumbnail/downsample stage of an image pipeline.
+    */
+  def resizeNearest(img: java.awt.image.BufferedImage, outW: Int, outH: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.getHeight / outH
+      var x = 0
+      while (x < outW) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / outW, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode (real codec) → nearest-neighbor half-size resize → probe: the
+    * decode/transform/re-measure chain of a real image pipeline, with
+    * undecodable rows dropped. Probes are the bottom-right and center
+    * pixels of the resized raster.
+    */
+  def decodeAndResize(spark: SparkSession, pruned: DataFrame): Dataset[ResizedImage] = {
+    import spark.implicits._
+    pruned.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            val (ow, oh) = (math.max(1, img.getWidth / 2), math.max(1, img.getHeight / 2))
+            val r = resizeNearest(img, ow, oh)
+            Some(ResizedImage(id, ow, oh,
+              r.getRGB(ow - 1, oh - 1) & 0xFF, r.getRGB(ow / 2, oh / 2) & 0xFF))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** REAL compressed PNG with a deterministic diagonal gradient —
+    * pixel (x, y) has gray value (x + y) % 256, so any resample's probes
+    * are exactly predictable by integer arithmetic.
+    */
+  def pngGradientBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (x + y) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
