@@ -1497,6 +1497,31 @@ object SparkEntry {
         .orderBy("change_type")
     }),
 
+    // TPC-H Q1 pricing summary — the canonical scan-heavy aggregate: one
+    // pass over lineitem, all partials map-side combined, exact decimal
+    // sums; averages as double division of exact sums (decimal division
+    // precision rules differ across engines, double division of exact
+    // inputs does not).
+    "q50_pricing_summary" -> ((s, dir) => {
+      val qty = col("l_quantity").cast("decimal(18,2)")
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      val tax = col("l_tax").cast("decimal(18,2)")
+      val one = lit(1).cast("decimal(18,2)")
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+          sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+          (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // Per-source dedup profile: document count vs distinct-fingerprint
     // count per source — the corpus-level view of d1's exact dedup.
     "d17_source_dedup_stats" -> ((s, dir) =>
@@ -2247,6 +2272,22 @@ object SparkEntry {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q50_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
+        |  (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q48_date_spine" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
