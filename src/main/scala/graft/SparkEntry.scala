@@ -1522,6 +1522,25 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Benchmark decontamination — the pre-training hygiene step: flag
+    // every training document sharing ANY word 5-gram with the held-out
+    // set. Held-out shingle hashes (cross-engine md5-60bit, the d3 hash)
+    // broadcast; the training side streams map-side and only (doc_id,
+    // hash) pairs ever shuffle for the final distinct — text never moves.
+    "d18_decontamination" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      val heldOut = corpus.filter(col("doc_id") < 50)
+      val train = corpus.filter(col("doc_id") >= 50)
+      val testSh = heldOut.select(explode(sh(col("text"))).as("h")).distinct()
+      train.select(col("doc_id"), explode(sh(col("text"))).as("h"))
+        .join(broadcast(testSh), "h")
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    }),
+
     // Per-source dedup profile: document count vs distinct-fingerprint
     // count per source — the corpus-level view of d1's exact dedup.
     "d17_source_dedup_stats" -> ((s, dir) =>
@@ -1563,7 +1582,22 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** DuckDB word-5-gram shingles (the n=5 twin of [[duckShingles]]). */
+  private val duckShingles5 =
+    """CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      |ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+      |  i -> array_to_string(toks[i:i+4], ' '))) END""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "d18_decontamination" ->
+      s"""WITH corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles5 AS sh FROM tok),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS x FROM sh),
+         |test AS (SELECT DISTINCT x FROM h WHERE doc_id < 50)
+         |SELECT DISTINCT h.doc_id FROM h JOIN test USING (x)
+         |WHERE h.doc_id >= 50 ORDER BY doc_id""".stripMargin,
+
     "q1_incremental_scan" ->
       "SELECT * FROM orders WHERE o_orderkey > 1200 ORDER BY o_orderkey",
 
