@@ -1549,8 +1549,148 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fp")).as("n_unique"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // PII detection + redaction — the pre-training scrub pass. The
+    // synthetic corpus carries no PII, so deterministic fixtures are
+    // injected per doc_id residue (emails, IPv4, phone numbers), exactly
+    // mirrored in the oracle; detection counts use codegen'd
+    // regexp_count and redaction is a fixed regexp_replace chain whose
+    // result is fingerprinted. Everything is a narrow map-side
+    // projection — no shuffle, no UDF, linear at any corpus size.
+    "d19_pii_redaction" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneRe = "\\+1 \\d{3}-\\d{4}"
+      val injected = concat(col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" reach user"),
+          col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" from host "),
+          (col("doc_id") % 223).cast("string"), lit(".16."),
+          (col("doc_id") % 250).cast("string"), lit(".7"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, concat(lit(" call +1 555-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string"))).otherwise(lit("")))
+      tbl(s, dir, "documents").select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("t"), lit(ipRe)).as("n_ips"),
+          regexp_count(col("t"), lit(phoneRe)).as("n_phones"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")).as("red_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher/C4-style repetition quality signals: duplicate-bigram
+    // fraction and top-bigram fraction per document. The whole bigram
+    // histogram is computed ROW-LOCALLY by the GramStats expression
+    // (struct of n_grams/n_distinct/top_count in one pass), so the
+    // corpus-wide filter is a zero-shuffle projection — the explode →
+    // groupBy(doc, gram) formulation would shuffle every bigram
+    // occurrence in the corpus.
+    "d20_repetition_signals" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val gs = ColumnBridge.column(
+        graft.functions.GramStats(ColumnBridge.expression(col("text")), 2))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), gs.as("g"))
+        .filter(col("g.n_grams") >= 1)
+        .select(col("doc_id"), col("g.n_grams").as("n_grams"),
+          col("g.n_distinct").as("n_distinct"), col("g.top_count").as("top_count"),
+          round(lit(1.0) - col("g.n_distinct").cast("double") /
+            col("g.n_grams").cast("double"), 6).as("rep_frac"),
+          round(col("g.top_count").cast("double") /
+            col("g.n_grams").cast("double"), 6).as("top_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // BM25 relevance scoring against a fixed query — the retrieval
+    // primitive for corpus search / RAG curation. Per-term tf comes from
+    // row-local TermCounts map lookups (no token explode, no shuffle);
+    // the corpus statistics (N, avgdl, per-term df) are ONE tiny
+    // aggregate broadcast back, so the whole query is a scan + a
+    // scalar-row cross join. Score formula is Lucene-shaped BM25
+    // (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))), mirrored
+    // op-for-op in the oracle with explicit DOUBLE casts.
+    "d21_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val terms = bm25Terms
+      val tc = ColumnBridge.column(
+        graft.functions.TermCounts(ColumnBridge.expression(col("text"))))
+      val base = tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("double").as("dl"), tc.as("tc"))
+      val withTf = base.select(Seq(col("doc_id"), col("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          coalesce(try_element_at(col("tc"), lit(t)), lit(0))
+            .cast("double").as(s"tf$i") }: _*)
+      val statAggs = Seq(avg(col("dl")).as("avgdl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+      val stats = withTf.agg(count(lit(1)).cast("double").as("nn"), statAggs: _*)
+      val score = terms.indices.map { i =>
+        val idf = log(lit(1.0) +
+          (col("nn") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+        idf * col(s"tf$i") * (lit(1.2) + lit(1.0)) /
+          (col(s"tf$i") + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      withTf.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(score, 6).as("bm25"))
+        .filter(col("bm25") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing for fixed-context training: concatenate each
+    // source's documents in doc_id order and cut 2048-token chunks; a
+    // document's chunk is its exclusive running token offset div 2048.
+    // Per-source windows keep the prefix sum parallel across sources
+    // (the global-window formulation would serialize on one partition);
+    // within a source Spark's window is a range-partitioned sort —
+    // exactly how shard-local packing runs on a real corpus.
+    "d22_sequence_packing" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("chunk", expr("start div 2048"))
+        .groupBy("source", "chunk")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "chunk")
+    }),
+
+    // Stratified training-mixture sampling: per-language keep rates
+    // applied with the deterministic md5-60bit hash (salted, portable —
+    // the same digest both engines compute), so the sample is
+    // reproducible under any partitioning, retry, or engine. One hash
+    // aggregate; rates live in one Scala constant shared with the
+    // generated oracle.
+    "d23_mixture_sampling" -> ((s, dir) => {
+      val h = conv(substring(md5(
+        concat(lit("mix1:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 10000
+      val rate = mixtureRates.foldLeft(lit(0)) { case (acc, (lang, r)) =>
+        when(col("lang") === lang, r).otherwise(acc) }
+      tbl(s, dir, "documents")
+        .withColumn("keep", h < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("keep"), col("n_chars"))), lit(0L)).as("kept_chars"))
+        .orderBy("lang")
+    })
   )
+
+  /** BM25 query terms — one constant feeding both the engine query and
+    * the generated oracle SQL (d21).
+    */
+  private val bm25Terms = Seq("scan", "merge", "window", "stream", "customer")
+
+  /** Per-language mixture keep rates out of 10000 (d23) — shared between
+    * the engine CASE chain and the generated oracle.
+    */
+  private val mixtureRates =
+    Seq("en" -> 8000, "de" -> 5000, "es" -> 2500, "fr" -> 1250, "zh" -> 625)
 
   // -------------------------------------------------------------- oracles
 
@@ -2284,6 +2424,83 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n_docs,
         |COUNT(DISTINCT md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS n_unique
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "d19_pii_redaction" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' from host ' || CAST(doc_id % 223 AS VARCHAR) || '.16.' || CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END ||
+        |  CASE WHEN doc_id % 13 = 0 THEN ' call +1 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |CAST(len(regexp_extract_all(t, '\+1 \d{3}-\d{4}')) AS INT) AS n_phones,
+        |md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\+1 \d{3}-\d{4}', '<PHONE>', 'g')) AS red_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "d20_repetition_signals" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |  i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tok WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |  COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_grams, n_distinct, top_count,
+        |round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS rep_frac,
+        |round(CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "d21_bm25" -> {
+      val tfs = bm25Terms.indices.map(i =>
+        s"CAST(len(list_filter(toks, x -> x = '${bm25Terms(i)}')) AS DOUBLE) AS tf$i")
+        .mkString(",\n")
+      val dfs = bm25Terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n")
+      val score = bm25Terms.indices.map(i =>
+        s"ln(CAST(1 AS DOUBLE) + (nn - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)))" +
+          s" * tf$i * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))" +
+          s" / (tf$i + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)" +
+          s" + CAST(0.75 AS DOUBLE) * dl / avgdl))")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |t AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfs FROM tok),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn, avg(dl) AS avgdl, $dfs FROM t)
+         |SELECT doc_id, round($score, 6) AS bm25 FROM t, st
+         |WHERE round($score, 6) > 0 ORDER BY doc_id""".stripMargin
+    },
+
+    "d22_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        |  FROM t)
+        |SELECT source, strt // 2048 AS chunk, COUNT(*) AS n_docs,
+        |CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "d23_mixture_sampling" -> {
+      val cases = mixtureRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""WITH t AS (SELECT lang, n_chars,
+         |  ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS h,
+         |  CASE lang $cases ELSE 0 END AS rate FROM documents)
+         |SELECT lang, COUNT(*) AS n_total,
+         |CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |CAST(COALESCE(SUM(CASE WHEN h < rate THEN n_chars END), 0) AS BIGINT) AS kept_chars
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q44_collect_list" ->
       """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,

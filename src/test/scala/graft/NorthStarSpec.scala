@@ -28,6 +28,25 @@ class NorthStarSpec extends SparkSpec {
     assert(out == Map(1L -> 3, 2L -> 0, 3L -> 0, 4L -> 1))
   }
 
+  test("GramStats counts bigram totals, distincts, and the top repeat row-locally") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def gs(c: org.apache.spark.sql.Column, n: Int) =
+      ColumnBridge.column(graft.functions.GramStats(ColumnBridge.expression(c), n))
+    val df = Seq(
+      (1L, "a b a b a b"), // bigrams: (a b)x3, (b a)x2
+      (2L, "A b a B"),     // lowercased: (a b)x2, (b a)x1
+      (3L, "solo"),        // < 2 tokens -> all zero
+      (4L, "")             // no tokens -> all zero
+    ).toDF("id", "text")
+    val out = df.select(col("id"), gs(col("text"), 2).as("g"))
+      .select(col("id"), col("g.n_grams"), col("g.n_distinct"), col("g.top_count"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((5L, 2L, 3L)))
+    assert(out(2L) == ((3L, 2L, 2L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = Seq((1L, "The  Quick Fox"), (2L, "the quick   fox"), (3L, "other")).toDF("id", "text")
     val fps = df.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getString(0))

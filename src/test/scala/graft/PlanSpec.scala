@@ -117,9 +117,11 @@ class PlanSpec extends SparkSpec {
       "q30_orc_roundtrip", "q32_dynamic_overwrite", "q46_bucketed_join",
       "q47_compaction")
     // e7/e8: the PQ ADC scan is DELIBERATELY a broadcast nested loop — a
-    // compressed linear scan over 8-byte codes is the operator's design
+    // compressed linear scan over 8-byte codes is the operator's design.
+    // d21 cross-joins ONE broadcast row of corpus statistics (N, avgdl,
+    // dfs) into the scan — a scalar join, same shape as q20.
     val expected = Set("d4_ngram_jaccard", "e1_knn_brute", "q20_hll_sketch_union",
-      "e7_knn_pq_full", "e8_knn_pq")
+      "e7_knn_pq_full", "e8_knn_pq", "d21_bm25")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
