@@ -1678,6 +1678,57 @@ object SparkEntry {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
           coalesce(sum(when(col("keep"), col("n_chars"))), lit(0L)).as("kept_chars"))
         .orderBy("lang")
+    }),
+
+    // Deterministic global training-order shuffle: every document gets a
+    // salted portable hash; shard = hash mod N, position = rank within
+    // the shard by (hash, id). Reproducible on any cluster/retry (no
+    // RNG, no partition-order dependence), and the per-shard windows
+    // parallelize — there is no global sort anywhere.
+    "d24_training_shuffle" -> ((s, dir) => {
+      val h = conv(substring(md5(
+        concat(lit("shuf1:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      tbl(s, dir, "documents").select(col("doc_id"), h.as("h"))
+        .withColumn("shard", (col("h") % 16).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy("h", "doc_id")))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    }),
+
+    // Subword (BPE-ish regex) tokenization stats: GPT-2-shaped pretoken
+    // pattern (contractions, letter runs, digit runs, punctuation runs,
+    // whitespace) counted per document, plus fertility vs whitespace
+    // tokens. Pure codegen'd regexp projection — zero shuffle; the
+    // pattern constant is shared with the generated oracle.
+    "d25_bpe_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("n_bpe"),
+          TextFunctions.tokenCount(col("text")).as("n_ws"))
+        .withColumn("fertility", round(col("n_bpe").cast("double") /
+          greatest(col("n_ws"), lit(1)).cast("double"), 6))
+        .orderBy("doc_id")),
+
+    // Quality stratification: decile-style bucketing by BROADCAST
+    // quantile cutpoints (one tiny percentile aggregate joined back as a
+    // scalar row) instead of a global ntile sort — the stratify pass
+    // stays scan-shaped at any corpus size.
+    "d26_quality_deciles" -> ((s, dir) => {
+      val scored = tbl(s, dir, "documents").select(col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+      val cuts = scored.agg(
+        expr("percentile(q, 0.25)").as("c1"),
+        expr("percentile(q, 0.5)").as("c2"),
+        expr("percentile(q, 0.75)").as("c3"))
+      scored.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          (col("q") > col("c1")).cast("int") + (col("q") > col("c2")).cast("int") +
+            (col("q") > col("c3")).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("q"), 6).as("min_q"), round(max("q"), 6).as("max_q"))
+        .orderBy("bucket")
     })
   )
 
@@ -1691,6 +1742,13 @@ object SparkEntry {
     */
   private val mixtureRates =
     Seq("en" -> 8000, "de" -> 5000, "es" -> 2500, "fr" -> 1250, "zh" -> 625)
+
+  /** GPT-2-shaped BPE pretokenization pattern (d25), shared between the
+    * engine and the generated oracle. No lookarounds — Java regex and
+    * DuckDB's RE2 must agree; both use leftmost-first alternation.
+    */
+  private val bpePattern =
+    "'[a-z]+| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
   // -------------------------------------------------------------- oracles
 
@@ -1727,6 +1785,26 @@ object SparkEntry {
     """CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
       |ELSE list_distinct(list_transform(range(1, len(toks) - 3),
       |  i -> array_to_string(toks[i:i+4], ' '))) END""".stripMargin
+
+  /** DuckDB signal columns feeding the quality score (mirrors
+    * TextFunctions.qualityScore's inputs) — shared by the d15 and d26
+    * oracles so the formula cannot drift between them.
+    */
+  private val duckQualitySignals =
+    """CAST(length(text) AS DOUBLE) AS n_chars,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS DOUBLE) AS n_tokens,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits""".stripMargin
+
+  /** DuckDB mirror of `round(TextFunctions.qualityScore(text), 6)` over
+    * [[duckQualitySignals]].
+    */
+  private val duckQualityExpr =
+    """round(0.4 * least(n_tokens / 100.0, 1.0)
+      |    + 0.3 * (CASE WHEN n_tokens > 0 AND n_chars / n_tokens >= 3
+      |             AND n_chars / n_tokens <= 10 THEN 1.0 ELSE 0.5 END)
+      |    + 0.15 * (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) * 10.0, 1.0))
+      |    + 0.15 * (1.0 - least((CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END) * 10.0, 1.0)), 6)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "d18_decontamination" ->
@@ -2332,19 +2410,12 @@ object SparkEntry {
         s"WHEN $sc = m AND m > 0 THEN '$lang'"
       }.mkString(" ")
       s"""WITH base AS (SELECT doc_id, text,
-         |  CAST(length(text) AS DOUBLE) AS n_chars,
-         |  CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS DOUBLE) AS n_tokens,
-         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
-         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+         |  $duckQualitySignals,
          |  md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g')) AS fp,
          |  $best AS m
          |  FROM documents),
          |scored AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-         |  round(0.4 * least(n_tokens / 100.0, 1.0)
-         |    + 0.3 * (CASE WHEN n_tokens > 0 AND n_chars / n_tokens >= 3
-         |             AND n_chars / n_tokens <= 10 THEN 1.0 ELSE 0.5 END)
-         |    + 0.15 * (1.0 - least((CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) * 10.0, 1.0))
-         |    + 0.15 * (1.0 - least((CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END) * 10.0, 1.0)), 6) AS quality,
+         |  $duckQualityExpr AS quality,
          |  CASE $cases ELSE 'und' END AS pred_lang,
          |  MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
          |  FROM base)
@@ -2501,6 +2572,34 @@ object SparkEntry {
          |CAST(COALESCE(SUM(CASE WHEN h < rate THEN n_chars END), 0) AS BIGINT) AS kept_chars
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "d24_training_shuffle" ->
+      """WITH t AS (SELECT doc_id,
+        |  ('0x' || substr(md5('shuf1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT CAST(h % 16 AS INT) AS shard,
+        |CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS INT) AS pos,
+        |doc_id FROM t ORDER BY shard, pos""".stripMargin,
+
+    "d25_bpe_tokens" -> {
+      val pat = bpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_bpe,
+         |CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS INT) AS n_ws,
+         |round(CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE) /
+         |  CAST(greatest(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 1) AS DOUBLE), 6) AS fertility
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "d26_quality_deciles" ->
+      s"""WITH base AS (SELECT doc_id, $duckQualitySignals FROM documents),
+         |scored AS (SELECT doc_id, $duckQualityExpr AS q FROM base),
+         |cuts AS (SELECT quantile_cont(q, 0.25) AS c1, quantile_cont(q, 0.5) AS c2,
+         |  quantile_cont(q, 0.75) AS c3 FROM scored)
+         |SELECT (CASE WHEN q > c1 THEN 1 ELSE 0 END + CASE WHEN q > c2 THEN 1 ELSE 0 END
+         |  + CASE WHEN q > c3 THEN 1 ELSE 0 END) AS bucket,
+         |COUNT(*) AS n, round(MIN(q), 6) AS min_q, round(MAX(q), 6) AS max_q
+         |FROM scored, cuts GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q44_collect_list" ->
       """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,

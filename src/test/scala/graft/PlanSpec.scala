@@ -118,10 +118,11 @@ class PlanSpec extends SparkSpec {
       "q47_compaction")
     // e7/e8: the PQ ADC scan is DELIBERATELY a broadcast nested loop — a
     // compressed linear scan over 8-byte codes is the operator's design.
-    // d21 cross-joins ONE broadcast row of corpus statistics (N, avgdl,
-    // dfs) into the scan — a scalar join, same shape as q20.
+    // d21/d26 cross-join ONE broadcast row of corpus statistics (N,
+    // avgdl, dfs / quantile cutpoints) into the scan — scalar joins,
+    // same shape as q20.
     val expected = Set("d4_ngram_jaccard", "e1_knn_brute", "q20_hll_sketch_union",
-      "e7_knn_pq_full", "e8_knn_pq", "d21_bm25")
+      "e7_knn_pq_full", "e8_knn_pq", "d21_bm25", "d26_quality_deciles")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
