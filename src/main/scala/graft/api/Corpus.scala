@@ -1,0 +1,156 @@
+package graft.api
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** The library's user-facing corpus-curation surface: every pre-training
+  * pipeline stage as a composable DataFrame transform. Each method is a
+  * thin declarative wrapper over the same engine primitives the
+  * oracle-gated queries exercise (TextFunctions, GramStats, TermCounts,
+  * Dedup) — no second implementation to drift.
+  *
+  * Usage:
+  * {{{
+  *   import graft.api.corpus._
+  *   docs.withTextSignals()
+  *       .withRepetitionSignals()
+  *       .filter($"quality" >= 0.5 && $"rep_frac" <= 0.3)
+  *       .dedupExact()
+  *       .decontaminateAgainst(benchmarks)
+  *       .sampleMixture("lang", Seq("en" -> 8000, "de" -> 5000))
+  *       .packSequences(capacity = 2048)
+  * }}}
+  *
+  * Every transform is scan-shaped or ids-only through its shuffles (see
+  * SCALING.md): signals are row-local codegen'd expressions, dedup keeps
+  * a 32-byte fingerprint per row, decontamination broadcasts the
+  * held-out side, sampling is a deterministic salted hash.
+  */
+object corpus {
+
+  implicit class CorpusOps(private val df: DataFrame) {
+
+    /** Row-local quality signals: token count, quality score, predicted
+      * language, normalized fingerprint. One projection, zero shuffle.
+      */
+    def withTextSignals(textCol: String = "text"): DataFrame = {
+      val t = col(textCol)
+      df.withColumn("n_tokens", TextFunctions.tokenCount(t))
+        .withColumn("quality", round(TextFunctions.qualityScore(t), 6))
+        .withColumn("pred_lang", TextFunctions.langId(t))
+        .withColumn("fp", TextFunctions.fingerprint(t))
+    }
+
+    /** Gopher/C4-style repetition signals from the row-local GramStats
+      * histogram: duplicate-n-gram fraction and top-n-gram fraction.
+      * Documents with fewer than `n` tokens get 0 grams and null ratios.
+      */
+    def withRepetitionSignals(textCol: String = "text", n: Int = 2): DataFrame = {
+      val g = ColumnBridge.column(
+        graft.functions.GramStats(ColumnBridge.expression(col(textCol)), n))
+      df.withColumn("gram_stats", g)
+        .withColumn("n_grams", col("gram_stats.n_grams"))
+        .withColumn("rep_frac", when(col("n_grams") >= 1,
+          round(lit(1.0) - col("gram_stats.n_distinct").cast("double") /
+            col("n_grams").cast("double"), 6)))
+        .withColumn("top_frac", when(col("n_grams") >= 1,
+          round(col("gram_stats.top_count").cast("double") /
+            col("n_grams").cast("double"), 6)))
+        .drop("gram_stats")
+    }
+
+    /** Exact dedup on the normalized fingerprint — keeps the min-id doc
+      * per identical content. Shuffles (id, 32-byte fp) only.
+      */
+    def dedupExact(idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      Dedup.exact(df, idCol, textCol)
+
+    /** Remove every document sharing any word-`n`-gram with `heldOut`
+      * (benchmark decontamination). The held-out shingle set broadcasts;
+      * the corpus side stays map-side until an ids-only distinct.
+      */
+    def decontaminateAgainst(
+        heldOut: DataFrame,
+        idCol: String = "doc_id",
+        textCol: String = "text",
+        n: Int = 5): DataFrame = {
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), n))
+      val contaminated = heldOut.select(explode(sh(col(textCol))).as("h")).distinct()
+      val flagged = df.select(col(idCol), explode(sh(col(textCol))).as("h"))
+        .join(broadcast(contaminated), "h")
+        .select(idCol).distinct()
+      df.join(flagged, Seq(idCol), "left_anti")
+    }
+
+    /** Redact emails, IPv4 addresses and `+1 ddd-dddd` phone numbers,
+      * adding per-kind detection counts. Codegen'd regexps, zero shuffle.
+      */
+    def redactPii(textCol: String = "text"): DataFrame = {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneRe = "\\+1 \\d{3}-\\d{4}"
+      val t = col(textCol)
+      df.withColumn("n_emails", regexp_count(t, lit(emailRe)))
+        .withColumn("n_ips", regexp_count(t, lit(ipRe)))
+        .withColumn("n_phones", regexp_count(t, lit(phoneRe)))
+        .withColumn(textCol, regexp_replace(regexp_replace(regexp_replace(t,
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+    }
+
+    /** Deterministic stratified sampling: keep a row iff its salted
+      * md5-60bit hash mod 10000 falls under the stratum's rate.
+      * Reproducible under any partitioning, retry, or engine.
+      */
+    def sampleMixture(
+        stratCol: String,
+        rates: Seq[(String, Int)],
+        idCol: String = "doc_id",
+        salt: String = "mix1"): DataFrame = {
+      val h = conv(substring(md5(
+        concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 10000
+      val rate = rates.foldLeft(lit(0)) { case (acc, (k, r)) =>
+        when(col(stratCol) === k, r).otherwise(acc) }
+      df.filter(h < rate)
+    }
+
+    /** Shard-local sequence packing: concatenate each group's documents
+      * in id order and assign 2048-token (by default) training chunks —
+      * a document's chunk is its exclusive running token offset div
+      * capacity. Prefix sums parallelize across groups.
+      */
+    def packSequences(
+        groupCol: String = "source",
+        idCol: String = "doc_id",
+        textCol: String = "text",
+        capacity: Int = 2048): DataFrame = {
+      val w = Window.partitionBy(groupCol).orderBy(idCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("n_tok", TextFunctions.tokenCount(col(textCol)).cast("long"))
+        .withColumn("pack_start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("chunk", expr(s"pack_start div $capacity"))
+        .drop("pack_start")
+    }
+
+    /** Deterministic global training-order shuffle: salted-hash shard +
+      * per-shard rank. No RNG, no global sort; ordering by
+      * (shard, shuffle_pos) reproduces the same order anywhere.
+      */
+    def shuffleDeterministic(
+        idCol: String = "doc_id",
+        shards: Int = 16,
+        salt: String = "shuf1"): DataFrame = {
+      val h = conv(substring(md5(
+        concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      df.withColumn("shard", (h % shards).cast("int"))
+        .withColumn("shuffle_pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(h, col(idCol))))
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.api.corpus._
+import org.apache.spark.sql.functions._
+
+/** The public corpus-curation API (graft.api.corpus) must agree with the
+  * oracle-gated query formulations in SparkEntry — the API is a thin
+  * wrapper over the same primitives, and these specs pin that it stays
+  * one.
+  */
+class CorpusApiSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(sf("documents"))
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def mutantCorpus = {
+    val m = expr(
+      "CASE WHEN instr(text,' ') > 0 THEN substring(text, instr(text,' ')+1) ELSE text END")
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + 100000).as("doc_id"), m.as("text")))
+  }
+
+  test("withTextSignals + thresholds reproduces the d15 curation set") {
+    val api = docs.withTextSignals()
+      .withColumn("keep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("pred_lang") === "en" && col("quality") >= 0.5 &&
+        col("n_tokens").between(30, 5000) && col("doc_id") === col("keep_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oracle = SparkEntry.queries("d15_corpus_curation")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(api == oracle && api.nonEmpty)
+  }
+
+  test("withRepetitionSignals matches the d20 ratios") {
+    val api = docs.withRepetitionSignals()
+      .filter(col("n_grams") >= 1)
+      .select(col("doc_id"), col("rep_frac"), col("top_frac"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val q = SparkEntry.queries("d20_repetition_signals")(spark, sfDir)
+      .select(col("doc_id"), col("rep_frac"), col("top_frac"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(api == q && api.nonEmpty)
+  }
+
+  test("decontaminateAgainst keeps exactly the complement of the d18 flag set") {
+    val corpus = mutantCorpus
+    val heldOut = corpus.filter(col("doc_id") < 50)
+    val train = corpus.filter(col("doc_id") >= 50)
+    val flagged = SparkEntry.queries("d18_decontamination")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = train.decontaminateAgainst(heldOut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == trainIds -- flagged)
+    assert(flagged.nonEmpty && kept.nonEmpty)
+  }
+
+  test("redactPii counts and scrubs the injected fixtures") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at a.b@test.org or c@d.io thanks"),
+      (2L, "server 10.0.3.7 and 192.168.1.1 up"),
+      (3L, "call +1 555-1234 now"),
+      (4L, "nothing to see")).toDF("doc_id", "text")
+    val out = df.redactPii().orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Int]("n_emails")).toSeq == Seq(2, 0, 0, 0))
+    assert(out.map(_.getAs[Int]("n_ips")).toSeq == Seq(0, 2, 0, 0))
+    assert(out.map(_.getAs[Int]("n_phones")).toSeq == Seq(0, 0, 1, 0))
+    assert(out(0).getAs[String]("text") == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(out(2).getAs[String]("text") == "call <PHONE> now")
+    assert(out(3).getAs[String]("text") == "nothing to see")
+  }
+
+  test("sampleMixture reproduces the d23 per-stratum keep counts") {
+    val rates = Seq("en" -> 8000, "de" -> 5000, "es" -> 2500, "fr" -> 1250, "zh" -> 625)
+    val api = docs.sampleMixture("lang", rates)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = SparkEntry.queries("d23_mixture_sampling")(spark, sfDir)
+      .select(col("lang"), col("n_kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(api == q.filter(_._2 > 0))
+  }
+
+  test("packSequences agrees with the d22 chunk boundaries") {
+    val api = docs.packSequences()
+      .groupBy("source", "chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val q = SparkEntry.queries("d22_sequence_packing")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(api == q && api.nonEmpty)
+  }
+
+  test("shuffleDeterministic matches d24 and is stable across repartitionings") {
+    val api = docs.shuffleDeterministic()
+      .select(col("shard"), col("shuffle_pos"), col("doc_id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val q = SparkEntry.queries("d24_training_shuffle")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(api == q && api.nonEmpty)
+    val reparted = docs.repartition(7).shuffleDeterministic()
+      .select(col("shard"), col("shuffle_pos"), col("doc_id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(reparted == api)
+  }
+}
