@@ -1729,6 +1729,226 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(min("q"), 6).as("min_q"), round(max("q"), 6).as("max_q"))
         .orderBy("bucket")
+    }),
+
+    // Moment-based statistics suite: corr / OLS slope+intercept / sample
+    // stddev per group, derived from EXACT decimal power sums (sx, sy,
+    // sxx, syy, sxy) — the map-side-combinable formulation a distributed
+    // engine actually uses (one hash aggregation; no second pass, no
+    // mean-centering shuffle). The double arithmetic downstream of the
+    // exact sums is the same expression tree in both engines, so the
+    // results are bit-identical — built-in corr()/stddev() would NOT be
+    // (their running-update order is partition-dependent).
+    "q51_corr_stats" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      val a = tbl(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      val (nd, sx, sy) =
+        (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"))
+      val (sxx, syy, sxy) =
+        (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      val covn = nd * sxy - sx * sy // n² · cov (shared subtree both engines)
+      val varxn = nd * sxx - sx * sx
+      val varyn = nd * syy - sy * sy
+      a.select(col("l_returnflag"), col("n"),
+          round(covn / sqrt(varxn * varyn), 6).as("corr_qp"),
+          round(covn / varxn, 6).as("slope"),
+          round((sy - (covn / varxn) * sx) / nd, 6).as("intercept"),
+          round(sqrt(varxn / (nd * (nd - lit(1.0)))), 6).as("sd_q"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Sequential conversion funnel (view → click → purchase): each stage
+    // is a keyed min-aggregate joined back to gate the next stage's
+    // events on "strictly after the previous step". Every join and
+    // aggregation is keyed on user_id — three co-partitioned shuffles,
+    // no window, no per-user sort of the full history.
+    "q52_funnel" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select("user_id", "event_type", "ts")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .agg(count(col("t1")).as("n_view"), count(col("t2")).as("n_click"),
+          count(col("t3")).as("n_purchase"))
+    }),
+
+    // Cohort retention: users grouped by first-seen day, activity counted
+    // per (cohort, day-offset) cell. One min-aggregate plus one keyed
+    // join back on user_id, then a distinct-count — the layout every
+    // retention dashboard query reduces to.
+    "q53_cohort_retention" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohort = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Time-series gap fill with linear interpolation: sparse hourly
+    // readings (every 3rd hour, simulating sensor cadence) densified onto
+    // a per-series hour spine, missing points interpolated between the
+    // previous/next observation. The carry windows are partitioned per
+    // series — on a real corpus with many series they parallelize like
+    // any keyed window (d22's argument); hour indices are anchored
+    // timestamp diffs, so no session-timezone epoch math leaks in.
+    "q54_gap_fill" -> ((s, dir) => {
+      val hr = expr(
+        "timestampdiff(HOUR, timestamp'2024-01-01 00:00:00', date_trunc('hour', ts))")
+      val known = tbl(s, dir, "events")
+        .groupBy(col("event_type"), hr.as("hr"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        .filter(col("hr") % 3 === 0)
+      val spine = known.groupBy("event_type")
+        .agg(min("hr").as("lo"), max("hr").as("hi"))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val wPrev = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(0, Window.unboundedFollowing)
+      spine.join(known, Seq("event_type", "hr"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("hr"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("ph").isNull, col("nv"))
+              .when(col("nh").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("hr") - col("ph")).cast("double") /
+                  (col("nh") - col("ph")).cast("double"))), 6).as("v_filled"),
+          col("v").isNotNull.cast("int").as("observed"))
+        .orderBy("event_type", "hr")
+    }),
+
+    // Spherical k-means assignment (k=8, centroids = the first 8 vectors):
+    // centroids broadcast, cosine scored by the codegen'd expression,
+    // winner picked by a max(struct) hash aggregate — no window, no
+    // shuffle of the vectors themselves beyond the scan. Similarities are
+    // rounded to 6dp BEFORE the argmax so engine-internal accumulation
+    // ulps can never flip an assignment; the cluster mean goes through an
+    // exact decimal sum.
+    "e11_kmeans_assign" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      val cents = embs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      embs.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          round(Dedup.cosine(col("embedding"), col("cvec")), 6).as("sim"),
+          col("cid"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("w"))
+        .select(col("vec_id"), (-col("w.nc")).as("cid"), col("w.sim").as("sim"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), min("vec_id").as("first_vec"),
+          round(sum(col("sim").cast("decimal(10,6)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_sim"))
+        .orderBy("cid")
+    }),
+
+    // One distributed Lloyd iteration on top of e11's assignment: new
+    // centroids are per-dimension means computed from INTEGER-quantized
+    // elements (floor(x·1e6) sums commute — order-free across partitions
+    // and engines, where raw double sums are not), then every point
+    // reassigns against the updated centroids. posexplode → hash-agg →
+    // array rebuild is the standard distributed centroid update; nothing
+    // touches the driver.
+    "e12_kmeans_step" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      def assign(cents: DataFrame): DataFrame =
+        embs.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            round(Dedup.cosine(col("embedding"), col("cvec")), 6).as("sim"),
+            col("cid"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("w"))
+          .select(col("vec_id"), (-col("w.nc")).as("cid"))
+      val cents0 = embs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val a0 = assign(cents0)
+      val cents1 = embs.join(a0, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")))
+        .select(col("cid"), col("pos"),
+          floor(col("col").cast("double") * lit(1000000.0)).cast("long").as("xi"))
+        .groupBy("cid", "pos")
+        .agg(sum("xi").as("sx"), count(lit(1)).as("cnt"))
+        .select(col("cid"), col("pos"),
+          (col("sx").cast("double") / (col("cnt").cast("double") * lit(1000000.0))).as("cv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+      val before = a0.groupBy("cid").agg(count(lit(1)).as("n_before"))
+      val after = assign(cents1).groupBy("cid").agg(count(lit(1)).as("n_after"))
+      before.join(after, Seq("cid"), "full_outer")
+        .select(col("cid"), coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy("cid")
+    }),
+
+    // Corpus-frequency boilerplate detection: word-bigram shingles that
+    // appear in ≥5% of documents are "boilerplate"; each document reports
+    // its boilerplate fraction. Only (doc_id, hash) pairs ever shuffle —
+    // text stays map-side (the d18 discipline); the df side is a pure
+    // hash aggregate of those same pairs. The 5% cut is the integer
+    // comparison df·20 ≥ N, portable with no ceil/float threshold.
+    "d27_boilerplate_ngrams" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 2))
+      val docs = tbl(s, dir, "documents")
+      val grams = docs.select(col("doc_id"), explode(sh(col("text"))).as("h"))
+      val total = docs.agg(count(lit(1)).as("ndocs"))
+      val boiler = grams.groupBy("h").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(total))
+        .select(col("h"), (col("df") * 20 >= col("ndocs")).as("boiler"))
+      grams.join(boiler, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_frac",
+          round(col("n_boiler").cast("double") / col("n_grams").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Streaming CDC upsert through foreachBatch: a snapshot batch, an
+    // update batch (%7 keys re-priced at version 2) and an insert batch
+    // (%17 slice re-keyed, version 3 — q49's mutation shapes) drain
+    // through StreamingUpsert's latest-wins merge, one micro-batch per
+    // file. The final keyed state is checked against the oracle's replay
+    // of the same merge.
+    "st9_stream_upsert" -> ((s, dir) => {
+      val work = tmpdir("graft-st9")
+      val base = tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val b1 = base.withColumn("ver", lit(1L))
+      val b2 = base.filter(col("k") % 7 === 0)
+        .select(col("k"), (col("p") + lit(1)).cast("decimal(18,2)").as("p"), lit(2L).as("ver"))
+      val b3 = base.filter(col("k") % 17 === 0)
+        .select((col("k") + lit(10000000L)).as("k"), col("p"), lit(3L).as("ver"))
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, b1, "b1", Some(t0 - 60000))
+      arriveFile(work, b2, "b2", Some(t0 - 30000))
+      arriveFile(work, b3, "b3", Some(t0))
+      graft.streaming.StreamingUpsert.start(
+        s, s"$work/in", b1.schema, Seq("k"), "ver", s"$work/state").awaitTermination()
+      s.read.parquet(s"$work/state/data").agg(
+        count(lit(1)).as("n"),
+        sum(col("p")).cast("double").as("st"),
+        max(col("k")).as("hi"),
+        sum(when(col("ver") === 2, 1L).otherwise(0L)).as("n_v2"),
+        sum(when(col("ver") === 3, 1L).otherwise(0L)).as("n_v3"))
     })
   )
 
@@ -1779,6 +1999,12 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
       |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
+
+  /** DuckDB word-bigram shingles (the n=2 twin of [[duckShingles]]). */
+  private val duckShingles2 =
+    """CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+      |ELSE list_distinct(list_transform(range(1, len(toks)),
+      |  i -> array_to_string(toks[i:i+1], ' '))) END""".stripMargin
 
   /** DuckDB word-5-gram shingles (the n=5 twin of [[duckShingles]]). */
   private val duckShingles5 =
@@ -2699,6 +2925,146 @@ object SparkEntry {
         |SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
         |FROM acc, fwm
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= fwm.w
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q51_corr_stats" ->
+      """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |  CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |  CAST(sxy AS DOUBLE) AS sxyd FROM a)
+        |SELECT l_returnflag, n,
+        |round((nd * sxyd - sxd * syd) /
+        |  sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS corr_qp,
+        |round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+        |round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd, 6) AS intercept,
+        |round(sqrt((nd * sxxd - sxd * sxd) / (nd * (nd - 1.0))), 6) AS sd_q
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    "q52_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT COUNT(t1) AS n_view, COUNT(t2) AS n_click, COUNT(t3) AS n_purchase
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q53_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT c.cohort_day, date_diff('day', c.cohort_day, ev.d) AS day_offset,
+        |COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q54_gap_fill" ->
+      """WITH known AS (SELECT event_type,
+        |  date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', date_trunc('hour', ts)) AS hr,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2 HAVING hr % 3 = 0),
+        |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr
+        |  FROM (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM known GROUP BY 1)),
+        |j AS (SELECT spine.event_type, spine.hr, known.v FROM spine
+        |  LEFT JOIN known ON spine.event_type = known.event_type AND spine.hr = known.hr),
+        |w AS (SELECT event_type, hr, v,
+        |  last_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING) AS ph,
+        |  first_value(v IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY hr
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY hr
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT event_type, hr,
+        |round(CASE WHEN v IS NOT NULL THEN v
+        |  WHEN ph IS NULL THEN nv
+        |  WHEN nh IS NULL THEN pv
+        |  ELSE pv + (nv - pv) * (CAST(hr - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+        |  END, 6) AS v_filled,
+        |CAST(v IS NOT NULL AS INT) AS observed
+        |FROM w ORDER BY event_type, hr""".stripMargin,
+
+    "e11_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(c.cvec AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings e, c),
+        |r AS (SELECT vec_id, cid, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s),
+        |a AS (SELECT vec_id, cid, sim FROM r WHERE rn = 1)
+        |SELECT cid, COUNT(*) AS n, MIN(vec_id) AS first_vec,
+        |round(CAST(SUM(CAST(sim AS DECIMAL(10,6))) AS DOUBLE) /
+        |  CAST(COUNT(*) AS DOUBLE), 6) AS mean_sim
+        |FROM a GROUP BY cid ORDER BY cid""".stripMargin,
+
+    "e12_kmeans_step" ->
+      """WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        |s0 AS (SELECT e.vec_id, c0.cid,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(c0.cvec AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings e, c0),
+        |a0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s0)
+        |  WHERE rn = 1),
+        |xe AS (SELECT a0.cid, e.embedding AS emb,
+        |  unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM embeddings e JOIN a0 USING (vec_id)),
+        |x AS (SELECT cid, i - 1 AS pos,
+        |  CAST(floor(CAST(emb[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi FROM xe),
+        |m AS (SELECT cid, pos, CAST(SUM(xi) AS BIGINT) AS sx, COUNT(*) AS cnt
+        |  FROM x GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(CAST(sx AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)
+        |  ORDER BY pos) AS cvec FROM m GROUP BY 1),
+        |s1 AS (SELECT e.vec_id, c1.cid,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c1.cvec), 6) AS sim
+        |  FROM embeddings e, c1),
+        |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |nb AS (SELECT cid, COUNT(*) AS n_before FROM a0 GROUP BY 1),
+        |na AS (SELECT cid, COUNT(*) AS n_after FROM a1 GROUP BY 1)
+        |SELECT COALESCE(nb.cid, na.cid) AS cid,
+        |COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after
+        |FROM nb FULL OUTER JOIN na ON nb.cid = na.cid
+        |ORDER BY cid""".stripMargin,
+
+    "d27_boilerplate_ngrams" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles2 AS g FROM tok),
+         |e AS (SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT AS h FROM sh),
+         |d AS (SELECT h, COUNT(*) AS df FROM e GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS ndocs FROM documents),
+         |j AS (SELECT e.doc_id, (d.df * 20 >= n.ndocs) AS boiler
+         |  FROM e JOIN d USING (h), n)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |round(CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS DOUBLE) /
+         |  CAST(COUNT(*) AS DOUBLE), 6) AS boiler_frac
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "st9_stream_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |u AS (SELECT k, p, 1 AS ver FROM base
+        |  UNION ALL SELECT k, CAST(p + 1 AS DECIMAL(18,2)), 2 FROM base WHERE k % 7 = 0
+        |  UNION ALL SELECT k + 10000000, p, 3 FROM base WHERE k % 17 = 0),
+        |m AS (SELECT k, arg_max(p, ver) AS p, MAX(ver) AS ver FROM u GROUP BY 1)
+        |SELECT COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS st, MAX(k) AS hi,
+        |CAST(SUM(CASE WHEN ver = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+        |CAST(SUM(CASE WHEN ver = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_v3 FROM m""".stripMargin
   )
 }

@@ -1,0 +1,126 @@
+package graft
+
+import graft.streaming.StreamingUpsert
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 analytics batch: moment statistics, funnel,
+  * cohort retention, gap-fill interpolation, k-means, boilerplate
+  * detection, and the streaming upsert sink.
+  */
+class AnalyticsSuiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q51: moment-formula corr/slope/stddev agree with Spark's built-ins") {
+    val ours = run("q51_corr_stats").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(5))).toMap
+    val ref = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("m"),
+        stddev_samp(col("l_quantity")).as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(ours.keySet == ref.keySet)
+    for ((k, (c, m, sd)) <- ours) {
+      val (rc, rm, rsd) = ref(k)
+      assert(math.abs(c - rc) < 1e-6, s"$k corr $c vs $rc")
+      assert(math.abs(m - rm) < 1e-6, s"$k slope $m vs $rm")
+      assert(math.abs(sd - rsd) < 1e-6, s"$k stddev $sd vs $rsd")
+    }
+  }
+
+  test("q52: funnel stages are monotonically non-increasing") {
+    val r = run("q52_funnel").head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"$v >= $c >= $p")
+    assert(v > 0)
+  }
+
+  test("q53: day-0 cohort cells cover every user exactly once") {
+    val cells = run("q53_cohort_retention").collect()
+    val day0 = cells.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(day0 == users, s"day-0 total $day0 != $users users")
+    assert(cells.forall(_.getLong(2) <= users))
+  }
+
+  test("q54: spine is dense per series, observed points pass through, gaps interpolate between neighbors") {
+    val rows = run("q54_gap_fill").collect()
+    val bySeries = rows.groupBy(_.getString(0))
+    for ((_, rs) <- bySeries) {
+      val hrs = rs.map(_.getLong(1)).sorted
+      assert(hrs.last - hrs.head + 1 == hrs.length, "spine has holes")
+      // ends are observed (spine spans known points)
+      assert(rs.minBy(_.getLong(1)).getInt(3) == 1)
+      assert(rs.maxBy(_.getLong(1)).getInt(3) == 1)
+      val byHr = rs.map(r => r.getLong(1) -> r).toMap
+      for (r <- rs if r.getInt(3) == 0) {
+        val hr = r.getLong(1)
+        val prev = (hr - 1 to hrs.head by -1).find(byHr(_).getInt(3) == 1).get
+        val next = (hr + 1 to hrs.last).find(byHr(_).getInt(3) == 1).get
+        val (pv, nv) = (byHr(prev).getDouble(2), byHr(next).getDouble(2))
+        val v = r.getDouble(2)
+        assert(v >= math.min(pv, nv) - 1e-6 && v <= math.max(pv, nv) + 1e-6,
+          s"hr=$hr v=$v outside [$pv, $nv]")
+      }
+    }
+  }
+
+  test("e11: clusters partition the corpus; every centroid lands in its own cluster") {
+    val rows = run("e11_kmeans_assign").collect()
+    assert(rows.map(_.getLong(1)).sum == 500)
+    assert(rows.length <= 8)
+    // a centroid's own vector has sim 1.0 with itself, so cluster cid
+    // contains vec_id == cid; min member id can only be smaller
+    for (r <- rows) assert(r.getLong(2) <= r.getLong(0), r.toString)
+    for (r <- rows) assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("e12: one Lloyd step conserves points") {
+    val rows = run("e12_kmeans_step").collect()
+    assert(rows.map(_.getLong(1)).sum == 500, "n_before must cover the corpus")
+    assert(rows.map(_.getLong(2)).sum == 500, "n_after must cover the corpus")
+  }
+
+  test("d27: boilerplate counts bound by gram counts, fraction in [0,1]") {
+    val rows = run("d27_boilerplate_ngrams").collect()
+    assert(rows.length == 500)
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1))
+      val f = r.getDouble(3)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // the corpus-wide threshold must actually split: some boilerplate,
+    // some rare grams (guards a degenerate all-or-nothing cut)
+    assert(rows.exists(_.getLong(2) > 0))
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
+  test("StreamingUpsert.merge is latest-wins and idempotent") {
+    val state = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+    val batch = Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("k", "v", "ver")
+    val once = StreamingUpsert.merge(state, batch, Seq("k"), "ver")
+    val expected = Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 2L))
+    assert(once.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      == expected)
+    val twice = StreamingUpsert.merge(once, batch, Seq("k"), "ver")
+    assert(twice.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      == expected)
+  }
+
+  test("st9: streaming upsert end-to-end matches a batch replay") {
+    val r = run("st9_stream_upsert").head()
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val nBase = base.count()
+    val nIns = base.filter(col("k") % 17 === 0).count()
+    val nUpd = base.filter(col("k") % 7 === 0).count()
+    assert(r.getLong(0) == nBase + nIns, "state size = snapshot + inserts")
+    assert(r.getLong(3) == nUpd, "every %7 key carries version 2")
+    assert(r.getLong(4) == nIns, "every insert carries version 3")
+  }
+}

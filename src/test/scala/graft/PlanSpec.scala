@@ -121,8 +121,12 @@ class PlanSpec extends SparkSpec {
     // d21/d26 cross-join ONE broadcast row of corpus statistics (N,
     // avgdl, dfs / quantile cutpoints) into the scan — scalar joins,
     // same shape as q20.
+    // e11/e12: the k-means scoring scan IS a broadcast loop over k=8
+    // centroid rows (the distributed formulation); d27 cross-joins the
+    // single corpus-count row into the df cut — scalar join like q20.
     val expected = Set("d4_ngram_jaccard", "e1_knn_brute", "q20_hll_sketch_union",
-      "e7_knn_pq_full", "e8_knn_pq", "d21_bm25", "d26_quality_deciles")
+      "e7_knn_pq_full", "e8_knn_pq", "d21_bm25", "d26_quality_deciles",
+      "e11_kmeans_assign", "e12_kmeans_step", "d27_boilerplate_ngrams")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
@@ -179,5 +183,42 @@ class PlanSpec extends SparkSpec {
     val semi = plan("q34_semi_join")
     assert(semi.contains("LeftSemi"), semi)
     assert(!semi.contains("BroadcastNestedLoopJoin"), semi)
+  }
+
+  test("q51: moment statistics are one hash aggregation — no window, no sort") {
+    val p = plan("q51_corr_stats")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("e11: centroids broadcast; vectors never enter a shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("e11_kmeans_assign")(spark, "/root/testdata/sf0.001")
+      val exec = df.queryExecution.executedPlan
+      assert(exec.toString.contains("Broadcast"), exec.toString)
+      val bad = exec.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.output.exists(_.dataType.typeName == "array"))
+      assert(bad.isEmpty,
+        bad.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(","))
+          .mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("d27: document text never enters a shuffle — only (doc_id, hash) pairs") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("d27_boilerplate_ngrams")(spark, "/root/testdata/sf0.001")
+      val bad = df.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+        .filter(_.output.exists(a => a.name == "text" || a.dataType.typeName == "string"))
+      assert(bad.isEmpty,
+        bad.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(","))
+          .mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 }
