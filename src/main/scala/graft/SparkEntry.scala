@@ -1949,7 +1949,82 @@ object SparkEntry {
         max(col("k")).as("hi"),
         sum(when(col("ver") === 2, 1L).otherwise(0L)).as("n_v2"),
         sum(when(col("ver") === 3, 1L).otherwise(0L)).as("n_v3"))
-    })
+    }),
+
+    // Forward-direction as-of join with a tolerance window (pandas
+    // merge_asof direction='forward'): each purchase matched to the
+    // user's NEXT click at-or-after it, nulled when farther than 2h —
+    // nearest-then-check semantics. Same one-shuffle union+window
+    // machinery as ev5, reversed carry order.
+    "ev10_asof_forward" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "cts",
+          forward = true, toleranceSeconds = Some(7200L))
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // Ordered string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP, new
+    // in Spark 4) — the deterministic ordered form; bounded key slice
+    // keeps the strings sane.
+    "q55_string_agg" -> ((s, dir) =>
+      tbl(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .groupBy("o_orderstatus")
+        .agg(expr(
+          "listagg(cast(o_orderkey as string), ',') within group (order by o_orderkey)")
+          .as("keys_csv"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Distribution window functions (percent_rank / cume_dist) — the two
+    // rank-ratio windows q22 didn't cover; small exact rationals, rounded
+    // identically both engines.
+    "q56_dist_windows" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      tbl(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Multiset set operations (INTERSECT ALL / EXCEPT ALL) — the
+    // bag-semantics twins of q14, tagged into one result.
+    "q57_set_ops_all" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val oo = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      val i = f.intersectAll(oo).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val e = f.exceptAll(oo).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      i.unionByName(e).orderBy("op", "o_custkey")
+    }),
+
+    // Conditional/boolean aggregate portfolio: count_if, bool_and,
+    // bool_or, and a deterministic max_by on a unique ordering key.
+    "q58_conditional_agg" -> ((s, dir) =>
+      tbl(s, dir, "orders").groupBy("o_orderstatus").agg(
+          count_if(col("o_totalprice") > 150000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_totalprice") > 300000).as("any_huge"),
+          max_by(col("o_orderpriority"), col("o_orderkey")).as("last_priority"))
+        .orderBy("o_orderstatus")),
+
+    // Language-ID confusion matrix: predicted vs labeled language counts
+    // — the quality audit for d6's classifier, one hash aggregation.
+    "d28_langid_confusion" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang"))
   )
 
   /** BM25 query terms — one constant feeding both the engine query and
@@ -1999,6 +2074,27 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
       |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
+
+  /** DuckDB language-ID scoring shared by the d6 and d28 oracles (the
+    * marker-word hit counts mirroring TextFunctions.langId) — one
+    * definition so the classifier and its confusion-matrix audit cannot
+    * drift.
+    */
+  private val duckLangScores: Seq[(String, String)] =
+    TextFunctions.langMarkers.map { case (lang, words) =>
+      val hits = words.map(w =>
+        s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      lang -> s"($hits)"
+    }
+  private val duckLangBest =
+    s"greatest(${duckLangScores.map(_._2).mkString(", ")})"
+  private val duckPredLangCase = {
+    val cases = duckLangScores.map { case (lang, sc) =>
+      s"WHEN $sc = m AND m > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
 
   /** DuckDB word-bigram shingles (the n=2 twin of [[duckShingles]]). */
   private val duckShingles2 =
@@ -2178,21 +2274,15 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "d6_lang_id" -> {
-      val scores = TextFunctions.langMarkers.map { case (lang, words) =>
-        val hits = words.map(w =>
-          s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
-          .mkString(" + ")
-        lang -> s"($hits)"
-      }
-      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
-      val cases = scores.map { case (lang, sc) =>
-        s"WHEN $sc = m AND m > 0 THEN '$lang'"
-      }.mkString(" ")
-      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
-         |FROM (SELECT doc_id, text, $best AS m FROM documents)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "d6_lang_id" ->
+      s"""SELECT doc_id, $duckPredLangCase AS pred_lang
+         |FROM (SELECT doc_id, text, $duckLangBest AS m FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "d28_langid_confusion" ->
+      s"""SELECT lang, $duckPredLangCase AS pred_lang, COUNT(*) AS n
+         |FROM (SELECT lang, text, $duckLangBest AS m FROM documents)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "d7_quality_score" ->
       """SELECT doc_id, round(
@@ -3065,6 +3155,54 @@ object SparkEntry {
         |m AS (SELECT k, arg_max(p, ver) AS p, MAX(ver) AS ver FROM u GROUP BY 1)
         |SELECT COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS st, MAX(k) AS hi,
         |CAST(SUM(CASE WHEN ver = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
-        |CAST(SUM(CASE WHEN ver = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_v3 FROM m""".stripMargin
+        |CAST(SUM(CASE WHEN ver = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_v3 FROM m""".stripMargin,
+
+    "ev10_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS cts, MAX(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts),
+        |m AS (SELECT p.purchase_id, p.user_id, p.ts, MIN(c.cts) AS cts
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts >= p.ts
+        |  GROUP BY 1, 2, 3)
+        |SELECT m.purchase_id, m.user_id,
+        |CASE WHEN m.cts IS NOT NULL
+        |  AND date_diff('microsecond', m.ts, m.cts) <= 7200000000
+        |  THEN c2.click_id END AS click_id
+        |FROM m LEFT JOIN c c2 ON m.user_id = c2.user_id AND m.cts = c2.cts
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q55_string_agg" ->
+      """SELECT o_orderstatus,
+        |string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv,
+        |COUNT(*) AS n FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q56_dist_windows" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |round(percent_rank() OVER w, 6) AS pr,
+        |round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q57_set_ops_all" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |i AS (SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM o),
+        |e AS (SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM o)
+        |SELECT * FROM (
+        |  SELECT o_custkey, COUNT(*) AS n, 'intersect_all' AS op FROM i GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_custkey, COUNT(*) AS n, 'except_all' AS op FROM e GROUP BY 1)
+        |ORDER BY op, o_custkey""".stripMargin,
+
+    "q58_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |bool_and(o_totalprice > 0) AS all_pos,
+        |bool_or(o_totalprice > 300000) AS any_huge,
+        |arg_max(o_orderpriority, o_orderkey) AS last_priority
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

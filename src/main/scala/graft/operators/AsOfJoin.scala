@@ -25,30 +25,61 @@ object AsOfJoin {
   /** @param left  (keys..., leftTs, left payload columns)
     * @param right (keys..., rightTs, right payload columns) — right
     *              payload names must not collide with left's columns
+    * @param forward match the EARLIEST right row with `rightTs >= leftTs`
+    *                instead of the latest preceding one (pandas
+    *                merge_asof's `direction='forward'`)
+    * @param toleranceSeconds when set, a match farther than this from
+    *                `leftTs` is nulled out (nearest-then-check, matching
+    *                merge_asof's tolerance semantics — NOT
+    *                "nearest within tolerance"). Seconds for timestamp
+    *                columns; the column's own units for numeric ts.
     * @return all left columns plus right payload columns (null when no
-    *         right row precedes the left row)
+    *         right row precedes/follows the left row, or the nearest one
+    *         is outside the tolerance)
     */
   def asOf(
       left: DataFrame, right: DataFrame,
-      keys: Seq[String], leftTs: String, rightTs: String): DataFrame = {
+      keys: Seq[String], leftTs: String, rightTs: String,
+      forward: Boolean = false,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftPayload = left.columns.filterNot(keys.contains).toSeq
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
     require(rightPayload.intersect(left.columns.toSeq).isEmpty,
       s"right payload columns collide with left: ${rightPayload.intersect(left.columns.toSeq).mkString(", ")}")
+    val rtsType = right.schema(rightTs).dataType
     val l = left.select(
       (keys.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side")) ++
         leftPayload.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+        lit(null).cast(rtsType).as("_rts"): _*)
     val r = right.select(
       (keys.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side")) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
+        rightPayload.map(col) :+ col(rightTs).as("_rts"): _*)
+    // right rows (_side=0) sort before left rows at equal _ts in BOTH
+    // directions, so a right row exactly at leftTs matches (<= / >=)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(if (forward) col("_ts").desc else col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
+    val carried = (rightPayload :+ "_rts").foldLeft(l.unionByName(r)) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    carried.filter(col("_side") === 1).drop("_side", "_ts")
+    val matched = carried.filter(col("_side") === 1)
+    val gated = toleranceSeconds match {
+      case None => matched
+      case Some(tol) =>
+        // timestamps compare at microsecond precision; numeric ts columns
+        // take the tolerance in their own units
+        val isTs = rtsType == org.apache.spark.sql.types.TimestampType
+        def tick(c: org.apache.spark.sql.Column) = if (isTs) unix_micros(c) else c
+        val diff =
+          if (forward) tick(col("_rts")) - tick(col("_ts"))
+          else tick(col("_ts")) - tick(col("_rts"))
+        val ok = col("_rts").isNotNull && diff <= (if (isTs) tol * 1000000L else tol)
+        rightPayload.foldLeft(matched) { (df, c) =>
+          df.withColumn(c, when(ok, col(c)))
+        }
+    }
+    gated.drop("_side", "_ts", "_rts")
   }
 }

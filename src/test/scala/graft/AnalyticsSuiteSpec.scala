@@ -100,6 +100,29 @@ class AnalyticsSuiteSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
   }
 
+  test("q57: multiset intersect/except counts match a by-hand bag computation") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderstatus", "o_custkey").collect()
+    def bag(st: String) = orders.filter(_.getString(0) == st)
+      .groupBy(_.getLong(1)).map { case (k, v) => k -> v.length }
+    val (f, o) = (bag("F"), bag("O"))
+    val expectI = f.flatMap { case (k, n) => o.get(k).map(k -> math.min(n, _)) }
+    val expectE = f.flatMap { case (k, n) =>
+      val d = n - o.getOrElse(k, 0); if (d > 0) Some(k -> d) else None }
+    val got = run("q57_set_ops_all").collect()
+      .groupBy(_.getString(2))
+      .map { case (op, rs) => op -> rs.map(r => r.getLong(0) -> r.getLong(1).toInt).toMap }
+    assert(got("intersect_all") == expectI.toMap)
+    assert(got("except_all") == expectE.toMap)
+  }
+
+  test("d28: confusion matrix cells cover the corpus; classifier beats chance") {
+    val rows = run("d28_langid_confusion").collect()
+    assert(rows.map(_.getLong(2)).sum == 500)
+    val correct = rows.filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    assert(correct > 100, s"diagonal only $correct of 500")
+  }
+
   test("StreamingUpsert.merge is latest-wins and idempotent") {
     val state = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
     val batch = Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("k", "v", "ver")

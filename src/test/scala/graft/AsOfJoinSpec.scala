@@ -25,6 +25,34 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, "p3", None)))        // right row exists but only later
   }
 
+  test("asOf forward picks the earliest right row at-or-after; tolerance nulls far matches") {
+    val left = Seq(
+      (1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 99L, "p3"),
+      (2L, 5L, "p4")
+    ).toDF("k", "lts", "lp")
+    val right = Seq(
+      (1L, 10L, "r10"), (1L, 25L, "r25"),
+      (2L, 50L, "r50")
+    ).toDF("k", "rts", "rv")
+    val fwd = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts", forward = true)
+      .select("k", "lp", "rv").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(fwd == Set(
+      (1L, "p1", Some("r10")),  // tie: rts == lts matches (>=)
+      (1L, "p2", Some("r25")),  // earliest following, not latest
+      (1L, "p3", None),         // nothing after
+      (2L, "p4", Some("r50"))))
+    val tol = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts",
+        forward = true, toleranceSeconds = Some(10L))
+      .select("k", "lp", "rv").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(tol == Set(
+      (1L, "p1", Some("r10")),  // diff 0 <= 10
+      (1L, "p2", Some("r25")),  // diff 5 <= 10
+      (1L, "p3", None),
+      (2L, "p4", None)))        // nearest is 45 away -> nulled
+  }
+
   test("asOf carries multiple right payload columns and preserves left columns") {
     val left = Seq((1L, 10L, 7.5)).toDF("k", "lts", "amount")
     val right = Seq((1L, 9L, "x", 42)).toDF("k", "rts", "tag", "ver")
