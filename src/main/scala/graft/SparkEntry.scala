@@ -2024,7 +2024,105 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "pred_lang"))
+        .orderBy("lang", "pred_lang")),
+
+    // Semi-structured VARIANT path (new in Spark 4): parse once, typed
+    // extraction pushed through the scan — the open-schema ingestion
+    // pattern for event payloads.
+    "q59_variant_json" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_val"))
+        .filter(col("k_val") % 3 === 0)
+        .orderBy("event_id")),
+
+    // Array higher-order-function suite over embeddings: quantized
+    // squared norm (integer sums — order-free and cross-engine exact),
+    // positive-component count, max element and its 1-based position.
+    // All row-local projections; zero shuffle.
+    "q60_array_hof" -> ((s, dir) => {
+      val e = col("embedding")
+      tbl(s, dir, "embeddings").select(col("vec_id"),
+          aggregate(
+            transform(e, x =>
+              floor(x.cast("double") * x.cast("double") * lit(1000000.0)).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("sq_norm_q"),
+          size(filter(e, x => x > lit(0f))).as("n_pos"),
+          array_max(e).cast("double").as("mx"),
+          array_position(e, array_max(e)).as("argmax"))
+        .orderBy("vec_id")
+    }),
+
+    // Exact median (interpolated) + percentile_disc — the discrete
+    // quantile picks an actual data value, so it compares exactly; the
+    // oracle states Spark's percentile_disc definition directly
+    // (smallest value with cume_dist ≥ p) rather than trusting another
+    // engine's indexing convention.
+    "q61_median_disc" -> ((s, dir) =>
+      tbl(s, dir, "orders").groupBy("o_orderstatus").agg(
+          round(median(col("o_totalprice")), 6).as("med"),
+          expr("percentile_disc(0.9) within group (order by o_totalprice)").as("p90_disc"),
+          expr("percentile_disc(0.1) within group (order by o_totalprice)").as("p10_disc"))
+        .orderBy("o_orderstatus")),
+
+    // Interval-overlap counting: each event opens a 4-hour interval;
+    // count the active intervals at every hour boundary. The bounded
+    // explode (≤4 boundary rows per event) + hash aggregation is the
+    // shape that scales — a sweep line needs a global ordered pass.
+    "ev11_interval_overlap" -> ((s, dir) => {
+      val hr0 = expr("timestampdiff(HOUR, timestamp'2024-01-01 00:00:00', ts)")
+      tbl(s, dir, "events")
+        .select(explode(sequence(hr0 + 1, hr0 + 4)).as("hb"))
+        .groupBy("hb").agg(count(lit(1)).as("n_active"))
+        .orderBy("hb")
+    }),
+
+    // Per-document Shannon entropy of the token distribution (the
+    // repetitiveness signal complementing d20): contributions computed
+    // from the row-local TermCounts map and quantized to integers before
+    // summing, so map iteration order and engine accumulation order
+    // cannot move the result. Zero shuffle.
+    "d29_token_entropy" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val tc = ColumnBridge.column(
+        graft.functions.TermCounts(ColumnBridge.expression(col("text"))))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), tc.as("tc"),
+          TextFunctions.tokenCount(col("text")).cast("double").as("n"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), size(col("tc")).cast("long").as("n_terms"),
+          (aggregate(
+            transform(map_values(col("tc")), c => {
+              val p = c.cast("double") / col("n")
+              round(-(p * log(p)) * lit(1000000.0), 0).cast("long")
+            }),
+            lit(0L), (a, v) => a + v).cast("double") / lit(1000000.0)).as("ent_raw"))
+        .select(col("doc_id"), col("n_terms"), round(col("ent_raw"), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode normalization (custom codegen'd NormalizeUnicode
+    // expression — Spark has no built-in): deterministic composed/
+    // decomposed suffixes injected per doc_id residue, NFC'd, then
+    // length-and-fingerprint checked against DuckDB's nfc_normalize.
+    // Without this, visually-identical text defeats exact dedup.
+    "d30_unicode_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      // explicit escapes: composed U+00E9 vs decomposed e+U+0301 are
+      // visually identical in source — the bytes must differ
+      val suffix = when(col("doc_id") % 4 === 0, lit(" caf\u00e9"))
+        .when(col("doc_id") % 4 === 1, lit(" cafe\u0301"))
+        .when(col("doc_id") % 4 === 2, lit(" u\u0308ber"))
+        .otherwise(lit(""))
+      val raw = concat(col("text"), suffix)
+      val norm = ColumnBridge.column(graft.functions.NormalizeUnicode(
+        ColumnBridge.expression(raw), "NFC"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+          length(raw).as("len_raw"), length(norm).as("len_nfc"),
+          (norm === raw).cast("int").as("unchanged"),
+          md5(norm).as("fp"))
+        .orderBy("doc_id")
+    })
   )
 
   /** BM25 query terms — one constant feeding both the engine query and
@@ -3203,6 +3301,63 @@ object SparkEntry {
         |bool_and(o_totalprice > 0) AS all_pos,
         |bool_or(o_totalprice > 300000) AS any_huge,
         |arg_max(o_orderpriority, o_orderkey) AS last_priority
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q59_variant_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) % 3 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "q60_array_hof" ->
+      """SELECT vec_id,
+        |CAST(list_sum(list_transform(embedding, x ->
+        |  CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS sq_norm_q,
+        |CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |CAST(list_max(embedding) AS DOUBLE) AS mx,
+        |CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q61_median_disc" ->
+      """WITH w AS (SELECT o_orderstatus, o_totalprice,
+        |  cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS cd
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |round(median(o_totalprice), 6) AS med,
+        |MIN(CASE WHEN cd >= 0.9 THEN o_totalprice END) AS p90_disc,
+        |MIN(CASE WHEN cd >= 0.1 THEN o_totalprice END) AS p10_disc
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev11_interval_overlap" ->
+      """WITH b AS (SELECT unnest(generate_series(
+        |  date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) + 1,
+        |  date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) + 4)) AS hb
+        |  FROM events)
+        |SELECT hb, COUNT(*) AS n_active FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d29_token_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |c AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM c GROUP BY 1),
+        |q AS (SELECT c.doc_id,
+        |  CAST(round(-((CAST(c.c AS DOUBLE) / n.n) * ln(CAST(c.c AS DOUBLE) / n.n))
+        |    * 1000000, 0) AS BIGINT) AS qv
+        |  FROM c JOIN n USING (doc_id))
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |round(CAST(SUM(qv) AS DOUBLE) / 1000000.0, 6) AS entropy
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d30_unicode_normalize" ->
+      """WITH raw AS (SELECT doc_id, text ||
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN ' caf' || chr(233)
+        |    WHEN 1 THEN ' cafe' || chr(769)
+        |    WHEN 2 THEN ' u' || chr(776) || 'ber'
+        |    ELSE '' END AS r FROM documents)
+        |SELECT doc_id, length(r) AS len_raw, length(nfc_normalize(r)) AS len_nfc,
+        |CAST(nfc_normalize(r) = r AS INT) AS unchanged,
+        |md5(nfc_normalize(r)) AS fp
+        |FROM raw ORDER BY doc_id""".stripMargin
   )
 }

@@ -123,6 +123,72 @@ class AnalyticsSuiteSpec extends SparkSpec {
     assert(correct > 100, s"diagonal only $correct of 500")
   }
 
+  test("NormalizeUnicode: composed and decomposed forms converge under NFC") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def nfc(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      graft.functions.NormalizeUnicode(ColumnBridge.expression(c), "NFC"))
+    val df = Seq(
+      (1L, "caf\u00e9"),   // composed
+      (2L, "cafe\u0301"),  // decomposed, same text
+      (3L, "plain ascii")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), nfc(col("t")).as("n"), length(nfc(col("t"))).as("l"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == out(2L), "NFC must unify composed/decomposed")
+    assert(out(1L)._2 == 4)
+    assert(out(3L)._1 == "plain ascii")
+    intercept[IllegalArgumentException] {
+      graft.functions.NormalizeUnicode(
+        ColumnBridge.expression(col("t")), "BOGUS")
+    }
+  }
+
+  test("d29: entropy bounded by ln(n_terms); uniform text hits the bound") {
+    val rows = run("d29_token_entropy").collect()
+    assert(rows.length == 500)
+    for (r <- rows) {
+      val (nt, h) = (r.getLong(1), r.getDouble(2))
+      assert(h >= 0.0 && h <= math.log(nt.toDouble) + 1e-4,
+        s"doc ${r.getLong(0)}: H=$h outside [0, ln($nt)]")
+    }
+    // hand-check one distribution: 2x 'a', 1x 'b' -> H = ln3 - (2/3)ln2
+    val df = Seq((1L, "a a b")).toDF("doc_id", "text")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val tc = ColumnBridge.column(
+      graft.functions.TermCounts(ColumnBridge.expression(col("text"))))
+    val got = df.select(col("doc_id"), tc.as("tc")).collect()
+    assert(got.head.getMap[String, Int](1).toMap == Map("a" -> 2, "b" -> 1))
+  }
+
+  test("ev11: every event contributes exactly 4 hour boundaries") {
+    val total = run("ev11_interval_overlap").agg(sum("n_active")).head().getLong(0)
+    val events = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(total == 4 * events)
+  }
+
+  test("q60: HOF results match a direct Scala computation on one vector") {
+    val row = run("q60_array_hof").filter(col("vec_id") === 7).head()
+    val vec = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 7).head().getSeq[Float](1)
+    val sq = vec.map(x => math.floor(x.toDouble * x.toDouble * 1e6).toLong).sum
+    assert(row.getLong(1) == sq)
+    assert(row.getInt(2) == vec.count(_ > 0f))
+    assert(row.getDouble(3) == vec.max.toDouble)
+    assert(row.getLong(4) == vec.indexOf(vec.max) + 1)
+  }
+
+  test("q61: discrete percentiles are actual data values; median between them") {
+    val prices = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderstatus", "o_totalprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSet)
+    for (r <- run("q61_median_disc").collect()) {
+      val vals = prices(r.getString(0))
+      assert(vals.contains(r.getDouble(2)), "p90_disc must be a data value")
+      assert(vals.contains(r.getDouble(3)), "p10_disc must be a data value")
+      assert(r.getDouble(3) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(2))
+    }
+  }
+
   test("StreamingUpsert.merge is latest-wins and idempotent") {
     val state = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
     val batch = Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("k", "v", "ver")
