@@ -2026,6 +2026,48 @@ object SparkEntry {
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred_lang")),
 
+    // Stream-stream LEFT OUTER join under watermarks: clicks left-joined
+    // to errors within [cts, cts+5m]; unmatched clicks emit null-extended
+    // once the watermark passes their join-window upper bound. Two-file
+    // arrival (history / tail, ordered mtimes) exercises cross-batch
+    // state: the split at max-12h puts every cross-batch candidate pair
+    // inside the un-evicted window, so the inner results are exactly the
+    // batch join; the outer results are the unmatched clicks whose bound
+    // expired vs the FINAL watermark (the trailing no-data batch applies
+    // it — measured, like st7's lag finding; the oracle replays both
+    // rules).
+    "st10_stream_outer_join" -> ((s, dir) => {
+      val work = tmpdir("graft-st10")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val maxTs = normalizeTs(raw).agg(max(col("ts"))).head().getTimestamp(0)
+      val cut = lit(maxTs) - expr("INTERVAL 12 HOURS")
+      val tsCol = timestamp_micros(expr("ts div 1000"))
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, raw.filter(tsCol <= cut), "b1", Some(t0 - 30000))
+      arriveFile(work, raw.filter(tsCol > cut), "b2", Some(t0))
+      StreamingOps.drainToMemory(s, work + "/in", raw.schema,
+          df => {
+            val ev = normalizeTs(df)
+            val clicks = ev.filter(col("event_type") === "click")
+              .select(col("event_id").as("click_id"), col("user_id"),
+                col("ts").as("cts"))
+              .withWatermark("cts", "10 minutes")
+            val errors = ev.filter(col("event_type") === "error")
+              .select(col("event_id").as("error_id"), col("user_id").as("uid"),
+                col("ts").as("ets"))
+              .withWatermark("ets", "10 minutes")
+            clicks.join(errors,
+                col("user_id") === col("uid") &&
+                  col("ets") >= col("cts") &&
+                  col("ets") <= col("cts") + expr("INTERVAL 5 MINUTES"),
+                "left_outer")
+              .select(col("click_id"), col("error_id"), col("user_id"))
+          },
+          OutputMode.Append(),
+          readerOptions = Map("maxFilesPerTrigger" -> "1"))
+        .orderBy("click_id", "error_id")
+    }),
+
     // Semi-structured VARIANT path (new in Spark 4): parse once, typed
     // extraction pushed through the scan — the open-schema ingestion
     // pattern for event payloads.
@@ -3302,6 +3344,30 @@ object SparkEntry {
         |bool_or(o_totalprice > 300000) AS any_huge,
         |arg_max(o_orderpriority, o_orderkey) AS last_priority
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Measured rule (both sfs, exact): inner results are the plain batch
+    // join (the max-12h split keeps every cross-batch candidate inside
+    // the un-evicted window); outer nulls emit for unmatched clicks whose
+    // cts+5m bound precedes the FINAL watermark min(max click ts, max
+    // error ts) - 10m — the trailing no-data batch applies it.
+    "st10_stream_outer_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |e AS (SELECT event_id AS error_id, user_id AS uid, ts AS ets FROM events
+        |  WHERE event_type = 'error'),
+        |pairs AS (SELECT c.click_id, e.error_id, c.user_id FROM c JOIN e
+        |  ON c.user_id = e.uid AND e.ets >= c.cts
+        |  AND e.ets <= c.cts + INTERVAL 5 MINUTE),
+        |wm AS (SELECT least(
+        |  (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |  (SELECT max(ts) FROM events WHERE event_type = 'error'))
+        |  - INTERVAL 10 MINUTE AS w),
+        |outer_rows AS (SELECT c.click_id, NULL::BIGINT AS error_id, c.user_id
+        |  FROM c, wm
+        |  WHERE c.click_id NOT IN (SELECT click_id FROM pairs)
+        |  AND c.cts + INTERVAL 5 MINUTE < wm.w)
+        |SELECT * FROM pairs UNION ALL SELECT * FROM outer_rows
+        |ORDER BY click_id, error_id""".stripMargin,
 
     "q59_variant_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
