@@ -2143,6 +2143,81 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Schema-evolution readback: two parquet snapshots written with
+    // different schemas (a column added later) unified by mergeSchema —
+    // the append-only table-evolution pattern the catalog rules (C3)
+    // enforce on the write side, exercised on the read side.
+    "q62_schema_merge" -> ((s, dir) => {
+      val out = tmpdir("graft-q62")
+      val o = tbl(s, dir, "orders")
+      o.filter(col("o_orderkey") <= 750)
+        .select("o_orderkey", "o_totalprice")
+        .write.parquet(s"$out/t")
+      o.filter(col("o_orderkey") > 750)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("append").parquet(s"$out/t")
+      s.read.option("mergeSchema", "true").parquet(s"$out/t")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderstatus")).as("n_status"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("st"))
+    }),
+
+    // Malformed-record ingestion: JSON lines with a deterministic slice
+    // corrupted (truncated payload for %13 keys), read PERMISSIVE with a
+    // _corrupt_record column — bad rows are quarantined and counted, good
+    // rows aggregate; nothing throws. The oracle replays the corruption
+    // rule.
+    "q63_corrupt_json" -> ((s, dir) => {
+      val out = tmpdir("graft-q63")
+      tbl(s, dir, "orders").select(
+          when(col("o_orderkey") % 13 === 0, concat(lit("{\"k\": "))
+            ).otherwise(concat(lit("{\"k\": "), col("o_orderkey"), lit("}")))
+            .as("line"))
+        .write.text(s"$out/j")
+      s.read
+        .schema("k LONG, _corrupt_record STRING")
+        .json(s"$out/j")
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(col("k")).as("sum_good"))
+    }),
+
+    // Count-Min sketch over the token stream with an EXACT cross-engine
+    // oracle: d=4 rows × w=256 buckets keyed by the portable md5-60bit
+    // hash, so both engines build the identical sketch (counter merges
+    // commute — partitioning cannot move the result). Estimates are
+    // min-over-rows of bucket totals; the output pairs them with exact
+    // counts (estimate ≥ exact always; the +eps·N bound is spec-checked).
+    "d31_countmin_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import s.implicits._
+      val tc = ColumnBridge.column(
+        graft.functions.TermCounts(ColumnBridge.expression(col("text"))))
+      val tf = tbl(s, dir, "documents")
+        .select(explode(tc))
+        .groupBy(col("key").as("term")).agg(sum(col("value").cast("long")).as("cnt"))
+      def bucket(j: Int, c: Column): Column =
+        conv(substring(md5(concat(lit(s"cms$j:"), c)), 1, 15), 16, 10)
+          .cast("long") % 256
+      val rows = (0 until 4).map(j =>
+        tf.select(lit(j).as("j"), bucket(j, col("term")).as("b"), col("cnt")))
+      val sketch = rows.reduce(_ unionByName _)
+        .groupBy("j", "b").agg(sum(col("cnt")).as("total"))
+      val queryTerms = cmsQueryTerms.toDF("qterm")
+      val probes = (0 until 4).map(j =>
+        queryTerms.select(col("qterm"), lit(j).as("j"), bucket(j, col("qterm")).as("b")))
+        .reduce(_ unionByName _)
+      val est = probes.join(sketch, Seq("j", "b"), "left")
+        .groupBy("qterm")
+        .agg(min(coalesce(col("total"), lit(0L))).as("est"))
+      val exact = queryTerms.join(tf, col("qterm") === col("term"), "left")
+        .select(col("qterm"), coalesce(col("cnt"), lit(0L)).as("exact"))
+      est.join(exact, "qterm")
+        .select(col("qterm"), col("est"), col("exact"))
+        .orderBy("qterm")
+    }),
+
     // Unicode normalization (custom codegen'd NormalizeUnicode
     // expression — Spark has no built-in): deterministic composed/
     // decomposed suffixes injected per doc_id residue, NFC'd, then
@@ -2171,6 +2246,12 @@ object SparkEntry {
     * the generated oracle SQL (d21).
     */
   private val bm25Terms = Seq("scan", "merge", "window", "stream", "customer")
+
+  /** Count-Min probe terms (d31) — frequent, mid, and absent tokens;
+    * shared between the engine and the generated oracle.
+    */
+  private val cmsQueryTerms =
+    Seq("scan", "merge", "window", "batch", "hash", "zzz_absent")
 
   /** Per-language mixture keep rates out of 10000 (d23) — shared between
     * the engine CASE chain and the generated oracle.
@@ -3413,6 +3494,40 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_terms,
         |round(CAST(SUM(qv) AS DOUBLE) / 1000000.0, 6) AS entropy
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q62_schema_merge" ->
+      """SELECT COUNT(*) AS n,
+        |CAST(SUM(CASE WHEN o_orderkey > 750 THEN 1 ELSE 0 END) AS BIGINT) AS n_status,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st
+        |FROM orders""".stripMargin,
+
+    "q63_corrupt_json" ->
+      """SELECT COUNT(*) AS n,
+        |CAST(SUM(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |CAST(SUM(CASE WHEN o_orderkey % 13 <> 0 THEN o_orderkey END) AS BIGINT) AS sum_good
+        |FROM orders""".stripMargin,
+
+    "d31_countmin_sketch" -> {
+      val qlist = cmsQueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |  t -> t <> '')) AS term FROM documents),
+         |tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+         |j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |sk AS (SELECT j.j,
+         |  ('0x' || substr(md5('cms' || j.j || ':' || tf.term), 1, 15))::BIGINT % 256 AS b,
+         |  CAST(SUM(cnt) AS BIGINT) AS total FROM tf, j GROUP BY 1, 2),
+         |qt AS (SELECT unnest([$qlist]) AS qterm),
+         |pr AS (SELECT qt.qterm, j.j,
+         |  ('0x' || substr(md5('cms' || j.j || ':' || qt.qterm), 1, 15))::BIGINT % 256 AS b
+         |  FROM qt, j),
+         |est AS (SELECT pr.qterm, MIN(COALESCE(sk.total, 0)) AS e FROM pr
+         |  LEFT JOIN sk ON pr.j = sk.j AND pr.b = sk.b GROUP BY 1),
+         |ex AS (SELECT qt.qterm, COALESCE(tf.cnt, 0) AS x FROM qt
+         |  LEFT JOIN tf ON qt.qterm = tf.term)
+         |SELECT est.qterm, CAST(est.e AS BIGINT) AS est, CAST(ex.x AS BIGINT) AS exact
+         |FROM est JOIN ex USING (qterm) ORDER BY qterm""".stripMargin
+    },
 
     "d30_unicode_normalize" ->
       """WITH raw AS (SELECT doc_id, text ||

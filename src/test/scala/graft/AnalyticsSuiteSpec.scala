@@ -189,6 +189,22 @@ class AnalyticsSuiteSpec extends SparkSpec {
     }
   }
 
+  test("d31: Count-Min estimates never undercount; overestimates bounded") {
+    val rows = run("d31_countmin_sketch").collect()
+    val totalTokens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    for (r <- rows) {
+      val (term, est, exact) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"$term: CMS must never undercount ($est < $exact)")
+      // d=4 independent rows, w=256 buckets: collision mass per row is at
+      // most N/w in expectation; 8x slack keeps this deterministic-safe
+      assert(est - exact <= 8 * totalTokens / 256,
+        s"$term: overestimate ${est - exact} implausibly large")
+    }
+    assert(rows.exists(r => r.getString(0) == "zzz_absent" && r.getLong(2) == 0))
+  }
+
   test("StreamingUpsert.merge is latest-wins and idempotent") {
     val state = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
     val batch = Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("k", "v", "ver")
