@@ -2239,6 +2239,183 @@ object SparkEntry {
           (norm === raw).cast("int").as("unchanged"),
           md5(norm).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // Bloom-filter join pruning — the 100 TB pattern behind Spark's own
+    // runtime row-level filtering (InjectRuntimeFilter): build a Bloom
+    // filter over the dim keys with the distributed BloomFilterAggregate,
+    // materialize the ONE sketch on the driver (exactly what Spark's
+    // subquery broadcast does), and prune the fact scan BEFORE the join
+    // shuffle. False positives are removed by the exact broadcast semi
+    // join that follows, so the result is exact while ~80% of fact rows
+    // never reach a shuffle.
+    "q64_bloom_prune" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val dim = tbl(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("c_custkey"))),
+          Literal(100000L), Literal(1048576L)).toAggregateExpression())
+      val bloom = dim.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+      val might = ColumnBridge.column(BloomFilterMightContain(
+        Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(col("o_custkey")))))
+      val pruned = tbl(s, dir, "orders").filter(might)
+      pruned.join(broadcast(dim), pruned("o_custkey") === dim("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("st"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // LATERAL correlated subquery (top-2 orders per customer) — the SQL
+    // surface for dependent joins; Catalyst decorrelates the per-row
+    // ORDER BY … LIMIT into a window rank, so no nested-loop executes.
+    "q65_lateral_topk" -> ((s, dir) => {
+      tbl(s, dir, "customer").filter(col("c_custkey") <= 200)
+        .createOrReplaceTempView("cust_q65")
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_q65")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.top_price
+        |FROM cust_q65 c JOIN LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS top_price
+        |  FROM orders_q65
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+    }),
+
+    // Null-safe equality join (<=>): NULL group keys match each other —
+    // plain equi-join semantics drop them silently. Exercised by mapping
+    // status 'P' to NULL on both sides.
+    "q66_nullsafe_join" -> ((s, dir) => {
+      val key = expr("nullif(o_orderstatus, 'P')")
+      val a = tbl(s, dir, "orders").groupBy(key.as("k"))
+        .agg(count(lit(1)).as("n_all"))
+      val b = tbl(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+        .groupBy(key.as("k")).agg(count(lit(1)).as("n_even"))
+      a.join(b, a("k") <=> b("k"))
+        .select(a("k").as("k"), col("n_all"), col("n_even"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // Trailing-window anomaly detection with an EXACT integer predicate:
+    // money values become cents (long), and |x-mean| > 3·stddev_samp is
+    // cross-multiplied to (n-1)·(n·x-sum)² > 9·n·(n·sumsq-sum²) — no
+    // division, no sqrt, no FP accumulation, so the flag is bit-identical
+    // across engines AND across partitionings (same trick as q33). One
+    // hash shuffle on user_id; per-row state is a 20-row frame.
+    "ev12_anomaly_zscore" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = round(col("value") * 100, 0).cast("long")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+      val e = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), cents.as("x"))
+        .withColumn("n", count(col("x")).over(w))
+        .withColumn("sm", sum(col("x")).over(w))
+        .withColumn("sq", sum(col("x") * col("x")).over(w))
+      val d = col("n") * col("x") - col("sm")
+      e.filter(col("n") >= 10 &&
+          (col("n") - 1) * d * d > lit(9L) * col("n") *
+            (col("n") * col("sq") - col("sm") * col("sm")))
+        .select(col("event_id"), col("user_id"), col("x").as("cents"),
+          d.as("dev_scaled"), col("n").as("n_hist"))
+        .orderBy("event_id")
+    }),
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // lag() pairs consecutive event_types, one count aggregate, and the
+    // per-source row probability as a ratio of exact counts. The sequence
+    // shuffle partitions by user_id; the transition agg is over a
+    // |types|² domain — tiny at any corpus scale.
+    "ev13_markov_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val counts = pairs.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("cnt"))
+      val wp = Window.partitionBy("prev")
+      counts
+        .withColumn("p", round(col("cnt").cast("double") /
+          sum(col("cnt")).over(wp), 6))
+        .orderBy("prev", "next")
+    }),
+
+    // Passage-level duplication profile (the drop rule behind
+    // substring-dedup curation): per-doc fraction of word-5-gram hashes
+    // that appear in ≥2 distinct docs of the mutated corpus. Shuffles
+    // carry only (doc_id, 60-bit hash) pairs — document text never leaves
+    // the scan stage, so the profile holds at corpus scale.
+    "d32_passage_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+      val grams = nearDupCorpus(tbl(s, dir, "documents"))
+        .select(col("doc_id"), explode(sh(col("text"))).as("h"))
+        .distinct()
+      val dupSet = grams.groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val dup = grams.join(dupSet, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      tot.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          round(col("n_dup").cast("double") / col("n_grams"), 6))
+        .withColumn("keep", (col("dup_frac") < 0.5).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain quota sampling (source caps): keep ≤10 docs per source,
+    // chosen by a deterministic md5 order so the sample is reproducible
+    // run-over-run. NOTE for 100 TB: row_number sorts only within each
+    // source partition; a single hot domain serializes onto one reducer —
+    // for heavy-hitter domains pre-aggregate a per-source md5 threshold
+    // from a sample, then filter (no global sort either way).
+    "d33_domain_caps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .orderBy("source", "rk")
+    }),
+
+    // TF-IDF top-3 terms per document. tf comes from the row-local
+    // TermCounts map (one scan, no explode-then-agg shuffle for tf); df
+    // is one hash agg over (term) and joins back broadcast; ranking is a
+    // per-doc window on the ROUNDED score so both engines order
+    // identically (ties broken by term). ln+round(6) is the d21-proven
+    // cross-engine-stable recipe.
+    "d34_tfidf_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val tc = ColumnBridge.column(
+        graft.functions.TermCounts(ColumnBridge.expression(col("text"))))
+      val tf = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(tc))
+        .select(col("doc_id"), col("key").as("term"), col("value").cast("long").as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = tbl(s, dir, "documents").agg(count(lit(1)).as("nn"))
+      val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") *
+          (log((col("nn") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rk")
     })
   )
 
@@ -3539,6 +3716,95 @@ object SparkEntry {
         |SELECT doc_id, length(r) AS len_raw, length(nfc_normalize(r)) AS len_nfc,
         |CAST(nfc_normalize(r) = r AS INT) AS unchanged,
         |md5(nfc_normalize(r)) AS fp
-        |FROM raw ORDER BY doc_id""".stripMargin
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "q64_bloom_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q65_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.top_price
+        |FROM (SELECT * FROM customer WHERE c_custkey <= 200) c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS top_price
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON TRUE
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
+
+    "q66_nullsafe_join" ->
+      """WITH a AS (SELECT nullif(o_orderstatus, 'P') AS k, COUNT(*) AS n_all
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT nullif(o_orderstatus, 'P') AS k, COUNT(*) AS n_even
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1)
+        |SELECT a.k AS k, a.n_all, b.n_even FROM a
+        |JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k NULLS FIRST""".stripMargin,
+
+    "ev12_anomaly_zscore" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |  CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |h AS (SELECT event_id, user_id, x,
+        |  COUNT(x) OVER w AS n, SUM(x) OVER w AS sm, SUM(x * x) OVER w AS sq
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, x AS cents,
+        |  CAST(n * x - sm AS BIGINT) AS dev_scaled, CAST(n AS BIGINT) AS n_hist
+        |FROM h
+        |WHERE n >= 10 AND (n - 1) * (n * x - sm) * (n * x - sm) > 9 * n * (n * sq - sm * sm)
+        |ORDER BY event_id""".stripMargin,
+
+    "ev13_markov_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type AS next, COUNT(*) AS cnt FROM p
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, cnt,
+        |  round(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY prev), 6) AS p
+        |FROM c ORDER BY prev, next""".stripMargin,
+
+    "d32_passage_dedup" ->
+      s"""WITH corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles5 AS sh FROM tok),
+         |g AS (SELECT DISTINCT doc_id,
+         |  ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h FROM sh),
+         |ds AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+         |dup AS (SELECT doc_id, COUNT(*) AS n_dup FROM g
+         |  WHERE h IN (SELECT h FROM ds) GROUP BY 1)
+         |SELECT tot.doc_id, tot.n_grams,
+         |  COALESCE(dup.n_dup, 0) AS n_dup,
+         |  round(CAST(COALESCE(dup.n_dup, 0) AS DOUBLE) / tot.n_grams, 6) AS dup_frac,
+         |  CAST(round(CAST(COALESCE(dup.n_dup, 0) AS DOUBLE) / tot.n_grams, 6) < 0.5 AS INT) AS keep
+         |FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
+
+    "d33_domain_caps" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rk AS INT) AS rk FROM r
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    "d34_tfidf_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  round(tf.tf * (ln(CAST(n.nn + 1 AS DOUBLE) / (df.df + 1)) + 1), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, term ASC) AS rk FROM s)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
   )
 }

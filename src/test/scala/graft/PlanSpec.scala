@@ -124,9 +124,12 @@ class PlanSpec extends SparkSpec {
     // e11/e12: the k-means scoring scan IS a broadcast loop over k=8
     // centroid rows (the distributed formulation); d27 cross-joins the
     // single corpus-count row into the df cut — scalar join like q20.
+    // d34 cross-joins the ONE corpus-count row (N for idf) — scalar join
+    // like d21.
     val expected = Set("d4_ngram_jaccard", "e1_knn_brute", "q20_hll_sketch_union",
       "e7_knn_pq_full", "e8_knn_pq", "d21_bm25", "d26_quality_deciles",
-      "e11_kmeans_assign", "e12_kmeans_step", "d27_boilerplate_ngrams")
+      "e11_kmeans_assign", "e12_kmeans_step", "d27_boilerplate_ngrams",
+      "d34_tfidf_topk")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
@@ -220,5 +223,28 @@ class PlanSpec extends SparkSpec {
         bad.map(_.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(","))
           .mkString("\n"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("q64: bloom prune filters the fact scan BEFORE the semi join; dim broadcasts") {
+    val p = plan("q64_bloom_prune")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // the bloom filter must be applied under the join, not above it: the
+    // Filter(might_contain) node appears on the streamed (orders) side
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val bloomIdx = p.indexOf("might_contain")
+    assert(bloomIdx > joinIdx, "bloom filter should sit below the join in the plan tree:\n" + p)
+  }
+
+  test("q65: LATERAL decorrelates to a group-limit/rank — no nested loop, no cartesian") {
+    val p = plan("q65_lateral_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit") || p.contains("row_number") || p.contains("rank"), p)
+  }
+
+  test("d34: df stats broadcast back to the tf side (no sort-merge on term)") {
+    val p = plan("d34_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 }
