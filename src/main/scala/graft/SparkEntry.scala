@@ -2416,6 +2416,98 @@ object SparkEntry {
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
         .orderBy("doc_id", "rk")
+    }),
+
+    // Exact substring (block-level) dedup WITH document reconstruction —
+    // the Lee-et-al-style curation op: tokenize, cut into 8-token blocks,
+    // keep only each block's globally-first occurrence, and reassemble
+    // every document from its surviving blocks in order. Quote docs
+    // (marker tokens + a copied 8-block) lose exactly the copied block.
+    // Shuffles carry (block-hashable string, doc_id, pos); reassembly is
+    // one per-doc sort of kept blocks.
+    "d35_block_dedup_rebuild" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs0 = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val quotes = docs0.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ",
+          array_join(array_repeat(concat(lit("mk"), col("doc_id")), 8), " "),
+          array_join(slice(expr("filter(split(text, '\\\\s+'), x -> x <> '')"), 1, 8), " "))
+          .as("text"))
+      val corpus = docs0.union(quotes)
+      val toks = corpus.select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("t"))
+      val blocks = toks.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, CAST((size(t) - 1) DIV 8 AS INT)), " +
+            "k -> array_join(slice(t, k * 8 + 1, 8), ' '))"))
+          .as(Seq("bpos", "block")))
+      val keep = Window.partitionBy("block").orderBy("doc_id", "bpos")
+      val kept = blocks.withColumn("rn", row_number().over(keep))
+        .filter(col("rn") === 1)
+      val totals = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+      val rebuilt = kept.groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          sort_array(collect_list(struct(col("bpos"), col("block")))).as("arr"))
+        .select(col("doc_id"), col("n_kept"),
+          md5(expr("array_join(transform(arr, x -> x.block), ' ')")).as("fp"))
+      totals.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_blocks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Time-RANGE window frames (trailing 1 hour per user, no
+    // self-join, no explode): the frame bound is an interval over the
+    // ORDER BY timestamp, so peers are included and the result is
+    // independent of tie order. All-integer cents keep it exact.
+    "q67_time_range_frame" -> ((s, dir) => {
+      tbl(s, dir, "events").createOrReplaceTempView("events_q67")
+      s.sql("""SELECT event_id, user_id,
+        |COUNT(*) OVER w AS n_1h,
+        |SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_1h
+        |FROM events_q67
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+    }),
+
+    // Audio feature extraction over binary media columns: REAL 16-bit PCM
+    // sample decode (not header inspection) into exact integer signal
+    // stats — energy (sum of squares) and peak amplitude. The sample
+    // stream follows an integer formula, so DuckDB replays the identical
+    // signal and the oracle is exact end-to-end through the byte level.
+    "m9_wav_pcm_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val n = (id % 500 + 1).toInt
+        (id, Multimodal.wavFixtureTone(16000, n, id))
+      }.toDF("doc_id", "media")
+      Multimodal.decodeAudioStats(s, media).toDF().orderBy("doc_id")
+    }),
+
+    // Streaming dedup with BOUNDED state (dropDuplicatesWithinWatermark):
+    // unlike st3's never-expiring dropDuplicates state, entries here are
+    // evicted once the watermark passes their event time + delay — the
+    // only formulation that survives an unbounded stream. The replayed
+    // second file is eliminated entirely: in-horizon duplicates hit live
+    // state, out-of-horizon ones are dropped as late.
+    "st11_dedup_watermark" -> ((s, dir) => {
+      val work = tmpdir("graft-st11")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events_0.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events_1.parquet"))
+      val deduped = StreamingOps.drainToMemory(s, work, raw.schema,
+        df => normalizeTs(df).withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id"),
+        OutputMode.Append(),
+        readerOptions = Map("maxFilesPerTrigger" -> "1"))
+      deduped.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
     })
   )
 
@@ -3805,6 +3897,49 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |  ORDER BY score DESC, term ASC) AS rk FROM s)
         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, CAST(df AS BIGINT) AS df, score
-        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "d35_block_dedup_rebuild" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |q AS (SELECT doc_id + 100000 AS doc_id,
+         |  array_to_string(list_transform(generate_series(1, 8), x -> 'mk' || doc_id), ' ')
+         |    || ' ' ||
+         |  array_to_string(list_slice(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), 1, 8), ' ')
+         |  AS text FROM base),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM q),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM corpus),
+         |b AS (SELECT doc_id, unnest(generate_series(0, CAST((len(t) - 1) // 8 AS INT))) AS bpos, t FROM tok),
+         |blk AS (SELECT doc_id, bpos,
+         |  array_to_string(list_slice(t, bpos * 8 + 1, bpos * 8 + 8), ' ') AS block FROM b),
+         |kept AS (SELECT doc_id, bpos, block,
+         |  row_number() OVER (PARTITION BY block ORDER BY doc_id, bpos) AS rn FROM blk),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_blocks FROM blk GROUP BY 1),
+         |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |  md5(string_agg(block, ' ' ORDER BY bpos)) AS fp
+         |  FROM kept WHERE rn = 1 GROUP BY 1)
+         |SELECT tot.doc_id, tot.n_blocks, COALESCE(reb.n_kept, 0) AS n_kept, reb.fp
+         |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q67_time_range_frame" ->
+      """SELECT event_id, user_id,
+        |COUNT(*) OVER w AS n_1h,
+        |CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "m9_wav_pcm_stats" ->
+      """WITH n AS (SELECT doc_id, CAST(doc_id % 500 + 1 AS INT) AS n FROM documents),
+        |i AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM n),
+        |v AS (SELECT doc_id, n, ((doc_id * 31 + i * 7919) % 4096) - 2048 AS v FROM i)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+        |CAST(SUM(v * v) AS BIGINT) AS sum_sq, CAST(MAX(abs(v)) AS INT) AS peak
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "st11_dedup_watermark" ->
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

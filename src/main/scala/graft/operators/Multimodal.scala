@@ -14,6 +14,13 @@ final case class MediaFrame(
 final case class AudioMeta(
     doc_id: Long, sample_rate: Int, channels: Int, bits: Int, n_samples: Long)
 
+/** PCM feature-extraction output: exact integer signal statistics
+  * (sum-of-squares energy and peak amplitude) decoded from the samples
+  * themselves, not the header.
+  */
+final case class AudioStats(
+    doc_id: Long, n_samples: Long, sum_sq: Long, peak: Int)
+
 /** One real frame parsed from a GIF container: byte offset of the image
   * descriptor plus the frame's own dimensions.
   */
@@ -167,6 +174,78 @@ object Multimodal {
       .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(bits.toShort)
     out.put("data".getBytes("US-ASCII")).putInt(dataSize)
     out.array()
+  }
+
+  /** PCM WAV fixture whose 16-bit mono samples follow the integer
+    * formula `v(i) = ((seed*31 + i*7919) mod 4096) - 2048` — deterministic
+    * and replayable in plain SQL, so PCM-level feature extraction gets an
+    * exact cross-engine oracle (no codec, no floats).
+    */
+  def wavFixtureTone(rate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(rate)
+      .putInt(rate * 2).putShort(2.toShort).putShort(16.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      out.putShort((((seed * 31 + i.toLong * 7919) % 4096) - 2048).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** REAL PCM sample decode (16-bit LE mono/interleaved): walks to the
+    * `data` chunk and folds every sample into exact integer statistics —
+    * count, sum of squares (energy), peak |amplitude|. All-integer math
+    * keeps the result bit-identical across engines and partitionings.
+    * Returns None for non-WAV or non-16-bit input.
+    */
+  def wavPcmStats(bytes: Array[Byte]): Option[(Long, Long, Int)] = {
+    wavHeaderDecode(bytes).filter(_._3 == 16).flatMap { _ =>
+      def tag(i: Int, s: String): Boolean =
+        (0 until 4).forall(j => bytes(i + j) == s.charAt(j).toByte)
+      def le32(i: Int): Long =
+        (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+          ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+      var i = 12L
+      var res: Option[(Long, Long, Int)] = None
+      while (res.isEmpty && i + 8 <= bytes.length) {
+        val ii = i.toInt
+        val size = le32(ii + 4)
+        if (tag(ii, "data")) {
+          val end = math.min(ii + 8 + size, bytes.length.toLong).toInt
+          var p = ii + 8
+          var n = 0L; var sq = 0L; var peak = 0
+          while (p + 1 < end) {
+            val v = ((bytes(p) & 0xFF) | (bytes(p + 1) << 8)).toShort.toInt
+            n += 1; sq += v.toLong * v; if (math.abs(v) > peak) peak = math.abs(v)
+            p += 2
+          }
+          res = Some((n, sq, peak))
+        }
+        i += 8L + size + (size & 1L)
+      }
+      res
+    }
+  }
+
+  /** Decode a (id, audio) pair stream into exact PCM statistics via
+    * [[wavPcmStats]] — the audio twin of the image pixel-decode stage:
+    * prune to (id, bytes) BEFORE the non-codegen boundary, one pass per
+    * partition, unparseable rows dropped.
+    */
+  def decodeAudioStats(spark: SparkSession, pruned: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    pruned.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        wavPcmStats(bytes).map { case (n, sq, peak) => AudioStats(id, n, sq, peak) }
+      }
+    }
   }
 
   /** STUB fallback for formats [[headerDecode]] can't parse without real

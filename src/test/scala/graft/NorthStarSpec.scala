@@ -198,7 +198,26 @@ class NorthStarSpec extends SparkSpec {
       "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
       Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
     assert(Multimodal.wavHeaderDecode(corrupt) == None)
-    val corrupt2 = corrupt.dropRight(4) ++
+  }
+
+  test("wavPcmStats decodes the real 16-bit samples: formula, negatives, non-PCM") {
+    // stats must equal the generator formula evaluated independently
+    val n = 37; val seed = 11L
+    val expected = (0 until n).map(i => ((seed * 31 + i * 7919) % 4096 - 2048).toInt)
+    val got = Multimodal.wavPcmStats(Multimodal.wavFixtureTone(16000, n, seed))
+    assert(got == Some((n.toLong,
+      expected.map(v => v.toLong * v).sum, expected.map(math.abs).max)))
+    // negative samples round-trip through the little-endian encode
+    assert(expected.exists(_ < 0))
+    // zero-filled fixture: energy and peak are exactly 0
+    assert(Multimodal.wavPcmStats(Multimodal.wavFixture(8000, 1, 16, 5)) ==
+      Some((5L, 0L, 0)))
+    // 8-bit input is refused (decoder is 16-bit only), as is non-WAV
+    assert(Multimodal.wavPcmStats(Multimodal.wavFixture(8000, 1, 8, 5)) == None)
+    assert(Multimodal.wavPcmStats("not audio".getBytes) == None)
+    // same corrupt-size guard as the header walk: must not hang or crash
+    val corrupt2 = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
       Array[Byte](0, 0, 0, 0x80.toByte) // size = 0x80000000
     assert(Multimodal.wavHeaderDecode(corrupt2) == None)
   }
