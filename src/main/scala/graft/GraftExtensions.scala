@@ -60,5 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_term_counts"),
       new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts"),
       (args: Seq[Expression]) => TermCounts(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[graft.functions.ZOrder2].getName, "graft_zorder"),
+      (args: Seq[Expression]) => graft.functions.ZOrder2(args(0), args(1))))
   }
 }

@@ -2508,6 +2508,89 @@ object SparkEntry {
       deduped.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
         .orderBy("event_type")
+    }),
+
+    // Incremental aggregate maintenance: per-month partial states
+    // (count + exact cents sum — both algebraic, so partials merge
+    // associatively) are persisted once, and the yearly rollup is
+    // answered by MERGING partials instead of rescanning the fact table.
+    // At 100 TB this is the difference between reading 12 partial rows
+    // and re-reading a year of raw data; the oracle proves merge == direct.
+    "q68_incremental_agg_merge" -> ((s, dir) => {
+      val out = tmpdir("graft-q68")
+      tbl(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("cents"))
+        .write.parquet(s"$out/partials")
+      s.read.parquet(s"$out/partials")
+        .groupBy(year(col("month")).as("yr"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("cents")).cast("double").as("st"))
+        .orderBy("yr")
+    }),
+
+    // Z-order (Morton) data layout: the native codegen'd graft_zorder
+    // expression interleaves two bucketed dimensions into one clustering
+    // key, so sorting by it co-locates rows close in BOTH dims into the
+    // same files and min/max stats prune 2-D range scans. The oracle
+    // replays the interleave as an explicit 16-term bit sum.
+    "q69_zorder_key" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val x = (col("l_partkey") % 65536).cast("long")
+      val y = (col("l_suppkey") % 65536).cast("long")
+      val z = ColumnBridge.column(graft.functions.ZOrder2(
+        ColumnBridge.expression(x), ColumnBridge.expression(y)))
+      tbl(s, dir, "lineitem").filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          x.as("x"), y.as("y"), z.as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Correlated scalar subquery (per-row MAX over a child table):
+    // Catalyst decorrelates it into ONE left outer join against a
+    // pre-aggregated subquery side — no per-row re-execution. Orders
+    // without lineitems surface NULL, exercising the outer-join edge.
+    "q70_scalar_subquery" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_q70")
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_q70")
+      s.sql("""SELECT o_orderkey,
+        |  (SELECT MAX(l_quantity) FROM lineitem_q70 l
+        |   WHERE l.l_orderkey = o.o_orderkey) AS max_qty
+        |FROM orders_q70 o
+        |WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Containment similarity (quote detection): C(q,c) = |grams(q) ∩
+    // grams(c)| / |grams(q)|. A short quote embedded in a long document
+    // scores ~1 on containment while Jaccard stays near 0 — the curation
+    // case MinHash/Jaccard dedup misses. Candidates come from the gram-
+    // hash equi-join (quote side only probes), so cost scales with shared
+    // grams, not |corpus|².
+    "d36_containment" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+      val docs0 = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val quotes = docs0.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ",
+          array_join(slice(expr("filter(split(text, '\\\\s+'), x -> x <> '')"), 1, 20), " "),
+          array_join(array_repeat(concat(lit("qt"), col("doc_id")), 10), " "))
+          .as("text"))
+      val qGrams = quotes
+        .select(col("doc_id").as("q_id"), explode(sh(col("text"))).as("h")).distinct()
+      val cGrams = docs0
+        .select(col("doc_id").as("c_id"), explode(sh(col("text"))).as("h")).distinct()
+      val qTotals = qGrams.groupBy("q_id").agg(count(lit(1)).as("n_q"))
+      val shared = qGrams.join(cGrams, "h")
+        .groupBy("q_id", "c_id").agg(count(lit(1)).as("n_shared"))
+      shared.join(broadcast(qTotals), "q_id")
+        .withColumn("containment",
+          round(col("n_shared").cast("double") / col("n_q"), 6))
+        .filter(col("containment") >= 0.5)
+        .select(col("q_id"), col("c_id"), col("n_shared"), col("n_q"), col("containment"))
+        .orderBy("q_id", "c_id")
     })
   )
 
@@ -3940,6 +4023,54 @@ object SparkEntry {
 
     "st11_dedup_watermark" ->
       """SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q68_incremental_agg_merge" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q69_zorder_key" -> {
+      val terms = (0 until 16).map(b =>
+        s"((((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1}))")
+        .mkString(" | ")
+      s"""WITH d AS (SELECT l_orderkey, l_linenumber,
+         |  l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+         |  FROM lineitem WHERE l_orderkey <= 200)
+         |SELECT l_orderkey, l_linenumber, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+         |CAST($terms AS BIGINT) AS zkey FROM d
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "q70_scalar_subquery" ->
+      """SELECT o_orderkey,
+        |  (SELECT MAX(l_quantity) FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey) AS max_qty
+        |FROM orders o
+        |WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "d36_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |q AS (SELECT doc_id + 100000 AS doc_id,
+         |  array_to_string(list_slice(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), 1, 20), ' ')
+         |  || ' ' ||
+         |  array_to_string(list_transform(generate_series(1, 10), x -> 'qt' || doc_id), ' ')
+         |  AS text FROM base),
+         |qtok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM q),
+         |qsh AS (SELECT doc_id, $duckShingles5 AS sh FROM qtok),
+         |qg AS (SELECT DISTINCT doc_id AS q_id,
+         |  ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h FROM qsh),
+         |ctok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM base),
+         |csh AS (SELECT doc_id, $duckShingles5 AS sh FROM ctok),
+         |cg AS (SELECT DISTINCT doc_id AS c_id,
+         |  ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h FROM csh),
+         |qt AS (SELECT q_id, COUNT(*) AS n_q FROM qg GROUP BY 1),
+         |sh2 AS (SELECT q_id, c_id, COUNT(*) AS n_shared FROM qg JOIN cg USING (h) GROUP BY 1, 2)
+         |SELECT s.q_id, s.c_id, s.n_shared, t.n_q,
+         |  round(CAST(s.n_shared AS DOUBLE) / t.n_q, 6) AS containment
+         |FROM sh2 s JOIN qt t USING (q_id)
+         |WHERE round(CAST(s.n_shared AS DOUBLE) / t.n_q, 6) >= 0.5
+         |ORDER BY q_id, c_id""".stripMargin
   )
 }

@@ -15,6 +15,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("graft_zorder interleaves bits; monotone on each axis; SQL-callable") {
+    import graft.functions.ZOrder2
+    // golden interleaves: (x=0b11, y=0b00) -> 0b0101; (0b00, 0b11) -> 0b1010
+    assert(ZOrder2.interleave(3, 0) == 5L)
+    assert(ZOrder2.interleave(0, 3) == 10L)
+    assert(ZOrder2.interleave(0xFFFF, 0xFFFF) == 0xFFFFFFFFL)
+    // matches the explicit 16-term bit sum the oracle uses
+    def slowInterleave(x: Long, y: Long): Long =
+      (0 until 16).map(b =>
+        (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))).reduce(_ | _)
+    for (x <- Seq(0L, 1L, 7L, 255L, 4096L, 65535L); y <- Seq(0L, 2L, 100L, 65535L))
+      assert(ZOrder2.interleave(x, y) == slowInterleave(x, y), s"($x, $y)")
+    val r = spark.sql("SELECT graft_zorder(3, 0) AS a, graft_zorder(0L, 3L) AS b").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
+  }
+
   test("graft_srp_signature / graft_minhash / graft_simhash from SQL") {
     val sig = spark.sql(
       "SELECT graft_srp_signature(array(0.5D, -0.2D), 2, 4, 8, 7) AS s").head().getSeq[Long](0)

@@ -247,4 +247,25 @@ class PlanSpec extends SparkSpec {
     val p = plan("d34_tfidf_topk")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q70: correlated scalar subquery decorrelates to ONE outer join + agg") {
+    val p = plan("q70_scalar_subquery")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftOuter") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q69: the zorder key computes inside whole-stage codegen") {
+    val df = SparkEntry.queries("q69_zorder_key")(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize the adaptive plan so codegen spans render
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixing the Project node is the WholeStageCodegen marker in
+    // the final-plan rendering
+    val zorderLine = p.linesIterator.find(_.contains("graft_zorder"))
+    assert(zorderLine.exists(l => l.contains("*(") && l.contains("Project")), p)
+    // the expression must not be a CodegenFallback (that would silently
+    // break the whole stage out of codegen)
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[graft.functions.ZOrder2]))
+  }
 }
