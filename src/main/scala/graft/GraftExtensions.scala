@@ -65,5 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[graft.functions.ZOrder2].getName, "graft_zorder"),
       (args: Seq[Expression]) => graft.functions.ZOrder2(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_url_canon"),
+      new ExpressionInfo(classOf[graft.functions.UrlCanonicalize].getName, "graft_url_canon"),
+      (args: Seq[Expression]) => graft.functions.UrlCanonicalize(args(0))))
   }
 }

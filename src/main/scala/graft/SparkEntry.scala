@@ -2591,6 +2591,58 @@ object SparkEntry {
         .filter(col("containment") >= 0.5)
         .select(col("q_id"), col("c_id"), col("n_shared"), col("n_q"), col("containment"))
         .orderBy("q_id", "c_id")
+    }),
+
+    // Int8 symmetric quantization fidelity: per-vector scale = 127/max|v|,
+    // codes are exact ints, and the quantized dot product is pure integer
+    // math — so the compressed similarity (4 B/dim → 1 B/dim, the memory
+    // trick behind every int8 ANN index) has an EXACT cross-engine oracle.
+    // The cosine reconstruction divides by sqrt of exact ints (both
+    // engines' sqrt is IEEE correctly-rounded). PQ (e7–e10) is the
+    // codegen'd production path; this is its measurable fidelity twin.
+    "e13_int8_quantize" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val quant = emb.select(col("vec_id"), col("embedding"))
+        .withColumn("amax",
+          expr("CAST(array_max(transform(embedding, v -> abs(v))) AS DOUBLE)"))
+        .withColumn("qv", expr(
+          "CASE WHEN amax = 0D THEN transform(embedding, v -> 0) " +
+            "ELSE transform(embedding, v -> " +
+            "CAST(round(CAST(v AS DOUBLE) * (127.0D / amax)) AS INT)) END"))
+        .select(col("vec_id"), col("qv"),
+          expr("aggregate(transform(qv, x -> CAST(x * x AS BIGINT)), 0L, (a, b) -> a + b)")
+            .as("s2"))
+      val q = quant.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("s2").as("s2a"))
+      val c = quant.filter(col("vec_id") >= 10 && col("vec_id") < 60)
+        .select(col("vec_id").as("c_id"), col("qv").as("qb"), col("s2").as("s2b"))
+      broadcast(q).crossJoin(c)
+        .withColumn("dot_q", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> CAST(x * y AS BIGINT)), 0L, (a, b) -> a + b)"))
+        .withColumn("cos_q", round(col("dot_q").cast("double") /
+          sqrt(col("s2a").cast("double") * col("s2b").cast("double")), 6))
+        .select(col("q_id"), col("c_id"), col("dot_q"), col("cos_q"))
+        .orderBy("q_id", "c_id")
+    }),
+
+    // URL canonicalization (web-corpus dedup prep): the codegen'd
+    // graft_url_canon expression normalizes scheme/host case, strips
+    // default ports, sorts query parameters, and drops fragments — the
+    // variants that make one page look like many to exact dedup. The
+    // oracle CONSTRUCTS the expected canonical form independently from
+    // the same messy components, so the expression is checked against an
+    // un-parsed ground truth. Row-local, zero shuffle.
+    "d37_url_canonicalize" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val raw = concat(
+        lit("HTTPS://"), upper(col("source")), lit(".Example.COM:443/Docs/"),
+        col("doc_id"), lit("?b="), col("doc_id") % 7,
+        lit("&a="), col("doc_id") % 3, lit("#sec"))
+      val canon = ColumnBridge.column(
+        graft.functions.UrlCanonicalize(ColumnBridge.expression(raw)))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), canon.as("url_canon"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4071,6 +4123,33 @@ object SparkEntry {
          |  round(CAST(s.n_shared AS DOUBLE) / t.n_q, 6) AS containment
          |FROM sh2 s JOIN qt t USING (q_id)
          |WHERE round(CAST(s.n_shared AS DOUBLE) / t.n_q, 6) >= 0.5
-         |ORDER BY q_id, c_id""".stripMargin
+         |ORDER BY q_id, c_id""".stripMargin,
+
+    "e13_int8_quantize" ->
+      """WITH qn AS (SELECT vec_id,
+        |  CAST(list_max(list_transform(embedding, v -> abs(v))) AS DOUBLE) AS amax,
+        |  embedding FROM embeddings),
+        |qz AS (SELECT vec_id,
+        |  CASE WHEN amax = 0 THEN list_transform(embedding, v -> 0)
+        |  ELSE list_transform(embedding, v ->
+        |    CAST(round(CAST(v AS DOUBLE) * (127.0 / amax)) AS INT)) END AS qv
+        |  FROM qn),
+        |st AS (SELECT vec_id, qv,
+        |  CAST(list_sum(list_transform(qv, x -> CAST(x * x AS BIGINT))) AS BIGINT) AS s2
+        |  FROM qz),
+        |p AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |  CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+        |    i -> CAST(a.qv[i] * b.qv[i] AS BIGINT))) AS BIGINT) AS dot_q,
+        |  a.s2 AS s2a, b.s2 AS s2b
+        |  FROM st a, st b WHERE a.vec_id < 10 AND b.vec_id >= 10 AND b.vec_id < 60)
+        |SELECT q_id, c_id, dot_q,
+        |  round(CAST(dot_q AS DOUBLE) / sqrt(CAST(s2a AS DOUBLE) * CAST(s2b AS DOUBLE)), 6) AS cos_q
+        |FROM p ORDER BY q_id, c_id""".stripMargin,
+
+    "d37_url_canonicalize" ->
+      """SELECT doc_id,
+        |'https://' || lower(source) || '.example.com/Docs/' || doc_id ||
+        |'?a=' || (doc_id % 3) || '&b=' || (doc_id % 7) AS url_canon
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -31,6 +31,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
   }
 
+  test("graft_url_canon: case, default ports, param sort, fragments, edge cases") {
+    import graft.functions.UrlCanonicalize.canonicalize
+    assert(canonicalize("HTTPS://WWW.Example.COM:443/A/b?z=1&a=2#frag") ==
+      "https://www.example.com/A/b?a=2&z=1")
+    // non-default port survives; http default port stripped
+    assert(canonicalize("http://host:8080/p") == "http://host:8080/p")
+    assert(canonicalize("HTTP://Host:80/p") == "http://host/p")
+    // duplicate keys keep arrival order (stable sort)
+    assert(canonicalize("https://h/p?b=2&a=1&b=0") == "https://h/p?a=1&b=2&b=0")
+    // empty query and bare authority
+    assert(canonicalize("https://H?") == "https://h")
+    assert(canonicalize("https://H#x") == "https://h")
+    // malformed input passes through
+    assert(canonicalize("not a url") == "not a url")
+    val r = spark.sql(
+      "SELECT graft_url_canon('HTTP://A:80/x?b=1&a=2#f') AS u").head().getString(0)
+    assert(r == "http://a/x?a=2&b=1")
+  }
+
   test("graft_srp_signature / graft_minhash / graft_simhash from SQL") {
     val sig = spark.sql(
       "SELECT graft_srp_signature(array(0.5D, -0.2D), 2, 4, 8, 7) AS s").head().getSeq[Long](0)
