@@ -2643,6 +2643,72 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), canon.as("url_canon"))
         .orderBy("doc_id")
+    }),
+
+    // Point-in-time (feature-store) join: enrich each probe with the
+    // dimension version that was valid AT the probe's event time — the
+    // join that makes training features leakage-free. The SCD2 dimension
+    // (q36's half-open [valid_from, valid_to) segments) partitions each
+    // user's timeline, so exactly one version matches. Planned as an
+    // equi-join on user_id with the interval as a residual filter;
+    // per-user segment counts are bounded, and the native as-of operator
+    // (ev6) is the O(1)-state alternative when they aren't.
+    "q71_pit_join" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = tbl(s, dir, "events")
+      val seg = ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(not(lag(col("event_type"), 1).over(wOrd) <=> col("event_type")), 1)
+            .otherwise(0))
+        .withColumn("seg", sum(col("chg"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val dim = seg.groupBy("user_id", "seg")
+        .agg(min(col("event_type")).as("feat"), min(col("ts")).as("valid_from"))
+        .select(col("user_id"), col("seg").cast("int").as("version"),
+          col("feat"), col("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1)
+          .over(Window.partitionBy("user_id").orderBy("version")))
+      val probes = ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_id").as("probe_id"), col("user_id"), col("ts"))
+      probes.join(dim, Seq("user_id"))
+        .filter(col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("probe_id"), col("user_id"), col("version"), col("feat"))
+        .orderBy("probe_id")
+    }),
+
+    // Per-user lifetime profile — the "user feature table" aggregation:
+    // event counts, type diversity, activity span endpoints, distinct
+    // active hours, and exact cents volume, all in ONE hash aggregate
+    // (count-distincts expand map-side; no window, no self-join).
+    "ev14_user_profile" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          countDistinct(date_trunc("hour", col("ts"))).as("active_hours"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .orderBy("user_id")
+    }),
+
+    // Join-strategy hints: MERGE forces a sort-merge join where the
+    // optimizer would broadcast (customer is tiny at test SF), BROADCAST
+    // forces the dim broadcast — the surface that lets a user overrule
+    // size estimates at 100 TB, where a misestimated auto-broadcast OOMs
+    // the driver. Plan-pinned: both strategies appear in one plan.
+    "q72_join_hints" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_q72")
+      tbl(s, dir, "customer").createOrReplaceTempView("customer_q72")
+      tbl(s, dir, "nation").createOrReplaceTempView("nation_q72")
+      s.sql("""SELECT /*+ SHUFFLE_MERGE(c), BROADCAST(n) */
+        |  n.n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st
+        |FROM orders_q72 o
+        |JOIN customer_q72 c ON o.o_custkey = c.c_custkey
+        |JOIN nation_q72 n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
     })
   )
 
@@ -4150,6 +4216,42 @@ object SparkEntry {
       """SELECT doc_id,
         |'https://' || lower(source) || '.example.com/Docs/' || doc_id ||
         |'?a=' || (doc_id % 3) || '&b=' || (doc_id % 7) AS url_canon
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q71_pit_join" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN event_type IS DISTINCT FROM
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  THEN 1 ELSE 0 END AS chg FROM events),
+        |se AS (SELECT user_id, ts, event_type, SUM(chg) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM e),
+        |runs AS (SELECT user_id, seg, MIN(event_type) AS feat,
+        |  MIN(ts) AS valid_from FROM se GROUP BY user_id, seg),
+        |dim AS (SELECT user_id, CAST(seg AS INT) AS version, feat, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to
+        |  FROM runs),
+        |probes AS (SELECT event_id AS probe_id, user_id, ts FROM events
+        |  WHERE event_id % 10 = 0)
+        |SELECT p.probe_id, p.user_id, d.version, d.feat
+        |FROM probes p JOIN dim d ON p.user_id = d.user_id
+        |  AND p.ts >= d.valid_from AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        |ORDER BY p.probe_id""".stripMargin,
+
+    "ev14_user_profile" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS active_hours,
+        |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q72_join_hints" ->
+      """SELECT n.n_name, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
   )
 }

@@ -125,11 +125,12 @@ class PlanSpec extends SparkSpec {
     // centroid rows (the distributed formulation); d27 cross-joins the
     // single corpus-count row into the df cut — scalar join like q20.
     // d34 cross-joins the ONE corpus-count row (N for idf) — scalar join
-    // like d21.
+    // like d21. e13 is a BOUNDED fidelity probe (10 broadcast query rows
+    // × 50 corpus rows) — the production compressed scan is e7–e10.
     val expected = Set("d4_ngram_jaccard", "e1_knn_brute", "q20_hll_sketch_union",
       "e7_knn_pq_full", "e8_knn_pq", "d21_bm25", "d26_quality_deciles",
       "e11_kmeans_assign", "e12_kmeans_step", "d27_boilerplate_ngrams",
-      "d34_tfidf_topk")
+      "d34_tfidf_topk", "e13_int8_quantize")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
@@ -253,6 +254,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("LeftOuter") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q72: join hints overrule the optimizer — MERGE forces sort-merge, BROADCAST broadcasts") {
+    // customer is tiny at test SF and would auto-broadcast; the MERGE
+    // hint must force a shuffle sort-merge join anyway, proving a user
+    // can overrule a misestimate at scale
+    val p = plan("q72_join_hints")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("q69: the zorder key computes inside whole-stage codegen") {

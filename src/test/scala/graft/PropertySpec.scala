@@ -158,4 +158,38 @@ class PropertySpec extends SparkSpec {
       codes.length == m && codes.forall(c => c >= 0 && c < ksub)
     })
   }
+
+  test("URL canonicalization is idempotent and key-sorted for any URL shape") {
+    import graft.functions.UrlCanonicalize.canonicalize
+    val segGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(8).mkString)
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp")
+      host <- segGen
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.listOf(segGen).map(_.take(3).map("/" + _).mkString)
+      nParams <- Gen.chooseNum(0, 5)
+      params <- Gen.listOfN(nParams, Gen.zip(segGen, segGen))
+      frag <- Gen.oneOf("", "#x", "#sec")
+    } yield {
+      val q = if (params.isEmpty) ""
+        else "?" + params.map { case (k, v) => s"$k=$v" }.mkString("&")
+      s"$scheme://$host$port$path$q$frag"
+    }
+    check(Prop.forAll(urlGen) { url =>
+      val c = canonicalize(url)
+      // idempotent: canonical form is a fixed point
+      val fixed = canonicalize(c) == c
+      // no fragment survives; query keys are sorted
+      val noFrag = !c.contains('#')
+      val keysSorted = {
+        val qIdx = c.indexOf('?')
+        qIdx < 0 || {
+          val keys = c.substring(qIdx + 1).split("&").toSeq
+            .map(p => p.substring(0, math.max(p.indexOf('='), 0)))
+          keys == keys.sorted
+        }
+      }
+      fixed && noFrag && keysSorted
+    })
+  }
 }
