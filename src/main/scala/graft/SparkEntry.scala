@@ -2709,6 +2709,109 @@ object SparkEntry {
         |JOIN customer_q72 c ON o.o_custkey = c.c_custkey
         |JOIN nation_q72 n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+    }),
+
+    // Image near-dup fingerprint (average hash): REAL PNG decode, 8×8
+    // integer block means vs global mean, one bit per block. Re-encoded /
+    // re-sized variants of an image keep the same 64-bit key, so exact
+    // dedup collapses them — the image twin of d1's text fingerprint.
+    // The gradient rasters make every block sum a closed-form integer,
+    // so the oracle replays the hash bit-for-bit without any decoder.
+    "m10_image_ahash" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = (8 * (2 + id % 5)).toInt
+        val h = (8 * (2 + (id / 5) % 5)).toInt
+        (id, Multimodal.pngGradientBytes(w, h))
+      }.toDF("doc_id", "media")
+      media.as[(Long, Array[Byte])].mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Multimodal.imageAHash(bytes).map { case (w, h, hash) => (id, w, h, hash) }
+        }
+      }.toDF("doc_id", "w", "h", "ahash").orderBy("doc_id")
+    }),
+
+    // Association rules over per-user event-type baskets: pair support
+    // from ONE equi-self-join on user_id (fan-out bounded by |types|² per
+    // user, never |users|²), confidence and lift as exact-integer ratios.
+    // The basket-mining primitive for co-occurrence analysis.
+    "ev15_assoc_rules" -> ((s, dir) => {
+      val ut = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val singles = ut.groupBy("event_type").agg(count(lit(1)).as("n_single"))
+      val n = ut.agg(countDistinct(col("user_id")).as("nn"))
+      val pairs = ut.as("a")
+        .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("ante"), col("b.event_type").as("cons"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(singles.select(col("event_type").as("ante"),
+          col("n_single").as("n_a"))), "ante")
+        .join(broadcast(singles.select(col("event_type").as("cons"),
+          col("n_single").as("n_b"))), "cons")
+        .crossJoin(broadcast(n))
+        .select(col("ante"), col("cons"), col("n_ab"),
+          round(col("n_ab").cast("double") / col("n_a"), 6).as("conf"),
+          round((col("n_ab") * col("nn")).cast("double") /
+            (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy("ante", "cons")
+    }),
+
+    // Gaps-and-islands over per-user activity hours: the hour-index minus
+    // row_number trick turns consecutive runs into constant group keys —
+    // two hash aggregates, no self-join, no explode. All-integer hour
+    // indices keep it exact.
+    "q73_gaps_islands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hrs = tbl(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_timestamp(date_trunc('hour', ts)) DIV 3600").as("hr"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("hr")
+      hrs.withColumn("grp", col("hr") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_islands"),
+          max(col("len")).as("longest"),
+          sum(col("len")).as("active_hours"))
+        .orderBy("user_id")
+    }),
+
+    // Triangle counting on the co-purchase graph (parts sharing an
+    // order), with DEGREE-ORIENTED wedges: each undirected edge points
+    // from its lower-(degree, id) endpoint, capping out-degree at
+    // O(√|E|) so wedge fan-out survives power-law hubs — the standard
+    // scalable formulation. The oracle counts the same triangles with
+    // the simple a<b<c chain join.
+    "q74_triangle_count" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), (col("l_partkey") % 500).as("p"))
+        .distinct()
+      val e = li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val eo = e
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+      val wedges = eo.as("x")
+        .join(eo.as("y"), col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+        .select(least(col("x.t"), col("y.t")).as("wu"),
+          greatest(col("x.t"), col("y.t")).as("wv"))
+      val tri = wedges
+        .join(e.select(col("u").as("wu"), col("v").as("wv")), Seq("wu", "wv"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      broadcast(nNodes).crossJoin(broadcast(nEdges)).crossJoin(tri)
     })
   )
 
@@ -4252,6 +4355,62 @@ object SparkEntry {
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "m10_image_ahash" ->
+      """WITH d AS (SELECT doc_id,
+        |  8 * (2 + doc_id % 5) AS w, 8 * (2 + (doc_id // 5) % 5) AS h FROM documents),
+        |b AS (SELECT doc_id, w, h, w // 8 AS bw, h // 8 AS bh,
+        |  h * ((w * (w - 1)) // 2) + w * ((h * (h - 1)) // 2) AS g FROM d),
+        |cells AS (SELECT doc_id, w, h, bw, bh, g, bx, by,
+        |  bh * ((bw * (2 * bx * bw + bw - 1)) // 2) +
+        |  bw * ((bh * (2 * by * bh + bh - 1)) // 2) AS s
+        |  FROM b, generate_series(0, 7) t1(bx), generate_series(0, 7) t2(by)),
+        |hs AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+        |  SUM(CASE WHEN s * (w * h) > g * (bw * bh)
+        |    THEN (1::HUGEINT << (8 * by + bx)) ELSE 0::HUGEINT END) AS s
+        |  FROM cells GROUP BY doc_id)
+        |SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+        |CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |  THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS ahash
+        |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "ev15_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |singles AS (SELECT event_type, COUNT(*) AS n_single FROM ut GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT user_id) AS nn FROM ut),
+        |pairs AS (SELECT a.event_type AS ante, b.event_type AS cons, COUNT(*) AS n_ab
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.ante, p.cons, p.n_ab,
+        |  round(CAST(p.n_ab AS DOUBLE) / sa.n_single, 6) AS conf,
+        |  round(CAST(p.n_ab * n.nn AS DOUBLE) / (sa.n_single * sb.n_single), 6) AS lift
+        |FROM pairs p
+        |JOIN singles sa ON p.ante = sa.event_type
+        |JOIN singles sb ON p.cons = sb.event_type
+        |CROSS JOIN n
+        |ORDER BY ante, cons""".stripMargin,
+
+    "q73_gaps_islands" ->
+      """WITH hrs AS (SELECT DISTINCT user_id,
+        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr FROM events),
+        |isl AS (SELECT user_id, hr,
+        |  hr - row_number() OVER (PARTITION BY user_id ORDER BY hr) AS grp FROM hrs),
+        |runs AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands, MAX(len) AS longest,
+        |CAST(SUM(len) AS BIGINT) AS active_hours
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q74_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey % 500 AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        |nodes AS (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) AS n_nodes
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM e),
+        |tri AS (SELECT COUNT(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT n_nodes, n_edges, n_triangles FROM nodes, ne, tri""".stripMargin
   )
 }

@@ -566,6 +566,45 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Average-hash (aHash) image fingerprint over a REAL decoded raster:
+    * 8×8 integer block means compared against the global mean, one bit
+    * per block (bit p = 8·by + bx, set iff blockSum·(w·h) >
+    * globalSum·(bw·bh) — cross-multiplied, so no FP division touches the
+    * bits). The classic perceptual near-dup key: images differing by
+    * resize/re-encode keep the same hash, so exact dedup (d1) collapses
+    * them. Requires dimensions divisible by 8; gray level = red channel
+    * (our rasters are grayscale-in-RGB).
+    */
+  def imageAHash(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w % 8 != 0 || h % 8 != 0) return None
+      val bw = w / 8; val bh = h / 8
+      val blockSums = Array.ofDim[Long](64)
+      var globalSum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = (img.getRGB(x, y) >> 16) & 0xFF
+          blockSums(8 * (y / bh) + (x / bw)) += g
+          globalSum += g
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var p = 0
+      while (p < 64) {
+        if (blockSums(p) * (w.toLong * h) > globalSum * (bw.toLong * bh)) hash |= 1L << p
+        p += 1
+      }
+      Some((w, h, hash))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Parse every frame of a (id, gif) pair stream via [[gifFrames]] —
     * real multi-frame extraction from real container bytes, same
     * pruned-input/mapPartitions discipline as the other decode stages.
