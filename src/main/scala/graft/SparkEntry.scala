@@ -2812,6 +2812,32 @@ object SparkEntry {
       val nEdges = e.agg(count(lit(1)).as("n_edges"))
       val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
       broadcast(nNodes).crossJoin(broadcast(nEdges)).crossJoin(tri)
+    }),
+
+    // Spark 4 arbitrary-state API (transformWithState + typed ValueState
+    // on the RocksDB state store) — the successor to mapGroupsWithState
+    // (st2): named state variables, TTL, timers. Two replayed files
+    // exercise state ACROSS micro-batches; the oracle doubles the batch
+    // aggregate accordingly.
+    "st12_transform_with_state" -> ((s, dir) => {
+      val work = tmpdir("graft-st12")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events_0.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events_1.parquet"))
+      StreamingOps.drainToMemory(s, work, raw.schema,
+          df => StreamingOps.runningUserAggTws(s, normalizeTs(df))
+            .toDF("user_id", "n", "cents"),
+          OutputMode.Update(),
+          readerOptions = Map("maxFilesPerTrigger" -> "1"),
+          extraConf = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n_events"), max(col("cents")).as("cents"))
+        .orderBy("user_id")
     })
   )
 
@@ -4411,6 +4437,11 @@ object SparkEntry {
         |ne AS (SELECT COUNT(*) AS n_edges FROM e),
         |tri AS (SELECT COUNT(*) AS n_triangles
         |  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
-        |SELECT n_nodes, n_edges, n_triangles FROM nodes, ne, tri""".stripMargin
+        |SELECT n_nodes, n_edges, n_triangles FROM nodes, ne, tri""".stripMargin,
+
+    "st12_transform_with_state" ->
+      """SELECT user_id, 2 * COUNT(*) AS n_events,
+        |CAST(2 * SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

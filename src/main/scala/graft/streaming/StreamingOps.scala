@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 final case class Event(
     event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -45,6 +46,34 @@ object StreamingOps {
       }
   }
 
+  /** Per-user running (count, exact cents) via the Spark 4 arbitrary-
+    * state API: `transformWithState` + a typed `ValueState` on the
+    * RocksDB state store — the successor to mapGroupsWithState (typed
+    * named state variables, TTL support, timers). State is one
+    * (long, long) pair per user, hash-partitioned; math.round on the
+    * strictly-positive values matches the oracle's round-half-up.
+    */
+  class UserAggProcessor extends StatefulProcessor[Long, Event, (Long, Long, Long)] {
+    @transient private var agg: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Long)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, cents) = if (agg.exists()) agg.get() else (0L, 0L)
+      rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+      agg.update((n, cents))
+      Iterator.single((key, n, cents))
+    }
+  }
+
+  def runningUserAggTws(
+      spark: SparkSession, events: DataFrame): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    events.as[Event].groupByKey(_.user_id)
+      .transformWithState(new UserAggProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Drain a parquet-file stream through `pipeline` into an in-memory
     * table and return its final contents. `outputMode` must match the
     * pipeline (complete for aggregations, update for stateful map).
@@ -63,13 +92,15 @@ object StreamingOps {
       pipeline: DataFrame => DataFrame,
       outputMode: OutputMode,
       readerOptions: Map[String, String] = Map.empty,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8,
+      extraConf: Map[String, String] = Map.empty): DataFrame = {
     val name = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // a cloned session scopes the state-partition override to this drain —
     // the caller's session (and anything running on it concurrently)
     // keeps its own shuffle-partition setting
     val sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    extraConf.foreach { case (k, v) => sess.conf.set(k, v) }
     val stream = sess.readStream.schema(schema).options(readerOptions).parquet(inputDir)
     val q = pipeline(stream).writeStream
       .format("memory").queryName(name).outputMode(outputMode).start()
