@@ -2197,16 +2197,19 @@ object SparkEntry {
       val tf = tbl(s, dir, "documents")
         .select(explode(tc))
         .groupBy(col("key").as("term")).agg(sum(col("value").cast("long")).as("cnt"))
-      def bucket(j: Int, c: Column): Column =
-        conv(substring(md5(concat(lit(s"cms$j:"), c)), 1, 15), 16, 10)
+      def bucket(j: Column, c: Column): Column =
+        conv(substring(md5(concat(lit("cms"), j, lit(":"), c)), 1, 15), 16, 10)
           .cast("long") % 256
-      val rows = (0 until 4).map(j =>
-        tf.select(lit(j).as("j"), bucket(j, col("term")).as("b"), col("cnt")))
-      val sketch = rows.reduce(_ unionByName _)
+      // explode a 4-element row-index array instead of unioning 4 scans —
+      // the term-frequency base (doc scan + TermCounts) computes ONCE
+      val sketch = tf
+        .select(col("term"), col("cnt"),
+          explode(array((0 until 4).map(lit): _*)).as("j"))
+        .select(col("j"), bucket(col("j"), col("term")).as("b"), col("cnt"))
         .groupBy("j", "b").agg(sum(col("cnt")).as("total"))
       val queryTerms = cmsQueryTerms.toDF("qterm")
       val probes = (0 until 4).map(j =>
-        queryTerms.select(col("qterm"), lit(j).as("j"), bucket(j, col("qterm")).as("b")))
+        queryTerms.select(col("qterm"), lit(j).as("j"), bucket(lit(j), col("qterm")).as("b")))
         .reduce(_ unionByName _)
       val est = probes.join(sketch, Seq("j", "b"), "left")
         .groupBy("qterm")
@@ -2357,17 +2360,18 @@ object SparkEntry {
       import org.apache.spark.sql.graftbridge.ColumnBridge
       def sh(c: Column) = ColumnBridge.column(
         graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+      import org.apache.spark.sql.expressions.Window
+      // ONE shingle pass: per-hash doc counts ride back to each row via a
+      // window over h (3 shuffles of (doc_id, hash) rows total) instead
+      // of re-deriving the gram set for the dup-set, totals, and join
+      // branches separately
       val grams = nearDupCorpus(tbl(s, dir, "documents"))
         .select(col("doc_id"), explode(sh(col("text"))).as("h"))
         .distinct()
-      val dupSet = grams.groupBy("h").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2).select("h")
-      val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      val dup = grams.join(dupSet, Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-      tot.join(dup, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+      grams.groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
         .withColumn("dup_frac",
           round(col("n_dup").cast("double") / col("n_grams"), 6))
         .withColumn("keep", (col("dup_frac") < 0.5).cast("int"))
@@ -2578,14 +2582,18 @@ object SparkEntry {
           array_join(slice(expr("filter(split(text, '\\\\s+'), x -> x <> '')"), 1, 20), " "),
           array_join(array_repeat(concat(lit("qt"), col("doc_id")), 10), " "))
           .as("text"))
+      import org.apache.spark.sql.expressions.Window
+      // per-quote gram totals ride the candidate join as a window count
+      // (one extra long per row) so the quote side is shingled ONCE
       val qGrams = quotes
         .select(col("doc_id").as("q_id"), explode(sh(col("text"))).as("h")).distinct()
+        .withColumn("n_q", count(lit(1)).over(Window.partitionBy("q_id")))
       val cGrams = docs0
         .select(col("doc_id").as("c_id"), explode(sh(col("text"))).as("h")).distinct()
-      val qTotals = qGrams.groupBy("q_id").agg(count(lit(1)).as("n_q"))
       val shared = qGrams.join(cGrams, "h")
-        .groupBy("q_id", "c_id").agg(count(lit(1)).as("n_shared"))
-      shared.join(broadcast(qTotals), "q_id")
+        .groupBy("q_id", "c_id")
+        .agg(count(lit(1)).as("n_shared"), max(col("n_q")).as("n_q"))
+      shared
         .withColumn("containment",
           round(col("n_shared").cast("double") / col("n_q"), 6))
         .filter(col("containment") >= 0.5)
@@ -2778,19 +2786,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // Triangle counting on the co-purchase graph (parts sharing an
-    // order), with DEGREE-ORIENTED wedges: each undirected edge points
-    // from its lower-(degree, id) endpoint, capping out-degree at
+    // Triangle counting on the SUPPORT-FILTERED co-purchase graph (part
+    // pairs sharing ≥2 orders — the support cut keeps edge density
+    // scale-stable instead of saturating toward a complete graph as
+    // orders grow), with DEGREE-ORIENTED wedges: each undirected edge
+    // points from its lower-(degree, id) endpoint, capping out-degree at
     // O(√|E|) so wedge fan-out survives power-law hubs — the standard
     // scalable formulation. The oracle counts the same triangles with
     // the simple a<b<c chain join.
     "q74_triangle_count" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), (col("l_partkey") % 500).as("p"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
         .distinct()
       val e = li.as("a")
         .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("u", "v")
       val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val eo = e
@@ -4428,10 +4441,11 @@ object SparkEntry {
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q74_triangle_count" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey % 500 AS p
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
         |  FROM lineitem),
-        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        |e AS (SELECT u, v FROM (SELECT a.p AS u, b.p AS v, COUNT(*) AS s
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2)
+        |  WHERE s >= 2),
         |nodes AS (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) AS n_nodes
         |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)),
         |ne AS (SELECT COUNT(*) AS n_edges FROM e),
