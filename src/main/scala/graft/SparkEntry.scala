@@ -2851,6 +2851,60 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(max(col("n")).as("n_events"), max(col("cents")).as("cents"))
         .orderBy("user_id")
+    }),
+
+    // GROUP BY ALL — infer grouping keys from the non-aggregate select
+    // list (the schema-drift-friendly SQL sugar both engines share).
+    "q75_group_by_all" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_q75")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st
+        |FROM orders_q75 GROUP BY ALL ORDER BY 1, 2""".stripMargin)
+    }),
+
+    // LIMIT/OFFSET pagination under a total order — deterministic pages.
+    "q76_limit_offset" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_q76")
+      s.sql("""SELECT o_orderkey, o_orderstatus,
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders_q76 ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin)
+    }),
+
+    // Heaps-law corpus statistics per source: token volume, vocabulary
+    // size, hapax count, type-token ratio — the vocabulary-growth numbers
+    // a tokenizer budget is planned against. One explode, two hash aggs.
+    "d38_heaps_law" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")).as("term"))
+      toks.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        .groupBy("source").agg(
+          sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+        .withColumn("ttr", round(col("vocab").cast("double") / col("n_tokens"), 6))
+        .orderBy("source")
+    }),
+
+    // UTF-8 byte premium per language: bytes-per-character ratio over
+    // text with injected non-ASCII (the d30 suffixes) — the number that
+    // prices multilingual data into a byte-budgeted token pipeline.
+    // Exact integer byte/char sums; ratio is one exact division.
+    "d39_byte_premium" -> ((s, dir) => {
+      // explicit escapes (d30's trick): composed U+00E9 is 2 bytes/1
+      // char, decomposed e+U+0301 is 3 bytes/2 chars - visually identical
+      val suffix = when(col("doc_id") % 4 === 0, lit(" caf\u00e9"))
+        .when(col("doc_id") % 4 === 1, lit(" cafe\u0301"))
+        .when(col("doc_id") % 4 === 2, lit(" u\u0308ber"))
+        .otherwise(lit(""))
+      tbl(s, dir, "documents")
+        .select(col("lang"), concat(col("text"), suffix).as("t"))
+        .groupBy("lang").agg(
+          sum(octet_length(col("t"))).as("n_bytes"),
+          sum(length(col("t"))).as("n_chars"))
+        .withColumn("premium",
+          round(col("n_bytes").cast("double") / col("n_chars"), 6))
+        .orderBy("lang")
     })
   )
 
@@ -4456,6 +4510,38 @@ object SparkEntry {
     "st12_transform_with_state" ->
       """SELECT user_id, 2 * COUNT(*) AS n_events,
         |CAST(2 * SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q75_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st
+        |FROM orders GROUP BY ALL ORDER BY 1, 2""".stripMargin,
+
+    "q76_limit_offset" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+
+    "d38_heaps_law" ->
+      """WITH t AS (SELECT source,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
+        |CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS ttr
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+
+    "d39_byte_premium" ->
+      """WITH d AS (SELECT lang, text ||
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN ' caf' || chr(233)
+        |    WHEN 1 THEN ' cafe' || chr(769)
+        |    WHEN 2 THEN ' u' || chr(776) || 'ber'
+        |    ELSE '' END AS t FROM documents)
+        |SELECT lang, CAST(SUM(strlen(t)) AS BIGINT) AS n_bytes,
+        |CAST(SUM(length(t)) AS BIGINT) AS n_chars,
+        |round(CAST(SUM(strlen(t)) AS DOUBLE) / SUM(length(t)), 6) AS premium
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
