@@ -152,5 +152,80 @@ object corpus {
         .withColumn("shuffle_pos", row_number().over(
           Window.partitionBy(col("shard")).orderBy(h, col(idCol))))
     }
+
+    /** Canonicalize a URL column in place (scheme/host case, default
+      * ports, query-param order, fragments) so exact dedup collapses
+      * crawl variants of the same page. Codegen'd expression, zero
+      * shuffle.
+      */
+    def canonicalizeUrls(urlCol: String = "url"): DataFrame =
+      df.withColumn(urlCol, ColumnBridge.column(
+        graft.functions.UrlCanonicalize(ColumnBridge.expression(col(urlCol)))))
+
+    /** Keep at most `k` documents per domain/source, chosen by
+      * deterministic salted-md5 order — reproducible quota sampling.
+      * NOTE: a single hot domain serializes onto one reducer; for
+      * heavy-hitter domains estimate a per-domain hash threshold from a
+      * sample instead (see SCALING.md).
+      */
+    def capPerDomain(
+        domainCol: String = "source",
+        k: Int = 10,
+        idCol: String = "doc_id"): DataFrame = {
+      val w = Window.partitionBy(domainCol)
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k).drop("__rk")
+    }
+
+    /** Per-document passage-duplication profile: the fraction of this
+      * doc's word-`n`-gram hashes that appear in ≥2 docs corpus-wide.
+      * Adds `n_grams`, `n_dup`, `dup_frac`. Shuffles (id, hash) only.
+      */
+    def withPassageDupStats(
+        idCol: String = "doc_id",
+        textCol: String = "text",
+        n: Int = 5): DataFrame = {
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), n))
+      val grams = df.select(col(idCol), explode(sh(col(textCol))).as("h"))
+        .distinct()
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+      val stats = grams.groupBy(idCol).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      df.join(stats, Seq(idCol), "left")
+        .withColumn("dup_frac",
+          round(col("n_dup").cast("double") / col("n_grams"), 6))
+    }
+
+    /** Exact substring (block-level) dedup with reconstruction: cut each
+      * doc into `blockTokens`-token blocks, keep only each block's
+      * globally-first occurrence, and rebuild `textCol` from the
+      * surviving blocks in order (docs losing every block keep an empty
+      * string). The Lee-et-al curation op as one transform.
+      */
+    def dedupBlocks(
+        idCol: String = "doc_id",
+        textCol: String = "text",
+        blockTokens: Int = 8): DataFrame = {
+      val toks = df.select(col(idCol),
+        expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')").as("t"))
+      val blocks = toks.select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, CAST((size(t) - 1) DIV $blockTokens AS INT)), " +
+            s"k -> array_join(slice(t, k * $blockTokens + 1, $blockTokens), ' '))"))
+          .as(Seq("bpos", "block")))
+      val kept = blocks.withColumn("rn", row_number().over(
+          Window.partitionBy("block").orderBy(idCol, "bpos")))
+        .filter(col("rn") === 1)
+      val rebuilt = kept.groupBy(idCol).agg(
+          sort_array(collect_list(struct(col("bpos"), col("block")))).as("arr"))
+        .select(col(idCol),
+          expr("array_join(transform(arr, x -> x.block), ' ')").as("__rebuilt"))
+      df.drop(textCol).join(rebuilt, Seq(idCol), "left")
+        .withColumn(textCol, coalesce(col("__rebuilt"), lit("")))
+        .drop("__rebuilt")
+    }
   }
 }

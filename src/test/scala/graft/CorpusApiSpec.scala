@@ -106,4 +106,46 @@ class CorpusApiSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(reparted == api)
   }
+
+  test("capPerDomain matches the d33 quota set") {
+    val api = docs.capPerDomain(k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q = SparkEntry.queries("d33_domain_caps")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(api == q && api.nonEmpty)
+  }
+
+  test("withPassageDupStats matches the d32 profile on the mutant corpus") {
+    val api = mutantCorpus.withPassageDupStats()
+      .select(col("doc_id"), col("n_grams"), col("n_dup"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val q = SparkEntry.queries("d32_passage_dedup")(spark, sfDir)
+      .select(col("doc_id"), col("n_grams"), col("n_dup"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(api == q && api.nonEmpty)
+  }
+
+  test("canonicalizeUrls collapses crawl variants for exact dedup") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "HTTPS://Site.COM:443/p?b=1&a=2#x"),
+      (2L, "https://site.com/p?a=2&b=1"),
+      (3L, "http://other.com/q")).toDF("doc_id", "url")
+    val canon = raw.canonicalizeUrls()
+    assert(canon.select("url").distinct().count() == 2)
+    assert(canon.filter(col("doc_id") === 1).head().getString(1) ==
+      "https://site.com/p?a=2&b=1")
+  }
+
+  test("dedupBlocks rebuilds docs from surviving blocks; duplicate doc empties") {
+    import spark.implicits._
+    val a = (1 to 16).map(i => s"w$i").mkString(" ")
+    val b = (1 to 16).map(i => s"x$i").mkString(" ")
+    val in = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val out = in.dedupBlocks().collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out(1L) == a)   // first occurrence keeps everything
+    assert(out(2L) == "")  // exact copy loses all blocks
+    assert(out(3L) == b)   // distinct content untouched
+  }
 }
