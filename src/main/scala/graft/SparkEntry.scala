@@ -2905,6 +2905,56 @@ object SparkEntry {
         .withColumn("premium",
           round(col("n_bytes").cast("double") / col("n_chars"), 6))
         .orderBy("lang")
+    }),
+
+    // EXACT set-similarity join via prefix filtering (PPJoin-style): all
+    // pairs at token-set Jaccard ≥ 4/5, candidates only from rarest-
+    // first prefix tokens — the exact counterpart to MinHash-LSH (d2),
+    // which can miss pairs. The oracle recomputes every qualifying pair
+    // through an unfiltered shared-token join, so the prefix pruning is
+    // proven LOSSLESS, not just fast. Integer cross-multiplied
+    // threshold; no FP anywhere.
+    "d40_prefix_join" -> ((s, dir) =>
+      Dedup.prefixJaccardJoin(
+          nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text", 4, 5)
+        .orderBy("ia", "ib")),
+
+    // Winsorized mean per group: clip cents at the group's interpolated
+    // p5/p95 (thresholds rounded to integer cents so the clipped sum
+    // stays exact), then average as an exact ratio.
+    "q77_winsorize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val w = Window.partitionBy("o_orderpriority")
+      val e = tbl(s, dir, "orders")
+        .select(col("o_orderpriority"), cents.as("c"))
+        .withColumn("lo", round(expr("percentile(c, 0.05)").over(w), 0).cast("long"))
+        .withColumn("hi", round(expr("percentile(c, 0.95)").over(w), 0).cast("long"))
+      e.select(col("o_orderpriority"),
+          greatest(col("lo"), least(col("hi"), col("c"))).as("cw"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cw")).as("sum_cents"),
+          round(sum(col("cw")).cast("double") / count(lit(1)), 6).as("wmean"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Running distinct count per user (COUNT(DISTINCT) OVER is not a
+    // thing in either engine): flag each type's first occurrence with a
+    // row_number, then a cumulative sum of flags — the standard
+    // decomposition, all exact integers.
+    "q78_running_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_distinct_types", sum(col("first_seen")).over(wCum))
+        .select(col("event_id"), col("user_id"), col("n_distinct_types"))
+        .orderBy("event_id")
     })
   )
 
@@ -4542,6 +4592,43 @@ object SparkEntry {
         |SELECT lang, CAST(SUM(strlen(t)) AS BIGINT) AS n_bytes,
         |CAST(SUM(length(t)) AS BIGINT) AS n_chars,
         |round(CAST(SUM(strlen(t)) AS DOUBLE) / SUM(length(t)), 6) AS premium
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "d40_prefix_join" ->
+      s"""WITH corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT DISTINCT doc_id AS id,
+         |  unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tk
+         |  FROM corpus),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY 1),
+         |inter AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS i
+         |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.id < b.id GROUP BY 1, 2)
+         |SELECT ia, ib, CAST(i AS BIGINT) AS inter,
+         |  CAST(sa.n + sb.n - i AS BIGINT) AS un
+         |FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+         |WHERE 5 * i >= 4 * (sa.n + sb.n - i)
+         |ORDER BY ia, ib""".stripMargin,
+
+    "q77_winsorize" ->
+      """WITH e AS (SELECT o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |th AS (SELECT o_orderpriority,
+        |  CAST(round(quantile_cont(c, 0.05)) AS BIGINT) AS lo,
+        |  CAST(round(quantile_cont(c, 0.95)) AS BIGINT) AS hi
+        |  FROM e GROUP BY 1)
+        |SELECT e.o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(GREATEST(lo, LEAST(hi, c))) AS BIGINT) AS sum_cents,
+        |round(CAST(SUM(GREATEST(lo, LEAST(hi, c))) AS DOUBLE) / COUNT(*), 6) AS wmean
+        |FROM e JOIN th USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q78_running_distinct" ->
+      """WITH f AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct_types
+        |FROM f ORDER BY event_id""".stripMargin
   )
 }

@@ -350,4 +350,56 @@ object Dedup {
       }
     } finally edges.unpersist(blocking = false)
   }
+
+  /** EXACT set-similarity join with prefix filtering (PPJoin-style):
+    * all pairs with token-set Jaccard ≥ num/den, no approximation.
+    *
+    * Each doc's distinct tokens sort by ascending global document
+    * frequency (rarest first, ties by token); a pair at Jaccard ≥ t
+    * MUST share a token within each side's first `|s| − ⌈t·|s|⌉ + 1`
+    * tokens, so candidates come from an equi-join on PREFIX tokens only
+    * — the prefix is short and its tokens are the rarest, which is what
+    * bounds fan-out at corpus scale (vs. MinHash-LSH, which is
+    * approximate; this join misses nothing). Verification is pure
+    * integer arithmetic: den·|A∩B| ≥ num·|A∪B| — no FP in the
+    * predicate. Shuffles carry (doc_id, token) and id pairs; full
+    * token arrays move once, by id, to score the candidate pairs.
+    */
+  def prefixJaccardJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x <> '')")).as("tk"))
+      .distinct()
+    val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+    // per-doc tokens sorted by (df, token); prefix len = n - ceil(t*n) + 1
+    val sorted = tok.join(dfreq, "tk")
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, tk))), x -> x.tk)").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("p", col("n") - expr(s"CAST(($num * n + $den - 1) DIV $den AS INT)") + 1)
+      .persist()
+    try {
+      val prefixes = sorted.select(col("id"), col("n"),
+        explode(expr("slice(toks, 1, p)")).as("tk"))
+      val cands = prefixes.as("a")
+        .join(prefixes.as("b"), col("a.tk") === col("b.tk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("ia"), col("b.id").as("ib"))
+        .distinct()
+      // persist the (small) result and materialize it while `sorted` is
+      // cached — same ownership convention as minHashLsh: the returned
+      // DataFrame is persisted, caller unpersists when done
+      val out = cands
+        .join(sorted.select(col("id").as("ia"), col("toks").as("ta"), col("n").as("na")), "ia")
+        .join(sorted.select(col("id").as("ib"), col("toks").as("tb"), col("n").as("nb")), "ib")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("un", col("na") + col("nb") - col("inter"))
+        .filter(lit(den) * col("inter") >= lit(num) * col("un"))
+        .select(col("ia"), col("ib"),
+          col("inter").cast("long").as("inter"), col("un").cast("long").as("un"))
+        .persist()
+      out.count()
+      out
+    } finally sorted.unpersist(blocking = false)
+  }
 }

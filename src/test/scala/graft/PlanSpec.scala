@@ -268,6 +268,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d40: prefix join candidates come from an equi-join — no all-pairs shapes") {
+    // the exact set-similarity join must never degenerate to a cartesian
+    // or nested-loop scan; candidates are an equi-join on prefix tokens
+    val p = plan("d40_prefix_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q69: the zorder key computes inside whole-stage codegen") {
     val df = SparkEntry.queries("q69_zorder_key")(spark, "/root/testdata/sf0.001")
     df.collect() // finalize the adaptive plan so codegen spans render
