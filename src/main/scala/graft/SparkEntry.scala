@@ -2955,6 +2955,43 @@ object SparkEntry {
         .withColumn("n_distinct_types", sum(col("first_seen")).over(wCum))
         .select(col("event_id"), col("user_id"), col("n_distinct_types"))
         .orderBy("event_id")
+    }),
+
+    // Sparse TF-IDF cosine similarity (retrieval scoring without
+    // embeddings): weights are INTEGER-scaled (tf · round(idf·10⁶)), so
+    // the shared-token dot products and norms are exact longs — immune
+    // to FP accumulation order across partitions — and only the final
+    // cosine divides through correctly-rounded sqrt. Pair generation is
+    // the shared-token equi-join (sparse dot's natural plan); probe side
+    // bounded to doc_id < 50.
+    "d41_sparse_cosine" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")).as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("tk").agg(count(lit(1)).as("df"))
+      val n = tbl(s, dir, "documents").agg(count(lit(1)).as("nn"))
+      val weighted = toks.join(broadcast(dfreq), "tk").crossJoin(broadcast(n))
+        .withColumn("w", col("tf") *
+          round((log((col("nn") + 1).cast("double") / (col("df") + 1)) + 1) * 1e6, 0)
+            .cast("long"))
+        .select(col("doc_id"), col("tk"), col("w"))
+      val norms = weighted.groupBy("doc_id")
+        .agg(sum(col("w") * col("w")).as("nrm2"))
+      val probes = weighted.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("ia"), col("tk"), col("w").as("wa"))
+      val dots = probes
+        .join(weighted.select(col("doc_id").as("ib"), col("tk"), col("w").as("wb")), "tk")
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(sum(col("wa") * col("wb")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("ia"), col("nrm2").as("na")), "ia")
+        .join(norms.select(col("doc_id").as("ib"), col("nrm2").as("nb")), "ib")
+        .withColumn("cos", round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+        .filter(col("cos") >= 0.2)
+        .select(col("ia"), col("ib"), col("dot"), col("cos"))
+        .orderBy("ia", "ib")
     })
   )
 
@@ -4629,6 +4666,25 @@ object SparkEntry {
         |SELECT event_id, user_id,
         |CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct_types
-        |FROM f ORDER BY event_id""".stripMargin
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "d41_sparse_cosine" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tk
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM documents),
+        |wts AS (SELECT tf.doc_id, tf.tk,
+        |  tf.tf * CAST(round((ln(CAST(n.nn + 1 AS DOUBLE) / (dfq.df + 1)) + 1) * 1000000) AS BIGINT) AS w
+        |  FROM tf JOIN dfq USING (tk) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, SUM(w * w) AS nrm2 FROM wts GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS ia, b.doc_id AS ib, SUM(a.w * b.w) AS dot
+        |  FROM wts a JOIN wts b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 50 GROUP BY 1, 2),
+        |sc AS (SELECT ia, ib, CAST(dot AS BIGINT) AS dot,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6) AS cos
+        |  FROM dots JOIN nrm na ON ia = na.doc_id JOIN nrm nb ON ib = nb.doc_id)
+        |SELECT ia, ib, dot, cos FROM sc WHERE cos >= 0.2 ORDER BY ia, ib""".stripMargin
   )
 }

@@ -133,7 +133,7 @@ class PlanSpec extends SparkSpec {
       "e7_knn_pq_full", "e8_knn_pq", "d21_bm25", "d26_quality_deciles",
       "e11_kmeans_assign", "e12_kmeans_step", "d27_boilerplate_ngrams",
       "d34_tfidf_topk", "e13_int8_quantize", "ev15_assoc_rules",
-      "q74_triangle_count")
+      "q74_triangle_count", "d41_sparse_cosine")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
