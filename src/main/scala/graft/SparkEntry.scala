@@ -2992,6 +2992,23 @@ object SparkEntry {
         .filter(col("cos") >= 0.2)
         .select(col("ia"), col("ib"), col("dot"), col("cos"))
         .orderBy("ia", "ib")
+    }),
+
+    // Rolling median (trailing-20 interpolated percentile per user) —
+    // the robust rolling statistic for time-series features. A sorted-
+    // frame percentile is order-independent within the frame, so the
+    // result is exact-deterministic; interpolation parity with DuckDB's
+    // quantile_cont is the q21/q27-proven recipe.
+    "q79_rolling_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = round(col("value") * 100, 0).cast("long")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), cents.as("c"))
+        .withColumn("med20", round(expr("percentile(c, 0.5)").over(w), 4))
+        .select(col("event_id"), col("user_id"), col("med20"))
+        .orderBy("event_id")
     })
   )
 
@@ -4685,6 +4702,14 @@ object SparkEntry {
         |  round(CAST(dot AS DOUBLE) /
         |    (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6) AS cos
         |  FROM dots JOIN nrm na ON ia = na.doc_id JOIN nrm nb ON ib = nb.doc_id)
-        |SELECT ia, ib, dot, cos FROM sc WHERE cos >= 0.2 ORDER BY ia, ib""".stripMargin
+        |SELECT ia, ib, dot, cos FROM sc WHERE cos >= 0.2 ORDER BY ia, ib""".stripMargin,
+
+    "q79_rolling_median" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT event_id, user_id,
+        |round(quantile_cont(c, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS med20
+        |FROM e ORDER BY event_id""".stripMargin
   )
 }
