@@ -34,6 +34,17 @@ object SparkEntry {
   private def tmpdir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Copy the events table into `work` `n` times (events_0..events_{n-1})
+    * — the standard way the streaming queries stage replayed micro-batch
+    * arrivals for a file-source drain.
+    */
+  private def replayEvents(dir: String, work: String, n: Int): Unit =
+    (0 until n).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$work/events_$i.parquet"))
+    }
+
   /** Surface `chunk` as ONE plain parquet file at `work/in/<name>.parquet`
     * (the streaming file source lists files, not directory-shaped
     * datasets); `mtime` pins the source's listing order for multi-batch
@@ -905,9 +916,7 @@ object SparkEntry {
     "st1_stream_hourly_agg" -> ((s, dir) => {
       val work = tmpdir("graft-st1")
       val raw = s.read.parquet(s"$dir/events.parquet") // pre-normalize schema
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events_0.parquet"))
+      replayEvents(dir, work, 1)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => StreamingOps.hourlyAgg(normalizeTs(df)), OutputMode.Complete())
         .orderBy("event_type", "h")
@@ -917,9 +926,7 @@ object SparkEntry {
     "st2_stream_user_counts" -> ((s, dir) => {
       val work = tmpdir("graft-st2")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events_0.parquet"))
+      replayEvents(dir, work, 1)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => StreamingOps.runningUserCounts(s, normalizeTs(df)).toDF("user_id", "n"),
           OutputMode.Update())
@@ -934,12 +941,7 @@ object SparkEntry {
     "st3_stream_dedup" -> ((s, dir) => {
       val work = tmpdir("graft-st3")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events_0.parquet"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events_1.parquet"))
+      replayEvents(dir, work, 2)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => normalizeTs(df).dropDuplicates("event_id")
             .groupBy("event_type").agg(count(lit(1)).as("n")),
@@ -954,9 +956,7 @@ object SparkEntry {
     "st4_stream_static_join" -> ((s, dir) => {
       val work = tmpdir("graft-st4")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events.parquet"))
+      replayEvents(dir, work, 1)
       val dim = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => normalizeTs(df)
@@ -976,9 +976,7 @@ object SparkEntry {
     "st5_stream_stream_join" -> ((s, dir) => {
       val work = tmpdir("graft-st5")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events.parquet"))
+      replayEvents(dir, work, 1)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => {
             val ev = normalizeTs(df)
@@ -1429,9 +1427,7 @@ object SparkEntry {
     "st8_stream_session" -> ((s, dir) => {
       val work = tmpdir("graft-st8")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events_0.parquet"))
+      replayEvents(dir, work, 1)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => normalizeTs(df)
             .withWatermark("ts", "1 hour")
@@ -2440,10 +2436,14 @@ object SparkEntry {
       val corpus = docs0.union(quotes)
       val toks = corpus.select(col("doc_id"),
         expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("t"))
+      // empty-token guard: DIV truncates toward zero (-1 DIV 8 = 0), so an
+      // empty token list would fabricate one "" block while the oracle's
+      // floor-division generate_series yields none — emit no blocks instead
       val blocks = toks.select(col("doc_id"),
         posexplode(expr(
-          "transform(sequence(0, CAST((size(t) - 1) DIV 8 AS INT)), " +
-            "k -> array_join(slice(t, k * 8 + 1, 8), ' '))"))
+          "CASE WHEN size(t) = 0 THEN array() " +
+            "ELSE transform(sequence(0, CAST((size(t) - 1) DIV 8 AS INT)), " +
+            "k -> array_join(slice(t, k * 8 + 1, 8), ' ')) END"))
           .as(Seq("bpos", "block")))
       val keep = Window.partitionBy("block").orderBy("doc_id", "bpos")
       val kept = blocks.withColumn("rn", row_number().over(keep))
@@ -2498,12 +2498,7 @@ object SparkEntry {
     "st11_dedup_watermark" -> ((s, dir) => {
       val work = tmpdir("graft-st11")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events_0.parquet"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events_1.parquet"))
+      replayEvents(dir, work, 2)
       val deduped = StreamingOps.drainToMemory(s, work, raw.schema,
         df => normalizeTs(df).withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id"),
@@ -2817,8 +2812,7 @@ object SparkEntry {
         .select(col("e.s").as("s"), col("e.t").as("t"))
       val wedges = eo.as("x")
         .join(eo.as("y"), col("x.s") === col("y.s") && col("x.t") < col("y.t"))
-        .select(least(col("x.t"), col("y.t")).as("wu"),
-          greatest(col("x.t"), col("y.t")).as("wv"))
+        .select(col("x.t").as("wu"), col("y.t").as("wv")) // ordered by the join cond
       val tri = wedges
         .join(e.select(col("u").as("wu"), col("v").as("wv")), Seq("wu", "wv"), "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
@@ -2835,12 +2829,7 @@ object SparkEntry {
     "st12_transform_with_state" -> ((s, dir) => {
       val work = tmpdir("graft-st12")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events_0.parquet"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$work/events_1.parquet"))
+      replayEvents(dir, work, 2)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => StreamingOps.runningUserAggTws(s, normalizeTs(df))
             .toDF("user_id", "n", "cents"),
@@ -2849,7 +2838,12 @@ object SparkEntry {
           extraConf = Map("spark.sql.streaming.stateStore.providerClass" ->
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
         .groupBy("user_id")
-        .agg(max(col("n")).as("n_events"), max(col("cents")).as("cents"))
+        // the final state row is the one with the highest running COUNT
+        // (monotone by construction); take its cents via max_by rather
+        // than max(cents), which would silently assume cents never
+        // decreases (it would with negative/refund values)
+        .agg(max(col("n")).as("n_events"),
+          expr("max_by(cents, n)").as("cents"))
         .orderBy("user_id")
     }),
 

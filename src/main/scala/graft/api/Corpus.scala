@@ -211,10 +211,13 @@ object corpus {
         blockTokens: Int = 8): DataFrame = {
       val toks = df.select(col(idCol),
         expr(s"filter(split($textCol, '\\\\s+'), x -> x <> '')").as("t"))
+      // empty/whitespace-only docs emit NO blocks (not one "" block every
+      // empty doc would collide on) — they rebuild to the empty string
       val blocks = toks.select(col(idCol),
         posexplode(expr(
-          s"transform(sequence(0, CAST((size(t) - 1) DIV $blockTokens AS INT)), " +
-            s"k -> array_join(slice(t, k * $blockTokens + 1, $blockTokens), ' '))"))
+          s"CASE WHEN size(t) = 0 THEN array() " +
+            s"ELSE transform(sequence(0, CAST((size(t) - 1) DIV $blockTokens AS INT)), " +
+            s"k -> array_join(slice(t, k * $blockTokens + 1, $blockTokens), ' ')) END"))
           .as(Seq("bpos", "block")))
       val kept = blocks.withColumn("rn", row_number().over(
           Window.partitionBy("block").orderBy(idCol, "bpos")))
