@@ -2902,16 +2902,25 @@ object SparkEntry {
     }),
 
     // EXACT set-similarity join via prefix filtering (PPJoin-style): all
-    // pairs at token-set Jaccard ≥ 4/5, candidates only from rarest-
-    // first prefix tokens — the exact counterpart to MinHash-LSH (d2),
-    // which can miss pairs. The oracle recomputes every qualifying pair
-    // through an unfiltered shared-token join, so the prefix pruning is
+    // pairs at 5-gram-shingle-set Jaccard ≥ 4/5, candidates only from
+    // rarest-first prefix elements — the exact counterpart to
+    // MinHash-LSH (d2), which can miss pairs. Shingle hashes (not raw
+    // tokens) are the set elements: the corpus vocabulary is closed, so
+    // token sets are degenerate (every token frequent, prefixes prune
+    // nothing), while shingles are near-unique and the prefix join fan
+    // tracks true near-dups. The oracle recomputes every qualifying pair
+    // through an unfiltered shared-shingle join, so the pruning is
     // proven LOSSLESS, not just fast. Integer cross-multiplied
     // threshold; no FP anywhere.
-    "d40_prefix_join" -> ((s, dir) =>
-      Dedup.prefixJaccardJoin(
-          nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text", 4, 5)
-        .orderBy("ia", "ib")),
+    "d40_prefix_join" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+      val sets = nearDupCorpus(tbl(s, dir, "documents"))
+        .select(col("doc_id").as("id"), explode(sh(col("text"))).as("elem"))
+        .distinct()
+      Dedup.prefixJaccardJoin(sets, 4, 5).orderBy("ia", "ib")
+    }),
 
     // Winsorized mean per group: clip cents at the group's interpolated
     // p5/p95 (thresholds rounded to integer cents so the clipped sum
@@ -4644,12 +4653,13 @@ object SparkEntry {
 
     "d40_prefix_join" ->
       s"""WITH corpus AS ($duckMutantCorpus),
-         |tok AS (SELECT DISTINCT doc_id AS id,
-         |  unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tk
-         |  FROM corpus),
-         |sizes AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY 1),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
+         |shl AS (SELECT doc_id, $duckShingles5 AS sh FROM tok),
+         |g AS (SELECT DISTINCT doc_id AS id,
+         |  ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS e FROM shl),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM g GROUP BY 1),
          |inter AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS i
-         |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.id < b.id GROUP BY 1, 2)
+         |  FROM g a JOIN g b ON a.e = b.e AND a.id < b.id GROUP BY 1, 2)
          |SELECT ia, ib, CAST(i AS BIGINT) AS inter,
          |  CAST(sa.n + sb.n - i AS BIGINT) AS un
          |FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id

@@ -352,30 +352,34 @@ object Dedup {
   }
 
   /** EXACT set-similarity join with prefix filtering (PPJoin-style):
-    * all pairs with token-set Jaccard ≥ num/den, no approximation.
+    * all pairs with set Jaccard ≥ num/den over `sets` — distinct
+    * (id, elem) rows, where elem is any orderable set element (shingle
+    * hashes for near-dup text, token ids, n-gram hashes) — no
+    * approximation.
     *
-    * Each doc's distinct tokens sort by ascending global document
-    * frequency (rarest first, ties by token); a pair at Jaccard ≥ t
-    * MUST share a token within each side's first `|s| − ⌈t·|s|⌉ + 1`
-    * tokens, so candidates come from an equi-join on PREFIX tokens only
-    * — the prefix is short and its tokens are the rarest, which is what
-    * bounds fan-out at corpus scale (vs. MinHash-LSH, which is
-    * approximate; this join misses nothing). Verification is pure
-    * integer arithmetic: den·|A∩B| ≥ num·|A∪B| — no FP in the
-    * predicate. Shuffles carry (doc_id, token) and id pairs; full
-    * token arrays move once, by id, to score the candidate pairs.
+    * Each set's elements sort by ascending global frequency (rarest
+    * first, ties by element); a pair at Jaccard ≥ t MUST share an
+    * element within each side's first `|s| − ⌈t·|s|⌉ + 1` elements, so
+    * candidates come from an equi-join on PREFIX elements only — short
+    * and rare, which is what bounds fan-out at corpus scale (vs.
+    * MinHash-LSH, which is approximate; this join misses nothing).
+    * Element choice matters: prefix filtering needs a large element
+    * universe (shingles/n-grams), not a closed vocabulary whose every
+    * element is frequent. Verification is pure integer arithmetic:
+    * den·|A∩B| ≥ num·|A∪B| — no FP in the predicate. Shuffles carry
+    * (id, elem) and id pairs; full element arrays move once, by id, to
+    * score the candidate pairs.
     */
   def prefixJaccardJoin(
-      docs: DataFrame, idCol: String, textCol: String,
-      num: Int, den: Int): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      explode(expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x <> '')")).as("tk"))
-      .distinct()
-    val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("df"))
-    // per-doc tokens sorted by (df, token); prefix len = n - ceil(t*n) + 1
-    val sorted = tok.join(dfreq, "tk")
+      sets: DataFrame, num: Int, den: Int): DataFrame = {
+    // the element table feeds both the frequency agg and the sort join —
+    // cache it so the upstream (shingle hashing etc.) runs once
+    val s0 = sets.persist()
+    val dfreq = s0.groupBy("elem").agg(count(lit(1)).as("df"))
+    // per-set elements sorted by (df, elem); prefix len = n - ceil(t*n) + 1
+    val sorted = s0.join(dfreq, "elem")
       .groupBy("id")
-      .agg(expr("transform(array_sort(collect_list(struct(df, tk))), x -> x.tk)").as("toks"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, elem))), x -> x.elem)").as("toks"))
       .withColumn("n", size(col("toks")))
       .withColumn("p", col("n") - expr(s"CAST(($num * n + $den - 1) DIV $den AS INT)") + 1)
       .persist()
@@ -400,6 +404,9 @@ object Dedup {
         .persist()
       out.count()
       out
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      s0.unpersist(blocking = false)
+    }
   }
 }
