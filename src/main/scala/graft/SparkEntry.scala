@@ -2847,6 +2847,26 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // MapState flavor of the arbitrary-state API: one keyed map per user
+    // (type → running count) instead of a composite grouping key — the
+    // layout a per-entity feature store holds. Same two-file replay;
+    // update-mode last write per (user, type) is the final doubled count.
+    "st13_mapstate_counts" -> ((s, dir) => {
+      val work = tmpdir("graft-st13")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      replayEvents(dir, work, 2)
+      StreamingOps.drainToMemory(s, work, raw.schema,
+          df => StreamingOps.runningUserTypeCountsTws(s, normalizeTs(df))
+            .toDF("user_id", "event_type", "n"),
+          OutputMode.Update(),
+          readerOptions = Map("maxFilesPerTrigger" -> "1"),
+          extraConf = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .groupBy("user_id", "event_type")
+        .agg(max(col("n")).as("n_events"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // GROUP BY ALL — infer grouping keys from the non-aggregate select
     // list (the schema-drift-friendly SQL sugar both engines share).
     "q75_group_by_all" -> ((s, dir) => {
@@ -4618,6 +4638,11 @@ object SparkEntry {
       """SELECT user_id, 2 * COUNT(*) AS n_events,
         |CAST(2 * SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "st13_mapstate_counts" ->
+      """SELECT user_id, event_type, 2 * COUNT(*) AS n_events
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q75_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

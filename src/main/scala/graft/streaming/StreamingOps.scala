@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 final case class Event(
     event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -72,6 +72,36 @@ object StreamingOps {
     import spark.implicits._
     events.as[Event].groupByKey(_.user_id)
       .transformWithState(new UserAggProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-(user, event_type) running counts via a typed `MapState` — the
+    * multi-entry state variable of the arbitrary-state API (one keyed
+    * map per user instead of a composite grouping key, the layout a
+    * per-entity feature store keeps). Emits the full map each batch;
+    * update-mode last-write per (user, type) is the final count.
+    */
+  class UserTypeCountsProcessor
+      extends StatefulProcessor[Long, Event, (Long, String, Long)] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[(Long, String, Long)] = {
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1)
+      }
+      counts.iterator().map { case (t, n) => (key, t, n) }
+    }
+  }
+
+  def runningUserTypeCountsTws(
+      spark: SparkSession, events: DataFrame): Dataset[(Long, String, Long)] = {
+    import spark.implicits._
+    events.as[Event].groupByKey(_.user_id)
+      .transformWithState(new UserTypeCountsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Drain a parquet-file stream through `pipeline` into an in-memory
