@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 final case class Event(
     event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -102,6 +103,50 @@ object StreamingOps {
     import spark.implicits._
     events.as[Event].groupByKey(_.user_id)
       .transformWithState(new UserTypeCountsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Event-time TIMER usage of the arbitrary-state API: a session-close
+    * detector. Every input row extends the user's session (count +
+    * last-seen) and re-registers a timer at last_ts + gap; when the
+    * WATERMARK passes the timer, [[handleExpiredTimer]] fires, emits the
+    * closed session's count, and clears state — the push-based
+    * equivalent of session_window's emission rule, with state freed the
+    * moment the watermark proves no extension can arrive.
+    */
+  class SessionCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, (Long, Long)] {
+    @transient private var sess: ValueState[(Long, Long)] = _ // (count, lastMs)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      var (n, last) = if (sess.exists()) sess.get() else (0L, Long.MinValue)
+      val hadTimer = n > 0
+      rows.foreach { e =>
+        n += 1
+        last = math.max(last, e.ts.getTime)
+      }
+      if (hadTimer) getHandle.deleteTimer(sess.get()._2 + gapMs)
+      sess.update((n, last))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val out = if (sess.exists()) Iterator.single((key, sess.get()._1))
+        else Iterator.empty
+      sess.clear()
+      out
+    }
+  }
+
+  def sessionCloseTws(
+      spark: SparkSession, events: DataFrame, gapMs: Long): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    events.as[Event].groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Drain a parquet-file stream through `pipeline` into an in-memory

@@ -47,6 +47,49 @@ class WatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState event-time timers close sessions when the watermark passes") {
+    import graft.streaming.{Event, StreamingOps}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      def ev(id: Long, user: Long, t: String) =
+        Event(id, ts(t), user, "click", 1.0, "{}")
+      val out = StreamingOps.sessionCloseTws(spark,
+        in.toDS().withWatermark("ts", "10 minutes").toDF(),
+        gapMs = 30 * 60 * 1000).toDF("user_id", "n")
+      val name = "tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // batch 1: user 1's whole session — timer set for 10:40, nothing out
+        in.addData(ev(1, 1, "2024-01-01 10:00:00"),
+          ev(2, 1, "2024-01-01 10:05:00"), ev(3, 1, "2024-01-01 10:10:00"))
+        q.processAllAvailable()
+        assert(spark.table(name).count() == 0,
+          "session must stay open until the watermark passes its gap")
+
+        // batches 2-3: user 2 activity pushes the watermark far past
+        // 10:40 — user 1's timer fires, emits (1, 3), state clears;
+        // user 2's own timer never fires (watermark stops at 13:50)
+        in.addData(ev(4, 2, "2024-01-01 12:00:00"))
+        q.processAllAvailable()
+        in.addData(ev(5, 2, "2024-01-01 14:00:00"))
+        q.processAllAvailable()
+        val rows = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(rows.toSeq == Seq((1L, 3L)), rows.mkString(","))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("approximate sketches: approx_count_distinct and approx_percentile within bounds") {
     val ev = spark.read.parquet(sf("events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
