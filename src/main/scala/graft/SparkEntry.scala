@@ -3032,6 +3032,34 @@ object SparkEntry {
         .withColumn("med20", round(expr("percentile(c, 0.5)").over(w), 4))
         .select(col("event_id"), col("user_id"), col("med20"))
         .orderBy("event_id")
+    }),
+
+    // Relative-rank window functions: percent_rank and cume_dist are
+    // exact ratios of rank integers, so cross-engine parity is free;
+    // rounding only guards the division's final digit.
+    "q80_rank_ratios" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_orderkey"))
+      tbl(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("bucket", ntile(7).over(w))
+        .orderBy("o_orderkey")
+    }),
+
+    // Bitwise and boolean aggregates (bit_and/or/xor, bool_and/or) —
+    // order-independent integer folds, exact under any partitioning.
+    "q81_bit_aggs" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("bit_and(o_orderkey)").as("band"),
+          expr("bit_or(o_orderkey)").as("bor"),
+          expr("bit_xor(o_orderkey)").as("bxor"),
+          expr("bool_and(o_totalprice > 0)").as("all_pos"),
+          expr("bool_or(o_orderkey % 1000 = 0)").as("any_k"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -4739,6 +4767,24 @@ object SparkEntry {
         |SELECT event_id, user_id,
         |round(quantile_cont(c, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS med20
-        |FROM e ORDER BY event_id""".stripMargin
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q80_rank_ratios" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |round(percent_rank() OVER w, 6) AS pr,
+        |round(cume_dist() OVER w, 6) AS cd,
+        |CAST(ntile(7) OVER w AS INT) AS bucket
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q81_bit_aggs" ->
+      """SELECT o_orderstatus,
+        |CAST(bit_and(o_orderkey) AS BIGINT) AS band,
+        |CAST(bit_or(o_orderkey) AS BIGINT) AS bor,
+        |CAST(bit_xor(o_orderkey) AS BIGINT) AS bxor,
+        |bool_and(o_totalprice > 0) AS all_pos,
+        |bool_or(o_orderkey % 1000 = 0) AS any_k
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
