@@ -17,18 +17,24 @@ import org.apache.spark.sql.types.{StructField, StructType}
 object SchemaEvolution {
 
   def merge(target: StructType, source: StructType, partitionCols: Seq[String]): StructType = {
-    val pset = partitionCols.toSet
-    val sourceMap: Map[String, StructField] = source.fields.map(f => f.name -> f).toMap
+    // name matching is CASE-INSENSITIVE, like Spark's default resolver: a
+    // case-only rename at the source ('id' -> 'ID') is the same column —
+    // treating it as new would append a case-duplicate that Spark's
+    // duplicate-column validation rejects on every later run. The target's
+    // original casing is kept (rule 1: the target never changes shape).
+    def k(name: String) = name.toLowerCase(java.util.Locale.ROOT)
+    val pset = partitionCols.map(k).toSet
+    val sourceMap: Map[String, StructField] = source.fields.map(f => k(f.name) -> f).toMap
     // rules 1-3: walk the target in order; update types in place; keep dropped
     val updated = target.fields.map { tf =>
-      sourceMap.get(tf.name) match {
+      sourceMap.get(k(tf.name)) match {
         case Some(sf) if sf.dataType != tf.dataType => tf.copy(dataType = sf.dataType)
         case _                                      => tf
       }
     }
     // rule 4: append new source columns (source order), minus partition cols
-    val existing = target.fields.map(_.name).toSet
-    val appended = source.fields.filter(f => !existing.contains(f.name) && !pset.contains(f.name))
+    val existing = target.fields.map(f => k(f.name)).toSet
+    val appended = source.fields.filter(f => !existing.contains(k(f.name)) && !pset.contains(k(f.name)))
     StructType(updated ++ appended)
   }
 }

@@ -23,7 +23,10 @@ class SparkCatalogClient(spark: SparkSession) extends CatalogClient {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
 
   def tableExists(db: String, table: String): Boolean =
-    spark.catalog.tableExists(s"$db.$table")
+    // backtick-quote like every other path: the string form is parsed as a
+    // multipart identifier, so a hyphenated db or dotted table name would
+    // throw/mis-resolve unquoted
+    spark.catalog.tableExists(q(db, table))
 
   def getTable(db: String, table: String): TableDef = {
     val meta = spark.sessionState.catalog.getTableMetadata(ident(db, table))
@@ -49,7 +52,7 @@ class SparkCatalogClient(spark: SparkSession) extends CatalogClient {
         .mkString("TBLPROPERTIES (", ", ", ")")
     spark.sql(
       s"""CREATE TABLE ${q(t.database, t.name)} ($cols)
-         |USING ${t.format} $partBy LOCATION '${t.location}' $props""".stripMargin)
+         |USING ${t.format} $partBy LOCATION '${t.location.replace("'", "''")}' $props""".stripMargin)
   }
 
   /** Applies the (already merged) data schema; partition columns stay. */
@@ -65,7 +68,8 @@ class SparkCatalogClient(spark: SparkSession) extends CatalogClient {
     val spec = partCols.zip(p.values)
       .map { case (k, v) => s"`$k`='${v.replace("'", "''")}'" }.mkString(", ")
     spark.sql(
-      s"ALTER TABLE ${q(db, table)} ADD IF NOT EXISTS PARTITION ($spec) LOCATION '${p.location}'")
+      s"ALTER TABLE ${q(db, table)} ADD IF NOT EXISTS PARTITION ($spec)" +
+        s" LOCATION '${p.location.replace("'", "''")}'")
   }
 
   def setTableProperties(db: String, table: String, props: Map[String, String]): Unit = {

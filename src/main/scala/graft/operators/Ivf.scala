@@ -24,7 +24,9 @@ object Ivf {
   def train(
       embs: DataFrame, vecCol: String, k: Int,
       iters: Int = 10, seed: Long = 11L, sampleSize: Int = 4096): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = embs.select(col(vecCol)).limit(sampleSize)
+    // exclude null vectors: search tolerates them, the trainer would NPE
+    val sample: Array[Array[Double]] = embs.select(col(vecCol))
+      .filter(col(vecCol).isNotNull).limit(sampleSize)
       .collect().map(_.getSeq[Any](0).toArray.map {
         case f: Float  => f.toDouble
         case d: Double => d
@@ -76,10 +78,13 @@ object Ivf {
   /** Top-`nprobe` cell ids for a query vector (ties by cell id). */
   def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
     val sims = centroidSims(vec, centroids)
+    // sort by (-sim, cid) so equal-similarity cells break toward the
+    // LOWEST id, as documented — reverse(array_sort) would flip the tie
+    // order along with the similarity order
     val pairs = array(sims.zipWithIndex.map { case (s, i) =>
-      struct(s.as("sim"), lit(i).as("cid"))
+      struct((-s).as("negsim"), lit(i).as("cid"))
     }: _*)
-    slice(reverse(array_sort(pairs)), 1, nprobe).getField("cid")
+    slice(array_sort(pairs), 1, nprobe).getField("cid")
   }
 
   /** IVF ANN top-k: assign the corpus to cells once, probe the `nprobe`

@@ -32,7 +32,10 @@ object Pq {
       iters: Int = 10, seed: Long = 19L, sampleSize: Int = 4096): Seq[Double] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
-    val sample: Array[Array[Double]] = embs.select(col(vecCol)).limit(sampleSize)
+    // null vectors are search-safe (null codes / null sims) but would NPE
+    // the trainer — exclude them from the sample
+    val sample: Array[Array[Double]] = embs.select(col(vecCol))
+      .filter(col(vecCol).isNotNull).limit(sampleSize)
       .collect().map(_.getSeq[Any](0).toArray.map {
         case f: Float  => f.toDouble
         case d: Double => d
@@ -108,7 +111,11 @@ object Pq {
       idCol: String, vecCol: String, k: Int, candidates: Int,
       qIdCol: String): DataFrame = {
     val wAdc = Window.partitionBy(qIdCol).orderBy(col("adist"), col("neighbor_id"))
-    val cand = scored.withColumn("crank", row_number().over(wAdc))
+    // ascending sort is NULLS FIRST: null-vector corpus rows (null codes →
+    // null adist) would otherwise outrank every real candidate and eat the
+    // whole candidate budget
+    val cand = scored.filter(col("adist").isNotNull)
+      .withColumn("crank", row_number().over(wAdc))
       .filter(col("crank") <= candidates)
       .select(col(qIdCol), col("neighbor_id"))
     val cvecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))

@@ -43,7 +43,13 @@ object Compaction {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = dataFiles(spark, loc)
 
-    val df = PartitionedSink.configureRead(spark.read, format).load(location)
+    // a CLONED session scopes two read-side settings to this rewrite:
+    // partition-column type inference must be OFF (a string partition
+    // value like '00123' would otherwise be re-inferred as int 123 and
+    // rewritten as part=123, orphaning the registered catalog location)
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val df = PartitionedSink.configureRead(sess.read, format).load(location)
     val arranged =
       if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
       else df.coalesce(1)
@@ -54,6 +60,19 @@ object Compaction {
         format)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .save(tmp.toString)
+
+    // writer-concurrency guard: the rewrite read pinned its file listing
+    // at load time, so any batch APPENDED to the table while the rewrite
+    // ran is not in the rewrite output — swapping now would silently
+    // delete those committed rows. Relist and abort instead (the caller
+    // re-runs compaction in a quiet window); readers racing the swap are
+    // covered by the rename itself.
+    val after = dataFiles(spark, loc)
+    if (after.map(_.toString).toSet != before.map(_.toString).toSet) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"$location changed during compaction (${before.size} -> ${after.size} files); aborting swap")
+    }
 
     val rows = PartitionedSink.configureRead(spark.read, format).load(tmp.toString).count()
     val old = new Path(loc.getParent, loc.getName + "_precompact")

@@ -48,17 +48,33 @@ object StreamingUpsert {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(stateDir), s.sparkContext.hadoopConfiguration)
         val cur = new org.apache.hadoop.fs.Path(dataPath)
+        val retired = new org.apache.hadoop.fs.Path(s"$stateDir/_retired")
+        // crash recovery: a previous run may have died between
+        // rename(cur→retired) and rename(tmp→cur) — the good state is
+        // then sitting at _retired with no cur. Restore it BEFORE reading,
+        // or the replayed merge would start from empty and every key not
+        // in this batch would be lost.
+        if (!fs.exists(cur) && fs.exists(retired) &&
+            !fs.rename(retired, cur))
+          sys.error(s"upsert recovery failed: cannot restore $retired to $cur")
         val existing =
           if (fs.exists(cur)) s.read.parquet(dataPath) else batch.limit(0)
         val merged = merge(existing, batch, keyCols, verCol)
         val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/tmp-$batchId")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        // swap AFTER the side write fully committed: delete-then-rename is
-        // the non-atomic window, but a crash there is recovered by the
-        // checkpoint replaying this batch against tmp's content being
-        // re-derived (the batch files are still pinned by the source log)
-        if (fs.exists(cur)) fs.delete(cur, true)
-        fs.rename(tmp, cur)
+        // swap AFTER the side write fully committed, and NEVER delete the
+        // live state before its replacement is in place: retire-then-
+        // rename leaves a recoverable _retired copy through the entire
+        // non-atomic window. Rename failures on Hadoop filesystems report
+        // as `false`, not exceptions — treat them as fatal so the
+        // checkpoint does not commit a batch whose state swap didn't land.
+        if (fs.exists(retired) && !fs.delete(retired, true))
+          sys.error(s"upsert swap failed: cannot clear $retired")
+        if (fs.exists(cur) && !fs.rename(cur, retired))
+          sys.error(s"upsert swap failed: cannot retire $cur")
+        if (!fs.rename(tmp, cur))
+          sys.error(s"upsert swap failed: cannot install $tmp as $cur")
+        fs.delete(retired, true) // best-effort; leftovers recovered above
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -217,6 +217,40 @@ class AnalyticsSuiteSpec extends SparkSpec {
       == expected)
   }
 
+  test("StreamingUpsert recovers state stranded at _retired by a mid-swap crash") {
+    // simulate a death between rename(cur -> _retired) and
+    // rename(tmp -> cur): the good state sits at _retired with no cur.
+    // The next drained batch must restore it BEFORE merging, or every key
+    // not in that batch would be silently lost.
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-ups-rec").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-ups-in").toString
+    val chunk1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+    chunk1.coalesce(1).write.parquet(s"$inDir/c1")
+    val schema = chunk1.schema
+    val q1 = StreamingUpsert.start(spark, s"$inDir/c1", schema, Seq("k"), "ver", stateDir)
+    q1.awaitTermination()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    // manufacture the crash window
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/data"),
+      new org.apache.hadoop.fs.Path(s"$stateDir/_retired")))
+    // second drain: only key 3 arrives (flat file — the source does not
+    // recurse into subdirectories)
+    Seq((3L, "c", 2L)).toDF("k", "v", "ver")
+      .coalesce(1).write.parquet(s"$inDir/c2")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$inDir/c2")).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(s"$inDir/c1/extra.parquet"))
+    }
+    val q2 = StreamingUpsert.start(spark, s"$inDir/c1", schema, Seq("k"), "ver", stateDir)
+    q2.awaitTermination()
+    val state = spark.read.parquet(s"$stateDir/data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"keys 1/2 must survive the simulated crash, got $state")
+  }
+
   test("st9: streaming upsert end-to-end matches a batch replay") {
     val r = run("st9_stream_upsert").head()
     val base = spark.read.parquet(s"$dir/orders.parquet")
