@@ -3060,6 +3060,116 @@ object SparkEntry {
           expr("bool_and(o_totalprice > 0)").as("all_pos"),
           expr("bool_or(o_orderkey % 1000 = 0)").as("any_k"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Recursive CTE (Spark 4's UnionLoop): walk a part hierarchy derived
+    // deterministically from the key (parent = key div 10, roots < 10)
+    // and roll each subtree up to its root. The recursion depth is the
+    // key's digit count, so the loop terminates in ~6 iterations at any
+    // scale; each iteration is one keyed equi-join.
+    "q82_recursive_cte" -> ((s, dir) => {
+      tbl(s, dir, "part").createOrReplaceTempView("part_q82")
+      s.sql("""WITH RECURSIVE walk AS (
+        |  SELECT p_partkey, p_partkey AS root, 0 AS depth FROM part_q82
+        |  WHERE p_partkey < 10
+        |  UNION ALL
+        |  SELECT c.p_partkey, w.root, w.depth + 1
+        |  FROM part_q82 c JOIN walk w ON c.p_partkey DIV 10 = w.p_partkey
+        |  WHERE c.p_partkey >= 10)
+        |SELECT root, COUNT(*) AS n_parts, CAST(MAX(depth) AS INT) AS max_depth,
+        |  SUM(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS subtree_cents
+        |FROM walk JOIN part_q82 p USING (p_partkey)
+        |GROUP BY root ORDER BY root""".stripMargin)
+    }),
+
+    // Union-by-name over drifted schemas: two extracts that share only
+    // part of their columns combine by NAME (missing columns null-fill)
+    // — the schema-evolution-tolerant union an ingest pipeline needs
+    // when readers predate a source's new column.
+    "q83_union_by_name" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val b = o.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_orderpriority")) // different order; disjoint extras
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // Ordered-sequence pattern match (CEP-style): view → click →
+    // purchase per user, each step within 24 hours of the previous.
+    // Three IGNORE-NULLS running windows over ONE (user, time) sort
+    // carry the latest view / latest qualifying click forward — no
+    // self-joins, no per-user explode, one shuffle total.
+    "ev16_pattern_match" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val withView = ev
+        .withColumn("lv_ts", last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+        .withColumn("lv_id", last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      val qc = col("event_type") === "click" &&
+        col("lv_ts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("lv_ts")) <= 86400000000L
+      val withClick = withView
+        .withColumn("qc_ts", last(when(qc, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("qc_id", last(when(qc, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("qc_view", last(when(qc, col("lv_id")), ignoreNulls = true).over(w))
+      withClick
+        .filter(col("event_type") === "purchase" && col("qc_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("qc_ts")) <= 86400000000L)
+        .select(col("user_id"), col("qc_view").as("view_id"),
+          col("qc_id").as("click_id"), col("event_id").as("purchase_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // Truncated exponential moving average (α = 1/2 over the last 8
+    // events): the weighted sum and the weight total are exact integers
+    // (cents × powers of two), so the only float is the final division —
+    // cross-engine parity needs no tolerance. Eight lags over one
+    // (user, time) sort: a single shuffle, no self-join, no UDAF.
+    "ev17_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val e = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val terms = (0 until 8).map { k =>
+        val lk = if (k == 0) col("c") else lag(col("c"), k).over(w)
+        (coalesce(lk, lit(0L)) * lit(1L << (7 - k)),
+          when(lk.isNotNull, lit(1L << (7 - k))).otherwise(lit(0L)))
+      }
+      e.withColumn("num", terms.map(_._1).reduce(_ + _))
+        .withColumn("den", terms.map(_._2).reduce(_ + _))
+        .select(col("event_id"), col("user_id"),
+          round(col("num").cast("double") / col("den"), 6).as("ewma8"))
+        .orderBy("event_id")
+    }),
+
+    // Flesch reading-ease scoring: words, sentence marks, and
+    // vowel-group syllable estimates are integer regexp counts (vowel
+    // groups cannot span whitespace, so one whole-text count equals the
+    // per-word sum); the formula is a fixed double expression over
+    // exact integers. Pure row-local scan — zero shuffle.
+    "d42_readability" -> ((s, dir) => {
+      val words = expr("regexp_count(text, '\\\\S+')")
+      val sents = greatest(expr("regexp_count(text, '[.!?]+')"), lit(1))
+      val sylls = greatest(expr("regexp_count(lower(text), '[aeiouy]+')"), lit(1))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), words.as("words"), sents.as("sentences"), sylls.as("syllables"))
+        .filter(col("words") > 0)
+        .withColumn("flesch", round(
+          lit(206.835)
+            - lit(1.015) * col("words").cast("double") / col("sentences").cast("double")
+            - lit(84.6) * col("syllables").cast("double") / col("words").cast("double"), 6))
+        .withColumn("band",
+          when(col("flesch") >= 60, "easy")
+            .when(col("flesch") >= 30, "medium").otherwise("hard"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4785,6 +4895,100 @@ object SparkEntry {
         |CAST(bit_xor(o_orderkey) AS BIGINT) AS bxor,
         |bool_and(o_totalprice > 0) AS all_pos,
         |bool_or(o_orderkey % 1000 = 0) AS any_k
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q82_recursive_cte" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT p_partkey, p_partkey AS root, 0 AS depth FROM part
+        |  WHERE p_partkey < 10
+        |  UNION ALL
+        |  SELECT c.p_partkey, w.root, w.depth + 1
+        |  FROM part c JOIN walk w ON c.p_partkey // 10 = w.p_partkey
+        |  WHERE c.p_partkey >= 10)
+        |SELECT root, COUNT(*) AS n_parts, CAST(MAX(depth) AS INT) AS max_depth,
+        |CAST(SUM(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT) AS subtree_cents
+        |FROM walk JOIN part p USING (p_partkey)
+        |GROUP BY root ORDER BY root""".stripMargin,
+
+    "q83_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(NULL AS VARCHAR) AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(NULL AS BIGINT) AS cents, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "ev16_pattern_match" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type,
+        |  last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |    OVER w AS lv_ts,
+        |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER w AS lv_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (SELECT event_id, user_id, ts, event_type,
+        |  last_value(CASE WHEN event_type = 'click' AND lv_ts IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(lv_ts) <= 86400000000 THEN ts END IGNORE NULLS)
+        |    OVER w AS qc_ts,
+        |  last_value(CASE WHEN event_type = 'click' AND lv_ts IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(lv_ts) <= 86400000000 THEN event_id END IGNORE NULLS)
+        |    OVER w AS qc_id,
+        |  last_value(CASE WHEN event_type = 'click' AND lv_ts IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(lv_ts) <= 86400000000 THEN lv_id END IGNORE NULLS)
+        |    OVER w AS qc_view
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, qc_view AS view_id, qc_id AS click_id,
+        |  event_id AS purchase_id
+        |FROM c WHERE event_type = 'purchase' AND qc_ts IS NOT NULL
+        |  AND epoch_us(ts) - epoch_us(qc_ts) <= 86400000000
+        |ORDER BY purchase_id""".stripMargin,
+
+    "ev17_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |l AS (SELECT event_id, user_id,
+        |  c AS l0,
+        |  lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2,
+        |  lag(c, 3) OVER w AS l3, lag(c, 4) OVER w AS l4,
+        |  lag(c, 5) OVER w AS l5, lag(c, 6) OVER w AS l6,
+        |  lag(c, 7) OVER w AS l7
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, round(CAST(
+        |  COALESCE(l0, 0) * 128 + COALESCE(l1, 0) * 64 + COALESCE(l2, 0) * 32
+        |  + COALESCE(l3, 0) * 16 + COALESCE(l4, 0) * 8 + COALESCE(l5, 0) * 4
+        |  + COALESCE(l6, 0) * 2 + COALESCE(l7, 0) AS DOUBLE) / (
+        |  CASE WHEN l0 IS NOT NULL THEN 128 ELSE 0 END
+        |  + CASE WHEN l1 IS NOT NULL THEN 64 ELSE 0 END
+        |  + CASE WHEN l2 IS NOT NULL THEN 32 ELSE 0 END
+        |  + CASE WHEN l3 IS NOT NULL THEN 16 ELSE 0 END
+        |  + CASE WHEN l4 IS NOT NULL THEN 8 ELSE 0 END
+        |  + CASE WHEN l5 IS NOT NULL THEN 4 ELSE 0 END
+        |  + CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END
+        |  + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END), 6) AS ewma8
+        |FROM l ORDER BY event_id""".stripMargin,
+
+    "d42_readability" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS words,
+        |  GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+        |  GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, CAST(words AS INT) AS words,
+        |CAST(sentences AS INT) AS sentences, CAST(syllables AS INT) AS syllables,
+        |round(206.835 - 1.015 * CAST(words AS DOUBLE) / sentences
+        |  - 84.6 * CAST(syllables AS DOUBLE) / words, 6) AS flesch,
+        |CASE WHEN round(206.835 - 1.015 * CAST(words AS DOUBLE) / sentences
+        |    - 84.6 * CAST(syllables AS DOUBLE) / words, 6) >= 60 THEN 'easy'
+        |  WHEN round(206.835 - 1.015 * CAST(words AS DOUBLE) / sentences
+        |    - 84.6 * CAST(syllables AS DOUBLE) / words, 6) >= 30 THEN 'medium'
+        |  ELSE 'hard' END AS band
+        |FROM s WHERE words > 0 ORDER BY doc_id""".stripMargin
   )
 }

@@ -262,4 +262,82 @@ class AnalyticsSuiteSpec extends SparkSpec {
     assert(r.getLong(3) == nUpd, "every %7 key carries version 2")
     assert(r.getLong(4) == nIns, "every insert carries version 3")
   }
+
+  test("q82: recursive walk covers every part exactly once, depth = digits - 1") {
+    val rows = run("q82_recursive_cte").collect()
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+    val n = parts.count()
+    val maxKey = parts.agg(max("p_partkey")).head().getLong(0)
+    // keys are contiguous from 1, so every key's div-10 parent chain exists
+    // down to a root < 10: the forest must partition the whole table
+    assert(rows.map(_.getLong(1)).sum == n, "every part reached exactly once")
+    assert(rows.forall(_.getLong(0) < 10), "roots are single-digit keys")
+    val expectedDepth = maxKey.toString.length - 1
+    assert(rows.map(_.getInt(2)).max == expectedDepth,
+      s"deepest walk = digit count - 1 = $expectedDepth")
+  }
+
+  test("q83: union by name null-fills exactly the columns each side lacks") {
+    val rows = run("q83_union_by_name").collect()
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val nA = o.filter(col("o_orderkey") % 3 === 0).count()
+    val nB = o.filter(col("o_orderkey") % 3 === 1).count()
+    assert(rows.length == nA + nB)
+    val cents = rows.head.fieldIndex("cents")
+    val prio = rows.head.fieldIndex("o_orderpriority")
+    assert(rows.forall(r => r.isNullAt(cents) != r.isNullAt(prio)),
+      "each row has exactly one side's extra column")
+    assert(rows.count(_.isNullAt(prio)) == nA, "side A rows carry cents only")
+  }
+
+  test("ev16: every matched triple is type-correct, ordered, and within 24h steps") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("ts"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getTimestamp(2).getTime)).toMap
+    val rows = run("ev16_pattern_match").collect()
+    assert(rows.nonEmpty, "the pattern occurs in the fixture")
+    rows.foreach { r =>
+      val (vt, vts) = ev(r.getLong(1)); val (ct, cts) = ev(r.getLong(2))
+      val (pt, pts) = ev(r.getLong(3))
+      assert(vt == "view" && ct == "click" && pt == "purchase")
+      assert(vts <= cts && cts <= pts, "steps are time-ordered")
+      assert(cts - vts <= 86400000L && pts - cts <= 86400000L, "each step within 24h")
+    }
+  }
+
+  test("ev17: truncated EWMA replays the 8-term weighted sum per user") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2).view.mapValues(_.sortBy(e => (e._3, e._1))).toMap
+    val got = run("ev17_ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // spot-check every event of the heaviest user
+    val (_, hist) = byUser.maxBy(_._2.length)
+    hist.zipWithIndex.foreach { case ((eid, _, _, _), i) =>
+      val lags = (0 until 8).flatMap(k => if (i - k >= 0) Some((k, hist(i - k)._4)) else None)
+      val num = lags.map { case (k, v) => v * (1L << (7 - k)) }.sum
+      val den = lags.map { case (k, _) => 1L << (7 - k) }.sum
+      val want = BigDecimal(num.toDouble / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(eid) - want) < 1e-9, s"event $eid: ${got(eid)} vs $want")
+    }
+  }
+
+  test("d42: Flesch score replays the formula over exact regexp counts") {
+    val doc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).head()
+    val text = doc.getString(1)
+    val words = "\\S+".r.findAllIn(text).size
+    val sents = math.max("[.!?]+".r.findAllIn(text).size, 1)
+    val sylls = math.max("[aeiouy]+".r.findAllIn(text.toLowerCase).size, 1)
+    val want = BigDecimal(206.835 - 1.015 * words.toDouble / sents
+        - 84.6 * sylls.toDouble / words)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = run("d42_readability").filter(col("doc_id") === doc.getLong(0)).head()
+    assert(got.getInt(1) == words && got.getInt(2) == sents && got.getInt(3) == sylls)
+    assert(math.abs(got.getDouble(4) - want) < 1e-9)
+  }
 }
