@@ -3150,6 +3150,44 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Time travel over the versioned snapshot table: v1 is a filtered
+    // extract, v2 the full table; the query reads the PINNED v1 after v2
+    // committed — reproducible reads under concurrent writes, the
+    // snapshot-isolation contract. The oracle replays v1's content rule.
+    "q84_time_travel" -> ((s, dir) => {
+      import graft.sinks.VersionedTable
+      val root = tmpdir("graft-q84") + "/orders_versioned"
+      val o = tbl(s, dir, "orders")
+      val v1 = VersionedTable.write(s, o.filter(col("o_orderkey") % 2 === 0), root)
+      VersionedTable.write(s, o, root) // v2 supersedes; v1 stays readable
+      VersionedTable.read(s, root, Some(v1))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ListState flavor of the arbitrary-state API (completing the
+    // typed-state triple: ValueState st12, MapState st13): per-user top-3
+    // cents, list trimmed to k on every update so state is O(k) per key.
+    // Two replayed files exercise the trim across batches; each rank is
+    // monotone across batches, so max per (user, rank) is the final state.
+    "st14_liststate_topk" -> ((s, dir) => {
+      val work = tmpdir("graft-st14")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      replayEvents(dir, work, 2)
+      StreamingOps.drainToMemory(s, work, raw.schema,
+          df => StreamingOps.runningUserTopCentsTws(s, normalizeTs(df), 3)
+            .toDF("user_id", "rnk", "cents"),
+          OutputMode.Update(),
+          readerOptions = Map("maxFilesPerTrigger" -> "1"),
+          extraConf = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .groupBy("user_id", "rnk")
+        .agg(max(col("cents")).as("cents"))
+        .orderBy("user_id", "rnk")
+    }),
+
     // Flesch reading-ease scoring: words, sentence marks, and
     // vowel-group syllable estimates are integer regexp counts (vowel
     // groups cannot span whitespace, so one whole-text count equals the
@@ -4973,6 +5011,23 @@ object SparkEntry {
         |  + CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END
         |  + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END), 6) AS ewma8
         |FROM l ORDER BY event_id""".stripMargin,
+
+    "q84_time_travel" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "st14_liststate_topk" ->
+      """WITH d AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) FROM events),
+        |r AS (SELECT user_id, cents,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY cents DESC) AS rnk
+        |  FROM d)
+        |SELECT user_id, CAST(rnk AS INT) AS rnk, cents FROM r WHERE rnk <= 3
+        |ORDER BY user_id, rnk""".stripMargin,
 
     "d42_readability" ->
       """WITH s AS (SELECT doc_id,

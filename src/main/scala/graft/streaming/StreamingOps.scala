@@ -105,6 +105,39 @@ object StreamingOps {
       .transformWithState(new UserTypeCountsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Top-k cents per user via a typed `ListState` — the ordered-collection
+    * state variable of the arbitrary-state API (ValueState st12, MapState
+    * st13, ListState here). The list is TRIMMED to k on every update, so
+    * state stays O(k) per user no matter how long the stream runs; the
+    * emitted (rank, cents) pairs are order-independent in the input, so a
+    * replayed drain is deterministic. Each rank's value is monotone
+    * non-decreasing across batches (top-k of a superset dominates
+    * element-wise), which is what lets the drain's consumer take max per
+    * (user, rank) as the final state.
+    */
+  class UserTopCentsProcessor(k: Int)
+      extends StatefulProcessor[Long, Event, (Long, Int, Long)] {
+    @transient private var top: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[Long]("top",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[(Long, Int, Long)] = {
+      val merged = (top.get().toSeq ++
+        rows.map(e => math.round(e.value * 100)))
+        .sorted(Ordering[Long].reverse).take(k)
+      top.put(merged.toArray)
+      merged.iterator.zipWithIndex.map { case (c, i) => (key, i + 1, c) }
+    }
+  }
+
+  def runningUserTopCentsTws(
+      spark: SparkSession, events: DataFrame, k: Int): Dataset[(Long, Int, Long)] = {
+    import spark.implicits._
+    events.as[Event].groupByKey(_.user_id)
+      .transformWithState(new UserTopCentsProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Event-time TIMER usage of the arbitrary-state API: a session-close
     * detector. Every input row extends the user's session (count +
     * last-seen) and re-registers a timer at last_ts + gap; when the

@@ -35,4 +35,42 @@ class CompactionSpec extends SparkSpec {
     assert(r.rowCount == orders.count())
     assert(r.filesAfter == math.ceil(orders.count() / 400.0).toInt)
   }
+
+  test("versioned table: writes are linear versions, reads pin snapshots") {
+    import graft.sinks.VersionedTable
+    val root = tmpDir("vt1") + "/t"
+    val orders = spark.read.parquet(sf("orders"))
+    val v1 = VersionedTable.write(spark, orders.filter(col("o_orderkey") <= 100), root)
+    val v2 = VersionedTable.write(spark, orders, root)
+    assert(v1 == 1L && v2 == 2L)
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    // latest is v2; pinned v1 still reads the old snapshot after v2 landed
+    assert(VersionedTable.read(spark, root).count() == orders.count())
+    assert(VersionedTable.read(spark, root, Some(1L)).count() ==
+      orders.filter(col("o_orderkey") <= 100).count())
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(3L))
+    }
+  }
+
+  test("versioned table: staging orphans are invisible and swept; vacuum keeps newest") {
+    import graft.sinks.VersionedTable
+    val root = tmpDir("vt2") + "/t"
+    val orders = spark.read.parquet(sf("orders"))
+    VersionedTable.write(spark, orders.limit(10), root)
+    // a crashed writer's staging dir must not surface as a version...
+    val orphan = new java.io.File(s"$root/_staging-2-deadbeef")
+    orphan.mkdirs()
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    // ...and the next write sweeps it, then commits as v2
+    val v2 = VersionedTable.write(spark, orders.limit(20), root)
+    assert(v2 == 2L && !orphan.exists())
+    VersionedTable.write(spark, orders.limit(30), root)
+    assert(VersionedTable.vacuum(spark, root, keep = 2) == Seq(1L))
+    assert(VersionedTable.versions(spark, root) == Seq(2L, 3L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(1L))
+    }
+    assert(VersionedTable.read(spark, root, Some(3L)).count() == 30)
+  }
 }
