@@ -3001,10 +3001,16 @@ object SparkEntry {
         .select(col("doc_id"), col("tk"), col("w"))
       val norms = weighted.groupBy("doc_id")
         .agg(sum(col("w") * col("w")).as("nrm2"))
-      val probes = weighted.filter(col("doc_id") < 50)
-        .select(col("doc_id").as("ia"), col("tk"), col("w").as("wa"))
-      val dots = probes
-        .join(weighted.select(col("doc_id").as("ib"), col("tk"), col("w").as("wb")), "tk")
+      // the probe side is 50 docs' tokens — BROADCAST it so the corpus
+      // token table streams map-side through the shared-token join and
+      // the (ia, ib) partial aggregation, instead of shuffling every
+      // (doc, token, weight) row by token (a skew magnet: stopword
+      // tokens are the hottest keys in the corpus)
+      val probes = broadcast(weighted.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("ia"), col("tk"), col("w").as("wa")))
+      val dots = weighted
+        .select(col("doc_id").as("ib"), col("tk"), col("w").as("wb"))
+        .join(probes, "tk")
         .filter(col("ia") < col("ib"))
         .groupBy("ia", "ib").agg(sum(col("wa") * col("wb")).as("dot"))
       dots

@@ -289,4 +289,45 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[graft.functions.ZOrder2]))
   }
+
+  test("q82: the recursive CTE plans as a UnionLoop, not an unrolled join chain") {
+    val p = plan("q82_recursive_cte")
+    assert(p.contains("UnionLoop"), p)
+  }
+
+  test("ev16/ev17: the sequence windows share ONE (user_id, ts) sort — one shuffle each") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (q <- Seq("ev16_pattern_match", "ev17_ewma")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // one hash partitioning for the window chain + the final orderBy's
+      // range partitioning — any third exchange means a window lost the
+      // shared sort
+      assert(shuffles.size <= 2,
+        s"$q: ${shuffles.size} exchanges\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("d41: the probe side broadcasts — corpus tokens never shuffle by token") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("d41_sparse_cosine")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("BroadcastHashJoin"), p.toString)
+    val tokenShuffles = p.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("tk") => e
+    }
+    assert(tokenShuffles.isEmpty, tokenShuffles.mkString("\n"))
+  }
+
+  test("q84: a pinned read scans ONLY its version directory") {
+    val df = SparkEntry.queries("q84_time_travel")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // the scan's Location renders in the plan: the pinned v1 directory
+    // must appear, the superseding v2 must not be touched at all
+    assert(p.contains("v00000001"), p)
+    assert(!p.contains("v00000002"), p)
+  }
 }
