@@ -3194,6 +3194,58 @@ object SparkEntry {
         .orderBy("user_id", "rnk")
     }),
 
+    // Exact-k stratified sampling: every group contributes EXACTLY k rows
+    // chosen by portable md5 rank — reproducible under any partitioning,
+    // retry, or engine (the per-group twin of q37's bucket sampling, for
+    // when quotas must be met exactly rather than in expectation).
+    "q85_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("h"), col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), h.as("h"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("rnk"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // Persistent catalog VIEW: the stored view text re-resolves per
+    // query, so the filter through the view reaches the underlying scan
+    // (views inline during analysis — no materialization layer). The
+    // oracle replays the composed query.
+    "q86_catalog_view" -> ((s, dir) => {
+      val client = new graft.catalog.SparkCatalogClient(s)
+      client.ensureDatabase("graft_views")
+      client.createView("graft_views", "orders_enriched",
+        s"""SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           |CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           |date_trunc('month', o_orderdate) AS mon
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      s.sql("""SELECT o_orderstatus, mon, COUNT(*) AS n, SUM(cents) AS cents
+        |FROM graft_views.orders_enriched
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus, mon ORDER BY o_orderstatus, mon""".stripMargin)
+    }),
+
+    // Threshold similarity search (range query, the dual of top-k): all
+    // corpus vectors with cosine ≥ τ of each probe. Probes broadcast;
+    // the corpus streams map-side — same scan shape as e1, result size
+    // bounded by τ instead of k.
+    "e14_sim_threshold" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = broadcast(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
+        .join(q, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Dedup.cosine(col("qvec"), col("cvec")).as("sim"))
+        .filter(col("sim") >= 0.2)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("cos6"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // Flesch reading-ease scoring: words, sentence marks, and
     // vowel-group syllable estimates are integer regexp counts (vowel
     // groups cannot span whitespace, so one whole-text count equals the
@@ -5017,6 +5069,34 @@ object SparkEntry {
         |  + CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END
         |  + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END), 6) AS ewma8
         |FROM l ORDER BY event_id""".stripMargin,
+
+    "q85_stratified_sample" ->
+      """WITH h AS (SELECT o_orderkey, o_orderpriority,
+        |  ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders),
+        |r AS (SELECT o_orderkey, o_orderpriority,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY h, o_orderkey) AS rnk
+        |  FROM h)
+        |SELECT o_orderkey, o_orderpriority, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 20 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q86_catalog_view" ->
+      """WITH v AS (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  date_trunc('month', o_orderdate) AS mon FROM orders)
+        |SELECT o_orderstatus, mon, COUNT(*) AS n,
+        |CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM v WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus, mon ORDER BY o_orderstatus, mon""".stripMargin,
+
+    "e14_sim_threshold" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id)
+        |SELECT query_id, neighbor_id, round(sim, 6) AS cos6
+        |FROM s WHERE sim >= 0.2 ORDER BY query_id, neighbor_id""".stripMargin,
 
     "q84_time_travel" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -78,4 +78,15 @@ class SparkCatalogClient(spark: SparkSession) extends CatalogClient {
       .mkString(", ")
     spark.sql(s"ALTER TABLE ${q(db, table)} SET TBLPROPERTIES ($kv)")
   }
+
+  /** Persistent VIEW in the session catalog: the stored text re-resolves
+    * at read time, so queries through it see the backing table's current
+    * data and still get predicate pushdown/pruning into the underlying
+    * scan (the view is inlined during analysis, not materialized).
+    */
+  def createView(db: String, view: String, viewSql: String): Unit =
+    spark.sql(s"CREATE OR REPLACE VIEW ${q(db, view)} AS $viewSql")
+
+  def dropView(db: String, view: String): Unit =
+    spark.sql(s"DROP VIEW IF EXISTS ${q(db, view)}")
 }

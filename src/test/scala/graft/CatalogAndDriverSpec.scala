@@ -170,4 +170,25 @@ class CatalogAndDriverSpec extends SparkSpec {
     assert(shown.exists(s => s.contains("O'Brien") || s.contains("O%27Brien")),
       shown.mkString(","))
   }
+
+  test("catalog view re-resolves at read time and inlines into the scan") {
+    val work = tmpDir("sparkview")
+    val client = new SparkCatalogClient(spark)
+    client.ensureDatabase("graft_view_spec")
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+      .write.mode("overwrite").parquet(s"$work/t")
+    client.createView("graft_view_spec", "doubled",
+      s"SELECT k, v FROM parquet.`$work/t` WHERE v >= 4")
+    val df = spark.sql("SELECT k FROM graft_view_spec.doubled WHERE k <= 5")
+    assert(df.collect().map(_.getLong(0)).sorted.sameElements(Array(2L, 3L, 4L, 5L)))
+    // both the view's filter and the query's filter reach the file scan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(k,5"), p)
+    // the view is stored text, not a snapshot: new data is visible
+    spark.range(20).selectExpr("id AS k", "id * 2 AS v")
+      .write.mode("overwrite").parquet(s"$work/t")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_view_spec.doubled").head().getLong(0) == 18)
+    client.dropView("graft_view_spec", "doubled")
+    assert(!spark.catalog.tableExists("`graft_view_spec`.`doubled`"))
+  }
 }
