@@ -3246,6 +3246,95 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // KMV (k-minimum-values) distinct sketch with an EXACT cross-engine
+    // oracle: the K smallest portable md5-60bit hashes of the distinct
+    // tokens per source. Unlike HLL (q19/q20, estimate-only gates), KMV's
+    // state is a deterministic integer set, so construction, the kth
+    // hash, and the (K-1)·2⁶⁰/h_K estimate are all hash-comparable. The
+    // sketch MERGES by keeping the K smallest of a union — the '__all__'
+    // row is built from the per-source sketches, proving mergeability,
+    // not from a second corpus pass. Per-group top-K prunes map-side
+    // (WindowGroupLimit); only (source, hash) longs ever shuffle.
+    "d43_kmv_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 64
+      // sketch the distinct DOCUMENT fingerprints per source (the dedup-
+      // cardinality question); the token vocabulary is too small to
+      // engage a K=64 sketch
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("bigint").as("h"))
+        .distinct() // distinct hashes: KMV is over the value set
+      val w = Window.partitionBy("source").orderBy("h")
+      val sketches = toks.withColumn("r", row_number().over(w)).filter(col("r") <= K)
+      val merged = sketches.select(lit("__all__").as("source"), col("h")).distinct()
+        .withColumn("r", row_number().over(Window.partitionBy("source").orderBy("h")))
+        .filter(col("r") <= K)
+      sketches.select(col("source"), col("h"), col("r")).unionAll(merged)
+        .groupBy("source")
+        .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+        // the standard KMV rule: a sketch that never filled IS the exact
+        // value set, so its estimate is the exact count
+        .withColumn("est", when(col("k_used") < K,
+            col("k_used").cast("double"))
+          .otherwise(round(lit(63.0) * lit(1152921504606846976.0) /
+            col("kth_hash").cast("double"), 4)))
+        .orderBy("source")
+    }),
+
+    // Streaming into the versioned snapshot table: each micro-batch
+    // commits as its own immutable version via foreachBatch, so the
+    // table's history IS the batch sequence — a pinned read of version 1
+    // reproduces the first batch exactly even after later batches landed.
+    "st15_stream_versioned" -> ((s, dir) => {
+      import graft.sinks.VersionedTable
+      val work = tmpdir("graft-st15")
+      val root = s"$work/versioned"
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      new java.io.File(s"$work/in").mkdirs()
+      replayEvents(dir, s"$work/in", 2)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          VersionedTable.write(s, batch, root); ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nVersions = VersionedTable.versions(s, root).size
+      normalizeTs(VersionedTable.read(s, root, Some(1L)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .withColumn("n_versions", lit(nVersions))
+        .orderBy("event_type")
+    }),
+
+    // Multi-hop BFS distances through the recursive CTE: minimum hop
+    // count from two seed parts over the support-filtered co-purchase
+    // graph, depth-capped at 3. Each iteration is one keyed equi-join;
+    // the depth cap bounds the walk fan-out, and MIN(d) collapses walks
+    // into distances.
+    "q87_bfs_distance" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct().createOrReplaceTempView("li_q87")
+      s.sql("""WITH RECURSIVE
+        |e AS (SELECT a.p AS u, b.p AS v FROM li_q87 a JOIN li_q87 b
+        |  ON a.ok = b.ok AND a.p < b.p GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        |dir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |roots AS (SELECT DISTINCT u AS node FROM e ORDER BY node LIMIT 2),
+        |walk AS (
+        |  SELECT node, 0 AS d FROM roots
+        |  UNION ALL
+        |  SELECT dir.v AS node, w.d + 1 AS d
+        |  FROM walk w JOIN dir ON dir.u = w.node WHERE w.d < 3)
+        |SELECT node, CAST(MIN(d) AS INT) AS dist, COUNT(*) AS n_walks
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin)
+    }),
+
     // Flesch reading-ease scoring: words, sentence marks, and
     // vowel-group syllable estimates are integer regexp counts (vowel
     // groups cannot span whitespace, so one whole-text count equals the
@@ -5069,6 +5158,44 @@ object SparkEntry {
         |  + CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END
         |  + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END), 6) AS ewma8
         |FROM l ORDER BY event_id""".stripMargin,
+
+    "d43_kmv_sketch" ->
+      """WITH h AS (SELECT DISTINCT source,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM h),
+        |sk AS (SELECT source, h, r FROM r WHERE r <= 64),
+        |m0 AS (SELECT DISTINCT h FROM sk),
+        |m AS (SELECT '__all__' AS source, h,
+        |  row_number() OVER (ORDER BY h) AS r FROM m0),
+        |allsk AS (SELECT source, h, r FROM sk
+        |  UNION ALL SELECT source, h, r FROM m WHERE r <= 64)
+        |SELECT source, COUNT(*) AS k_used, CAST(MAX(h) AS BIGINT) AS kth_hash,
+        |CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |  ELSE round(63.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE), 4)
+        |END AS est
+        |FROM allsk GROUP BY source ORDER BY source""".stripMargin,
+
+    "st15_stream_versioned" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |CAST(2 AS INT) AS n_versions
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q87_bfs_distance" ->
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b
+        |  ON a.ok = b.ok AND a.p < b.p GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        |dir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |roots AS (SELECT DISTINCT u AS node FROM e ORDER BY node LIMIT 2),
+        |walk AS (
+        |  SELECT node, 0 AS d FROM roots
+        |  UNION ALL
+        |  SELECT dir.v AS node, w.d + 1 AS d
+        |  FROM walk w JOIN dir ON dir.u = w.node WHERE w.d < 3)
+        |SELECT node, CAST(MIN(d) AS INT) AS dist, COUNT(*) AS n_walks
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     "q85_stratified_sample" ->
       """WITH h AS (SELECT o_orderkey, o_orderpriority,

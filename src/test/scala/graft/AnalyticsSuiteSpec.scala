@@ -326,6 +326,34 @@ class AnalyticsSuiteSpec extends SparkSpec {
     }
   }
 
+  test("d43: the KMV estimate tracks the exact per-source cardinality") {
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").agg(countDistinct(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("d43_kmv_sketch").collect()
+    for (r <- rows if r.getString(0) != "__all__") {
+      val (src, kUsed, est) = (r.getString(0), r.getLong(1), r.getDouble(3))
+      val n = exact(src).toDouble
+      assert(kUsed == math.min(64L, exact(src)), s"$src k_used")
+      // KMV relative error ~ 1/sqrt(K-2) ≈ 13%; allow 4 sigma
+      assert(math.abs(est - n) / n < 0.52, s"$src est=$est exact=$n")
+    }
+    val all = rows.find(_.getString(0) == "__all__").get
+    val union = exact.values.sum.toDouble // sources don't share texts here
+    assert(math.abs(all.getDouble(3) - union) / union < 0.52,
+      s"merged est=${all.getDouble(3)} exact=$union")
+  }
+
+  test("q87: BFS distances start at the two roots and grow by at most 1 per hop") {
+    val rows = run("q87_bfs_distance").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.values.count(_ == 0) == 2, "exactly the two seed nodes at distance 0")
+    assert(rows.values.forall(d => d >= 0 && d <= 3))
+    // distance-d nodes (d>0) exist only if some distance-(d-1) node exists
+    for (d <- 1 to rows.values.max)
+      assert(rows.values.exists(_ == d - 1), s"gap below distance $d")
+  }
+
   test("d42: Flesch score replays the formula over exact regexp counts") {
     val doc = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).head()
