@@ -3312,26 +3312,70 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Streaming windowed aggregation to a parquet FILE sink: append mode
+    // emits a window exactly once, when the watermark passes its end —
+    // the file sink's commit log makes the output exactly-once across
+    // restarts (the sink-side twin of st6's exactly-once file SOURCE).
+    // Two replayed files: batch 2 doubles the counts, then finalizes
+    // every window whose end ≤ the batch-1 watermark (st7's lag rule);
+    // identical file content makes later no-data batches a no-op.
+    "st16_stream_file_sink" -> ((s, dir) => {
+      val work = tmpdir("graft-st16")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      new java.io.File(s"$work/in").mkdirs()
+      replayEvents(dir, s"$work/in", 2)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val agg = normalizeTs(stream)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .select(col("window.start").as("h"), col("event_type"), col("n"), col("cents"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out").orderBy("h", "event_type")
+    }),
+
     // Multi-hop BFS distances through the recursive CTE: minimum hop
     // count from two seed parts over the support-filtered co-purchase
-    // graph, depth-capped at 3. Each iteration is one keyed equi-join;
-    // the depth cap bounds the walk fan-out, and MIN(d) collapses walks
-    // into distances.
+    // graph, depth-capped at 3. Each iteration is one keyed equi-join,
+    // and the recursive term is DISTINCT per level — the frontier is
+    // bounded by |V| per iteration instead of enumerating walks (the
+    // walk formulation blew up 17s at sf0.1: path counts grow
+    // multiplicatively on a dense co-purchase graph). MIN(d) collapses
+    // level appearances into distances; n_levels counts the levels a
+    // node shows up in (≤ depth, deterministic).
     "q87_bfs_distance" -> ((s, dir) => {
-      tbl(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct().createOrReplaceTempView("li_q87")
+      // materialize the edge list ONCE before the recursion: every
+      // UnionLoop iteration re-executes its static side, so leaving the
+      // lineitem self-join inside the CTE re-paid the graph build per
+      // hop (measured 13-18 s at sf0.1 vs 0.7 s for the recursion
+      // itself). The iterative-graph rule: build edges once, iterate on
+      // the materialized list.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val e = li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2).select("u", "v")
+        .localCheckpoint()
+      e.createOrReplaceTempView("e_q87")
       s.sql("""WITH RECURSIVE
-        |e AS (SELECT a.p AS u, b.p AS v FROM li_q87 a JOIN li_q87 b
-        |  ON a.ok = b.ok AND a.p < b.p GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
-        |dir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-        |roots AS (SELECT DISTINCT u AS node FROM e ORDER BY node LIMIT 2),
+        |dir AS (SELECT u, v FROM e_q87 UNION ALL SELECT v AS u, u AS v FROM e_q87),
+        |roots AS (SELECT DISTINCT u AS node FROM e_q87 ORDER BY node LIMIT 2),
         |walk AS (
         |  SELECT node, 0 AS d FROM roots
         |  UNION ALL
-        |  SELECT dir.v AS node, w.d + 1 AS d
+        |  SELECT DISTINCT dir.v AS node, w.d + 1 AS d
         |  FROM walk w JOIN dir ON dir.u = w.node WHERE w.d < 3)
-        |SELECT node, CAST(MIN(d) AS INT) AS dist, COUNT(*) AS n_walks
+        |SELECT node, CAST(MIN(d) AS INT) AS dist, COUNT(*) AS n_levels
         |FROM walk GROUP BY node ORDER BY node""".stripMargin)
     }),
 
@@ -5182,6 +5226,16 @@ object SparkEntry {
         |CAST(2 AS INT) AS n_versions
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "st16_stream_file_sink" ->
+      """WITH t AS (SELECT max(ts) AS m FROM events),
+        |d AS (SELECT ts, event_type, value FROM events
+        |  UNION ALL SELECT ts, event_type, value FROM events)
+        |SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM d, t
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= t.m - INTERVAL 30 MINUTE
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q87_bfs_distance" ->
       """WITH RECURSIVE
         |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
@@ -5192,9 +5246,9 @@ object SparkEntry {
         |walk AS (
         |  SELECT node, 0 AS d FROM roots
         |  UNION ALL
-        |  SELECT dir.v AS node, w.d + 1 AS d
+        |  SELECT DISTINCT dir.v AS node, w.d + 1 AS d
         |  FROM walk w JOIN dir ON dir.u = w.node WHERE w.d < 3)
-        |SELECT node, CAST(MIN(d) AS INT) AS dist, COUNT(*) AS n_walks
+        |SELECT node, CAST(MIN(d) AS INT) AS dist, COUNT(*) AS n_levels
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     "q85_stratified_sample" ->

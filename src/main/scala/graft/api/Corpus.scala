@@ -230,5 +230,48 @@ object corpus {
         .withColumn(textCol, coalesce(col("__rebuilt"), lit("")))
         .drop("__rebuilt")
     }
+
+    /** Flesch reading-ease signals (d42's formula): integer regexp
+      * counts plus the score and a coarse band. Row-local, zero shuffle.
+      */
+    def withReadability(textCol: String = "text"): DataFrame = {
+      val t = col(textCol)
+      val words = expr(s"regexp_count($textCol, '\\\\S+')")
+      val sents = greatest(expr(s"regexp_count($textCol, '[.!?]+')"), lit(1))
+      val sylls = greatest(expr(s"regexp_count(lower($textCol), '[aeiouy]+')"), lit(1))
+      df.withColumn("words", words)
+        .withColumn("sentences", sents)
+        .withColumn("syllables", sylls)
+        .withColumn("flesch", when(col("words") > 0, round(
+          lit(206.835)
+            - lit(1.015) * col("words").cast("double") / col("sentences").cast("double")
+            - lit(84.6) * col("syllables").cast("double") / col("words").cast("double"), 6)))
+        .withColumn("read_band",
+          when(col("flesch").isNull, lit(null).cast("string"))
+            .when(col("flesch") >= 60, "easy")
+            .when(col("flesch") >= 30, "medium").otherwise("hard"))
+    }
+
+    /** KMV distinct-cardinality sketch per group (d43): K smallest
+      * portable md5-60bit hashes of the distinct values. Deterministic
+      * integer state — reproducible across engines/retries — and
+      * mergeable by keeping the K smallest of a union. Returns one row
+      * per group: (group, k_used, kth_hash, est).
+      */
+    def distinctSketch(
+        groupCol: String, valueCol: String, k: Int = 64): DataFrame = {
+      val hashes = df
+        .select(col(groupCol),
+          conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+            .cast("bigint").as("h"))
+        .distinct()
+      val w = Window.partitionBy(groupCol).orderBy("h")
+      hashes.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+        .groupBy(groupCol)
+        .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+        .withColumn("est", when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            col("kth_hash").cast("double"), 4)))
+    }
   }
 }

@@ -148,4 +148,23 @@ class CorpusApiSpec extends SparkSpec {
     assert(out(2L) == "")  // exact copy loses all blocks
     assert(out(3L) == b)   // distinct content untouched
   }
+
+  test("withReadability matches the d42 scores; distinctSketch matches d43") {
+    val api = docs.withReadability()
+      .select(col("doc_id"), col("flesch"), col("read_band"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    val q = SparkEntry.queries("d42_readability")(spark, sfDir)
+      .select(col("doc_id"), col("flesch"), col("band"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(api.view.filterKeys(q.contains).toMap == q && q.nonEmpty)
+
+    val sk = docs.distinctSketch("source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val d43 = SparkEntry.queries("d43_kmv_sketch")(spark, sfDir)
+      .filter(col("source") =!= "__all__")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(sk == d43 && sk.nonEmpty)
+  }
 }
