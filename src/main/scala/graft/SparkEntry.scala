@@ -121,6 +121,26 @@ object SparkEntry {
         numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
     }
 
+  /** Support-filtered co-purchase edges (part pairs sharing ≥2 orders),
+    * materialized ONCE per (session, scale factor) and shared by the
+    * graph queries (q74 triangles, q87 BFS, q88 PageRank) — the
+    * iterative-graph rule from SCALING.md: build the edge list once,
+    * iterate on the materialized result. `localCheckpoint` truncates the
+    * self-join lineage so downstream iterations replan from the
+    * materialized blocks.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, s"copurch|$dir") {
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      li.as("a")
+        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2).select("u", "v")
+        .localCheckpoint()
+    }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q5_partition_write_counts")(spark, "/root/testdata/sf0.001")
@@ -2790,15 +2810,7 @@ object SparkEntry {
     // scalable formulation. The oracle counts the same triangles with
     // the simple a<b<c chain join.
     "q74_triangle_count" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = li.as("a")
-        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("u", "v")
+      val e = coPurchaseEdges(s, dir)
       val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val eo = e
@@ -3312,6 +3324,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // PageRank, 3 unrolled iterations in EXACT integer arithmetic: ranks
+    // scaled by 10⁶, per-edge contributions via floor division, damping
+    // as (85·Σ) div 100 — no FP anywhere, so the result is independent
+    // of partitioning and aggregation order (the property a float
+    // PageRank cannot give across engines). Each iteration is one keyed
+    // join + one hash aggregate over the MATERIALIZED edge list.
+    "q88_pagerank" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      val dirE = e.select("u", "v")
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = dirE.groupBy("u").agg(count(lit(1)).as("d"))
+        .select(col("u").as("node"), col("d"))
+      val r0 = deg.withColumn("r", lit(1000000L))
+      val r3 = (1 to 3).foldLeft(r0) { (state, _) =>
+        val contrib = dirE
+          .join(state.select(col("node").as("u"), col("d"), col("r")), "u")
+          .select(col("v").as("node"), expr("r DIV d").as("c"))
+        val sums = contrib.groupBy("node").agg(sum(col("c")).as("sc"))
+        deg.join(sums, Seq("node"), "left")
+          .select(col("node"), col("d"),
+            (lit(150000L) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100")).as("r"))
+      }
+      r3.select(col("node"), col("r").as("rank")).orderBy("node")
+    }),
+
     // Streaming windowed aggregation to a parquet FILE sink: append mode
     // emits a window exactly once, when the watermark passes its end —
     // the file sink's commit log makes the output exactly-once across
@@ -3358,15 +3395,7 @@ object SparkEntry {
       // hop (measured 13-18 s at sf0.1 vs 0.7 s for the recursion
       // itself). The iterative-graph rule: build edges once, iterate on
       // the materialized list.
-      val li = tbl(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val e = li.as("a")
-        .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2).select("u", "v")
-        .localCheckpoint()
-      e.createOrReplaceTempView("e_q87")
+      coPurchaseEdges(s, dir).createOrReplaceTempView("e_q87")
       s.sql("""WITH RECURSIVE
         |dir AS (SELECT u, v FROM e_q87 UNION ALL SELECT v AS u, u AS v FROM e_q87),
         |roots AS (SELECT DISTINCT u AS node FROM e_q87 ORDER BY node LIMIT 2),
@@ -5225,6 +5254,27 @@ object SparkEntry {
         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
         |CAST(2 AS INT) AS n_versions
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q88_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b
+        |  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |deg AS (SELECT u AS node, COUNT(*) AS d FROM dir GROUP BY 1),
+        |r0 AS (SELECT node, d, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |c1 AS (SELECT dir.v AS node, SUM(r0.r // r0.d) AS s
+        |  FROM dir JOIN r0 ON dir.u = r0.node GROUP BY 1),
+        |r1 AS (SELECT deg.node, deg.d, 150000 + (85 * COALESCE(c1.s, 0)) // 100 AS r
+        |  FROM deg LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT dir.v AS node, SUM(r1.r // r1.d) AS s
+        |  FROM dir JOIN r1 ON dir.u = r1.node GROUP BY 1),
+        |r2 AS (SELECT deg.node, deg.d, 150000 + (85 * COALESCE(c2.s, 0)) // 100 AS r
+        |  FROM deg LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT dir.v AS node, SUM(r2.r // r2.d) AS s
+        |  FROM dir JOIN r2 ON dir.u = r2.node GROUP BY 1),
+        |r3 AS (SELECT deg.node, deg.d, 150000 + (85 * COALESCE(c3.s, 0)) // 100 AS r
+        |  FROM deg LEFT JOIN c3 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin,
 
     "st16_stream_file_sink" ->
       """WITH t AS (SELECT max(ts) AS m FROM events),

@@ -354,6 +354,20 @@ class AnalyticsSuiteSpec extends SparkSpec {
       assert(rows.values.exists(_ == d - 1), s"gap below distance $d")
   }
 
+  test("q88: integer PageRank is partition-independent and mass-bounded") {
+    val a = run("q88_pagerank").collect().map(r => r.getLong(0) -> r.getLong(1))
+    // deterministic: a second run (different plan instance) is identical
+    val b = run("q88_pagerank").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+    // every node keeps at least the teleport mass; floor division only
+    // loses mass, so no node can exceed the scaled total
+    assert(a.forall(_._2 >= 150000L))
+    val total = a.map(_._2).sum
+    assert(total <= a.length * 1000000L + 1,
+      s"rank mass $total exceeds ${a.length} nodes' initial mass")
+  }
+
   test("d42: Flesch score replays the formula over exact regexp counts") {
     val doc = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).head()
