@@ -70,5 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_url_canon"),
       new ExpressionInfo(classOf[graft.functions.UrlCanonicalize].getName, "graft_url_canon"),
       (args: Seq[Expression]) => graft.functions.UrlCanonicalize(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinklerSimilarity].getName,
+        "graft_jaro_winkler"),
+      (args: Seq[Expression]) => graft.functions.JaroWinklerSimilarity(args(0), args(1))))
   }
 }

@@ -3324,6 +3324,56 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Jaro-Winkler near-dup scoring (the prefix-weighted string metric
+    // edit distance can't replace — d11's complement for titles/names).
+    // Candidates come from a LOSSLESS factor-2 length block: jw ≥ 0.9
+    // needs jaro ≥ (0.9−0.4)/0.6 = 0.83̄, and jaro ≤ (2 + s/L)/3 forces
+    // s/L ≥ 1/2 — so qualifying pairs always land in the same or
+    // adjacent power-of-two length bucket. The oracle recomputes every
+    // pair UNFILTERED with DuckDB's own jaro_winkler_similarity, proving
+    // both the blocking and the custom expression (transpositions are
+    // integer-halved, boost above 0.7 — DuckDB's exact convention,
+    // fuzz-verified on 3000 random pairs).
+    "d44_jaro_winkler" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      def jwc(a: Column, b: Column) = ColumnBridge.column(
+        graft.functions.JaroWinklerSimilarity(
+          ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      val base = tbl(s, dir, "documents").filter(col("doc_id") < 150)
+      // swap the first two words (id+200000): the transposition-heavy
+      // near-dup Jaro-Winkler exists to catch — edit distance sees a
+      // large rewrite, JW sees two matched-but-moved blocks
+      val swapped = expr(
+        """CASE WHEN instr(text, ' ') > 0
+          |  AND instr(substring(text, instr(text, ' ') + 1), ' ') > 0 THEN
+          |  concat(
+          |    substring(text, instr(text, ' ') + 1,
+          |      instr(substring(text, instr(text, ' ') + 1), ' ') - 1),
+          |    ' ',
+          |    substring(text, 1, instr(text, ' ') - 1),
+          |    substring(text, instr(text, ' ')
+          |      + instr(substring(text, instr(text, ' ') + 1), ' ')))
+          |ELSE text END""".stripMargin)
+      val corpus = nearDupCorpus(base)
+        .unionAll(base.select((col("doc_id") + 200000).as("doc_id"), swapped.as("text")))
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+      val withLen = corpus.withColumn("len", length(col("t")))
+      val bucketed = withLen.select(col("doc_id"), col("len"),
+        explode(array(floor(log2(col("len"))).cast("int"),
+          floor(log2(col("len"))).cast("int") + 1)).as("bkt"))
+      val cand = bucketed.as("l").join(bucketed.as("r"),
+          col("l.bkt") === col("r.bkt") && col("l.doc_id") < col("r.doc_id") &&
+            lit(2) * least(col("l.len"), col("r.len")) >=
+              greatest(col("l.len"), col("r.len")))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+      val ta = corpus.select(col("doc_id").as("a"), col("t").as("ta"))
+      val tb = corpus.select(col("doc_id").as("b"), col("t").as("tb"))
+      cand.join(broadcast(ta), "a").join(broadcast(tb), "b")
+        .select(col("a"), col("b"), round(jwc(col("ta"), col("tb")), 6).as("jw"))
+        .filter(col("jw") >= 0.9)
+        .orderBy("a", "b")
+    }),
+
     // PageRank, 3 unrolled iterations in EXACT integer arithmetic: ranks
     // scaled by 10⁶, per-edge contributions via floor division, damping
     // as (85·Σ) div 100 — no FP anywhere, so the result is independent
@@ -5254,6 +5304,34 @@ object SparkEntry {
         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
         |CAST(2 AS INT) AS n_versions
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "d44_jaro_winkler" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0 THEN substr(text, instr(text, ' ') + 1)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    CASE WHEN instr(text, ' ') > 0
+        |      AND instr(substring(text, instr(text, ' ') + 1), ' ') > 0 THEN
+        |      concat(
+        |        substring(text, instr(text, ' ') + 1,
+        |          instr(substring(text, instr(text, ' ') + 1), ' ') - 1),
+        |        ' ',
+        |        substring(text, 1, instr(text, ' ') - 1),
+        |        substring(text, instr(text, ' ')
+        |          + instr(substring(text, instr(text, ' ') + 1), ' ')))
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id < 150),
+        |t AS (SELECT doc_id, substr(text, 1, 40) AS t FROM corpus)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |round(jaro_winkler_similarity(l.t, r.t), 6) AS jw
+        |FROM t l, t r WHERE l.doc_id < r.doc_id
+        |AND round(jaro_winkler_similarity(l.t, r.t), 6) >= 0.9
+        |ORDER BY a, b""".stripMargin,
 
     "q88_pagerank" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),

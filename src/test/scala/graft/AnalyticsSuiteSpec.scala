@@ -123,6 +123,26 @@ class AnalyticsSuiteSpec extends SparkSpec {
     assert(correct > 100, s"diagonal only $correct of 500")
   }
 
+  test("JaroWinkler: textbook values, DuckDB's integer-half transposition rule") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinkler.score(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-9)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-9)
+    assert(jw("abcdef", "abcdef") == 1.0)
+    assert(jw("", "") == 1.0 && jw("a", "") == 0.0)
+    // len-3 strings have a zero match window: a full rotation scores 0
+    assert(jw("abc", "bca") == 0.0)
+    // no boost at or below jaro 0.7: crate/trace shares no prefix
+    assert(math.abs(jw("crate", "trace") - 0.7333333333333333) < 1e-9)
+    // SQL registration through the extension
+    val r = spark.sql("SELECT round(graft_jaro_winkler('martha', 'marhta'), 6) AS j")
+      .head().getDouble(0)
+    assert(r == 0.961111)
+  }
+
   test("NormalizeUnicode: composed and decomposed forms converge under NFC") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     def nfc(c: org.apache.spark.sql.Column) = ColumnBridge.column(
