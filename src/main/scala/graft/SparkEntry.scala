@@ -3324,6 +3324,21 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Declarative data-quality audit (the ingest gate between transform
+    // and publish): five expectations compile into ONE conditional-
+    // aggregate scan plus one distinct-count aggregate — audit cost does
+    // not grow with the number of row-level checks.
+    "q89_quality_audit" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      audit(tbl(s, dir, "orders"), Seq(
+          NotNull("o_custkey"),
+          InRange("o_totalprice", 0, 1000000),
+          AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+          Matches("o_orderpriority", "^[1-5]-"),
+          Unique(Seq("o_orderkey"))))
+        .orderBy("check")
+    }),
+
     // Jaro-Winkler near-dup scoring (the prefix-weighted string metric
     // edit distance can't replace — d11's complement for titles/names).
     // Candidates come from a LOSSLESS factor-2 length block: jw ≥ 0.9
@@ -5304,6 +5319,30 @@ object SparkEntry {
         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
         |CAST(2 AS INT) AS n_versions
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q89_quality_audit" ->
+      """WITH t AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_null,
+        |  SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |    OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS c_range,
+        |  SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |    THEN 1 ELSE 0 END) AS c_acc,
+        |  SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+        |    THEN 1 ELSE 0 END) AS c_re,
+        |  COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS c_uni
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'accepted:o_orderstatus' AS "check",
+        |    CAST(c_acc AS BIGINT) AS violations, n AS total, c_acc = 0 AS passed FROM t
+        |  UNION ALL
+        |  SELECT 'in_range:o_totalprice', CAST(c_range AS BIGINT), n, c_range = 0 FROM t
+        |  UNION ALL
+        |  SELECT 'matches:o_orderpriority', CAST(c_re AS BIGINT), n, c_re = 0 FROM t
+        |  UNION ALL
+        |  SELECT 'not_null:o_custkey', CAST(c_null AS BIGINT), n, c_null = 0 FROM t
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey', CAST(c_uni AS BIGINT), n, c_uni = 0 FROM t)
+        |ORDER BY "check"""".stripMargin,
 
     "d44_jaro_winkler" ->
       """WITH corpus AS (

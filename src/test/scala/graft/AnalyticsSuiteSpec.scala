@@ -123,6 +123,30 @@ class AnalyticsSuiteSpec extends SparkSpec {
     assert(correct > 100, s"diagonal only $correct of 500")
   }
 
+  test("DataQuality.audit counts exactly the planted violations") {
+    import graft.operators.DataQuality._
+    val df = Seq(
+      (Some(1L), Some(10.0), "O"),
+      (Some(2L), Some(-5.0), "O"),   // range violation
+      (None, Some(20.0), "F"),       // null violation
+      (Some(2L), Some(30.0), "X"),   // dup key + bad status
+      (Some(4L), None, "P")          // null price = range violation
+    ).toDF("k", "price", "status")
+    val out = audit(df, Seq(
+        NotNull("k"), InRange("price", 0, 100),
+        AcceptedValues("status", Seq("O", "F", "P")), Unique(Seq("k"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out("not_null:k") == ((1L, 5L, false)))
+    assert(out("in_range:price") == ((2L, 5L, false)))
+    assert(out("accepted:status") == ((1L, 5L, false)))
+    // countDistinct skips the null key: 4 non-null keys, 3 distinct
+    assert(out("unique:k") == ((1L, 5L, false)))
+    val clean = audit(df.filter(col("k") === 1), Seq(NotNull("k"), Unique(Seq("k"))))
+      .collect()
+    assert(clean.forall(_.getBoolean(3)), "clean slice passes every check")
+  }
+
   test("JaroWinkler: textbook values, DuckDB's integer-half transposition rule") {
     import org.apache.spark.unsafe.types.UTF8String
     def jw(a: String, b: String): Double =
