@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (LogicalPlan node + Strategy + SparkPlan)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftexec.AsOfJoinStrategy)
 
+    // optimizer-rule extension: instr(c, 'x') > 0 → Contains(c, 'x'),
+    // which reaches the parquet scan as a StringContains pushed filter
+    ext.injectOptimizerRule(_ => graft.plans.InstrToContains)
+
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

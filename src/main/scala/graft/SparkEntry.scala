@@ -3324,6 +3324,42 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Substring-search pushdown via the injected optimizer rule
+    // (plans/InstrToContains): the user writes the opaque
+    // `instr(text, 'needle') > 0`, the rule rewrites it to Contains so
+    // the parquet scan receives a StringContains pushed filter
+    // (plan-pinned) — scan-level skipping a raw instr can never get.
+    "q90_pushdown_rewrite" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .filter(expr("instr(text, 'window') > 0"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")
+    }),
+
+    // Consecutive-run detection (error streaks): the row_number
+    // difference trick turns each unbroken run of 'error' events into a
+    // constant group key — per-user windows plus one hash aggregate, no
+    // self-join. The monitoring primitive behind alerting rules like
+    // "3+ consecutive failures".
+    "ev18_error_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wErr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val e = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("rn", row_number().over(wAll))
+        .filter(col("event_type") === "error")
+        .withColumn("rne", row_number().over(wErr))
+        .withColumn("grp", col("rn") - col("rne"))
+      e.groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("streak_len"),
+          min(col("event_id")).as("first_id"), max(col("event_id")).as("last_id"))
+        .filter(col("streak_len") >= 3)
+        .select(col("user_id"), col("streak_len"), col("first_id"), col("last_id"))
+        .orderBy("user_id", "first_id")
+    }),
+
     // Declarative data-quality audit (the ingest gate between transform
     // and publish): five expectations compile into ONE conditional-
     // aggregate scan plus one distinct-count aggregate — audit cost does
@@ -5319,6 +5355,24 @@ object SparkEntry {
         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
         |CAST(2 AS INT) AS n_versions
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q90_pushdown_rewrite" ->
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE instr(text, 'window') > 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "ev18_error_streaks" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |er AS (SELECT event_id, user_id, rn,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rne
+        |  FROM e WHERE event_type = 'error'),
+        |g AS (SELECT user_id, rn - rne AS grp, COUNT(*) AS streak_len,
+        |  MIN(event_id) AS first_id, MAX(event_id) AS last_id
+        |  FROM er GROUP BY 1, 2)
+        |SELECT user_id, streak_len, first_id, last_id
+        |FROM g WHERE streak_len >= 3 ORDER BY user_id, first_id""".stripMargin,
 
     "q89_quality_audit" ->
       """WITH t AS (SELECT COUNT(*) AS n,

@@ -323,6 +323,12 @@ class PlanSpec extends SparkSpec {
     assert(tokenShuffles.isEmpty, tokenShuffles.mkString("\n"))
   }
 
+  test("q90: the injected rule turns instr(...)>0 into a pushed StringContains") {
+    val p = plan("q90_pushdown_rewrite")
+    assert(p.contains("StringContains(text,window)"), p)
+    assert(!p.contains("instr"), p)
+  }
+
   test("q84: a pinned read scans ONLY its version directory") {
     val df = SparkEntry.queries("q84_time_travel")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
