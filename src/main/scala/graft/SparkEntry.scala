@@ -3324,6 +3324,28 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // REAL TIFF IFD decode, byte-order aware: even ids carry genuine
+    // ImageIO-written TIFFs (big-endian MM), odd ids a hand-built
+    // little-endian II file with SHORT-typed dims — the parser must
+    // handle both orders AND the left-justified SHORT value slot (the
+    // classic TIFF parser bug). Bounded to 600 docs so fixture
+    // generation stays O(1) in the scale factor.
+    "m11_tiff_header" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 600).select(col("doc_id")).as[Long].map { id =>
+          val w = (id % 300 + 1).toInt
+          val h = (id % 150 + 1).toInt
+          val bytes =
+            if (id % 2 == 0) Multimodal.tiffFixture(w, h)
+            else Multimodal.tiffFixtureLE(w, h)
+          (id, bytes)
+        }.toDF("doc_id", "media")
+      Multimodal.decodeTiffMeta(s, media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("big_endian"))
+        .orderBy("doc_id")
+    }),
+
     // Substring-search pushdown via the injected optimizer rule
     // (plans/InstrToContains): the user writes the opaque
     // `instr(text, 'needle') > 0`, the rule rewrites it to Contains so
@@ -5355,6 +5377,13 @@ object SparkEntry {
         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
         |CAST(2 AS INT) AS n_versions
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m11_tiff_header" ->
+      """SELECT doc_id,
+        |CAST(doc_id % 300 + 1 AS INT) AS width,
+        |CAST(doc_id % 150 + 1 AS INT) AS height,
+        |doc_id % 2 = 0 AS big_endian
+        |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin,
 
     "q90_pushdown_rewrite" ->
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars

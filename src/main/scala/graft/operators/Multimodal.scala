@@ -27,6 +27,12 @@ final case class AudioStats(
 final case class GifFrame(
     doc_id: Long, frame_idx: Int, frame_off: Long, width: Int, height: Int)
 
+/** TIFF IFD metadata: dimensions plus the container's byte order — the
+  * one mainstream image format whose header is endianness-switched.
+  */
+final case class TiffMeta(
+    doc_id: Long, width: Int, height: Int, big_endian: Boolean, n_entries: Int)
+
 /** MP4/ISO-BMFF movie-header metadata: global timescale, duration in
   * that timescale, and the number of track boxes.
   */
@@ -275,6 +281,86 @@ object Multimodal {
       it.map { case (id, bytes) =>
         val (w, h, fmt) = headerDecode(bytes).getOrElse(fakeDecode(bytes))
         MediaMeta(id, bytes.length.toLong, w, h, fmt)
+      }
+    }
+  }
+
+  /** REAL TIFF IFD walk, byte-order aware: reads the II/MM magic, follows
+    * the IFD offset, iterates the 12-byte directory entries, and pulls
+    * ImageWidth (256) / ImageLength (257) — each of which may be stored
+    * as SHORT (type 3) or LONG (type 4), left-justified in the value
+    * field per the spec (so a SHORT in a big-endian file sits in the
+    * FIRST two value bytes, not the last two — the classic TIFF parser
+    * bug). Returns (width, height, bigEndian, entryCount).
+    */
+  def tiffHeaderDecode(bytes: Array[Byte]): Option[(Int, Int, Boolean, Int)] = {
+    if (bytes.length < 8) return None
+    val big =
+      if (bytes(0) == 'M' && bytes(1) == 'M') true
+      else if (bytes(0) == 'I' && bytes(1) == 'I') false
+      else return None
+    def u16(i: Int): Int =
+      if (big) ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+      else (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long =
+      if (big) (u16(i).toLong << 16) | u16(i + 2)
+      else (u16(i + 2).toLong << 16) | u16(i)
+    if (u16(2) != 42) return None
+    val ifd = u32(4).toInt
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd)
+    if (ifd + 2 + n * 12 > bytes.length) return None
+    var w = -1; var h = -1
+    var k = 0
+    while (k < n) {
+      val e = ifd + 2 + k * 12
+      val tag = u16(e)
+      if (tag == 256 || tag == 257) {
+        val typ = u16(e + 2)
+        val v =
+          if (typ == 3) u16(e + 8) // SHORT: left-justified in the value slot
+          else u32(e + 8).toInt // LONG
+        if (tag == 256) w = v else h = v
+      }
+      k += 1
+    }
+    if (w < 0 || h < 0) None else Some((w, h, big, n))
+  }
+
+  /** Real TIFF via the JDK's ImageIO TIFF writer (emits big-endian MM). */
+  def tiffFixture(width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "tiff", out)
+    out.toByteArray
+  }
+
+  /** Hand-built minimal LITTLE-ENDIAN (II) TIFF header + IFD with
+    * SHORT-typed dimension entries — exercises the byte-order and
+    * value-justification paths the ImageIO (MM) fixture does not.
+    */
+  def tiffFixtureLE(width: Int, height: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + 2 + 2 * 12 + 4)
+    buf.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(8)
+    buf.putShort(2.toShort) // entry count
+    // tag 256 ImageWidth, SHORT, count 1, value left-justified
+    buf.putShort(256.toShort).putShort(3.toShort).putInt(1)
+      .putShort(width.toShort).putShort(0.toShort)
+    buf.putShort(257.toShort).putShort(3.toShort).putInt(1)
+      .putShort(height.toShort).putShort(0.toShort)
+    buf.putInt(0) // next-IFD terminator
+    buf.array()
+  }
+
+  def decodeTiffMeta(spark: SparkSession, pruned: DataFrame): Dataset[TiffMeta] = {
+    import spark.implicits._
+    pruned.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        tiffHeaderDecode(bytes).map { case (w, h, big, n) =>
+          TiffMeta(id, w, h, big, n)
+        }
       }
     }
   }

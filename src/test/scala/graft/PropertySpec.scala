@@ -192,4 +192,22 @@ class PropertySpec extends SparkSpec {
       fixed && noFrag && keysSorted
     })
   }
+
+  test("TIFF fixture/parse roundtrip in both byte orders") {
+    import graft.operators.Multimodal
+    val dims = Gen.zip(Gen.chooseNum(1, 512), Gen.chooseNum(1, 512))
+    check(Prop.forAll(dims, Gen.oneOf(true, false)) { case ((w, h), viaImageIO) =>
+      val bytes =
+        if (viaImageIO) Multimodal.tiffFixture(w, h)
+        else Multimodal.tiffFixtureLE(w, h)
+      Multimodal.tiffHeaderDecode(bytes) match {
+        case Some((dw, dh, big, n)) =>
+          dw == w && dh == h && big == viaImageIO && n >= 2
+        case None => false
+      }
+    })
+    // non-TIFF bytes are rejected, not misparsed
+    assert(Multimodal.tiffHeaderDecode("not a tiff at all".getBytes).isEmpty)
+    assert(Multimodal.tiffHeaderDecode(Array[Byte]('I', 'I', 1, 0)).isEmpty)
+  }
 }
