@@ -3324,6 +3324,48 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Incremental JOIN maintenance (the join twin of q68's aggregate
+    // merge): both sides split into old/delta, the maintained result is
+    // prior ∪ three delta-sized joins — proven here by aggregating the
+    // maintained result and oracle-checking it against the full re-join.
+    "q91_incremental_join" -> ((s, dir) => {
+      import graft.operators.IncrementalJoin
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      val maintained = IncrementalJoin.maintained(
+        o.filter(col("o_orderkey") % 4 =!= 0), o.filter(col("o_orderkey") % 4 === 0),
+        li.filter(col("l_linenumber") =!= 1), li.filter(col("l_linenumber") === 1),
+        Seq("o_orderkey"))
+      maintained.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Feature hashing (the hashing trick): tokens land in 64 signed
+    // buckets via the portable md5-60bit hash — sign from bit 6, bucket
+    // from the low 6 bits — so the featurization is EXACT integers,
+    // reproducible across engines, partitionings, and retries (the
+    // property a trained-model's featurizer must have). Shuffle carries
+    // (doc, bucket, ±tf) ints only.
+    "d45_feature_hashing" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")).as("tk"))
+      val hashed = toks
+        .withColumn("h", conv(substring(md5(col("tk")), 1, 15), 16, 10).cast("bigint"))
+        .select(col("doc_id"), expr("h % 64").as("b"),
+          when(expr("(h DIV 64) % 2") === 0, 1L).otherwise(-1L).as("sgn"))
+      hashed.groupBy("doc_id", "b").agg(sum(col("sgn")).as("v"))
+        .filter(col("v") =!= 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"), sum(col("v") * col("v")).as("l2sq"),
+          sum(col("v")).as("vsum"))
+        .orderBy("doc_id")
+    }),
+
     // REAL TIFF IFD decode, byte-order aware: even ids carry genuine
     // ImageIO-written TIFFs (big-endian MM), odd ids a hand-built
     // little-endian II file with SHORT-typed dims — the parser must
@@ -5377,6 +5419,25 @@ object SparkEntry {
         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
         |CAST(2 AS INT) AS n_versions
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q91_incremental_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "d45_feature_hashing" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tk
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM t),
+        |s AS (SELECT doc_id, h % 64 AS b,
+        |  CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h),
+        |v AS (SELECT doc_id, b, SUM(sgn) AS v FROM s GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS nnz,
+        |CAST(SUM(v * v) AS BIGINT) AS l2sq, CAST(SUM(v) AS BIGINT) AS vsum
+        |FROM v WHERE v <> 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "m11_tiff_header" ->
       """SELECT doc_id,

@@ -123,6 +123,20 @@ class AnalyticsSuiteSpec extends SparkSpec {
     assert(correct > 100, s"diagonal only $correct of 500")
   }
 
+  test("IncrementalJoin: prior + delta terms equals the full re-join, row for row") {
+    import graft.operators.IncrementalJoin
+    val a = (1 to 10).map(k => (k.toLong, s"a$k")).toDF("k", "av")
+    val b = (4 to 12).flatMap(k => Seq((k.toLong, s"b$k-1"), (k.toLong, s"b$k-2")))
+      .toDF("k", "bv")
+    val (aOld, aDelta) = (a.filter(col("k") <= 7), a.filter(col("k") > 7))
+    val (bOld, bDelta) = (b.filter(col("bv").endsWith("-1")), b.filter(col("bv").endsWith("-2")))
+    val maintained = IncrementalJoin.maintained(aOld, aDelta, bOld, bDelta, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val full = a.join(b, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(maintained.sameElements(full) && full.nonEmpty)
+  }
+
   test("DataQuality.audit counts exactly the planted violations") {
     import graft.operators.DataQuality._
     val df = Seq(
