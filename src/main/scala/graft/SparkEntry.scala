@@ -3324,6 +3324,33 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Binary quantization ANN (sign-bit codes + Hamming ranking): each
+    // 64-dim vector compresses to TWO bigints (32 sign bits each — the
+    // 64th bit would collide with the sign bit cross-engine), and
+    // neighbor ranking is XOR + popcount, an EXACT integer — so unlike
+    // float-scored ANN the whole top-k is hash-gated, not recall-gated.
+    // 16 bytes/vector of scan state is the memory story that makes
+    // billion-vector first-pass retrieval feasible.
+    "e15_binary_quant" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def half(off: Int) = expr(
+        s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+           |  (acc, i) -> acc + IF(element_at(embedding, i + $off + 1) > 0,
+           |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+      val coded = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+      val q = broadcast(coded.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi")))
+      val scored = coded.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
+        .join(q, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (expr("bit_count(qlo ^ lo)") + expr("bit_count(qhi ^ hi)")).as("hamming"))
+      val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Incremental JOIN maintenance (the join twin of q68's aggregate
     // merge): both sides split into old/delta, the maintained result is
     // prior ∪ three delta-sized joins — proven here by aggregating the
@@ -5419,6 +5446,26 @@ object SparkEntry {
         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
         |CAST(2 AS INT) AS n_versions
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e15_binary_quant" ->
+      """WITH coded AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 32),
+        |    i -> CASE WHEN embedding[i + 1] > 0
+        |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+        |  CAST(list_sum(list_transform(range(0, 32),
+        |    i -> CASE WHEN embedding[i + 33] > 0
+        |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+        |  FROM coded WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  CAST(bit_count(xor(qlo, c.lo)) + bit_count(xor(qhi, c.hi)) AS INT) AS hamming
+        |  FROM q, coded c WHERE c.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, hamming,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "q91_incremental_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

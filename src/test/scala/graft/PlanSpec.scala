@@ -128,13 +128,14 @@ class PlanSpec extends SparkSpec {
     // like d21. e13 is a BOUNDED fidelity probe (10 broadcast query rows
     // × 50 corpus rows) — the production compressed scan is e7–e10.
     // ev15/q74 cross-join single-row aggregates (N users / node+edge
-    // counts) — scalar joins like q20. e14 is e1's range-query twin:
-    // broadcast probes × corpus scan is the operator's definition.
+    // counts) — scalar joins like q20. e14/e15 are e1's range-query and
+    // binary-code twins: broadcast probes × corpus scan by definition.
     val expected = Set("d4_ngram_jaccard", "e1_knn_brute", "q20_hll_sketch_union",
       "e7_knn_pq_full", "e8_knn_pq", "d21_bm25", "d26_quality_deciles",
       "e11_kmeans_assign", "e12_kmeans_step", "d27_boilerplate_ngrams",
       "d34_tfidf_topk", "e13_int8_quantize", "ev15_assoc_rules",
-      "q74_triangle_count", "d41_sparse_cosine", "e14_sim_threshold")
+      "q74_triangle_count", "d41_sparse_cosine", "e14_sim_threshold",
+      "e15_binary_quant")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
