@@ -108,7 +108,11 @@ object SparkEntry {
         _ => scala.collection.mutable.Map.empty[String, DataFrame])
     }
     perSession.synchronized {
-      if (perSession.size > 8) {
+      // cap sized to hold every cache site × several scale-factor dirs: a
+      // clear-all mid-bench (warm dir + timed dir populate two entries per
+      // site) would silently rebuild the expensive pipelines it exists to
+      // share
+      if (perSession.size > 32) {
         perSession.values.foreach(df => df.unpersist(blocking = false))
         perSession.clear()
       }
