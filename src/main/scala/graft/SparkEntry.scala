@@ -3328,6 +3328,136 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Animated-GIF timing decode: each frame's delay comes from parsing
+    // the REAL Graphic Control Extension preceding its image descriptor
+    // (delay scope is one image, per spec — the walk must reset it).
+    "m12_gif_delays" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 600).select(col("doc_id")).as[Long].map { id =>
+          val n = (id % 4 + 1).toInt
+          val ws = (0 until n).map(k => (id % 64 + k + 1).toInt)
+          val hs = (0 until n).map(k => (id % 32 + k + 1).toInt)
+          val ds = (0 until n).map(k => ((id + k) % 50 + 1).toInt)
+          (id, Multimodal.gifFixtureAnimated(ws, hs, ds))
+        }.toDF("doc_id", "media")
+      Multimodal.decodeGifDelays(s, media).toDF()
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Bigram-LM perplexity scoring (the LM-quality filter d12's OOV rate
+    // approximates): add-one-smoothed log-probabilities, each ROUNDED to
+    // 6 dp and integer-scaled BEFORE the per-doc sum — the sum is then
+    // exact under any partitioning / aggregation order (the ev12 trick
+    // applied to logs; a raw double sum would be order-dependent).
+    // Train on 80% of docs, score the held-out 20%; the closed fixture
+    // vocabulary keeps the count tables broadcastable here, and at real
+    // scale the bigram join keys on (w1, w2) — a plain hash join.
+    "d46_bigram_perplexity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')"))
+            .as(Seq("pos", "tk")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bigrams = toks
+        .withColumn("w1", lag(col("tk"), 1).over(w))
+        .filter(col("w1").isNotNull)
+        .select(col("doc_id"), col("w1"), col("tk").as("w2"))
+      val train = bigrams.filter(col("doc_id") % 10 < 8)
+      val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = toks.filter(col("doc_id") % 10 < 8)
+        .groupBy(col("tk").as("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = toks.filter(col("doc_id") % 10 < 8)
+        .agg(countDistinct(col("tk")).as("v"))
+      bigrams.filter(col("doc_id") % 10 >= 8)
+        .join(broadcast(c12), Seq("w1", "w2"), "left")
+        .join(broadcast(c1), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp", expr(
+          """CAST(round(ln((coalesce(c12, CAST(0 AS BIGINT)) + 1)
+            |  / CAST(coalesce(c1, CAST(0 AS BIGINT)) + v AS DOUBLE)) * 1000000)
+            |AS BIGINT)""".stripMargin))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum"))
+        .withColumn("avg_logp",
+          round(col("lp_sum").cast("double") / col("n_bigrams") / 1e6, 6))
+        .orderBy("doc_id")
+    }),
+
+    // SemDeDup (semantic dedup): k=8 centroid cells (the first 8 base
+    // vectors — e11's convention) bound the pairwise term; the corpus is
+    // e3's mutant union (originals ∪ first-element-perturbed copies at
+    // id+100000), so every cell contains guaranteed semantic dups with a
+    // known keep/drop structure. Full per-vector verdict, hash-gated.
+    "d47_semdedup" -> ((s, dir) => {
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+      val cents = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cvec"))
+      Dedup.semDedup(base.union(mut), "vec_id", "v", cents, threshold = 0.99)
+        .select(col("id").as("vec_id"), col("cid"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
+    // RAG/pretraining chunker: sliding 64-token windows on a 48-token
+    // stride (16-token overlap), each chunk fingerprinted with the
+    // portable md5-60bit hash of its joined text. Row-local end to end —
+    // token array, window walk, and fingerprint all live inside one
+    // projection; ZERO shuffle at any corpus size (the d19 discipline).
+    "d48_rag_chunks" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n"), col("toks"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("n"), col("toks"),
+          explode(sequence(lit(0), floor((col("n") - 1) / lit(48)).cast("int"))).as("k"))
+        .select(col("doc_id"), col("k").as("chunk_idx"),
+          least(lit(64), col("n") - col("k") * 48).as("n_tokens"),
+          conv(substring(
+            md5(array_join(slice(col("toks"), col("k") * 48 + 1, lit(64)), " ")),
+            1, 15), 16, 10).cast("bigint").as("fp"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): hashed
+    // word-bigram features (1024 buckets on the portable md5-60bit hash),
+    // add-one-smoothed target/raw log-likelihood ratio per bucket, per-doc
+    // importance = Σ λ over its bigrams. λ is rounded and integer-scaled
+    // BEFORE the per-doc sum (the d46 rule — exact under any partitioning
+    // and engine); the ≤1024-row weight table broadcasts, so scoring is a
+    // map-side lookup at any corpus size. Target docs (id%10<2) stand in
+    // for the target-domain sample; the remaining 80% get scored.
+    "d49_dsir_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      def sh2(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 2))
+      val grams = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(sh2(col("text"))).as("h"))
+        .select(col("doc_id"), expr("h % 1024").as("b"))
+      val tgt = grams.filter(col("doc_id") % 10 < 2)
+      val raw = grams.filter(col("doc_id") % 10 >= 2)
+      val lam = tgt.groupBy("b").agg(count(lit(1)).as("ct"))
+        .join(raw.groupBy("b").agg(count(lit(1)).as("cr")), Seq("b"), "full_outer")
+        .crossJoin(broadcast(tgt.agg(count(lit(1)).as("nt"))))
+        .crossJoin(broadcast(raw.agg(count(lit(1)).as("nr"))))
+        .select(col("b"), expr(
+          """CAST(round((ln((coalesce(ct, CAST(0 AS BIGINT)) + 1)
+            |    / CAST(nt + 1024 AS DOUBLE))
+            |  - ln((coalesce(cr, CAST(0 AS BIGINT)) + 1)
+            |    / CAST(nr + 1024 AS DOUBLE))) * 1000000) AS BIGINT)""".stripMargin)
+          .as("lam"))
+      raw.join(broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum(col("lam")).as("w_sum"))
+        .withColumn("avg_w",
+          round(col("w_sum").cast("double") / col("n_grams") / 1e6, 6))
+        .orderBy("doc_id")
+    }),
+
     // Binary quantization ANN (sign-bit codes + Hamming ranking): each
     // 64-dim vector compresses to TWO bigints (32 sign bits each — the
     // 64th bit would collide with the sign bit cross-engine), and
@@ -5450,6 +5580,95 @@ object SparkEntry {
         |CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
         |CAST(2 AS INT) AS n_versions
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m12_gif_delays" ->
+      """WITH f AS (SELECT doc_id,
+        |  unnest(range(0, doc_id % 4 + 1)) AS k
+        |  FROM documents WHERE doc_id < 600)
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |CAST((doc_id + k) % 50 + 1 AS INT) AS delay_cs,
+        |CAST(doc_id % 64 + k + 1 AS INT) AS width,
+        |CAST(doc_id % 32 + k + 1 AS INT) AS height
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "d46_bigram_perplexity" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+        |big AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big
+        |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+        |c1 AS (SELECT tk AS w1, COUNT(*) AS c1 FROM tok
+        |  WHERE doc_id % 10 < 8 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tk) AS v FROM tok WHERE doc_id % 10 < 8),
+        |sc AS (SELECT b.doc_id,
+        |  CAST(round(ln((COALESCE(c12.c12, 0) + 1)
+        |    / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+        |  FROM big b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v
+        |  WHERE b.doc_id % 10 >= 8)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |CAST(SUM(lp) AS BIGINT) AS lp_sum,
+        |round(CAST(SUM(lp) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d47_semdedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mut AS (SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |c AS (SELECT vec_id AS cid, v AS cvec FROM base WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  round(list_cosine_similarity(e.v, c.cvec), 6) AS sim FROM corpus e, c),
+        |a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s)
+        |  WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.cid, e.v FROM a JOIN corpus e USING (vec_id)),
+        |drp AS (SELECT DISTINCT r.vec_id FROM av l JOIN av r
+        |  ON l.cid = r.cid AND l.vec_id < r.vec_id
+        |  WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.99)
+        |SELECT av.vec_id, av.cid, (drp.vec_id IS NULL) AS kept
+        |FROM av LEFT JOIN drp ON av.vec_id = drp.vec_id
+        |ORDER BY av.vec_id""".stripMargin,
+
+    "d48_rag_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |k AS (SELECT doc_id, toks, n,
+        |  unnest(range(0, (n - 1) // 48 + 1)) AS k FROM n)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        |CAST(least(64, n - k * 48) AS INT) AS n_tokens,
+        |('0x' || substr(md5(
+        |  array_to_string(list_slice(toks, k * 48 + 1, k * 48 + 64), ' ')),
+        |  1, 15))::BIGINT AS fp
+        |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "d49_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles2 AS g FROM tok),
+         |e AS (SELECT doc_id,
+         |  ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT % 1024 AS b FROM sh),
+         |t AS (SELECT * FROM e WHERE doc_id % 10 < 2),
+         |r AS (SELECT * FROM e WHERE doc_id % 10 >= 2),
+         |ct AS (SELECT b, COUNT(*) AS ct FROM t GROUP BY 1),
+         |cr AS (SELECT b, COUNT(*) AS cr FROM r GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS nt FROM t),
+         |nr AS (SELECT COUNT(*) AS nr FROM r),
+         |lam AS (SELECT COALESCE(ct.b, cr.b) AS b,
+         |  CAST(round((ln((COALESCE(ct.ct, 0) + 1) / CAST(nt.nt + 1024 AS DOUBLE))
+         |    - ln((COALESCE(cr.cr, 0) + 1) / CAST(nr.nr + 1024 AS DOUBLE)))
+         |    * 1000000) AS BIGINT) AS lam
+         |  FROM ct FULL OUTER JOIN cr ON ct.b = cr.b, nt, nr)
+         |SELECT r.doc_id, COUNT(*) AS n_grams,
+         |CAST(SUM(lam) AS BIGINT) AS w_sum,
+         |round(CAST(SUM(lam) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_w
+         |FROM r JOIN lam USING (b) GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
 
     "e15_binary_quant" ->
       """WITH coded AS (SELECT vec_id,

@@ -276,6 +276,48 @@ object Dedup {
     } finally cands.unpersist(blocking = false)
   }
 
+  /** SemDeDup (semantic dedup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus around `centroids`, then mark as duplicates the
+    * vectors whose cosine to a LOWER-id member of the SAME cluster is ≥
+    * `threshold`. The pairwise comparison never leaves a cluster — at
+    * 100 TB the cells bound the quadratic term exactly the way LSH bands
+    * bound MinHash (cluster granularity is the knob; the cross-cluster
+    * pairs SemDeDup deliberately ignores are the approximation).
+    *
+    * Determinism: similarities are rounded to 6 dp BEFORE the argmax and
+    * BEFORE the threshold compare, so kernel ulps can neither flip an
+    * assignment nor a keep decision (the e11 rule); the keep rule
+    * ("dropped iff ANY lower id within threshold") needs no transitive
+    * closure, so the result is a pure function of the inputs.
+    *
+    * Returns one row per vector: (id, cid, kept). The intra-cell
+    * self-join shuffles vectors once, keyed by cell — unavoidable here
+    * (the comparison IS vector-vector), bounded by the cell width.
+    */
+  def semDedup(
+      embs: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    // argmax carries (id, sim, cid) only — vectors rejoin by id after the
+    // assignment shuffle, not through it (8 centroid copies of every
+    // embedding through an exchange would be the d2 payload mistake)
+    val cells = embs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .select(col("id"), round(cosine(col("v"), col("cvec")), 6).as("sim"), col("cid"))
+      .groupBy("id")
+      .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("w"))
+      .select(col("id"), (-col("w.nc")).as("cid"))
+    val assigned = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(cells, "id")
+    val dropped = assigned.as("l").join(assigned.as("r"),
+        col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
+      .filter(round(cosine(col("l.v"), col("r.v")), 6) >= threshold)
+      .select(col("r.id").as("id")).distinct()
+    assigned.join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cid"), coalesce(col("dup"), lit(false)).as("dup"))
+      .select(col("id"), col("cid"), (!col("dup")).as("kept"))
+  }
+
   /** Brute-force all-pairs variant (quadratic; validation / small corpora). */
   def embeddingNearDup(
       embs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {

@@ -33,6 +33,10 @@ final case class GifFrame(
 final case class TiffMeta(
     doc_id: Long, width: Int, height: Int, big_endian: Boolean, n_entries: Int)
 
+/** One animated-GIF frame with its Graphic-Control-Extension timing. */
+final case class GifFrameTiming(
+    doc_id: Long, frame_idx: Int, delay_cs: Int, width: Int, height: Int)
+
 /** MP4/ISO-BMFF movie-header metadata: global timescale, duration in
   * that timescale, and the number of track boxes.
   */
@@ -727,6 +731,86 @@ object Multimodal {
     }
     out.put(0x3B.toByte)
     out.array()
+  }
+
+  /** Animated-GIF fixture: like [[gifFixture]] but each frame is preceded
+    * by a REAL Graphic Control Extension block carrying its delay
+    * (centiseconds) — the bytes [[gifFrameDelays]] must parse.
+    */
+  def gifFixtureAnimated(
+      widths: Seq[Int], heights: Seq[Int], delaysCs: Seq[Int]): Array[Byte] = {
+    require(widths.length == heights.length && widths.length == delaysCs.length)
+    val out = java.nio.ByteBuffer.allocate(13 + 25 * widths.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(widths.max.toShort).putShort(heights.max.toShort)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    widths.indices.foreach { k =>
+      // GCE: introducer, label 0xF9, size 4, flags, delay(le16), transp, term
+      out.put(0x21.toByte).put(0xF9.toByte).put(4.toByte)
+        .put(0.toByte).putShort(delaysCs(k).toShort).put(0.toByte).put(0.toByte)
+      out.put(0x2C.toByte).putShort(0.toShort).putShort(0.toShort)
+        .putShort(widths(k).toShort).putShort(heights(k).toShort)
+        .put(0.toByte).put(2.toByte)
+        .put(4.toByte).putInt(0)
+        .put(0.toByte)
+    }
+    out.put(0x3B.toByte)
+    out.array()
+  }
+
+  /** Per-frame delays from the real GIF block chain: each Graphic Control
+    * Extension's centisecond delay applies to the NEXT image descriptor
+    * (and resets after it, per the spec — a frame with no preceding GCE
+    * has delay 0). Returns (frame_idx, delay_cs, width, height).
+    */
+  def gifFrameDelays(bytes: Array[Byte]): Seq[(Int, Int, Int, Int)] = {
+    def le16(i: Int): Int = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    if (bytes.length < 14 ||
+        !"GIF87a.GIF89a".split('.').exists(sig =>
+          bytes.take(6).sameElements(sig.getBytes("US-ASCII")))) return Nil
+    var i = 6 + 4
+    val packed = bytes(i) & 0xFF
+    i += 3 // packed + bg color + aspect
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 0x07) + 1))
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+    var pendingDelay = 0
+    var idx = 0
+    while (i < bytes.length && (bytes(i) & 0xFF) != 0x3B) {
+      (bytes(i) & 0xFF) match {
+        case 0x21 => // extension: label, then length-prefixed sub-blocks
+          val label = bytes(i + 1) & 0xFF
+          i += 2
+          if (label == 0xF9 && (bytes(i) & 0xFF) >= 4)
+            pendingDelay = le16(i + 2)
+          while ((bytes(i) & 0xFF) != 0) i += 1 + (bytes(i) & 0xFF)
+          i += 1
+        case 0x2C =>
+          val w = le16(i + 5); val h = le16(i + 7)
+          val flags = bytes(i + 9) & 0xFF
+          i += 10
+          if ((flags & 0x80) != 0) i += 3 * (1 << ((flags & 0x07) + 1))
+          i += 1 // LZW min code size
+          while ((bytes(i) & 0xFF) != 0) i += 1 + (bytes(i) & 0xFF)
+          i += 1
+          frames += ((idx, pendingDelay, w, h))
+          pendingDelay = 0 // GCE scope is one image, per spec
+          idx += 1
+        case _ => return frames.toSeq // malformed tail: stop at what parsed
+      }
+    }
+    frames.toSeq
+  }
+
+  def decodeGifDelays(spark: SparkSession, pruned: DataFrame): Dataset[GifFrameTiming] = {
+    import spark.implicits._
+    pruned.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        gifFrameDelays(bytes).map { case (k, d, w, h) =>
+          GifFrameTiming(id, k, d, w, h)
+        }
+      }
+    }
   }
 
   /** Frame sampling STUB: one frame window per `every` bytes (a real

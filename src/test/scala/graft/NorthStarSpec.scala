@@ -314,6 +314,23 @@ class NorthStarSpec extends SparkSpec {
     assert(Multimodal.gifFrames(Array.empty[Byte]) == Nil)
   }
 
+  test("gifFrameDelays: GCE delay applies to the next frame only, then resets") {
+    val fx = Multimodal.gifFixtureAnimated(
+      Seq(10, 20, 30), Seq(5, 6, 7), Seq(12, 0, 300))
+    assert(Multimodal.gifFrameDelays(fx) ==
+      Seq((0, 12, 10, 5), (1, 0, 20, 6), (2, 300, 30, 7)))
+    // a frame with NO preceding GCE must read delay 0 (scope is one image):
+    // splice a bare image descriptor (copied from the static fixture) in
+    // front of the animated chain
+    val static = Multimodal.gifFixture(Seq(40), Seq(8))
+    val bare = static.slice(13, static.length - 1) // descriptor w/o trailer
+    val mixed = fx.take(13) ++ bare ++ fx.drop(13)
+    assert(Multimodal.gifFrameDelays(mixed).map(f => (f._2, f._3, f._4)) ==
+      Seq((0, 40, 8), (12, 10, 5), (0, 20, 6), (300, 30, 7)))
+    assert(Multimodal.gifFrameDelays("GIF8 but not really".getBytes) == Nil)
+    assert(Multimodal.gifFrameDelays(Array.empty[Byte]) == Nil)
+  }
+
   // --- IVF / skew / frames --------------------------------------------------
 
   test("ivfTopK recall vs brute force with nprobe=4 of 16 cells") {
