@@ -3458,6 +3458,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ColBERT-style MaxSim late interaction: 2 queries × 4 token vectors
+    // (vec_id < 8, the e1/e11 slice) against 4-token pseudo-documents
+    // (did = vec_id div 4 — every embedding is a token of exactly one
+    // doc). Integer-quantized sims make max/sum/rank exact; each query's
+    // own doc must surface at rank 1 with score 4·10⁶ (four exact
+    // self-similarities), which the spec pins.
+    "e16_maxsim" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      val qt = embs.filter(col("vec_id") < 8)
+        .select(expr("vec_id DIV 4").as("qid"), expr("vec_id % 4").as("qtok"),
+          col("embedding").as("qv"))
+      val dt = embs.select(expr("vec_id DIV 4").as("did"), col("embedding").as("dv"))
+      Similarity.maxSimTopK(dt, qt, k = 5).orderBy("qid", "rnk")
+    }),
+
+    // Matryoshka two-stage ANN: 16-dim-prefix shortlist (top-32), exact
+    // 64-dim re-rank to top-5. Integer-quantized at both stages, so the
+    // whole cascade is deterministic and hash-gated (the oracle replays
+    // it); NorthStarSpec separately pins recall vs the full brute force.
+    "e17_matryoshka" -> ((s, dir) => {
+      val embs = tbl(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(embs, embs.filter(col("vec_id") < 8),
+          "vec_id", "embedding", prefixDim = 16, shortlist = 32, k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Binary quantization ANN (sign-bit codes + Hamming ranking): each
     // 64-dim vector compresses to TWO bigints (32 sign bits each — the
     // 64th bit would collide with the sign bit cross-engine), and
@@ -5669,6 +5695,41 @@ object SparkEntry {
          |CAST(SUM(lam) AS BIGINT) AS w_sum,
          |round(CAST(SUM(lam) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_w
          |FROM r JOIN lam USING (b) GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
+
+    "e16_maxsim" ->
+      """WITH q AS (SELECT vec_id // 4 AS qid, vec_id % 4 AS qtok,
+        |  CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT vec_id // 4 AS did, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings),
+        |s AS (SELECT qid, qtok, did,
+        |  CAST(round(round(list_cosine_similarity(qv, dv), 6) * 1000000) AS BIGINT) AS si
+        |  FROM q, d),
+        |m AS (SELECT qid, qtok, did, MAX(si) AS mx FROM s GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, did, CAST(SUM(mx) AS BIGINT) AS score FROM m GROUP BY 1, 2),
+        |r AS (SELECT qid, did, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rnk FROM sc)
+        |SELECT qid, CAST(rnk AS INT) AS rnk, did, score FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+
+    "e17_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |  CAST(embedding[1:16] AS DOUBLE[]) AS qp FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |  CAST(embedding[1:16] AS DOUBLE[]) AS cp FROM embeddings),
+        |ps AS (SELECT q.query_id, c.neighbor_id,
+        |  CAST(round(round(list_cosine_similarity(q.qp, c.cp), 6) * 1000000) AS BIGINT) AS ps
+        |  FROM q, c WHERE q.query_id != c.neighbor_id),
+        |sl AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY ps DESC, neighbor_id) AS prnk
+        |  FROM ps) WHERE prnk <= 32),
+        |fs AS (SELECT sl.query_id, sl.neighbor_id,
+        |  CAST(round(round(list_cosine_similarity(q.qv, c.cv), 6) * 1000000) AS BIGINT) AS fs
+        |  FROM sl JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+        |r AS (SELECT query_id, neighbor_id, fs,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY fs DESC, neighbor_id) AS rnk
+        |  FROM fs)
+        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, fs FROM r
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "e15_binary_quant" ->
       """WITH coded AS (SELECT vec_id,

@@ -85,4 +85,70 @@ object Similarity {
     val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Integer-quantized 6-dp cosine: round to 6 dp, scale to an exact
+    * BIGINT. Downstream max/sum/rank over these are partitioning- and
+    * engine-independent (the d46/e12 rule applied to similarities).
+    */
+  private def simInt(a: Column, b: Column): Column =
+    round(round(Dedup.cosine(a, b), 6) * lit(1000000.0)).cast("long")
+
+  /** ColBERT-style MaxSim late interaction (Khattab & Zaharia 2020,
+    * arXiv:2004.12832): multi-vector queries against multi-vector
+    * documents, score(q, d) = Σ_{qt∈q} max_{dt∈d} cos(qt, dt).
+    *
+    * `queryTokens` (qid, qtok, qv) broadcasts — the corpus token scan
+    * scores map-side, and the per-(query, token, doc) max plus the
+    * per-(query, doc) sum are hash aggregates over (ids, ints) ONLY:
+    * token vectors never enter an exchange. Similarities are
+    * integer-quantized before max/sum, so the ranking is exact.
+    */
+  def maxSimTopK(
+      docTokens: DataFrame, queryTokens: DataFrame, k: Int): DataFrame = {
+    val scored = docTokens
+      .crossJoin(broadcast(queryTokens))
+      .select(col("qid"), col("qtok"), col("did"),
+        simInt(col("qv"), col("dv")).as("si"))
+      .groupBy("qid", "qtok", "did").agg(max(col("si")).as("mx"))
+      .groupBy("qid", "did").agg(sum(col("mx")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("did"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("did"), col("score"))
+  }
+
+  /** Matryoshka two-stage ANN (Kusupati et al. 2022, arXiv:2205.13147):
+    * shortlist by cosine over the FIRST `prefixDim` dimensions (MRL
+    * embeddings front-load information, so the prefix is a cheap coarse
+    * scorer at 1/4 the FLOPs and bytes), then exact full-dim re-rank of
+    * the shortlist. Both stages are integer-quantized, so shortlist
+    * membership and final ranks are deterministic — unlike float ANN,
+    * the whole operator is exactly checkable cross-engine.
+    *
+    * Scale shape: prefix scoring is map-side against broadcast queries
+    * (only (qid, nid, score) ints reach the rank shuffle); re-rank
+    * fetches candidate vectors via map-side prune + broadcast of the
+    * tiny shortlist id set — full vectors never ride an exchange.
+    */
+  def matryoshkaTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      prefixDim: Int, shortlist: Int, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), slice(col(vecCol), 1, prefixDim).as("qp")))
+    val cands = corpus
+      .select(col(idCol).as("neighbor_id"), slice(col(vecCol), 1, prefixDim).as("cp"))
+      .join(q.select(col("query_id"), col("qp")), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), simInt(col("qp"), col("cp")).as("ps"))
+    val w1 = Window.partitionBy("query_id").orderBy(col("ps").desc, col("neighbor_id"))
+    val short = cands.withColumn("prnk", row_number().over(w1))
+      .filter(col("prnk") <= shortlist).select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(short.select("neighbor_id").distinct()), "neighbor_id")
+    val rer = short.join(broadcast(cv), "neighbor_id")
+      .join(q.select(col("query_id"), col("qv")), "query_id")
+      .select(col("query_id"), col("neighbor_id"), simInt(col("qv"), col("cv")).as("fs"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("fs").desc, col("neighbor_id"))
+    rer.withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("fs"))
+  }
 }

@@ -333,6 +333,30 @@ class NorthStarSpec extends SparkSpec {
 
   // --- IVF / skew / frames --------------------------------------------------
 
+  test("maxSimTopK: a query's own doc wins at rank 1 with four exact self-sims") {
+    val qt = embs.filter(col("vec_id") < 8)
+      .select(expr("vec_id DIV 4").as("qid"), expr("vec_id % 4").as("qtok"),
+        col("embedding").as("qv"))
+    val dt = embs.select(expr("vec_id DIV 4").as("did"), col("embedding").as("dv"))
+    val top1 = Similarity.maxSimTopK(dt, qt, k = 1)
+      .select("qid", "did", "score").as[(Long, Long, Long)].collect().toSet
+    assert(top1 == Set((0L, 0L, 4000000L), (1L, 1L, 4000000L)), top1)
+  }
+
+  test("matryoshkaTopK: 16-dim shortlist recall vs full-dim brute force") {
+    val brute = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val mat = Similarity.matryoshkaTopK(embs, embs.filter(col("vec_id") < 8),
+        "vec_id", "embedding", prefixDim = 16, shortlist = 32, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & mat).size.toDouble / brute.size
+    // random 64-dim vectors put only weak signal in a 16-dim prefix —
+    // real MRL embeddings front-load much more; this pins the floor
+    assert(recall >= 0.25, s"matryoshka recall $recall too low")
+    info(s"matryoshka recall = $recall")
+  }
+
   test("ivfTopK recall vs brute force with nprobe=4 of 16 cells") {
     import graft.operators.Ivf
     val centroids = Ivf.train(embs, "embedding", k = 16)

@@ -134,14 +134,15 @@ class PlanSpec extends SparkSpec {
     // smoothing) — scalar join like d21's corpus stats. d47's centroid
     // scoring scan is e11's broadcast loop over k=8 centroid rows; d49
     // cross-joins the two single-row gram totals (Nt, Nr) — scalar
-    // joins like q20.
+    // joins like q20. e16/e17 broadcast 8 query (token) vectors into
+    // the corpus scan — e1's shape for the multi-vector / prefix twins.
     val expected = Set("d4_ngram_jaccard", "e1_knn_brute", "q20_hll_sketch_union",
       "e7_knn_pq_full", "e8_knn_pq", "d21_bm25", "d26_quality_deciles",
       "e11_kmeans_assign", "e12_kmeans_step", "d27_boilerplate_ngrams",
       "d34_tfidf_topk", "e13_int8_quantize", "ev15_assoc_rules",
       "q74_triangle_count", "d41_sparse_cosine", "e14_sim_threshold",
       "e15_binary_quant", "d46_bigram_perplexity", "d47_semdedup",
-      "d49_dsir_weights")
+      "d49_dsir_weights", "e16_maxsim", "e17_matryoshka")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
