@@ -3484,6 +3484,50 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // REAL MP3 frame walk: sync-word validation, bitrate/samplerate
+    // index decode from the header bit fields, frame advance by the spec
+    // length 144·bitrate/samplerate + padding. Fixtures are built from
+    // the same published tables the oracle replays arithmetically.
+    "m13_mp3_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 600).select(col("doc_id")).as[Long].map { id =>
+          val n = (id % 3 + 1).toInt
+          val brs = (0 until n).map(k => ((id + k) % 14 + 1).toInt)
+          val pads = (0 until n).map(k => ((id + k) % 2).toInt)
+          (id, Multimodal.mp3Fixture(brs, (id % 3).toInt, pads))
+        }.toDF("doc_id", "media")
+      Multimodal.decodeMp3Frames(s, media).toDF().orderBy("doc_id", "frame_idx")
+    }),
+
+    // EXIF orientation through the real JPEG marker chain: APP1 segments
+    // are length-prefixed, the Exif payload embeds a TIFF (either byte
+    // order — fixtures alternate MM/II), and orientation is IFD0 tag 274
+    // with a left-justified SHORT value slot. Composes the m11 TIFF walk
+    // with a JPEG segment walk; SOF dims come from the same pass.
+    "m14_exif_orientation" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 600).select(col("doc_id")).as[Long].map { id =>
+          (id, Multimodal.exifFixture((id % 200 + 1).toInt, (id % 100 + 1).toInt,
+            (id % 8 + 1).toInt, littleEndian = id % 2 == 1))
+        }.toDF("doc_id", "media")
+      Multimodal.decodeExif(s, media).toDF().orderBy("doc_id")
+    }),
+
+    // Connected components over the shared co-purchase edge list (the
+    // clustering member of the graph family q74/q87/q88): min-label
+    // components via Dedup.clusters — exact driver union-find under the
+    // bounded-edge guard, distributed min-label propagation above it.
+    // The oracle recomputes components with a recursive min-reachable
+    // CTE, so the component structure is hash-gated, not just counted.
+    "q92_connected_components" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      Dedup.clusters(e.select(col("u").as("a"), col("v").as("b")))
+        .groupBy("cluster").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("cluster")
+    }),
+
     // Binary quantization ANN (sign-bit codes + Hamming ranking): each
     // 64-dim vector compresses to TWO bigints (32 sign bits each — the
     // 64th bit would collide with the sign bit cross-engine), and
@@ -5730,6 +5774,39 @@ object SparkEntry {
         |  FROM fs)
         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, fs FROM r
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "m13_mp3_frames" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS k
+        |  FROM documents WHERE doc_id < 600),
+        |x AS (SELECT doc_id, k,
+        |  list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |    CAST((doc_id + k) % 14 + 1 AS INT)) AS kbps,
+        |  list_extract([44100,48000,32000], CAST(doc_id % 3 + 1 AS INT)) AS rate,
+        |  CAST((doc_id + k) % 2 AS INT) AS pad FROM f)
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |CAST(kbps AS INT) AS bitrate_kbps, CAST(rate AS INT) AS sample_rate,
+        |CAST(144 * (kbps * 1000) // rate + pad AS INT) AS frame_len
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "m14_exif_orientation" ->
+      """SELECT doc_id, CAST(doc_id % 200 + 1 AS INT) AS width,
+        |CAST(doc_id % 100 + 1 AS INT) AS height,
+        |CAST(doc_id % 8 + 1 AS INT) AS orientation,
+        |(doc_id % 2 = 0) AS tiff_big_endian
+        |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin,
+
+    "q92_connected_components" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT u, v FROM (SELECT a.p AS u, b.p AS v, COUNT(*) AS s
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2)
+        |  WHERE s >= 2),
+        |e2 AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        |reach AS (SELECT u AS node, v AS r FROM e2
+        |  UNION SELECT reach.node, e2.v AS r FROM reach JOIN e2 ON reach.r = e2.u),
+        |lbl AS (SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node)
+        |SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_nodes
+        |FROM lbl GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "e15_binary_quant" ->
       """WITH coded AS (SELECT vec_id,

@@ -37,6 +37,14 @@ final case class TiffMeta(
 final case class GifFrameTiming(
     doc_id: Long, frame_idx: Int, delay_cs: Int, width: Int, height: Int)
 
+/** One MPEG-1 Layer III frame decoded from its header bit fields. */
+final case class Mp3Frame(
+    doc_id: Long, frame_idx: Int, bitrate_kbps: Int, sample_rate: Int, frame_len: Int)
+
+/** JPEG SOF dimensions + EXIF orientation (APP1-embedded TIFF IFD0). */
+final case class ExifMeta(
+    doc_id: Long, width: Int, height: Int, orientation: Int, tiff_big_endian: Boolean)
+
 /** MP4/ISO-BMFF movie-header metadata: global timescale, duration in
   * that timescale, and the number of track boxes.
   */
@@ -329,6 +337,158 @@ object Multimodal {
       k += 1
     }
     if (w < 0 || h < 0) None else Some((w, h, big, n))
+  }
+
+  /** Byte-order-aware TIFF IFD tag scan: all count-1 SHORT/LONG entries
+    * of IFD0 as (tag → value), plus the byte order. The generic walk
+    * behind [[tiffHeaderDecode]] (dims) and [[exifOrientation]]
+    * (orientation tag 274 inside a JPEG APP1 Exif payload).
+    */
+  def tiffTags(bytes: Array[Byte]): Option[(Boolean, Map[Int, Int])] = {
+    if (bytes.length < 8) return None
+    val big =
+      if (bytes(0) == 'M' && bytes(1) == 'M') true
+      else if (bytes(0) == 'I' && bytes(1) == 'I') false
+      else return None
+    def u16(i: Int): Int =
+      if (big) ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+      else (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long =
+      if (big) (u16(i).toLong << 16) | u16(i + 2)
+      else (u16(i + 2).toLong << 16) | u16(i)
+    if (u16(2) != 42) return None
+    val ifd = u32(4).toInt
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd)
+    if (ifd + 2 + n * 12 > bytes.length) return None
+    val tags = Map.newBuilder[Int, Int]
+    var k = 0
+    while (k < n) {
+      val e = ifd + 2 + k * 12
+      val typ = u16(e + 2)
+      if (u32(e + 4) == 1L && (typ == 3 || typ == 4))
+        // SHORT values are LEFT-justified in the 4-byte slot, LONG fills it
+        tags += u16(e) -> (if (typ == 3) u16(e + 8) else u32(e + 8).toInt)
+      k += 1
+    }
+    Some((big, tags.result()))
+  }
+
+  /** JPEG fixture with a REAL APP1 Exif segment: SOI, APP1 ("Exif\0\0" +
+    * an embedded TIFF whose IFD carries Orientation tag 274), then SOF0
+    * with the pixel dimensions. `littleEndian` picks the embedded TIFF's
+    * byte order (both occur in the wild; the parser must honor it).
+    */
+  def exifFixture(
+      width: Int, height: Int, orientation: Int, littleEndian: Boolean): Array[Byte] = {
+    val tiff = java.nio.ByteBuffer.allocate(8 + 2 + 12 + 4)
+    if (littleEndian) {
+      tiff.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tiff.put('I'.toByte).put('I'.toByte)
+    } else tiff.put('M'.toByte).put('M'.toByte)
+    tiff.putShort(42.toShort).putInt(8)
+    tiff.putShort(1.toShort) // one IFD entry
+    tiff.putShort(274.toShort).putShort(3.toShort).putInt(1)
+      .putShort(orientation.toShort).putShort(0.toShort) // SHORT, left-justified
+    tiff.putInt(0)
+    val t = tiff.array()
+    val out = java.nio.ByteBuffer.allocate(2 + 4 + 6 + t.length + 12 + 2)
+    out.put(Array(0xFF, 0xD8).map(_.toByte)) // SOI
+    out.put(Array(0xFF, 0xE1).map(_.toByte))
+      .putShort((2 + 6 + t.length).toShort)
+      .put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      .put(t)
+    out.put(Array(0xFF, 0xC0).map(_.toByte)).putShort(8.toShort)
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort).put(1.toByte)
+    out.put(Array(0xFF, 0xD9).map(_.toByte)) // EOI
+    out.array()
+  }
+
+  /** EXIF orientation + SOF dimensions from a real JPEG marker walk:
+    * segments are length-prefixed (the length covers itself, not the
+    * marker), APP1 payloads starting "Exif\0\0" embed a TIFF whose IFD0
+    * tag 274 is the orientation. Returns (width, height, orientation,
+    * tiff_big_endian); None for non-JPEG bytes or JPEGs without both an
+    * Exif orientation and an SOF frame header.
+    */
+  def exifOrientation(bytes: Array[Byte]): Option[(Int, Int, Int, Boolean)] = {
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
+      return None
+    def u16(i: Int): Int = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+    var i = 2
+    var w = -1; var h = -1; var orient = -1; var big = false
+    while (i + 4 <= bytes.length) {
+      if ((bytes(i) & 0xFF) != 0xFF) return None
+      val marker = bytes(i + 1) & 0xFF
+      if (marker == 0xD9 || marker == 0xDA) { // EOI / SOS: metadata is over
+        i = bytes.length
+      } else {
+        val len = u16(i + 2) // includes the 2 length bytes
+        if (len < 2 || i + 2 + len > bytes.length) return None
+        if (marker == 0xE1 && len >= 8 + 6 &&
+            bytes.slice(i + 4, i + 10).sameElements(
+              Array[Byte]('E', 'x', 'i', 'f', 0, 0))) {
+          tiffTags(bytes.slice(i + 10, i + 2 + len)).foreach { case (b, tags) =>
+            tags.get(274).foreach { o => orient = o; big = b }
+          }
+        } else if (marker >= 0xC0 && marker <= 0xC3 && len >= 7) {
+          h = u16(i + 5); w = u16(i + 7)
+        }
+        i += 2 + len
+      }
+    }
+    if (w < 0 || orient < 0) None else Some((w, h, orient, big))
+  }
+
+  private val mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val mp3Rates = Array(44100, 48000, 32000)
+
+  /** MPEG-1 Layer III fixture: consecutive frames, frame k with bitrate
+    * index `brIdxs(k)` (1–14), samplerate index `srIdx` (0–2), padding
+    * bit `pads(k)`; each frame is its 4-byte header + zero audio data to
+    * the spec frame length 144·bitrate/samplerate + padding.
+    */
+  def mp3Fixture(brIdxs: Seq[Int], srIdx: Int, pads: Seq[Int]): Array[Byte] = {
+    require(brIdxs.length == pads.length)
+    brIdxs.indices.flatMap { k =>
+      val len = 144 * (mp3Bitrates(brIdxs(k)) * 1000) / mp3Rates(srIdx) + pads(k)
+      val b = new Array[Byte](len)
+      b(0) = 0xFF.toByte
+      b(1) = 0xFB.toByte // sync + MPEG-1 + Layer III + no CRC
+      b(2) = ((brIdxs(k) << 4) | (srIdx << 2) | (pads(k) << 1)).toByte
+      b
+    }.toArray
+  }
+
+  /** REAL MP3 frame walk: validates each sync word, decodes version /
+    * layer / bitrate-index / samplerate-index / padding from the header
+    * bit fields, advances by the computed frame length. Emits
+    * (frame_idx, bitrate_kbps, sample_rate, frame_len); stops at the
+    * first non-frame byte (MPEG-1 Layer III only — the fixture's shape).
+    */
+  def mp3Frames(bytes: Array[Byte]): Seq[(Int, Int, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+    var i = 0
+    var idx = 0
+    while (i + 4 <= bytes.length) {
+      val b1 = bytes(i) & 0xFF; val b2 = bytes(i + 1) & 0xFF; val b3 = bytes(i + 2) & 0xFF
+      if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return out.toSeq
+      val version = (b2 >> 3) & 0x3
+      val layer = (b2 >> 1) & 0x3
+      if (version != 3 || layer != 1) return out.toSeq // MPEG-1 Layer III
+      val brIdx = b3 >> 4
+      val srIdx = (b3 >> 2) & 0x3
+      val pad = (b3 >> 1) & 0x1
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return out.toSeq
+      val kbps = mp3Bitrates(brIdx)
+      val rate = mp3Rates(srIdx)
+      val len = 144 * (kbps * 1000) / rate + pad
+      out += ((idx, kbps, rate, len))
+      idx += 1
+      i += len
+    }
+    out.toSeq
   }
 
   /** Real TIFF via the JDK's ImageIO TIFF writer (emits big-endian MM). */
@@ -800,6 +960,28 @@ object Multimodal {
       }
     }
     frames.toSeq
+  }
+
+  def decodeMp3Frames(spark: SparkSession, pruned: DataFrame): Dataset[Mp3Frame] = {
+    import spark.implicits._
+    pruned.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        mp3Frames(bytes).map { case (k, kbps, rate, len) =>
+          Mp3Frame(id, k, kbps, rate, len)
+        }
+      }
+    }
+  }
+
+  def decodeExif(spark: SparkSession, pruned: DataFrame): Dataset[ExifMeta] = {
+    import spark.implicits._
+    pruned.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        exifOrientation(bytes).map { case (w, h, o, big) =>
+          ExifMeta(id, w, h, o, big)
+        }
+      }
+    }
   }
 
   def decodeGifDelays(spark: SparkSession, pruned: DataFrame): Dataset[GifFrameTiming] = {

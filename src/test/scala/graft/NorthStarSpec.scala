@@ -331,6 +331,31 @@ class NorthStarSpec extends SparkSpec {
     assert(Multimodal.gifFrameDelays(Array.empty[Byte]) == Nil)
   }
 
+  test("mp3Frames decodes header bit fields and advances by computed length") {
+    val fx = Multimodal.mp3Fixture(Seq(9, 14, 1), srIdx = 0, pads = Seq(0, 1, 0))
+    assert(Multimodal.mp3Frames(fx) == Seq(
+      (0, 128, 44100, 144 * 128000 / 44100),
+      (1, 320, 44100, 144 * 320000 / 44100 + 1),
+      (2, 32, 44100, 144 * 32000 / 44100)))
+    // 48 kHz path + stop at garbage after the last full frame
+    val fx48 = Multimodal.mp3Fixture(Seq(5), srIdx = 1, pads = Seq(1))
+    assert(Multimodal.mp3Frames(fx48 ++ Array[Byte](0x12, 0x34, 0, 0)) ==
+      Seq((0, 64, 48000, 144 * 64000 / 48000 + 1)))
+    assert(Multimodal.mp3Frames("not audio".getBytes) == Nil)
+    assert(Multimodal.mp3Frames(Array.empty[Byte]) == Nil)
+  }
+
+  test("exifOrientation walks JPEG segments and honors TIFF byte order") {
+    for (le <- Seq(false, true); o <- Seq(1, 3, 6, 8)) {
+      val fx = Multimodal.exifFixture(640, 480, o, littleEndian = le)
+      assert(Multimodal.exifOrientation(fx) == Some((640, 480, o, !le)))
+    }
+    // a plain JFIF JPEG (no APP1 Exif) has no orientation
+    assert(Multimodal.exifOrientation(Multimodal.jpegFixture(10, 5)).isEmpty)
+    assert(Multimodal.exifOrientation("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.exifOrientation(Array.empty[Byte]).isEmpty)
+  }
+
   // --- IVF / skew / frames --------------------------------------------------
 
   test("maxSimTopK: a query's own doc wins at rank 1 with four exact self-sims") {
