@@ -2088,6 +2088,54 @@ object SparkEntry {
         .orderBy("click_id", "error_id")
     }),
 
+    // FULL OUTER stream-stream join (completes the family: st5 inner,
+    // st10 left outer): clicks ⟗ errors in [cts, cts+5m] under 10-min
+    // watermarks. Emission rules (measured, like st10's): inner results
+    // are the plain batch join (the 12h split keeps every cross-batch
+    // candidate in-state — st10's proof); click-side nulls emit for
+    // unmatched clicks with cts+5m < FINAL watermark; error-side nulls
+    // for unmatched errors with ets < FINAL watermark (an error can
+    // match future clicks with cts ∈ [ets−5m, ets], so its state lives
+    // until the watermark passes ets itself). A `side` sort key keeps
+    // the NULL-bearing rows in one engine-independent total order
+    // (Spark sorts NULLs first, DuckDB last — never sort on a nullable
+    // column across engines).
+    "st17_stream_full_outer" -> ((s, dir) => {
+      val work = tmpdir("graft-st17")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val maxTs = normalizeTs(raw).agg(max(col("ts"))).head().getTimestamp(0)
+      val cut = lit(maxTs) - expr("INTERVAL 12 HOURS")
+      val tsCol = timestamp_micros(expr("ts div 1000"))
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, raw.filter(tsCol <= cut), "b1", Some(t0 - 30000))
+      arriveFile(work, raw.filter(tsCol > cut), "b2", Some(t0))
+      StreamingOps.drainToMemory(s, work + "/in", raw.schema,
+          df => {
+            val ev = normalizeTs(df)
+            val clicks = ev.filter(col("event_type") === "click")
+              .select(col("event_id").as("click_id"), col("user_id"),
+                col("ts").as("cts"))
+              .withWatermark("cts", "10 minutes")
+            val errors = ev.filter(col("event_type") === "error")
+              .select(col("event_id").as("error_id"), col("user_id").as("uid"),
+                col("ts").as("ets"))
+              .withWatermark("ets", "10 minutes")
+            clicks.join(errors,
+                col("user_id") === col("uid") &&
+                  col("ets") >= col("cts") &&
+                  col("ets") <= col("cts") + expr("INTERVAL 5 MINUTES"),
+                "full_outer")
+              .select(
+                when(col("click_id").isNull, 2)
+                  .when(col("error_id").isNull, 1).otherwise(0).as("side"),
+                col("click_id"), col("error_id"),
+                coalesce(col("user_id"), col("uid")).as("u"))
+          },
+          OutputMode.Append(),
+          readerOptions = Map("maxFilesPerTrigger" -> "1"))
+        .orderBy("side", "click_id", "error_id")
+    }),
+
     // Semi-structured VARIANT path (new in Spark 4): parse once, typed
     // extraction pushed through the scan — the open-schema ingestion
     // pattern for event payloads.
@@ -3010,11 +3058,15 @@ object SparkEntry {
         .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
       val dfreq = toks.groupBy("tk").agg(count(lit(1)).as("df"))
       val n = tbl(s, dir, "documents").agg(count(lit(1)).as("nn"))
+      // weighted feeds THREE consumers (norms, probe side, corpus side) —
+      // materialize it once (localCheckpoint, the coPurchaseEdges rule)
+      // instead of re-running the corpus explode + tf aggregate per branch
       val weighted = toks.join(broadcast(dfreq), "tk").crossJoin(broadcast(n))
         .withColumn("w", col("tf") *
           round((log((col("nn") + 1).cast("double") / (col("df") + 1)) + 1) * 1e6, 0)
             .cast("long"))
         .select(col("doc_id"), col("tk"), col("w"))
+        .localCheckpoint()
       val norms = weighted.groupBy("doc_id")
         .agg(sum(col("w") * col("w")).as("nrm2"))
       // the probe side is 50 docs' tokens — BROADCAST it so the corpus
@@ -5034,6 +5086,31 @@ object SparkEntry {
         |  AND c.cts + INTERVAL 5 MINUTE < wm.w)
         |SELECT * FROM pairs UNION ALL SELECT * FROM outer_rows
         |ORDER BY click_id, error_id""".stripMargin,
+
+    "st17_stream_full_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |e AS (SELECT event_id AS error_id, user_id AS uid, ts AS ets FROM events
+        |  WHERE event_type = 'error'),
+        |pairs AS (SELECT 0 AS side, c.click_id, e.error_id, c.user_id AS u
+        |  FROM c JOIN e ON c.user_id = e.uid AND e.ets >= c.cts
+        |  AND e.ets <= c.cts + INTERVAL 5 MINUTE),
+        |wm AS (SELECT least(
+        |  (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |  (SELECT max(ts) FROM events WHERE event_type = 'error'))
+        |  - INTERVAL 10 MINUTE AS w),
+        |left_rows AS (SELECT 1 AS side, c.click_id, NULL::BIGINT AS error_id,
+        |  c.user_id AS u FROM c, wm
+        |  WHERE c.click_id NOT IN (SELECT click_id FROM pairs)
+        |  AND c.cts + INTERVAL 5 MINUTE < wm.w),
+        |right_rows AS (SELECT 2 AS side, NULL::BIGINT AS click_id, e.error_id,
+        |  e.uid AS u FROM e, wm
+        |  WHERE e.error_id NOT IN (SELECT error_id FROM pairs)
+        |  AND e.ets < wm.w)
+        |SELECT CAST(side AS INT) AS side, click_id, error_id, u FROM
+        |(SELECT * FROM pairs UNION ALL SELECT * FROM left_rows
+        | UNION ALL SELECT * FROM right_rows)
+        |ORDER BY side, click_id, error_id""".stripMargin,
 
     "q59_variant_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
