@@ -273,5 +273,71 @@ object corpus {
           .otherwise(round(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
             col("kth_hash").cast("double"), 4)))
     }
+
+    /** Sliding-window chunking for RAG / sequence prep (d48): `width`-
+      * token chunks on a `stride`-token stride, each fingerprinted with
+      * the portable md5-60bit hash of its joined text. Row-local end to
+      * end — zero shuffle at any corpus size.
+      */
+    def chunkSliding(
+        idCol: String = "doc_id", textCol: String = "text",
+        width: Int = 64, stride: Int = 48): DataFrame = {
+      require(stride > 0 && width >= stride, "need 0 < stride <= width")
+      df.select(col(idCol),
+          expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x <> '')").as("toks"))
+        .select(col(idCol), size(col("toks")).as("n"), col("toks"))
+        .filter(col("n") > 0)
+        .select(col(idCol), col("n"), col("toks"),
+          explode(sequence(lit(0),
+            floor((col("n") - 1) / lit(stride)).cast("int"))).as("k"))
+        .select(col(idCol), col("k").as("chunk_idx"),
+          least(lit(width), col("n") - col("k") * stride).as("n_tokens"),
+          conv(substring(
+            md5(array_join(slice(col("toks"), col("k") * stride + 1, lit(width)), " ")),
+            1, 15), 16, 10).cast("bigint").as("fp"))
+    }
+
+    /** DSIR importance weights (d49): hashed word-bigram features in
+      * `buckets` signed buckets, add-one-smoothed target/raw bucket
+      * log-likelihood ratio, per-doc importance = Σ λ. λ is integer-
+      * scaled before the sum (exact under any partitioning); the weight
+      * table broadcasts. `isTarget` marks the target-domain rows; every
+      * other row gets scored.
+      */
+    def dsirWeights(
+        isTarget: Column, idCol: String = "doc_id", textCol: String = "text",
+        buckets: Int = 1024): DataFrame = {
+      def sh2(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 2))
+      val grams = df
+        .select(col(idCol), isTarget.as("is_t"), explode(sh2(col(textCol))).as("h"))
+        .select(col(idCol), col("is_t"), expr(s"h % $buckets").as("b"))
+      val tgt = grams.filter(col("is_t"))
+      val raw = grams.filter(!col("is_t"))
+      val lam = tgt.groupBy("b").agg(count(lit(1)).as("ct"))
+        .join(raw.groupBy("b").agg(count(lit(1)).as("cr")), Seq("b"), "full_outer")
+        .crossJoin(broadcast(tgt.agg(count(lit(1)).as("nt"))))
+        .crossJoin(broadcast(raw.agg(count(lit(1)).as("nr"))))
+        .select(col("b"), expr(
+          s"""CAST(round((ln((coalesce(ct, CAST(0 AS BIGINT)) + 1)
+             |    / CAST(nt + $buckets AS DOUBLE))
+             |  - ln((coalesce(cr, CAST(0 AS BIGINT)) + 1)
+             |    / CAST(nr + $buckets AS DOUBLE))) * 1000000) AS BIGINT)""".stripMargin)
+          .as("lam"))
+      raw.join(broadcast(lam), "b")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_grams"), sum(col("lam")).as("w_sum"))
+        .withColumn("avg_w",
+          round(col("w_sum").cast("double") / col("n_grams") / 1e6, 6))
+    }
+
+    /** SemDeDup (d47): centroid-cell semantic dedup over an embedding
+      * column — see [[graft.operators.Dedup.semDedup]]. Returns
+      * (id, cid, kept) for every vector.
+      */
+    def semDedup(
+        centroids: DataFrame, idCol: String = "vec_id",
+        vecCol: String = "embedding", threshold: Double = 0.99): DataFrame =
+      Dedup.semDedup(df, idCol, vecCol, centroids, threshold)
   }
 }

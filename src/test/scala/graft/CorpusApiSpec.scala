@@ -167,4 +167,41 @@ class CorpusApiSpec extends SparkSpec {
       .toMap
     assert(sk == d43 && sk.nonEmpty)
   }
+
+  test("chunkSliding matches the d48 chunks") {
+    val api = docs.chunkSliding()
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getLong(3))))
+      .toMap
+    val q = SparkEntry.queries("d48_rag_chunks")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(api == q && api.nonEmpty)
+  }
+
+  test("dsirWeights matches the d49 scores") {
+    val api = docs.dsirWeights(isTarget = col("doc_id") % 10 < 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val q = SparkEntry.queries("d49_dsir_weights")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(api == q && api.nonEmpty)
+  }
+
+  test("semDedup API matches the d47 verdicts") {
+    import spark.implicits._
+    val embs = spark.read.parquet(sf("embeddings"))
+    val base = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(i = 0, x + 0.01, x))").as("embedding"))
+    val cents = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val api = base.union(mut).semDedup(cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val q = SparkEntry.queries("d47_semdedup")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(api == q && api.nonEmpty)
+    assert(api.values.exists(!_._2)) // the mutant corpus guarantees drops
+  }
 }
