@@ -3536,6 +3536,49 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // First-seen n-gram novelty (the memorization / dedup-pressure curve
+    // over an id-ordered corpus): a 5-gram is novel in the FIRST doc
+    // containing it; each doc reports its novel fraction. Run over the
+    // mutant corpus so the curve is non-trivial (clones at id+100000
+    // score near zero). Only (hash, id) pairs ever shuffle — d18's
+    // discipline; first-seen is one hash aggregate on those pairs.
+    "d50_ngram_novelty" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      def sh5(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+      val grams = nearDupCorpus(tbl(s, dir, "documents"))
+        .select(col("doc_id"), explode(sh5(col("text"))).as("h"))
+      val first = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
+      grams.join(first, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Map higher-order functions over a per-user event-type histogram:
+    // map_from_entries on SORTED entries (deterministic key order),
+    // map_filter / transform_values / map_values+aggregate — the
+    // map-typed sibling of q60's array HOF suite. Output is scalars
+    // only (maps never cross the engine boundary: renderings differ).
+    "q93_map_hof" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).as("n_types"),
+          expr("cardinality(map_filter(m, (k, v) -> v >= 3))").as("n_heavy"),
+          expr("""aggregate(map_values(transform_values(m, (k, v) -> v * v)),
+                |CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin).as("sum_sq"),
+          expr("array_join(map_keys(map_filter(m, (k, v) -> v >= 3)), ',')")
+            .as("heavy_keys"))
+        .orderBy("user_id")
+    }),
+
     // REAL MP3 frame walk: sync-word validation, bitrate/samplerate
     // index decode from the header bit fields, frame advance by the spec
     // length 144·bitrate/samplerate + padding. Fixtures are built from
@@ -5851,6 +5894,31 @@ object SparkEntry {
         |  FROM fs)
         |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, fs FROM r
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "d50_ngram_novelty" ->
+      s"""WITH corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |  t -> t <> '') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles5 AS sh FROM tok),
+         |h AS (SELECT doc_id,
+         |  ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS x FROM sh),
+         |f AS (SELECT x, MIN(doc_id) AS first_doc FROM h GROUP BY 1)
+         |SELECT h.doc_id, COUNT(*) AS n_grams,
+         |CAST(SUM(CASE WHEN h.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_novel,
+         |round(CAST(SUM(CASE WHEN h.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+         |FROM h JOIN f USING (x) GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+
+    "q93_map_hof" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS INT) AS n_types,
+        |CAST(COUNT(*) FILTER (WHERE n >= 3) AS INT) AS n_heavy,
+        |CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+        |COALESCE(string_agg(event_type, ',' ORDER BY event_type)
+        |  FILTER (WHERE n >= 3), '') AS heavy_keys
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "m13_mp3_frames" ->
       """WITH f AS (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS k
