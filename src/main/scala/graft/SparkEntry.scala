@@ -3650,6 +3650,95 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Reciprocal-rank fusion of two exact rankers (the hybrid-retrieval
+    // merge): dense cosine ranks fused with binary-code Hamming ranks
+    // (e15's codes), contribution = 10⁹ div (60 + rank) — INTEGER
+    // division, so the fused score is exact and the result hash-gated.
+    // Both rankers emit (query, neighbor, rank) ints only; the fusion
+    // is one keyed full-outer join + one top-k window.
+    "e18_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val embs = tbl(s, dir, "embeddings")
+      val q = broadcast(embs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val wA = Window.partitionBy("query_id").orderBy(col("si").desc, col("neighbor_id"))
+      val ranksA = embs.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .join(q, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(round(Dedup.cosine(col("qv"), col("cv")), 6) * 1e6).cast("long").as("si"))
+        .withColumn("rk", row_number().over(wA)).filter(col("rk") <= 20)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("ra"))
+      def half(off: Int) = expr(
+        s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+           |  (acc, i) -> acc + IF(element_at(embedding, i + $off + 1) > 0,
+           |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+      val coded = embs.select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+      val qb = broadcast(coded.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi")))
+      val wB = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+      val ranksB = coded.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
+        .join(qb, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (expr("bit_count(qlo ^ lo)") + expr("bit_count(qhi ^ hi)")).as("hamming"))
+        .withColumn("rk", row_number().over(wB)).filter(col("rk") <= 20)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("rb"))
+      val fused = ranksA.join(ranksB, Seq("query_id", "neighbor_id"), "full_outer")
+        .select(col("query_id"), col("neighbor_id"),
+          (coalesce(expr("CAST(1000000000 AS BIGINT) DIV (60 + ra)"), lit(0L)) +
+            coalesce(expr("CAST(1000000000 AS BIGINT) DIV (60 + rb)"), lit(0L)))
+            .as("rrf"))
+      val wF = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("neighbor_id"))
+      fused.withColumn("rnk", row_number().over(wF)).filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+          col("neighbor_id"), col("rrf"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // One distributed BPE merge step: corpus word frequencies weight the
+    // adjacent-character-pair counts; the winning pair is the next merge
+    // (count desc, pair asc — the deterministic tie-break a reproducible
+    // tokenizer build needs). The pair table is bounded by charset², so
+    // the global argmax window runs on a tiny aggregate, never the
+    // corpus.
+    "d51_bpe_merge_step" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wf = tbl(s, dir, "documents")
+        .select(explode(expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val pairs = wf.filter(length(col("w")) >= 2)
+        .select(col("cnt"), explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("p"))
+        .groupBy("p").agg(sum(col("cnt")).as("pcnt"))
+      val best = pairs
+        .withColumn("rn", row_number().over(Window.orderBy(col("pcnt").desc, col("p"))))
+        .filter(col("rn") === 1)
+        .select(col("p").as("best_pair"), col("pcnt").as("best_cnt"))
+      best.crossJoin(broadcast(
+        pairs.agg(count(lit(1)).as("n_distinct_pairs"), sum("pcnt").as("total_cnt"))))
+    }),
+
+    // Conversion-latency distribution: seconds from each user's FIRST
+    // view to their first purchase (when it follows the view), cohorted
+    // by the first view's hour of day. percentile == quantile_cont (the
+    // q21/q27-proven interpolation parity); every stage is a hash agg
+    // or keyed join on user_id.
+    "ev19_time_to_convert" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("pts"))
+      v.join(p, "user_id")
+        .filter(col("pts") > col("vts"))
+        .select(hour(col("vts")).as("cohort_hour"),
+          (unix_timestamp(col("pts")) - unix_timestamp(col("vts"))).as("delta_s"))
+        .groupBy("cohort_hour")
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(delta_s, 0.5)"), 6).as("p50_s"),
+          round(expr("percentile(delta_s, 0.9)"), 6).as("p90_s"))
+        .orderBy("cohort_hour")
+    }),
+
     // Incremental JOIN maintenance (the join twin of q68's aggregate
     // merge): both sides split into old/delta, the maintained result is
     // prior ∪ three delta-sized joins — proven here by aggregating the
@@ -5972,6 +6061,72 @@ object SparkEntry {
         |    ORDER BY hamming, neighbor_id) AS rnk FROM s)
         |SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "e18_rrf_fusion" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |sa AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  CAST(round(round(list_cosine_similarity(q.qv,
+        |    CAST(e.embedding AS DOUBLE[])), 6) * 1000000) AS BIGINT) AS si
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |ra AS (SELECT query_id, neighbor_id, rk AS ra FROM (SELECT query_id,
+        |  neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY si DESC, neighbor_id) AS rk FROM sa) WHERE rk <= 20),
+        |coded AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 32),
+        |    i -> CASE WHEN embedding[i + 1] > 0
+        |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+        |  CAST(list_sum(list_transform(range(0, 32),
+        |    i -> CASE WHEN embedding[i + 33] > 0
+        |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS hi
+        |  FROM embeddings),
+        |qb AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+        |  FROM coded WHERE vec_id < 8),
+        |sb AS (SELECT qb.query_id, c.vec_id AS neighbor_id,
+        |  bit_count(xor(qlo, c.lo)) + bit_count(xor(qhi, c.hi)) AS hamming
+        |  FROM qb, coded c WHERE c.vec_id != qb.query_id),
+        |rb AS (SELECT query_id, neighbor_id, rk AS rb FROM (SELECT query_id,
+        |  neighbor_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, neighbor_id) AS rk FROM sb) WHERE rk <= 20),
+        |fused AS (SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+        |  COALESCE(ra.neighbor_id, rb.neighbor_id) AS neighbor_id,
+        |  COALESCE(1000000000 // (60 + ra.ra), 0)
+        |    + COALESCE(1000000000 // (60 + rb.rb), 0) AS rrf
+        |  FROM ra FULL OUTER JOIN rb
+        |  ON ra.query_id = rb.query_id AND ra.neighbor_id = rb.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, CAST(rrf AS BIGINT) AS rrf,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, neighbor_id) AS rnk FROM fused)
+        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, rrf FROM r
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "d51_bpe_merge_step" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |  string_split_regex(lower(text), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |pr AS (SELECT substr(w, CAST(i AS INT), 2) AS p, cnt FROM wf,
+        |  unnest(range(1, length(w))) AS u(i) WHERE length(w) >= 2),
+        |pc AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS pcnt FROM pr GROUP BY 1),
+        |best AS (SELECT p AS best_pair, pcnt AS best_cnt FROM pc
+        |  ORDER BY pcnt DESC, p LIMIT 1),
+        |tot AS (SELECT COUNT(*) AS n_distinct_pairs,
+        |  CAST(SUM(pcnt) AS BIGINT) AS total_cnt FROM pc)
+        |SELECT best_pair, best_cnt, n_distinct_pairs, total_cnt
+        |FROM best, tot""".stripMargin,
+
+    "ev19_time_to_convert" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT user_id, MIN(ts) AS pts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |d AS (SELECT CAST(hour(vts) AS INT) AS cohort_hour,
+        |  date_diff('second', vts, pts) AS delta_s
+        |  FROM v JOIN p USING (user_id) WHERE pts > vts)
+        |SELECT cohort_hour, COUNT(*) AS n_users,
+        |round(quantile_cont(delta_s, 0.5), 6) AS p50_s,
+        |round(quantile_cont(delta_s, 0.9), 6) AS p90_s
+        |FROM d GROUP BY cohort_hour ORDER BY cohort_hour""".stripMargin,
 
     "q91_incremental_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

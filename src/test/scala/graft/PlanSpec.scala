@@ -135,7 +135,9 @@ class PlanSpec extends SparkSpec {
     // scoring scan is e11's broadcast loop over k=8 centroid rows; d49
     // cross-joins the two single-row gram totals (Nt, Nr) — scalar
     // joins like q20. e16/e17 broadcast 8 query (token) vectors into
-    // the corpus scan — e1's shape for the multi-vector / prefix twins.
+    // the corpus scan — e1's shape for the multi-vector / prefix twins;
+    // e18 runs both of its rankers in that same shape. d51 cross-joins
+    // the ONE pair-total row — scalar join like q20.
     val expected = Set("d4_ngram_jaccard", "e1_knn_brute", "q20_hll_sketch_union",
       "e7_knn_pq_full", "e8_knn_pq", "d21_bm25", "d26_quality_deciles",
       "e11_kmeans_assign", "e12_kmeans_step", "d27_boilerplate_ngrams",
@@ -144,7 +146,8 @@ class PlanSpec extends SparkSpec {
       // d41's scalar cross join now sits ABOVE its localCheckpoint, so
       // the materialized plan no longer shows the nested-loop shape
       "e15_binary_quant", "d46_bigram_perplexity", "d47_semdedup",
-      "d49_dsir_weights", "e16_maxsim", "e17_matryoshka")
+      "d49_dsir_weights", "e16_maxsim", "e17_matryoshka", "e18_rrf_fusion",
+      "d51_bpe_merge_step")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
