@@ -936,23 +936,28 @@ object Multimodal {
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
     var pendingDelay = 0
     var idx = 0
-    while (i < bytes.length && (bytes(i) & 0xFF) != 0x3B) {
+    // every cursor advance is bounds-checked: a truncated/malformed block
+    // chain stops at what parsed — it must never throw (the gifFrames rule)
+    def skipSubBlocks(): Boolean = {
+      while (i < bytes.length && (bytes(i) & 0xFF) != 0) i += 1 + (bytes(i) & 0xFF)
+      i += 1
+      i <= bytes.length
+    }
+    while (i >= 0 && i < bytes.length && (bytes(i) & 0xFF) != 0x3B) {
       (bytes(i) & 0xFF) match {
-        case 0x21 => // extension: label, then length-prefixed sub-blocks
+        case 0x21 if i + 2 < bytes.length =>
           val label = bytes(i + 1) & 0xFF
           i += 2
-          if (label == 0xF9 && (bytes(i) & 0xFF) >= 4)
+          if (label == 0xF9 && (bytes(i) & 0xFF) >= 4 && i + 3 < bytes.length)
             pendingDelay = le16(i + 2)
-          while ((bytes(i) & 0xFF) != 0) i += 1 + (bytes(i) & 0xFF)
-          i += 1
-        case 0x2C =>
+          if (!skipSubBlocks()) return frames.toSeq
+        case 0x2C if i + 9 < bytes.length =>
           val w = le16(i + 5); val h = le16(i + 7)
           val flags = bytes(i + 9) & 0xFF
           i += 10
           if ((flags & 0x80) != 0) i += 3 * (1 << ((flags & 0x07) + 1))
           i += 1 // LZW min code size
-          while ((bytes(i) & 0xFF) != 0) i += 1 + (bytes(i) & 0xFF)
-          i += 1
+          if (i >= bytes.length || !skipSubBlocks()) return frames.toSeq
           frames += ((idx, pendingDelay, w, h))
           pendingDelay = 0 // GCE scope is one image, per spec
           idx += 1

@@ -122,6 +122,68 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("animated-GIF fixture/delay-walk roundtrip for any frame list") {
+    import graft.operators.Multimodal
+    val framesGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1, 4000), Gen.chooseNum(1, 4000), Gen.chooseNum(0, 65535)))
+      .map(_.take(20))
+    check(Prop.forAll(framesGen) { fs =>
+      val (ws, hs, ds) = fs.unzip3
+      Multimodal.gifFrameDelays(Multimodal.gifFixtureAnimated(ws, hs, ds)) ==
+        fs.zipWithIndex.map { case ((w, h, d), k) => (k, d, w, h) }
+    })
+  }
+
+  test("MP3 fixture/walk roundtrip for any frame shape") {
+    import graft.operators.Multimodal
+    val framesGen = Gen.zip(Gen.chooseNum(0, 2),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1, 14), Gen.chooseNum(0, 1)))
+        .map(_.take(20)))
+    val rates = Array(44100, 48000, 32000)
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    check(Prop.forAll(framesGen) { case (sr, fs) =>
+      val (brs, pads) = fs.unzip
+      Multimodal.mp3Frames(Multimodal.mp3Fixture(brs, sr, pads)) ==
+        fs.zipWithIndex.map { case ((br, pad), k) =>
+          (k, kbps(br), rates(sr), 144 * (kbps(br) * 1000) / rates(sr) + pad)
+        }
+    })
+  }
+
+  test("EXIF fixture/walk roundtrip for any orientation and byte order") {
+    import graft.operators.Multimodal
+    val g = Gen.zip(Gen.chooseNum(1, 65535), Gen.chooseNum(1, 65535),
+      Gen.chooseNum(1, 8), Gen.oneOf(true, false))
+    check(Prop.forAll(g) { case (w, h, o, le) =>
+      Multimodal.exifOrientation(Multimodal.exifFixture(w, h, o, le))
+        .contains((w, h, o, !le))
+    })
+  }
+
+  test("media walks never throw on arbitrary bytes") {
+    import graft.operators.Multimodal
+    // random garbage AND random-corrupted valid prefixes: every parser
+    // must stop cleanly, never throw
+    val garbage = Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte))
+    val seeded = for {
+      base <- Gen.oneOf(
+        Multimodal.gifFixtureAnimated(Seq(3, 4), Seq(5, 6), Seq(7, 8)).toSeq,
+        Multimodal.mp3Fixture(Seq(9, 1), 0, Seq(0, 1)).toSeq,
+        Multimodal.exifFixture(10, 20, 6, littleEndian = false).toSeq)
+      cut <- Gen.chooseNum(0, base.length)
+      flip <- Gen.chooseNum(0, math.max(0, cut - 1))
+      b <- Gen.chooseNum(-128, 127).map(_.toByte)
+    } yield { val a = base.take(cut).toArray; if (cut > 0) a(flip) = b; a }
+    check(Prop.forAll(Gen.oneOf(garbage, seeded)) { bytes =>
+      Multimodal.gifFrameDelays(bytes)
+      Multimodal.mp3Frames(bytes)
+      Multimodal.exifOrientation(bytes)
+      Multimodal.gifFrames(bytes)
+      Multimodal.tiffTags(bytes)
+      true
+    })
+  }
+
   test("MP4 fixture/walk roundtrip for any movie shape") {
     import graft.operators.Multimodal
     val shapeGen = Gen.zip(
