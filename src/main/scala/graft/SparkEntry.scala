@@ -3650,6 +3650,66 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Contamination FRACTION (d18's graded sibling): per train doc, the
+    // share of its 5-gram hashes present anywhere in the held-out set —
+    // partial contamination that a binary flag misses. Held-out hashes
+    // broadcast; only (doc_id, hash) pairs shuffle.
+    "d52_contamination_frac" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      def sh5(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+      val grams = nearDupCorpus(tbl(s, dir, "documents"))
+        .select(col("doc_id"), explode(sh5(col("text"))).as("h"))
+      val test = broadcast(
+        grams.filter(col("doc_id") < 50).select("h").distinct()
+          .withColumn("hit", lit(1L)))
+      grams.filter(col("doc_id") >= 50)
+        .join(test, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .withColumn("contam_frac",
+          round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Time-weighted average value per event type (the TWAP/ops-metric
+    // aggregate): each value holds until the next observation; weights
+    // are exact integer cents × seconds, so the sums are order-free and
+    // FP appears only at the final divide. One keyed window + one hash
+    // aggregate.
+    "q94_twap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      tbl(s, dir, "events")
+        .withColumn("nts", lead(col("ts"), 1).over(w))
+        .filter(col("nts").isNotNull)
+        .select(col("event_type"),
+          (round(col("value") * 100, 0).cast("long") *
+            (unix_timestamp(col("nts")) - unix_timestamp(col("ts")))).as("vw"),
+          (unix_timestamp(col("nts")) - unix_timestamp(col("ts"))).as("dt"))
+        .groupBy("event_type")
+        .agg(sum("vw").as("wsum"), sum("dt").as("tsum"),
+          count(lit(1)).as("n_segments"))
+        .withColumn("twap",
+          round(col("wsum").cast("double") / col("tsum").cast("double") / 100.0, 6))
+        .orderBy("event_type")
+    }),
+
+    // REAL BMP header decode: signed little-endian biHeight, where
+    // negative means a top-down raster — fixtures alternate orientation
+    // and cycle the legal bit depths.
+    "m15_bmp_header" -> ((s, dir) => {
+      import s.implicits._
+      val depths = Array(1, 4, 8, 16, 24, 32)
+      val media = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 600).select(col("doc_id")).as[Long].map { id =>
+          (id, Multimodal.bmpFixture((id % 300 + 1).toInt, (id % 150 + 1).toInt,
+            topDown = id % 2 == 1, bpp = depths((id % 6).toInt)))
+        }.toDF("doc_id", "media")
+      Multimodal.decodeBmpMeta(s, media).toDF().orderBy("doc_id")
+    }),
+
     // Reciprocal-rank fusion of two exact rankers (the hybrid-retrieval
     // merge): dense cosine ranks fused with binary-code Hamming ranks
     // (e15's codes), contribution = 10⁹ div (60 + rank) — INTEGER
@@ -6061,6 +6121,44 @@ object SparkEntry {
         |    ORDER BY hamming, neighbor_id) AS rnk FROM s)
         |SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "d52_contamination_frac" ->
+      s"""WITH corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |  t -> t <> '') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles5 AS sh FROM tok),
+         |h AS (SELECT doc_id,
+         |  ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS x FROM sh),
+         |test AS (SELECT DISTINCT x FROM h WHERE doc_id < 50)
+         |SELECT h.doc_id, COUNT(*) AS n_grams,
+         |CAST(SUM(CASE WHEN test.x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_contaminated,
+         |round(CAST(SUM(CASE WHEN test.x IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / CAST(COUNT(*) AS DOUBLE), 6) AS contam_frac
+         |FROM h LEFT JOIN test ON h.x = test.x
+         |WHERE h.doc_id >= 50 GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+
+    "q94_twap" ->
+      """WITH seg AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents, ts,
+        |  lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nts
+        |  FROM events),
+        |d AS (SELECT event_type,
+        |  cents * date_diff('second', ts, nts) AS vw,
+        |  date_diff('second', ts, nts) AS dt
+        |  FROM seg WHERE nts IS NOT NULL)
+        |SELECT event_type, CAST(SUM(vw) AS BIGINT) AS wsum,
+        |CAST(SUM(dt) AS BIGINT) AS tsum, COUNT(*) AS n_segments,
+        |round(CAST(SUM(vw) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) / 100.0, 6) AS twap
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m15_bmp_header" ->
+      """SELECT doc_id, CAST(doc_id % 300 + 1 AS INT) AS width,
+        |CAST(doc_id % 150 + 1 AS INT) AS height,
+        |(doc_id % 2 = 1) AS top_down,
+        |CAST(list_extract([1, 4, 8, 16, 24, 32], CAST(doc_id % 6 + 1 AS INT)) AS INT)
+        |  AS bpp
+        |FROM documents WHERE doc_id < 600 ORDER BY doc_id""".stripMargin,
 
     "e18_rrf_fusion" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -45,6 +45,10 @@ final case class Mp3Frame(
 final case class ExifMeta(
     doc_id: Long, width: Int, height: Int, orientation: Int, tiff_big_endian: Boolean)
 
+/** BMP header metadata; `top_down` decodes the negative-biHeight form. */
+final case class BmpMeta(
+    doc_id: Long, width: Int, height: Int, top_down: Boolean, bpp: Int)
+
 /** MP4/ISO-BMFF movie-header metadata: global timescale, duration in
   * that timescale, and the number of track boxes.
   */
@@ -489,6 +493,46 @@ object Multimodal {
       i += len
     }
     out.toSeq
+  }
+
+  /** Minimal BMP (BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER) fixture;
+    * a negative biHeight encodes a top-down raster, per the spec.
+    */
+  def bmpFixture(width: Int, height: Int, topDown: Boolean, bpp: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54)
+      .putShort(0.toShort).putShort(0.toShort).putInt(54)
+    out.putInt(40).putInt(width).putInt(if (topDown) -height else height)
+    out.putShort(1.toShort).putShort(bpp.toShort).putInt(0).putInt(0)
+    out.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    out.array()
+  }
+
+  /** REAL BMP header decode: (width, height, top_down, bpp). biHeight is
+    * SIGNED little-endian — negative means top-down row order (the
+    * classic BMP parser bug is reporting the raw negative height).
+    */
+  def bmpHeaderDecode(bytes: Array[Byte]): Option[(Int, Int, Boolean, Int)] = {
+    if (bytes.length < 30 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    def i32(i: Int): Int =
+      (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8) |
+        ((bytes(i + 2) & 0xFF) << 16) | ((bytes(i + 3) & 0xFF) << 24)
+    def u16(i: Int): Int = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    if (i32(14) < 40) return None // BITMAPCOREHEADER etc. out of scope
+    val w = i32(18); val h = i32(22); val bpp = u16(28)
+    if (w <= 0 || h == 0 || h == Int.MinValue) return None
+    Some((w, math.abs(h), h < 0, bpp))
+  }
+
+  def decodeBmpMeta(spark: SparkSession, pruned: DataFrame): Dataset[BmpMeta] = {
+    import spark.implicits._
+    pruned.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        bmpHeaderDecode(bytes).map { case (w, h, td, bpp) =>
+          BmpMeta(id, w, h, td, bpp)
+        }
+      }
+    }
   }
 
   /** Real TIFF via the JDK's ImageIO TIFF writer (emits big-endian MM). */

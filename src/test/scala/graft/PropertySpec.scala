@@ -160,6 +160,16 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("BMP fixture/decode roundtrip incl. top-down negative heights") {
+    import graft.operators.Multimodal
+    val g = Gen.zip(Gen.chooseNum(1, 1 << 20), Gen.chooseNum(1, 1 << 20),
+      Gen.oneOf(true, false), Gen.oneOf(1, 4, 8, 16, 24, 32))
+    check(Prop.forAll(g) { case (w, h, td, bpp) =>
+      Multimodal.bmpHeaderDecode(Multimodal.bmpFixture(w, h, td, bpp))
+        .contains((w, h, td, bpp))
+    })
+  }
+
   test("media walks never throw on arbitrary bytes") {
     import graft.operators.Multimodal
     // random garbage AND random-corrupted valid prefixes: every parser
@@ -180,6 +190,7 @@ class PropertySpec extends SparkSpec {
       Multimodal.exifOrientation(bytes)
       Multimodal.gifFrames(bytes)
       Multimodal.tiffTags(bytes)
+      Multimodal.bmpHeaderDecode(bytes)
       true
     })
   }
