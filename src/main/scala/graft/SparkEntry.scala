@@ -3650,6 +3650,21 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Custom DataSource V2 scan (sources/FixtureSource.scala): range
+    // predicates push INSIDE the source (excluded rows are never
+    // generated — the JDBC/parquet contract) and the aggregate's column
+    // prune reaches the reader (id never materializes). The oracle
+    // replays the generator arithmetic over the pushed range; PlanSpec
+    // pins PushedFilters + pruned ReadSchema in the BatchScan.
+    "q95_dsv2_source" -> ((s, dir) => {
+      s.read.format("graft.sources.FixtureDataSource")
+        .option("rows", "100000").option("slices", "8").load()
+        .filter(col("id") >= 25000 && col("id") < 75000)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .orderBy("grp")
+    }),
+
     // Contamination FRACTION (d18's graded sibling): per train doc, the
     // share of its 5-gram hashes present anywhere in the held-out set —
     // partial contamination that a binary flag misses. Held-out hashes
@@ -6121,6 +6136,13 @@ object SparkEntry {
         |    ORDER BY hamming, neighbor_id) AS rnk FROM s)
         |SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q95_dsv2_source" ->
+      """WITH t AS (SELECT CAST(i AS BIGINT) AS id, CAST(i % 32 AS INT) AS grp,
+        |  (CAST(i AS BIGINT) * 2654435761) % 1000003 AS v
+        |  FROM range(25000, 75000) AS r(i))
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
+        |FROM t GROUP BY grp ORDER BY grp""".stripMargin,
 
     "d52_contamination_frac" ->
       s"""WITH corpus AS ($duckMutantCorpus),

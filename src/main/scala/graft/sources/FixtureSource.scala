@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A full DataSource V2 connector (TableProvider → Table → ScanBuilder →
+  * Scan/Batch → PartitionReader) serving a deterministic generated table
+  * — the engine's reference implementation of the two scan-side
+  * contracts that matter at 100 TB:
+  *
+  *  - **filter pushdown** (`SupportsPushDownFilters`): range predicates
+  *    on `id` narrow the generated [lo, hi) interval INSIDE the source —
+  *    the rows a pushed filter excludes are never materialized at all,
+  *    the exact behavior a JDBC/parquet source gives via WHERE clauses /
+  *    row-group stats. Consumed filters are not re-evaluated by Spark
+  *    (they return as fully pushed), and `description()` reports them so
+  *    plans show `PushedFilters: [...]` — plan-pinned in PlanSpec.
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): readers
+  *    emit exactly the pruned schema in its requested order; an
+  *    aggregate over (grp, v) never pays for `id`.
+  *
+  * The table itself: `rows` rows of (id BIGINT, grp INT = id % 32,
+  * v BIGINT = id·2654435761 mod 1000003) split into `slices` equal
+  * input partitions — a Knuth-style multiplicative mix the DuckDB
+  * oracle replays arithmetically (q95).
+  */
+class FixtureDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FixtureTable.fullSchema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new FixtureTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object FixtureTable {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("grp", IntegerType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+  def grpOf(id: Long): Int = (id % 32).toInt
+  def vOf(id: Long): Long = (id * 2654435761L) % 1000003L
+}
+
+class FixtureTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_fixture($rows)"
+  override def schema(): StructType = FixtureTable.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FixtureScanBuilder(rows, slices)
+}
+
+class FixtureScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows // generated interval [lo, hi)
+  private var consumed = Array.empty[Filter]
+  private var required = FixtureTable.fullSchema
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = Array.newBuilder[Filter]
+    val taken = Array.newBuilder[Filter]
+    filters.foreach { f =>
+      val handled = f match {
+        case GreaterThan("id", v) => asLong(v).map(x => lo = math.max(lo, x + 1))
+        case GreaterThanOrEqual("id", v) => asLong(v).map(x => lo = math.max(lo, x))
+        case LessThan("id", v) => asLong(v).map(x => hi = math.min(hi, x))
+        case LessThanOrEqual("id", v) => asLong(v).map(x => hi = math.min(hi, x + 1))
+        case EqualTo("id", v) =>
+          asLong(v).map { x => lo = math.max(lo, x); hi = math.min(hi, x + 1) }
+        case _ => None
+      }
+      if (handled.isDefined) taken += f else residual += f
+    }
+    consumed = taken.result()
+    residual.result() // only these get re-evaluated by Spark
+  }
+  override def pushedFilters(): Array[Filter] = consumed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new FixtureScan(lo, math.max(lo, hi), slices, required, consumed)
+}
+
+class FixtureScan(
+    lo: Long, hi: Long, slices: Int, schema: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_fixture [$lo, $hi) PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${schema.simpleString}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, slices)
+    val span = hi - lo
+    (0 until n).map { k =>
+      FixtureRange(lo + span * k / n, lo + span * (k + 1) / n)
+    }.filter(p => p.end > p.start).toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixtureReaderFactory(schema)
+}
+
+case class FixtureRange(start: Long, end: Long) extends InputPartition
+
+class FixtureReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val FixtureRange(start, end) = partition
+    // pre-resolve the projection once per partition, not per row
+    val cols: Array[Long => Any] = schema.fields.map(_.name match {
+      case "id" => (id: Long) => id
+      case "grp" => (id: Long) => FixtureTable.grpOf(id)
+      case "v" => (id: Long) => FixtureTable.vOf(id)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    })
+    new PartitionReader[InternalRow] {
+      private var cur = start - 1
+      override def next(): Boolean = { cur += 1; cur < end }
+      override def get(): InternalRow = InternalRow.fromSeq(cols.map(_(cur)).toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -139,4 +139,33 @@ class CoreOperatorsSpec extends SparkSpec {
     intercept[ConfigError](JobConfig.validateFormat("orc"))
     JobConfig.validateFormat("parquet") // ok
   }
+
+  // --- DSv2 fixture source --------------------------------------------------
+
+  test("DSv2 source: slices become input partitions; values match the formula") {
+    val df = spark.read.format("graft.sources.FixtureDataSource")
+      .option("rows", "1000").option("slices", "7").load()
+    assert(df.rdd.getNumPartitions == 7)
+    assert(df.count() == 1000)
+    val r = df.filter(org.apache.spark.sql.functions.col("id") === 123)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
+    assert(r == Seq((123L, (123 % 32).toInt, (123L * 2654435761L) % 1000003L)))
+  }
+
+  test("DSv2 source: EqualTo collapses the interval; residual filters still apply") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft.sources.FixtureDataSource")
+      .option("rows", "1000").load()
+    val eq = df.filter(col("id") === 77)
+    assert(eq.queryExecution.executedPlan.toString.contains("graft_fixture [77, 78)"))
+    assert(eq.count() == 1)
+    // grp predicates are NOT pushable — they must survive as a Spark-side
+    // Filter and still produce correct results
+    val res = df.filter(col("id") < 100 && col("grp") === 3)
+    assert(res.queryExecution.executedPlan.toString.contains("Filter"))
+    assert(res.collect().map(_.getLong(0)).toSet ==
+      (0L until 100L).filter(_ % 32 == 3).toSet)
+    // contradictory bounds collapse to an empty interval, not an error
+    assert(df.filter(col("id") > 500 && col("id") < 100).count() == 0)
+  }
 }

@@ -12,6 +12,18 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
 
+  test("q95: DSv2 source consumes range pushdown and column prune") {
+    val p = plan("q95_dsv2_source")
+    // both bounds pushed into the generator interval...
+    assert(p.contains("graft_fixture [25000, 75000)"), p)
+    assert(p.contains("GreaterThanOrEqual(id,25000)") &&
+      p.contains("LessThan(id,75000)"), p)
+    // ...and the aggregate's prune reaches the reader (no id column)
+    assert(p.contains("ReadSchema: struct<grp:int,v:bigint>"), p)
+    // consumed filters are NOT re-evaluated: no post-scan Filter node
+    assert(!p.contains("Filter ("), p)
+  }
+
   test("q1: bookmark predicate reaches the parquet scan") {
     val p = plan("q1_incremental_scan")
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_orderkey,1200)"), p)
