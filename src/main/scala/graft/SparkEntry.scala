@@ -3650,6 +3650,69 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Attribute-filtered ANN (the vector-DB staple): the metadata
+    // predicate applies BEFORE ranking — post-filtering a plain top-k
+    // returns fewer than k (or misses qualifying neighbors entirely)
+    // when the predicate is selective. Exact integer-quantized cosine
+    // over the filtered corpus; the filter folds into the scan.
+    "e19_filtered_knn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val embs = tbl(s, dir, "embeddings")
+      val q = broadcast(embs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val w = Window.partitionBy("query_id").orderBy(col("si").desc, col("neighbor_id"))
+      embs.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .join(q, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(round(Dedup.cosine(col("qv"), col("cv")), 6) * 1e6).cast("long").as("si"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+          col("neighbor_id"), col("si"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Language-distribution divergence between corpus sources (the
+    // distribution-shift monitor a mixture pipeline needs): per-source
+    // predicted-language histograms, pairwise Jensen-Shannon divergence.
+    // Each per-language term is the SAME double expression tree in both
+    // engines, quantized to an integer BEFORE the per-pair sum (the d46
+    // rule) — the aggregate is order-free. All joined tables here are
+    // per-source/per-language aggregates: tiny, broadcast.
+    "d53_lang_divergence" -> ((s, dir) => {
+      val langs = tbl(s, dir, "documents")
+        .select(col("source"), TextFunctions.langId(col("text")).as("lang"))
+        .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val tot = langs.groupBy("source").agg(sum("c").as("n"))
+      val sp = tot.select(col("source").as("sa"), col("n").as("na"))
+        .join(tot.select(col("source").as("sb"), col("n").as("nb")),
+          col("sa") < col("sb"))
+      val grid = sp.crossJoin(broadcast(langs.select("lang").distinct()))
+      val ca = langs.select(col("source").as("sa"), col("lang"), col("c").as("ca"))
+      val cb = langs.select(col("source").as("sb"), col("lang"), col("c").as("cb"))
+      grid.join(broadcast(ca), Seq("sa", "lang"), "left")
+        .join(broadcast(cb), Seq("sb", "lang"), "left")
+        .select(col("sa"), col("sb"), col("lang"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"), col("na"), col("nb"))
+        .filter(col("ca") + col("cb") > 0)
+        .withColumn("term", expr(
+          """CAST(round((
+            |  CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+            |    * ln((CAST(ca AS DOUBLE) / na)
+            |      / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+            |  ELSE 0.0 END
+            |+ CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+            |    * ln((CAST(cb AS DOUBLE) / nb)
+            |      / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+            |  ELSE 0.0 END
+            |) * 1000000000) AS BIGINT)""".stripMargin))
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_langs"), sum("term").as("jsd_q"))
+        .withColumn("jsd", round(col("jsd_q").cast("double") / 1e9, 6))
+        .orderBy("sa", "sb")
+    }),
+
     // Custom DataSource V2 scan (sources/FixtureSource.scala): range
     // predicates push INSIDE the source (excluded rows are never
     // generated — the JDBC/parquet contract) and the aggregate's column
@@ -6136,6 +6199,48 @@ object SparkEntry {
         |    ORDER BY hamming, neighbor_id) AS rnk FROM s)
         |SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "e19_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  CAST(round(round(list_cosine_similarity(q.qv,
+        |    CAST(e.embedding AS DOUBLE[])), 6) * 1000000) AS BIGINT) AS si
+        |  FROM q, embeddings e
+        |  WHERE e.vec_id % 3 = 0 AND e.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, si,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY si DESC, neighbor_id) AS rnk FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, si FROM r
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "d53_lang_divergence" ->
+      s"""WITH pl AS (SELECT source, $duckPredLangCase AS lang
+         |  FROM (SELECT source, text, $duckLangBest AS m FROM documents)),
+         |lc AS (SELECT source, lang, COUNT(*) AS c FROM pl GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM lc GROUP BY 1),
+         |sp AS (SELECT ta.source AS sa, ta.n AS na, tb.source AS sb, tb.n AS nb
+         |  FROM tot ta JOIN tot tb ON ta.source < tb.source),
+         |grid AS (SELECT sa, na, sb, nb, l.lang
+         |  FROM sp, (SELECT DISTINCT lang FROM lc) l),
+         |j AS (SELECT g.sa, g.sb, g.lang, COALESCE(a.c, 0) AS ca,
+         |  COALESCE(b.c, 0) AS cb, g.na, g.nb
+         |  FROM grid g LEFT JOIN lc a ON a.source = g.sa AND a.lang = g.lang
+         |  LEFT JOIN lc b ON b.source = g.sb AND b.lang = g.lang
+         |  WHERE COALESCE(a.c, 0) + COALESCE(b.c, 0) > 0),
+         |t AS (SELECT sa, sb, CAST(round((
+         |  CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+         |    * ln((CAST(ca AS DOUBLE) / na)
+         |      / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+         |  ELSE 0.0 END
+         |+ CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+         |    * ln((CAST(cb AS DOUBLE) / nb)
+         |      / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+         |  ELSE 0.0 END
+         |) * 1000000000) AS BIGINT) AS term FROM j)
+         |SELECT sa, sb, COUNT(*) AS n_langs, CAST(SUM(term) AS BIGINT) AS jsd_q,
+         |round(CAST(SUM(term) AS DOUBLE) / 1000000000, 6) AS jsd
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q95_dsv2_source" ->
       """WITH t AS (SELECT CAST(i AS BIGINT) AS id, CAST(i % 32 AS INT) AS grp,

@@ -159,7 +159,10 @@ class PlanSpec extends SparkSpec {
       // the materialized plan no longer shows the nested-loop shape
       "e15_binary_quant", "d46_bigram_perplexity", "d47_semdedup",
       "d49_dsir_weights", "e16_maxsim", "e17_matryoshka", "e18_rrf_fusion",
-      "d51_bpe_merge_step")
+      // e19 is e1's filtered twin (broadcast probes × filtered scan);
+      // d53 cross-joins tiny per-source aggregate tables (source pairs ×
+      // language domain) — scalar-scale joins like q20
+      "d51_bpe_merge_step", "e19_filtered_knn", "d53_lang_divergence")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
