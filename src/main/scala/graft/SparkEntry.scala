@@ -3650,6 +3650,24 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Streaming read through the custom DSv2 source's MicroBatchStream:
+    // 60k rows served 20k per micro-batch (3 batches — spec-pinned), a
+    // complete-mode aggregate drained to memory. The final state must
+    // equal the one-shot batch aggregate: offsets partition the row
+    // space exactly, no batch boundary drops or duplicates a row.
+    "st18_stream_dsv2_source" -> ((s, dir) => {
+      val stream = s.readStream.format("graft.sources.FixtureDataSource")
+        .option("rows", "60000").option("slices", "4").option("batchRows", "20000")
+        .load()
+      val qname = "st18_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = stream.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .writeStream.format("memory").queryName(qname).outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qname).orderBy("grp")
+    }),
+
     // Attribute-filtered ANN (the vector-DB staple): the metadata
     // predicate applies BEFORE ranking — post-filtering a plain top-k
     // returns fewer than k (or misses qualifying neighbors entirely)
@@ -6199,6 +6217,13 @@ object SparkEntry {
         |    ORDER BY hamming, neighbor_id) AS rnk FROM s)
         |SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "st18_stream_dsv2_source" ->
+      """WITH t AS (SELECT CAST(i AS BIGINT) AS id, CAST(i % 32 AS INT) AS grp,
+        |  (CAST(i AS BIGINT) * 2654435761) % 1000003 AS v
+        |  FROM range(0, 60000) AS r(i))
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
+        |FROM t GROUP BY grp ORDER BY grp""".stripMargin,
 
     "e19_filtered_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

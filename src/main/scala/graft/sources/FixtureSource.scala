@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,7 +38,8 @@ class FixtureDataSource extends TableProvider {
       properties: java.util.Map[String, String]): Table =
     new FixtureTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("batchRows", "1000").toLong)
 }
 
 object FixtureTable {
@@ -49,16 +51,17 @@ object FixtureTable {
   def vOf(id: Long): Long = (id * 2654435761L) % 1000003L
 }
 
-class FixtureTable(rows: Long, slices: Int) extends Table with SupportsRead {
+class FixtureTable(rows: Long, slices: Int, batchRows: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_fixture($rows)"
   override def schema(): StructType = FixtureTable.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FixtureScanBuilder(rows, slices)
+    new FixtureScanBuilder(rows, slices, batchRows)
 }
 
-class FixtureScanBuilder(rows: Long, slices: Int)
+class FixtureScanBuilder(rows: Long, slices: Int, batchRows: Long = 1000L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var lo = 0L
@@ -95,11 +98,12 @@ class FixtureScanBuilder(rows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new FixtureScan(lo, math.max(lo, hi), slices, required, consumed)
+    new FixtureScan(lo, math.max(lo, hi), slices, required, consumed, batchRows)
 }
 
 class FixtureScan(
-    lo: Long, hi: Long, slices: Int, schema: StructType, pushed: Array[Filter])
+    lo: Long, hi: Long, slices: Int, schema: StructType, pushed: Array[Filter],
+    batchRows: Long = 1000L)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -115,9 +119,49 @@ class FixtureScan(
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new FixtureReaderFactory(schema)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FixtureMicroBatchStream(lo, hi, slices, schema, math.max(1L, batchRows))
 }
 
 case class FixtureRange(start: Long, end: Long) extends InputPartition
+
+/** Offset = the exclusive upper bound of rows served so far. */
+case class FixtureOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** The streaming half of the DSv2 contract: the same generated table
+  * served `batchRows` per micro-batch. `latestOffset` advances one batch
+  * step per trigger until the table is exhausted (so
+  * `processAllAvailable` terminates after ⌈span/batchRows⌉ batches);
+  * `planInputPartitions(start, end)` re-slices exactly the offset range
+  * the engine asks for — a restarted query replays identical batches
+  * from its checkpointed offsets, which is the whole exactly-once
+  * contract a source owes Structured Streaming.
+  */
+class FixtureMicroBatchStream(
+    lo: Long, hi: Long, slices: Int, schema: StructType, batchRows: Long)
+    extends MicroBatchStream {
+  private var planned = lo
+  override def initialOffset(): Offset = FixtureOffset(lo)
+  override def latestOffset(): Offset = synchronized {
+    planned = math.min(hi, planned + batchRows)
+    FixtureOffset(planned)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FixtureOffset].pos
+    val e = end.asInstanceOf[FixtureOffset].pos
+    val n = math.max(1, slices)
+    val span = e - s
+    (0 until n).map(k => FixtureRange(s + span * k / n, s + span * (k + 1) / n))
+      .filter(p => p.end > p.start).toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FixtureReaderFactory(schema)
+  override def deserializeOffset(json: String): Offset = FixtureOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class FixtureReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -168,4 +168,18 @@ class CoreOperatorsSpec extends SparkSpec {
     // contradictory bounds collapse to an empty interval, not an error
     assert(df.filter(col("id") > 500 && col("id") < 100).count() == 0)
   }
+
+  test("DSv2 micro-batch stream: batchRows sets the cadence; no row lost or duped") {
+    import org.apache.spark.sql.functions._
+    val stream = spark.readStream.format("graft.sources.FixtureDataSource")
+      .option("rows", "900").option("slices", "3").option("batchRows", "300").load()
+    val name = "dsv2_mb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.groupBy("grp").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3 && batches.forall(_.numInputRows == 300),
+      batches.map(_.numInputRows).toSeq)
+    assert(spark.table(name).agg(sum("n")).head().getLong(0) == 900)
+  }
 }
