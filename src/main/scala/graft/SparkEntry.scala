@@ -3650,6 +3650,18 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Aggregate pushdown through the custom DSv2 source: COUNT/MIN/MAX/
+    // SUM over id have closed forms on the generated interval, so this
+    // FOUR-BILLION-row "scan" aggregates without materializing a single
+    // row (one partition, one pushed row — plan-pinned). The scan-side
+    // contract that turns metadata-only queries free at any scale.
+    "q96_dsv2_agg_pushdown" -> ((s, dir) => {
+      s.read.format("graft.sources.FixtureDataSource")
+        .option("rows", "4000000000").load()
+        .agg(count(col("id")).as("n"), min(col("id")).as("mn"),
+          max(col("id")).as("mx"), sum(col("id")).as("s"))
+    }),
+
     // Streaming read through the custom DSv2 source's MicroBatchStream:
     // 60k rows served 20k per micro-batch (3 batches — spec-pinned), a
     // complete-mode aggregate drained to memory. The final state must
@@ -6217,6 +6229,11 @@ object SparkEntry {
         |    ORDER BY hamming, neighbor_id) AS rnk FROM s)
         |SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q96_dsv2_agg_pushdown" ->
+      """SELECT CAST(4000000000 AS BIGINT) AS n, CAST(0 AS BIGINT) AS mn,
+        |CAST(3999999999 AS BIGINT) AS mx,
+        |CAST(CAST(3999999999 AS HUGEINT) * 4000000000 // 2 AS BIGINT) AS s""".stripMargin,
 
     "st18_stream_dsv2_source" ->
       """WITH t AS (SELECT CAST(i AS BIGINT) AS id, CAST(i % 32 AS INT) AS grp,

@@ -3,6 +3,8 @@ package graft.sources
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -63,11 +65,12 @@ class FixtureTable(rows: Long, slices: Int, batchRows: Long)
 
 class FixtureScanBuilder(rows: Long, slices: Int, batchRows: Long = 1000L)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows // generated interval [lo, hi)
   private var consumed = Array.empty[Filter]
   private var required = FixtureTable.fullSchema
+  private var aggValues: Option[Seq[() => Any]] = None
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -97,8 +100,72 @@ class FixtureScanBuilder(rows: Long, slices: Int, batchRows: Long = 1000L)
   override def pushedFilters(): Array[Filter] = consumed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new FixtureScan(lo, math.max(lo, hi), slices, required, consumed, batchRows)
+
+  // ---- aggregate pushdown: COUNT/MIN/MAX/SUM over id have CLOSED FORMS
+  // on the generated interval [lo, hi) — a multi-billion-row "scan"
+  // aggregates without materializing a single row. Filters push before
+  // aggregates in V2ScanRelationPushDown, so lo/hi are already narrowed.
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+  private def closedForm(f: AggregateFunc): Option[() => Any] = f match {
+    case _: CountStar => Some(() => math.max(0L, hi - lo))
+    case c: Count if !c.isDistinct && isId(c.column) =>
+      Some(() => math.max(0L, hi - lo)) // id is non-null
+    case m: Min if isId(m.column) => Some(() => if (hi > lo) lo else null)
+    case m: Max if isId(m.column) => Some(() => if (hi > lo) hi - 1 else null)
+    case s: Sum if !s.isDistinct && isId(s.column) =>
+      // Σ [lo, hi) = (lo + hi − 1)(hi − lo)/2; one factor is even
+      Some(() => if (hi <= lo) null
+      else {
+        val n = hi - lo
+        if (n % 2 == 0) (lo + hi - 1) * (n / 2) else ((lo + hi - 1) / 2) * n
+      })
+    case _ => None
+  }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.forall(closedForm(_).isDefined)
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!supportCompletePushDown(aggregation)) return false
+    aggValues = Some(aggregation.aggregateExpressions.toSeq.map(closedForm(_).get))
+    true
+  }
+
+  override def build(): Scan = aggValues match {
+    case Some(vs) =>
+      // closed forms evaluate NOW (lo/hi are final after filter pushdown);
+      // the scan ships plain values, never a closure over this builder
+      new FixtureAggScan(lo, math.max(lo, hi), vs.map(_()))
+    case None =>
+      new FixtureScan(lo, math.max(lo, hi), slices, required, consumed, batchRows)
+  }
+}
+
+/** Completely-pushed aggregate: ONE partition, ONE closed-form row. */
+class FixtureAggScan(lo: Long, hi: Long, values: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(values.indices.map(i =>
+    StructField(s"agg_$i", LongType, nullable = true)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_fixture [$lo, $hi) PushedAggregates: [${values.length} closed-form]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FixtureRange(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    FixtureAggReaderFactory(values.toArray)
+}
+
+case class FixtureAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 class FixtureScan(

@@ -24,6 +24,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Filter ("), p)
   }
 
+  test("q96: DSv2 aggregate pushdown replaces the scan with closed forms") {
+    val p = plan("q96_dsv2_agg_pushdown")
+    assert(p.contains("PushedAggregates"), p)
+  }
+
   test("q1: bookmark predicate reaches the parquet scan") {
     val p = plan("q1_incremental_scan")
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_orderkey,1200)"), p)
