@@ -339,5 +339,45 @@ object corpus {
         centroids: DataFrame, idCol: String = "vec_id",
         vecCol: String = "embedding", threshold: Double = 0.99): DataFrame =
       Dedup.semDedup(df, idCol, vecCol, centroids, threshold)
+
+    /** First-seen n-gram novelty (d50): per doc, the fraction of its
+      * word-`n`-gram hashes first seen there (by ascending id) — the
+      * memorization/dedup-pressure curve. Only (hash, id) pairs shuffle.
+      */
+    def withNoveltyProfile(
+        idCol: String = "doc_id", textCol: String = "text", n: Int = 5): DataFrame = {
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), n))
+      val grams = df.select(col(idCol), explode(sh(col(textCol))).as("h"))
+      val first = grams.groupBy("h").agg(min(col(idCol)).as("first_doc"))
+      grams.join(first, "h")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col(idCol) === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+    }
+
+    /** Graded contamination (d52): per doc, the fraction of its
+      * word-`n`-gram hashes present anywhere in `heldOut` — the graded
+      * sibling of [[decontaminateAgainst]]'s binary drop. Held-out
+      * hashes broadcast; only (id, hash) pairs shuffle.
+      */
+    def contaminationAgainst(
+        heldOut: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+        n: Int = 5): DataFrame = {
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), n))
+      val test = broadcast(
+        heldOut.select(explode(sh(col(textCol))).as("h")).distinct()
+          .withColumn("hit", lit(1L)))
+      df.select(col(idCol), explode(sh(col(textCol))).as("h"))
+        .join(test, Seq("h"), "left")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .withColumn("contam_frac",
+          round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 6))
+    }
   }
 }

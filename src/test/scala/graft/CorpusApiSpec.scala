@@ -188,6 +188,27 @@ class CorpusApiSpec extends SparkSpec {
     assert(api == q && api.nonEmpty)
   }
 
+  test("withNoveltyProfile matches d50; contaminationAgainst matches d52") {
+    val corpus = mutantCorpus
+    val nov = corpus.withNoveltyProfile()
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val d50 = SparkEntry.queries("d50_ngram_novelty")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(nov == d50 && nov.nonEmpty)
+
+    val contam = corpus.filter(col("doc_id") >= 50)
+      .contaminationAgainst(corpus.filter(col("doc_id") < 50))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val d52 = SparkEntry.queries("d52_contamination_frac")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(contam == d52 && contam.nonEmpty)
+    assert(contam.values.exists(_._3 > 0)) // mutants guarantee real overlap
+  }
+
   test("semDedup API matches the d47 verdicts") {
     import spark.implicits._
     val embs = spark.read.parquet(sf("embeddings"))
