@@ -34,6 +34,28 @@ object SparkEntry {
   private def tmpdir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Aggregate recall@k bound-check for the approximate ANN fast paths
+    * (e2/e4/e8/e10): join the fast path's (query_id, neighbor_id) pairs
+    * against the exact twin's, count hits, and emit one
+    * (n_exact, recall_ok) row the DuckDB oracle can recompute — n_exact
+    * from the brute-force SQL, recall_ok expected TRUE. Turns "approximate
+    * by design" into a hash-checkable quality contract (the q19/q20
+    * pattern). Both inputs are tiny top-k frames (queries × k rows), so
+    * the join broadcasts regardless of corpus size.
+    */
+  private def recallBound(approx: DataFrame, exact: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(broadcast(e), Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits)
+      .select(col("n_exact"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")
+          >= threshold).as("recall_ok"))
+  }
+
   /** Copy the events table into `work` `n` times (events_0..events_{n-1})
     * — the standard way the streaming queries stage replayed micro-batch
     * arrivals for a file-source drain.
@@ -740,17 +762,24 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
-    // SRP-LSH ANN top-5 (approximate; rows-only check).
+    // SRP-LSH ANN top-5 (approximate). Hash-gated via the q19/q20
+    // bound-check pattern: the query runs BOTH the LSH fast path and the
+    // exact brute-force twin, computes aggregate recall@5, and emits
+    // (n_exact, recall_ok) where the oracle recomputes n_exact (8 queries
+    // × 5 slots) and expects recall_ok = TRUE. The fast path still
+    // executes end-to-end — the bound check just makes its quality a
+    // hash-checkable fact instead of spec-only lore.
     "e2_knn_lsh" -> ((s, dir) => {
       val embs = tbl(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") < 8)
       // 16 tables × 4 bits: on THIS corpus (pure-random vectors, max
       // pairwise cos ≈ 0.51) recall needs permissive buckets; clustered
       // real-world embeddings warrant more bits per table.
-      Similarity.lshTopK(
-          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, dim = 64,
-          numTables = 16, bitsPerTable = 4)
-        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
-        .orderBy("query_id", "rnk")
+      val approx = Similarity.lshTopK(
+        embs, queries, "vec_id", "embedding", k = 5, dim = 64,
+        numTables = 16, bitsPerTable = 4)
+      val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      recallBound(approx, exact, threshold = 0.5)
     }),
 
     // Embedding near-duplicate pairs (cosine ≥ 0.99 against perturbed copies).
@@ -843,16 +872,17 @@ object SparkEntry {
     }),
 
     // PQ ANN fast path: top-40 by compressed ADC scan, exact re-rank of
-    // only those candidates (approximate — recall pinned in NorthStarSpec;
-    // rows-only driver check like e2/e4).
+    // only those candidates (approximate; hash-gated via the recall
+    // bound-check — see e2 for the pattern).
     "e8_knn_pq" -> ((s, dir) => {
       val embs = tbl(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") < 8)
       val books = graft.operators.Pq.train(embs, "embedding", dim = 64)
-      graft.operators.Pq.topK(
-          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
-          books, m = 8, ksub = 16, dsub = 8, candidates = 40)
-        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
-        .orderBy("query_id", "rnk")
+      val approx = graft.operators.Pq.topK(
+        embs, queries, "vec_id", "embedding", k = 5,
+        books, m = 8, ksub = 16, dsub = 8, candidates = 40)
+      val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      recallBound(approx, exact, threshold = 0.5)
     }),
 
     // IVF-PQ, full probe + full re-rank: the composed production ANN index
@@ -872,17 +902,20 @@ object SparkEntry {
     }),
 
     // IVF-PQ fast path: probe 4 of 16 cells, top-40 ADC candidates, exact
-    // re-rank (approximate — recall pinned in NorthStarSpec).
+    // re-rank (approximate; hash-gated via the recall bound-check — see e2
+    // for the pattern; IVF-PQ compounds two approximations so its floor is
+    // lower).
     "e10_knn_ivfpq" -> ((s, dir) => {
       val embs = tbl(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") < 8)
       val centroids = graft.operators.Ivf.train(embs, "embedding", k = 16)
       val books = graft.operators.Pq.train(embs, "embedding", dim = 64)
-      graft.operators.Pq.ivfPqTopK(
-          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
-          centroids, books, m = 8, ksub = 16, dsub = 8,
-          nprobe = 4, candidates = 40)
-        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
-        .orderBy("query_id", "rnk")
+      val approx = graft.operators.Pq.ivfPqTopK(
+        embs, queries, "vec_id", "embedding", k = 5,
+        centroids, books, m = 8, ksub = 16, dsub = 8,
+        nprobe = 4, candidates = 40)
+      val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      recallBound(approx, exact, threshold = 0.4)
     }),
 
     // Trending top-3 event types per hour: windowed counts + per-window
@@ -908,15 +941,15 @@ object SparkEntry {
         .orderBy("ws")),
 
     // IVF ANN top-5: spherical k-means cells + nprobe search (approximate;
-    // rows-only check, recall pinned in NorthStarSpec).
+    // hash-gated via the recall bound-check — see e2 for the pattern).
     "e4_knn_ivf" -> ((s, dir) => {
       val embs = tbl(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") < 8)
       val centroids = graft.operators.Ivf.train(embs, "embedding", k = 16)
-      graft.operators.Ivf.topK(
-          embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
-          centroids, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
-        .orderBy("query_id", "rnk")
+      val approx = graft.operators.Ivf.topK(
+        embs, queries, "vec_id", "embedding", k = 5, centroids, nprobe = 4)
+      val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      recallBound(approx, exact, threshold = 0.5)
     }),
 
     // AS-OF join: each purchase matched to the user's latest signup event
@@ -1383,9 +1416,11 @@ object SparkEntry {
     }),
 
     // Array aggregation: per-user sorted distinct event-type list —
-    // collect_set + array_sort gives a deterministic array column (raw
-    // collect_list order is partition-dependent; sorting restores a total
-    // order both engines agree on).
+    // collect_set + array_sort gives a deterministic order both engines
+    // agree on; the list is then joined to a scalar ('|' separator) because
+    // array/map/struct columns never cross the driver-gate boundary (the
+    // pandas harness cannot lexsort list values — SchemaInvariantSpec pins
+    // this rule for every query).
     "q44_collect_list" -> ((s, dir) =>
       tbl(s, dir, "events")
         // pin NULL semantics explicitly: collect_set drops NULLs while
@@ -1393,7 +1428,7 @@ object SparkEntry {
         // future fixture with NULL event_type can't diverge the oracle
         .filter(col("event_type").isNotNull)
         .groupBy("user_id")
-        .agg(array_sort(collect_set(col("event_type"))).as("types"),
+        .agg(concat_ws("|", array_sort(collect_set(col("event_type")))).as("types"),
           count(lit(1)).as("n"))
         .orderBy("user_id")),
 
@@ -4233,6 +4268,16 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** Oracle for the approximate-ANN recall bound-checks (e2/e4/e8/e10):
+    * recompute the number of exact top-5 slots from the same brute-force
+    * CTE the exact oracles use, and expect the engine's recall bound to
+    * hold (recall_ok = TRUE). If a fast path's recall drops below its
+    * threshold, the engine emits FALSE and the hash gate goes red.
+    */
+  private val recallBoundOracle =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+       |FROM ($bruteForceTopKOracle)""".stripMargin
+
   /** DuckDB language-ID scoring shared by the d6 and d28 oracles (the
     * marker-word hit counts mirroring TextFunctions.langId) — one
     * definition so the classifier and its confusion-matrix audit cannot
@@ -4487,6 +4532,18 @@ object SparkEntry {
 
     "e6_knn_lsh_full" ->
       bruteForceTopKOracle,
+
+    "e2_knn_lsh" ->
+      recallBoundOracle,
+
+    "e4_knn_ivf" ->
+      recallBoundOracle,
+
+    "e8_knn_pq" ->
+      recallBoundOracle,
+
+    "e10_knn_ivfpq" ->
+      recallBoundOracle,
 
     "q30_orc_roundtrip" ->
       """SELECT COUNT(*) AS n,
@@ -5076,7 +5133,8 @@ object SparkEntry {
          |FROM scored, cuts GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q44_collect_list" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+      """SELECT user_id,
+        |array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
         |COUNT(*) AS n FROM events WHERE event_type IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -167,7 +167,12 @@ class PlanSpec extends SparkSpec {
       // e19 is e1's filtered twin (broadcast probes × filtered scan);
       // d53 cross-joins tiny per-source aggregate tables (source pairs ×
       // language domain) — scalar-scale joins like q20
-      "d51_bpe_merge_step", "e19_filtered_knn", "d53_lang_divergence")
+      "d51_bpe_merge_step", "e19_filtered_knn", "d53_lang_divergence",
+      // e2/e4/e10: the recall bound-check runs the brute-force exact twin
+      // (e1's broadcast-queries × corpus shape) alongside the fast path to
+      // emit the hash-gated recall_ok bound (e8 was already here for its
+      // ADC scan)
+      "e2_knn_lsh", "e4_knn_ivf", "e10_knn_ivfpq")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
