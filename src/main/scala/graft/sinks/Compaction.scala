@@ -33,6 +33,13 @@ object Compaction {
     out.toSeq
   }
 
+  /** Data-file paths relative to `dir` — comparable across a directory
+    * rename (the same listing under `loc` and under `_precompact`). */
+  private def relativeFiles(spark: SparkSession, dir: Path): Set[String] = {
+    val prefix = dir.toUri.getPath.stripSuffix("/") + "/"
+    dataFiles(spark, dir).map(_.toUri.getPath.stripPrefix(prefix)).toSet
+  }
+
   def compact(
       spark: SparkSession,
       location: String,
@@ -78,6 +85,23 @@ object Compaction {
     val old = new Path(loc.getParent, loc.getName + "_precompact")
     fs.delete(old, true)
     if (!fs.rename(loc, old)) throw new java.io.IOException(s"rename $loc -> $old failed")
+    // The pre-swap relist above is check-then-act: a batch appended between
+    // it and the rename would still be swapped away. The rename FREEZES the
+    // live listing (appenders can no longer reach it under `loc`), so
+    // re-verify now and roll back if anything slipped in. Residual window:
+    // a writer that STARTS after the rename recreates `loc` fresh and
+    // collides with the swap/rollback renames — concurrent compaction and
+    // brand-new appends remain the caller's scheduling contract, as with
+    // any non-transactional lake table.
+    if (relativeFiles(spark, old) != before.map { p =>
+          p.toUri.getPath.stripPrefix(loc.toUri.getPath.stripSuffix("/") + "/")
+        }.toSet) {
+      if (!fs.rename(old, loc)) throw new java.io.IOException(
+        s"$location changed during compaction AND rollback rename failed; data is at $old")
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"$location changed between relist and swap; rolled back")
+    }
     if (!fs.rename(tmp, loc)) {
       fs.rename(old, loc) // roll back
       throw new java.io.IOException(s"rename $tmp -> $loc failed")

@@ -9,13 +9,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (snapshot isolation, reproducible reads, instant rollback) without a
   * transaction-log dependency.
   *
-  * Commit protocol: a writer stages into `_staging-<v>-<nonce>` and makes
-  * the version visible with ONE atomic directory rename to `v<v>`. Readers
-  * list only `v*` directories, so a torn write is never observable; a
-  * crashed writer leaves a `_staging-*` orphan that the next write sweeps.
-  * Concurrent writers race on the rename — the loser's rename fails (the
-  * destination exists) and it retries at the next version number, so
-  * version history is linear without any lock service.
+  * Commit protocol: a writer stages into `_staging-<nonce>` and makes the
+  * version visible with ONE directory rename to `v<v>`, verified by a
+  * nonce marker (Hadoop rename can move a source INTO an existing
+  * destination and still return true, so the rename result alone cannot
+  * prove the commit). Readers list only `v*` directories, so a torn write
+  * is never observable; a crashed writer leaves a `_staging-*` orphan that
+  * a later write sweeps once it outlives the orphan TTL. Concurrent
+  * writers race on the rename — the loser retries at the next version
+  * number with the SAME staged data, so version history is linear without
+  * any lock service.
   *
   * Scale notes: the version listing is ONE namenode/object-store `ls` of
   * the table root (versions are directories, not a manifest scan), and a
@@ -47,30 +50,53 @@ object VersionedTable {
   private def dirName(v: Long): String = f"v$v%08d"
 
   /** Write `df` as the next version; returns the committed version number.
-    * Retries the staging+rename under writer races (bounded attempts).
+    * The data is staged ONCE; only the visibility rename retries under
+    * writer races, so the race window is a metadata operation, not a
+    * dataset rewrite.
     */
   def write(spark: SparkSession, df: DataFrame, root: String,
-      maxAttempts: Int = 5): Long = {
+      maxAttempts: Int = 20, orphanTtlMs: Long = 15 * 60 * 1000L): Long = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     f.mkdirs(rootPath)
-    // sweep orphans from crashed writers (best-effort; never a committed v*)
+    // Sweep orphans from crashed writers and crashed vacuums — but only
+    // ones older than the TTL: a CONCURRENT writer's live staging dir is
+    // indistinguishable from a crashed one by name, so age is the tiebreak
+    // (a crashed orphan stops aging; a live writer commits long before the
+    // TTL). Never touches a committed v*.
+    val cutoff = System.currentTimeMillis() - orphanTtlMs
     f.listStatus(rootPath).foreach { st =>
-      if (st.getPath.getName.startsWith("_staging-")) f.delete(st.getPath, true)
+      val n = st.getPath.getName
+      if ((n.startsWith("_staging-") || n.startsWith("_dropped-")) &&
+          st.getModificationTime < cutoff)
+        f.delete(st.getPath, true)
     }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(rootPath, s"_staging-$nonce")
+    df.write.mode("overwrite").parquet(staging.toString)
+    // Underscore-prefixed nonce marker: invisible to parquet readers,
+    // proves below that the committed dir is OURS.
+    f.create(new Path(staging, s"_commit-$nonce"), false).close()
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val next = versions(spark, root).lastOption.getOrElse(0L) + 1
-      val nonce = java.util.UUID.randomUUID().toString.take(8)
-      val staging = new Path(rootPath, s"_staging-$next-$nonce")
-      df.write.mode("overwrite").parquet(staging.toString)
-      // the ONE atomic visibility point: rename fails (returns false) if a
-      // racing writer committed this version first — clean up and retry at
-      // the next number
-      if (f.rename(staging, new Path(rootPath, dirName(next)))) return next
-      f.delete(staging, true)
+      val dst = new Path(rootPath, dirName(next))
+      // Visibility point. A bare rename is NOT race-proof: when the
+      // destination already exists (a racing writer committed this version
+      // first), Hadoop rename moves the source INTO it and still returns
+      // true — the loser's data would land hidden as v<N>/_staging-* and
+      // be silently lost. So: pre-check the destination, and accept the
+      // commit only if after the rename the staging dir is gone AND the
+      // destination carries OUR marker.
+      if (!f.exists(dst) && f.rename(staging, dst) && !f.exists(staging) &&
+          f.exists(new Path(dst, s"_commit-$nonce"))) return next
+      // Lost the race. If the rename moved us INSIDE the winner's dir,
+      // pull the staging back out and retry at the next version number.
+      val misplaced = new Path(dst, staging.getName)
+      if (f.exists(misplaced)) f.rename(misplaced, staging)
     }
+    f.delete(staging, true)
     sys.error(s"versioned write lost the commit race $maxAttempts times at $root")
   }
 

@@ -83,13 +83,23 @@ class FixtureScanBuilder(rows: Long, slices: Int, batchRows: Long = 1000L)
     val residual = Array.newBuilder[Filter]
     val taken = Array.newBuilder[Filter]
     filters.foreach { f =>
+      // boundary literals need care: x + 1 at Long.MaxValue wraps negative
+      // and would turn e.g. `id <= MaxValue` (all rows) into an empty scan.
+      // `id > MaxValue` is unsatisfiable (empty interval); `<= MaxValue`
+      // saturates (no-op narrowing); `= MaxValue` needs only the lo bound
+      // (no representable row exceeds it).
       val handled = f match {
-        case GreaterThan("id", v) => asLong(v).map(x => lo = math.max(lo, x + 1))
+        case GreaterThan("id", v) => asLong(v).map(x =>
+          lo = if (x == Long.MaxValue) hi else math.max(lo, x + 1))
         case GreaterThanOrEqual("id", v) => asLong(v).map(x => lo = math.max(lo, x))
         case LessThan("id", v) => asLong(v).map(x => hi = math.min(hi, x))
-        case LessThanOrEqual("id", v) => asLong(v).map(x => hi = math.min(hi, x + 1))
+        case LessThanOrEqual("id", v) => asLong(v).map(x =>
+          if (x != Long.MaxValue) hi = math.min(hi, x + 1))
         case EqualTo("id", v) =>
-          asLong(v).map { x => lo = math.max(lo, x); hi = math.min(hi, x + 1) }
+          asLong(v).map { x =>
+            lo = math.max(lo, x)
+            if (x != Long.MaxValue) hi = math.min(hi, x + 1)
+          }
         case _ => None
       }
       if (handled.isDefined) taken += f else residual += f
@@ -209,7 +219,17 @@ case class FixtureOffset(pos: Long) extends Offset {
 class FixtureMicroBatchStream(
     lo: Long, hi: Long, slices: Int, schema: StructType, batchRows: Long)
     extends MicroBatchStream {
+  // Planning cursor. A restarted query constructs a FRESH stream with
+  // planned = lo; without clamping, latestOffset would then return offsets
+  // BEHIND the checkpoint, and under Trigger.AvailableNow the query could
+  // declare itself caught up before serving [checkpoint, hi). Every offset
+  // Spark hands back — the deserialized checkpoint, or a replayed batch's
+  // end — advances the cursor, so latestOffset always moves forward from
+  // recovered progress.
   private var planned = lo
+  private def clampForward(pos: Long): Unit = synchronized {
+    planned = math.max(planned, pos)
+  }
   override def initialOffset(): Offset = FixtureOffset(lo)
   override def latestOffset(): Offset = synchronized {
     planned = math.min(hi, planned + batchRows)
@@ -218,6 +238,7 @@ class FixtureMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FixtureOffset].pos
     val e = end.asInstanceOf[FixtureOffset].pos
+    clampForward(e)
     val n = math.max(1, slices)
     val span = e - s
     (0 until n).map(k => FixtureRange(s + span * k / n, s + span * (k + 1) / n))
@@ -225,7 +246,11 @@ class FixtureMicroBatchStream(
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new FixtureReaderFactory(schema)
-  override def deserializeOffset(json: String): Offset = FixtureOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val pos = json.toLong
+    clampForward(pos) // checkpointed progress read back on restart
+    FixtureOffset(pos)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -59,10 +59,12 @@ class CompactionSpec extends SparkSpec {
     val orders = spark.read.parquet(sf("orders"))
     VersionedTable.write(spark, orders.limit(10), root)
     // a crashed writer's staging dir must not surface as a version...
-    val orphan = new java.io.File(s"$root/_staging-2-deadbeef")
+    val orphan = new java.io.File(s"$root/_staging-deadbeef")
     orphan.mkdirs()
+    orphan.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
     assert(VersionedTable.versions(spark, root) == Seq(1L))
-    // ...and the next write sweeps it, then commits as v2
+    // ...and once it has outlived the TTL (a live concurrent writer's
+    // staging must NOT be swept) the next write reclaims it, commits as v2
     val v2 = VersionedTable.write(spark, orders.limit(20), root)
     assert(v2 == 2L && !orphan.exists())
     VersionedTable.write(spark, orders.limit(30), root)
@@ -72,5 +74,50 @@ class CompactionSpec extends SparkSpec {
       VersionedTable.read(spark, root, Some(1L))
     }
     assert(VersionedTable.read(spark, root, Some(3L)).count() == 30)
+  }
+
+  test("versioned table: racing writers all commit, linearly, with their own data") {
+    import graft.sinks.VersionedTable
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpDir("vt3") + "/t"
+    val orders = spark.read.parquet(sf("orders")).cache()
+    orders.count()
+    // Hadoop rename moves a source INTO an existing destination dir (and
+    // returns true), so a naive rename-commit lets a losing racer report
+    // success while its data lands hidden under v<N>/_staging-*. The
+    // nonce-marker protocol must give every racer its OWN version.
+    val writers = (1 to 6).map { k =>
+      Future(k -> VersionedTable.write(spark, orders.limit(k * 10), root))
+    }
+    val committed = Await.result(Future.sequence(writers), 120.seconds).toMap
+    assert(committed.values.toSeq.sorted == (1L to 6L),
+      s"expected six linear versions, got $committed")
+    committed.foreach { case (k, v) =>
+      assert(VersionedTable.read(spark, root, Some(v)).count() == k * 10,
+        s"writer $k's version $v does not contain writer $k's rows")
+    }
+    // no racer's data may hide inside another's committed version dir
+    (1L to 6L).foreach { v =>
+      val sub = new java.io.File(f"$root/v$v%08d").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("_staging-"))
+      assert(sub.isEmpty, s"v$v hides a lost write: ${sub.mkString(",")}")
+    }
+    orders.unpersist()
+  }
+
+  test("versioned table: crashed-vacuum tombstones are swept by the next write") {
+    import graft.sinks.VersionedTable
+    val root = tmpDir("vt4") + "/t"
+    val orders = spark.read.parquet(sf("orders"))
+    VersionedTable.write(spark, orders.limit(10), root)
+    // a vacuum that crashed between rename and delete leaves _dropped-<v>
+    val tomb = new java.io.File(s"$root/_dropped-9")
+    tomb.mkdirs()
+    tomb.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    VersionedTable.write(spark, orders.limit(20), root)
+    assert(!tomb.exists(), "_dropped tombstone not reclaimed by write sweep")
   }
 }

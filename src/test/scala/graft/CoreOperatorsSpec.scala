@@ -169,6 +169,35 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(df.filter(col("id") > 500 && col("id") < 100).count() == 0)
   }
 
+  test("DSv2 source: Long.MaxValue boundary literals don't overflow the interval") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft.sources.FixtureDataSource")
+      .option("rows", "1000").load()
+    // x + 1 at MaxValue used to wrap negative: `<= MaxValue` (all rows)
+    // became an empty scan and `> MaxValue` (no rows) became a full one
+    assert(df.filter(col("id") <= Long.MaxValue).count() == 1000)
+    assert(df.filter(col("id") > Long.MaxValue).count() == 0)
+    assert(df.filter(col("id") === Long.MaxValue).count() == 0)
+    assert(df.filter(col("id") >= Long.MaxValue).count() == 0)
+  }
+
+  test("DSv2 micro-batch stream: restart clamps planning behind the checkpoint forward") {
+    import graft.sources.{FixtureMicroBatchStream, FixtureOffset}
+    import org.apache.spark.sql.types.StructType
+    // simulate recovery: a FRESH stream (planned = lo = 0) handed the
+    // checkpointed offset 600 must not plan latestOffset backwards to 300
+    // — under Trigger.AvailableNow that declares the query caught up
+    // before serving [600, 900)
+    val s = new FixtureMicroBatchStream(0L, 900L, 3, new StructType(), 300L)
+    val ckpt = s.deserializeOffset("600")
+    assert(ckpt.asInstanceOf[FixtureOffset].pos == 600L)
+    assert(s.latestOffset().asInstanceOf[FixtureOffset].pos == 900L)
+    // replayed batch ends also advance the cursor
+    val s2 = new FixtureMicroBatchStream(0L, 900L, 3, new StructType(), 300L)
+    s2.planInputPartitions(FixtureOffset(300L), FixtureOffset(600L))
+    assert(s2.latestOffset().asInstanceOf[FixtureOffset].pos == 900L)
+  }
+
   test("DSv2 micro-batch stream: batchRows sets the cadence; no row lost or duped") {
     import org.apache.spark.sql.functions._
     val stream = spark.readStream.format("graft.sources.FixtureDataSource")
