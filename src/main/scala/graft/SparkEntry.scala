@@ -3793,6 +3793,22 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // LIMIT/OFFSET pushdown through the DSv2 source: the scan-side
+    // contract behind cheap existence probes (the reference's
+    // empty-source `take(1)` — jdbc_incremental.py:194) at 100 TB. The
+    // four-billion-row table never materializes: the pushed filter
+    // narrows the interval, then OFFSET/LIMIT truncate it INSIDE the
+    // source to exactly 32 generated rows. PlanSpec pins
+    // PushedLimit/PushedOffset and the collapsed interval; the oracle
+    // replays the generator arithmetic over those 32 ids.
+    "q97_dsv2_limit_pushdown" -> ((s, dir) => {
+      s.read.format("graft.sources.FixtureDataSource")
+        .option("rows", "4000000000").option("slices", "8").load()
+        .filter(col("id") >= 1000000000L)
+        .offset(25).limit(32)
+        .select(col("id"), col("grp"), col("v"))
+    }),
+
     // Contamination FRACTION (d18's graded sibling): per train doc, the
     // share of its 5-gram hashes present anywhere in the held-out set —
     // partial contamination that a binary flag misses. Held-out hashes
@@ -6348,6 +6364,11 @@ object SparkEntry {
         |  FROM range(25000, 75000) AS r(i))
         |SELECT grp, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
         |FROM t GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q97_dsv2_limit_pushdown" ->
+      """SELECT CAST(i AS BIGINT) AS id, CAST(i % 32 AS INT) AS grp,
+        |  (CAST(i AS BIGINT) * 2654435761) % 1000003 AS v
+        |FROM range(1000000025, 1000000057) AS r(i)""".stripMargin,
 
     "d52_contamination_frac" ->
       s"""WITH corpus AS ($duckMutantCorpus),

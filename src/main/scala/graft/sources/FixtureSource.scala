@@ -65,12 +65,38 @@ class FixtureTable(rows: Long, slices: Int, batchRows: Long)
 
 class FixtureScanBuilder(rows: Long, slices: Int, batchRows: Long = 1000L)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownOffset {
   private var lo = 0L
   private var hi = rows // generated interval [lo, hi)
   private var consumed = Array.empty[Filter]
   private var required = FixtureTable.fullSchema
   private var aggValues: Option[Seq[() => Any]] = None
+  private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
+
+  // ---- limit/offset pushdown: the scan-side contract that makes LIMIT
+  // probes cheap at 100 TB (the reference's empty-source `take(1)` probe
+  // reads ONE row, not a partition). The generated interval is ordered,
+  // so both clauses collapse to interval arithmetic. Spark's contract
+  // (V2ScanRelationPushDown.pushDownLimitAndOffset): the pushed LIMIT is
+  // always relative to the START of the post-filter stream — for
+  // `df.offset(n).limit(m)` Spark pushes limit n+m, then offset n — so
+  // LIMIT truncates [lo, hi) first and OFFSET skips the prefix of the
+  // truncated interval. Both fully applied (isPartiallyPushed = false),
+  // letting Spark drop its own Limit/Offset operators. Applied at
+  // build() so the outcome is independent of push-call order.
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = false
+  override def pushOffset(o: Int): Boolean = { offset = Some(o); true }
+  private def limitedInterval(): (Long, Long) = {
+    // saturating add: lo near Long.MaxValue (a pushed `id >= MaxValue-k`
+    // filter) must not wrap negative and invert the interval
+    def sat(a: Long, b: Long): Long = { val s = a + b; if (s < a) Long.MaxValue else s }
+    val top = limit.map(l => math.min(sat(lo, l.toLong), hi)).getOrElse(hi)
+    val base = math.min(sat(lo, offset.getOrElse(0).toLong), top)
+    (base, top)
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -147,10 +173,14 @@ class FixtureScanBuilder(rows: Long, slices: Int, batchRows: Long = 1000L)
   override def build(): Scan = aggValues match {
     case Some(vs) =>
       // closed forms evaluate NOW (lo/hi are final after filter pushdown);
-      // the scan ships plain values, never a closure over this builder
+      // the scan ships plain values, never a closure over this builder.
+      // Spark never pushes limit/offset below a pushed aggregate, so the
+      // unlimited interval is the right one here.
       new FixtureAggScan(lo, math.max(lo, hi), vs.map(_()))
     case None =>
-      new FixtureScan(lo, math.max(lo, hi), slices, required, consumed, batchRows)
+      val (s, e) = limitedInterval()
+      new FixtureScan(s, e, slices, required, consumed, batchRows,
+        limit, offset)
   }
 }
 
@@ -180,12 +210,15 @@ case class FixtureAggReaderFactory(values: Array[Any]) extends PartitionReaderFa
 
 class FixtureScan(
     lo: Long, hi: Long, slices: Int, schema: StructType, pushed: Array[Filter],
-    batchRows: Long = 1000L)
+    batchRows: Long = 1000L,
+    pushedLimit: Option[Int] = None, pushedOffset: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_fixture [$lo, $hi) PushedFilters: [${pushed.mkString(", ")}], " +
+      pushedLimit.map(l => s"PushedLimit: $l, ").getOrElse("") +
+      pushedOffset.map(o => s"PushedOffset: $o, ").getOrElse("") +
       s"ReadSchema: ${schema.simpleString}"
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, slices)

@@ -29,6 +29,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedAggregates"), p)
   }
 
+  test("q97: DSv2 limit+offset pushdown collapses a 4B-row scan to 32 rows") {
+    val p = plan("q97_dsv2_limit_pushdown")
+    // filter narrowed the interval to [1000000000, 4e9); Spark pushes
+    // limit 25+32=57 relative to its start, then offset 25 — the scan
+    // collapses to exactly the 32 surviving ids, all INSIDE the source
+    assert(p.contains("graft_fixture [1000000025, 1000000057)"), p)
+    assert(p.contains("PushedLimit: 57"), p)
+    assert(p.contains("PushedOffset: 25"), p)
+  }
+
   test("q1: bookmark predicate reaches the parquet scan") {
     val p = plan("q1_incremental_scan")
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_orderkey,1200)"), p)
