@@ -40,16 +40,33 @@ object Bench {
         System.err.println(s"[bench] warm $name failed: ${e.getMessage}")
       }
     }
-    val results = ordered.map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      }
+    }
+    val firstPass = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
+    // Self-defending contention sentinel (the r3 lesson: a suite-level run
+    // absorbed host interference and committed 30× spikes that vanished in
+    // isolation). Any query slower than max(3× suite median, 3s) gets ONE
+    // re-run at the end of the suite; keep the better time and say so. A
+    // real regression reproduces on the re-run and stays visible.
+    val okTimes = firstPass.map(_._2).filter(_ >= 0).sorted
+    val median = if (okTimes.nonEmpty) okTimes(okTimes.size / 2) else 0.0
+    val threshold = math.max(3 * median, 3.0)
+    val byName = ordered.toMap
+    val results = firstPass.map { case (name, t) =>
+      if (t > threshold) {
+        val t2 = timeOne(name, byName(name))
+        if (t2 >= 0 && t2 < t) {
+          System.err.println(f"[bench] rerun $name: $t%.2fs -> $t2%.2fs (suite contention)")
+          name -> t2
+        } else name -> t
+      } else name -> t
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     def jsonLine(keyOf: String => String, dp: String, sf: String): String = {

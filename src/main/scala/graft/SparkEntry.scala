@@ -1057,11 +1057,28 @@ object SparkEntry {
 
     // ---------------------------------------------- multimodal (north-star)
 
-    // Binary-column plumbing: prune → mapPartitions decode (stubbed) → meta.
-    "m1_media_metadata" -> ((s, dir) =>
-      Multimodal.decodeMetadata(s,
-          tbl(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("media")))
-        .toDF().orderBy("doc_id")),
+    // Binary-column plumbing: prune → mapPartitions decode → typed meta.
+    // Real PNG/JPEG/GIF fixture bytes (dimensions encode doc_id) plus a
+    // deliberately-unparseable arm: decodeMetadata must byte-parse the
+    // three real formats AND report the fourth honestly as `unknown`
+    // instead of fabricating metadata. Fixture byte lengths are
+    // closed-form (33 / 32 / 31 / id%100+10), so the oracle replays
+    // everything arithmetically — same pattern as m3.
+    "m1_media_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = (id % 512 + 1).toInt
+        val h = (id % 256 + 1).toInt
+        val bytes = (id % 4) match {
+          case 0 => Multimodal.pngFixture(w, h)
+          case 1 => Multimodal.jpegFixture(w, h)
+          case 2 => Multimodal.gifFixture(Seq(w), Seq(h))
+          case _ => Array.fill((id % 100 + 10).toInt)('x'.toByte)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "media")
+      Multimodal.decodeMetadata(s, media).toDF().orderBy("doc_id")
+    }),
 
     // Frame sampling: one row per 500-byte frame window, fan-out inside
     // mapPartitions (demuxer iterator shape).
@@ -4856,10 +4873,13 @@ object SparkEntry {
         |ORDER BY purchase_id""".stripMargin,
 
     "m1_media_metadata" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
-        |CAST(16 + strlen(text) % 64 AS INT) AS width,
-        |CAST(16 + (strlen(text) // 64) % 64 AS INT) AS height,
-        |CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+      """SELECT doc_id,
+        |CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 32 WHEN 2 THEN 31
+        |     ELSE doc_id % 100 + 10 END AS BIGINT) AS byte_len,
+        |CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 512 + 1 END AS INT) AS width,
+        |CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 256 + 1 END AS INT) AS height,
+        |CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |     ELSE 'unknown' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m3_media_header_decode" ->

@@ -70,11 +70,11 @@ final case class ResizedImage(
 /** Multimodal-column plumbing (north-star surface): media travels as an
   * opaque `binary` column with typed metadata alongside.
   *
-  * The decode step is a clearly-marked deterministic STUB (the container
-  * has no image/audio codecs); everything around it — schema, encoder,
-  * partition-parallel batching via `mapPartitions`, column pruning before
-  * the heavy stage — is real. At scale the binary column is the widest
-  * thing in the table, so the plumbing:
+  * Every decode here is a REAL byte-level parse (PNG/JPEG/GIF/WAV/MP3/
+  * MP4/TIFF/EXIF/BMP headers plus JDK raster decode where a codec
+  * exists in the JRE); unrecognized bytes surface as format `unknown`,
+  * never as fabricated metadata. At scale the binary column is the
+  * widest thing in the table, so the plumbing:
   *  - prunes to (id, media) BEFORE the decode stage (never carries other
   *    columns through the non-codegen boundary);
   *  - processes per-partition with an iterator (no per-row lambda setup,
@@ -85,7 +85,7 @@ object Multimodal {
   /** REAL header decode for the formats whose dimensions are parseable
     * with zero codec dependencies (pure byte inspection): PNG (IHDR),
     * JPEG (SOF0/1/2 scan), GIF (logical screen descriptor). Returns None
-    * for anything else — callers fall back to [[fakeDecode]].
+    * for anything else — [[decodeMetadata]] reports those as `unknown`.
     */
   def headerDecode(bytes: Array[Byte]): Option[(Int, Int, String)] = {
     def be32(i: Int): Int =
@@ -127,7 +127,7 @@ object Multimodal {
 
   /** Full 6-byte GIF signature (GIF87a / GIF89a). Checking only "GIF8"
     * would let text bytes that happen to start with those ASCII chars
-    * switch from the stub decode to a "real" parse.
+    * be misreported as a parsed GIF.
     */
   private def isGif(bytes: Array[Byte]): Boolean =
     bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
@@ -270,32 +270,17 @@ object Multimodal {
     }
   }
 
-  /** STUB fallback for formats [[headerDecode]] can't parse without real
-    * codecs (the container has none): deterministic pseudo-metadata from
-    * the raw bytes. A real build replaces this with e.g. TwelveMonkeys /
-    * javax.imageio — signature and dataflow unchanged.
-    */
-  def fakeDecode(bytes: Array[Byte]): (Int, Int, String) = {
-    val len = bytes.length
-    val width = 16 + (len % 64)
-    val height = 16 + ((len / 64) % 64)
-    val fmt = (len % 3) match {
-      case 0 => "png"
-      case 1 => "jpeg"
-      case _ => "webp"
-    }
-    (width, height, fmt)
-  }
-
   /** Decode a (id, media) pair stream into typed metadata: real header
-    * parse where the format is recognized, stub fallback otherwise. Input
-    * must be pre-pruned to exactly (id: bigint, media: binary).
+    * parse where the format is recognized; unrecognized bytes are
+    * reported honestly as `(0, 0, "unknown")` — a pipeline can filter or
+    * route them, but the engine never fabricates dimensions. Input must
+    * be pre-pruned to exactly (id: bigint, media: binary).
     */
   def decodeMetadata(spark: SparkSession, pruned: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     pruned.as[(Long, Array[Byte])].mapPartitions { it =>
       it.map { case (id, bytes) =>
-        val (w, h, fmt) = headerDecode(bytes).getOrElse(fakeDecode(bytes))
+        val (w, h, fmt) = headerDecode(bytes).getOrElse((0, 0, "unknown"))
         MediaMeta(id, bytes.length.toLong, w, h, fmt)
       }
     }
@@ -728,8 +713,8 @@ object Multimodal {
   /** REAL full decode via the JDK's own codec (`javax.imageio` ships PNG/
     * GIF/BMP readers — no external libs): decompress the raster and
     * report dimensions plus pixel probes (top-left gray value, mean gray
-    * value). This is the honest end of the multimodal ladder — m1/m2
-    * stub, m3–m6 parse real headers, m7 runs a real codec over real
+    * value). This is the deep end of the multimodal ladder — m1–m6 parse
+    * real headers byte-by-byte, m7 runs a real codec over real
     * compressed bytes. Returns None when no registered reader accepts the
     * bytes (corrupt input costs one row, never an executor).
     */

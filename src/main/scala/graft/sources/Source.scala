@@ -91,4 +91,33 @@ object JdbcSource {
   val asciiStringHash: String =
     "(COALESCE(ASCII(SUBSTR(%s, 1, 1)), 0) * 961 + " +
       "COALESCE(ASCII(SUBSTR(%s, 2, 1)), 0) * 31 + LENGTH(%s))"
+
+  /** Turnkey MySQL `hashExpr` for any-type keys — the server-side md5
+    * split the reference's Glue `hashfield` performs
+    * (jdbc_incremental.py:181-184): first 8 hex chars of MD5 as an
+    * unsigned 32-bit integer, so `MOD(…, N)` is uniform regardless of
+    * key-range skew. MySQL's CONV(str, 16, 10) yields a non-negative
+    * value; MD5(NULL) is NULL, which the split-0 `OR … IS NULL` clause
+    * catches. Value semantics pinned by [[md5Prefix32]].
+    */
+  val mysqlMd5Hash: String = "CONV(SUBSTR(MD5(%s), 1, 8), 16, 10)"
+
+  /** Turnkey Postgres `hashExpr` computing the SAME value as
+    * [[mysqlMd5Hash]]: the hex prefix is cast through a 32-char bit
+    * string ('x' || hex is Postgres's documented hex-to-bit idiom) and
+    * zero-extended into BIGINT, so the result is always non-negative —
+    * `abs(hashtext(…))` would be shorter but is signed, version-varying,
+    * and Int.MinValue-unsafe. md5(NULL) is NULL → split-0 clause.
+    */
+  val postgresMd5Hash: String = "(('x' || SUBSTR(MD5(%s), 1, 8))::bit(32)::BIGINT)"
+
+  /** Reference semantics of both md5 templates, JVM-side: the first 8 hex
+    * chars of md5(utf8(key)) as an unsigned 32-bit integer. Tests compare
+    * database-evaluated splits against this value.
+    */
+  def md5Prefix32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
 }

@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR=... runMain graft.tools.Prof q d3_dedup_simhash ...`
   * Each query runs `SPARK_GRAFT_PROF_REPS` times (default 2; rep 1 warms
   * codegen/caches, the last rep is the steady-state number).
+  *
+  * With NO args it profiles EVERY registry query and writes the
+  * steady-state map to `SPARK_GRAFT_PROF_OUT` (default `PROF.json`) —
+  * the committed per-query baseline that, unlike a suite-level BENCH
+  * total, is immune to cross-query contention: each number is a warm
+  * re-run taken immediately after the same query's previous run.
   */
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -28,18 +34,34 @@ object Prof {
     // optional cross-sf warm-up: run each query once at WARM_DIR (tiny sf)
     // before timing at sfDir — isolates JIT/codegen compile from real work
     val warmDir = sys.env.get("SPARK_GRAFT_PROF_WARM_DIR")
-    args.foreach { n =>
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val steady = names.flatMap { n =>
       val fn = SparkEntry.queries(n)
       warmDir.foreach { w =>
         try fn(spark, w).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => println(s"[prof] warm $n failed: ${e.getMessage}") }
       }
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      try {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROF $n%-24s ${times.map(t => f"$t%.2f").mkString("  ")}")
+        Some(n -> times.last)
+      } catch { case e: Throwable =>
+        println(s"[prof] $n failed: ${e.getMessage}"); None
       }
-      println(f"PROF $n%-24s ${times.map(t => f"$t%.2f").mkString("  ")}")
+    }
+    if (args.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_PROF_OUT", "PROF.json")
+      val qs = steady.map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
+        .mkString("{", ",", "}")
+      val sfTag = new java.io.File(sfDir).getName
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        s"""{"metric":"steady_total","value":${"%.3f".format(steady.map(_._2).sum)},""" +
+          s""""unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfTag"}""" + "\n")
+      println(s"[prof] wrote $out (${steady.size} queries)")
     }
     spark.stop()
   }

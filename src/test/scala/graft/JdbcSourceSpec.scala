@@ -90,6 +90,69 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.filter("k IS NULL").count() == 1)
   }
 
+  test("MySQL md5 hashfield template executes verbatim over Derby (shimmed MD5/CONV)") {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    try st.execute("DROP TABLE mkeys") catch { case _: Exception => () }
+    try st.execute("DROP FUNCTION MD5") catch { case _: Exception => () }
+    try st.execute("DROP FUNCTION CONV") catch { case _: Exception => () }
+    // Exact-semantics stand-ins for the two MySQL functions Derby lacks;
+    // the template string itself is used untouched.
+    st.execute(
+      """CREATE FUNCTION MD5(S VARCHAR(32672)) RETURNS VARCHAR(32)
+        |LANGUAGE JAVA PARAMETER STYLE JAVA DETERMINISTIC NO SQL
+        |RETURNS NULL ON NULL INPUT
+        |EXTERNAL NAME 'graft.JdbcDialectShims.md5'""".stripMargin)
+    st.execute(
+      """CREATE FUNCTION CONV(S VARCHAR(64), FROMBASE INT, TOBASE INT) RETURNS BIGINT
+        |LANGUAGE JAVA PARAMETER STYLE JAVA DETERMINISTIC NO SQL
+        |RETURNS NULL ON NULL INPUT
+        |EXTERNAL NAME 'graft.JdbcDialectShims.conv'""".stripMargin)
+    st.execute("CREATE TABLE mkeys (k VARCHAR(64), v INT)")
+    val keys = (0 until 100).map(i => s"user-$i-${"%08x".format(i * 2654435761L & 0xFFFFFFFFL)}")
+    val ps = conn.prepareStatement("INSERT INTO mkeys VALUES (?, ?)")
+    keys.zipWithIndex.foreach { case (k, i) => ps.setString(1, k); ps.setInt(2, i); ps.addBatch() }
+    ps.setNull(1, java.sql.Types.VARCHAR); ps.setInt(2, 100); ps.addBatch()
+    ps.executeBatch()
+    conn.close()
+
+    val n = 4
+    val src = new JdbcSource(url, props, hashField = Some("k"),
+      hashPartitions = n, hashExpr = Some(JdbcSource.mysqlMd5Hash))
+    val df = src.read(spark, "mkeys")
+    assert(df.rdd.getNumPartitions == n)
+    assert(df.count() == 101 && df.select("v").distinct().count() == 101)
+    // partition i must hold EXACTLY the keys whose md5-prefix ≡ i (mod n),
+    // per the JVM reference value — plus the NULL key in split 0
+    val got = df.rdd.mapPartitionsWithIndex { case (i, it) =>
+      it.map(r => (i, Option(r.getString(0))))
+    }.collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = keys.groupBy(k => (JdbcSource.md5Prefix32(k) % n).toInt)
+      .view.mapValues(_.map(Option(_)).toSet).toMap
+    (0 until n).foreach { i =>
+      val expected = want.getOrElse(i, Set.empty[Option[String]]) ++
+        (if (i == 0) Set(None: Option[String]) else Set.empty)
+      assert(got.getOrElse(i, Set.empty) == expected, s"partition $i split mismatch")
+    }
+  }
+
+  test("Postgres md5 template computes the same value; JVM goldens pin semantics") {
+    // The ::bit(32)::BIGINT cast can't execute on Derby; its value
+    // contract is identical to the MySQL template's — first 8 md5 hex
+    // chars, unsigned. Pin that with published md5 test vectors (RFC 1321
+    // appendix A.5) and check the template's structural guarantees.
+    assert(JdbcSource.md5Prefix32("") == 0xd41d8cd9L)     // md5("")   = d41d8cd9…
+    assert(JdbcSource.md5Prefix32("abc") == 0x90015098L)  // md5("abc")= 90015098…
+    assert(JdbcSource.md5Prefix32("message digest") == 0xf96b697dL)
+    val expanded = JdbcSource.postgresMd5Hash.replace("%s", "k")
+    assert(expanded == "(('x' || SUBSTR(MD5(k), 1, 8))::bit(32)::BIGINT)")
+    // zero-extended 32-bit value: non-negative and < 2^32 for any input
+    Seq("", "abc", "ünïcode-✓", "x" * 1000).foreach { s =>
+      val v = JdbcSource.md5Prefix32(s)
+      assert(v >= 0L && v <= 0xFFFFFFFFL)
+    }
+  }
+
   test("empty incremental batch short-circuits (S2 probe)") {
     val src = new JdbcSource(url, props)
     val df = src.readIncremental(spark, cfg, Map("o_orderkey" -> "999999999"))
