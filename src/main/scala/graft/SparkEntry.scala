@@ -17,16 +17,35 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object SparkEntry {
 
-  /** Normalize a raw `events` read: the testdata stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark reads only as a nanos long (via
+  /** Normalize a raw `events` read to the registry's canonical shape:
+    * `ts` is a session-zone TIMESTAMP (micros). The driver has shipped the
+    * column two ways across rounds — parquet TIMESTAMP(NANOS), which Spark
+    * reads only as a nanos long (via
     * `spark.sql.legacy.parquet.nanosAsLong=true`, set in every session
-    * builder). Convert to a proper micros timestamp.
+    * builder), and plain naive TIMESTAMP(MICROS), which reads as
+    * TIMESTAMP_NTZ. Both fold to the same instants here (sessions pin UTC,
+    * so the NTZ→LTZ cast is value-identity); every downstream query and its
+    * DuckDB oracle see one stable type.
     */
-  private def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema.fieldNames.contains("ts") &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** The `ts` column of a RAW (un-normalized) events frame as a proper
+    * timestamp expression — for call sites that filter the raw frame (to
+    * keep its on-disk schema for re-writes) but cut on event time.
+    */
+  def rawTsCol(df: DataFrame): Column =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
@@ -1414,7 +1433,7 @@ object SparkEntry {
       val maxTs = normalizeTs(raw).agg(max(col("ts"))).head().getTimestamp(0)
       val cut72 = lit(maxTs) - expr("INTERVAL 72 HOURS")
       val cut24 = lit(maxTs) - expr("INTERVAL 24 HOURS")
-      val tsCol = timestamp_micros(expr("ts div 1000")) // raw file carries nanos longs
+      val tsCol = rawTsCol(raw) // cut the raw frame on event time, schema-agnostically
       val onTime = raw.filter(col("event_id") % 10 =!= 0)
       val t0 = System.currentTimeMillis()
       arriveFile(work, onTime.filter(tsCol <= cut72), "b1", Some(t0 - 90000))
@@ -2113,7 +2132,7 @@ object SparkEntry {
       val raw = s.read.parquet(s"$dir/events.parquet")
       val maxTs = normalizeTs(raw).agg(max(col("ts"))).head().getTimestamp(0)
       val cut = lit(maxTs) - expr("INTERVAL 12 HOURS")
-      val tsCol = timestamp_micros(expr("ts div 1000"))
+      val tsCol = rawTsCol(raw)
       val t0 = System.currentTimeMillis()
       arriveFile(work, raw.filter(tsCol <= cut), "b1", Some(t0 - 30000))
       arriveFile(work, raw.filter(tsCol > cut), "b2", Some(t0))
@@ -2157,7 +2176,7 @@ object SparkEntry {
       val raw = s.read.parquet(s"$dir/events.parquet")
       val maxTs = normalizeTs(raw).agg(max(col("ts"))).head().getTimestamp(0)
       val cut = lit(maxTs) - expr("INTERVAL 12 HOURS")
-      val tsCol = timestamp_micros(expr("ts div 1000"))
+      val tsCol = rawTsCol(raw)
       val t0 = System.currentTimeMillis()
       arriveFile(work, raw.filter(tsCol <= cut), "b1", Some(t0 - 30000))
       arriveFile(work, raw.filter(tsCol > cut), "b2", Some(t0))

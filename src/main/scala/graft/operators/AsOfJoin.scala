@@ -68,10 +68,12 @@ object AsOfJoin {
     val gated = toleranceSeconds match {
       case None => matched
       case Some(tol) =>
-        // timestamps compare at microsecond precision; numeric ts columns
-        // take the tolerance in their own units
-        val isTs = rtsType == org.apache.spark.sql.types.TimestampType
-        def tick(c: org.apache.spark.sql.Column) = if (isTs) unix_micros(c) else c
+        // timestamps (either zone flavor) compare at microsecond precision;
+        // numeric ts columns take the tolerance in their own units
+        val isTs = rtsType == org.apache.spark.sql.types.TimestampType ||
+          rtsType == org.apache.spark.sql.types.TimestampNTZType
+        def tick(c: org.apache.spark.sql.Column) =
+          if (isTs) unix_micros(c.cast("timestamp")) else c
         val diff =
           if (forward) tick(col("_rts")) - tick(col("_ts"))
           else tick(col("_ts")) - tick(col("_rts"))

@@ -349,9 +349,8 @@ class AnalyticsSuiteSpec extends SparkSpec {
   }
 
   test("ev16: every matched triple is type-correct, ordered, and within 24h steps") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("event_type"),
-        expr("timestamp_micros(ts div 1000)").as("ts"))
+    val ev = SparkEntry.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_id"), col("event_type"), col("ts"))
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getTimestamp(2).getTime)).toMap
     val rows = run("ev16_pattern_match").collect()
     assert(rows.nonEmpty, "the pattern occurs in the fixture")
@@ -365,8 +364,8 @@ class AnalyticsSuiteSpec extends SparkSpec {
   }
 
   test("ev17: truncated EWMA replays the 8-term weighted sum per user") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("user_id"), col("ts"),
+    val ev = SparkEntry.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsm"),
         round(col("value") * 100, 0).cast("long").as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val byUser = ev.groupBy(_._2).view.mapValues(_.sortBy(e => (e._3, e._1))).toMap

@@ -73,8 +73,7 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("native sort-merge asOf equals the window formulation on events") {
     import org.apache.spark.sql.graftexec.NativeAsOf
-    val ev = spark.read.parquet(sf("events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = SparkEntry.normalizeTs(spark.read.parquet(sf("events")))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
     val signups = ev.filter(col("event_type") === "signup")

@@ -91,8 +91,7 @@ class WatermarkSpec extends SparkSpec {
   }
 
   test("approximate sketches: approx_count_distinct and approx_percentile within bounds") {
-    val ev = spark.read.parquet(sf("events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = SparkEntry.normalizeTs(spark.read.parquet(sf("events")))
     val exact = ev.select(countDistinct("user_id")).head.getLong(0)
     val approx = ev.select(approx_count_distinct("user_id")).head.getLong(0)
     assert(math.abs(approx - exact).toDouble / exact <= 0.05)
