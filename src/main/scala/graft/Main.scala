@@ -56,6 +56,9 @@ object Main {
       .appName(config.jobName)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // normalizeTs/rawTsCol's NTZ→LTZ cast is value-identity only under
+      // UTC — same pin as every other session builder in the repo
+      .config("spark.sql.session.timeZone", "UTC")
     // spark-submit provides spark.master; standalone runs default to local
     if (!sys.props.contains("spark.master"))
       builder.master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))

@@ -44,7 +44,13 @@ object SparkEntry {
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) =>
         timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts").cast("timestamp")
+      case Some(org.apache.spark.sql.types.TimestampType) => col("ts")
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        col("ts").cast("timestamp")
+      case other => throw new IllegalArgumentException(
+        // fail loudly: silently casting an unexpected schema would turn a
+        // malformed fixture into an all-null event-time filter
+        s"events.ts must be long nanos or a timestamp flavor, got $other")
     }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =

@@ -59,17 +59,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val aGet = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val bGet = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // Locals must be freshName'd: two cosine calls in one codegen scope
+      // otherwise collide ("Redefinition of local variable") and the whole
+      // stage silently falls back to interpreted execution.
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val aGet = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val bGet = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = $a.isNullAt(i) ? 0.0 : $aGet;
-         |  double y = $b.isNullAt(i) ? 0.0 : $bGet;
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.isNullAt($i) ? 0.0 : $aGet;
+         |  double $y = $b.isNullAt($i) ? 0.0 : $bGet;
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

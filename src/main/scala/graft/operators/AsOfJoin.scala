@@ -47,6 +47,19 @@ object AsOfJoin {
     require(rightPayload.intersect(left.columns.toSeq).isEmpty,
       s"right payload columns collide with left: ${rightPayload.intersect(left.columns.toSeq).mkString(", ")}")
     val rtsType = right.schema(rightTs).dataType
+    val ltsType = left.schema(leftTs).dataType
+    // The tolerance gate compares _ts and _rts in one unit; a numeric ts on
+    // one side and a timestamp on the other would silently cast the numeric
+    // column to a timestamp (interpreted as seconds) and gate on garbage.
+    locally {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      val tsFlavors: Set[org.apache.spark.sql.types.DataType] =
+        Set(TimestampType, TimestampNTZType)
+      require(ltsType == rtsType ||
+          (tsFlavors.contains(ltsType) && tsFlavors.contains(rtsType)),
+        s"asOf ts columns must agree in type (or both be timestamp flavors): " +
+          s"$leftTs is $ltsType, $rightTs is $rtsType")
+    }
     val l = left.select(
       (keys.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side")) ++
         leftPayload.map(col) ++

@@ -90,6 +90,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("asOf rejects mixed numeric/timestamp ts columns") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a")).toDF("k", "lts", "lv")
+    val r = Seq((1L, new java.sql.Timestamp(5000L), "x")).toDF("k", "rts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, Seq("k"), "lts", "rts", toleranceSeconds = Some(10L))
+    }
+    assert(e.getMessage.contains("must agree in type"))
+  }
+
   test("native asOf plan uses AsOfJoinExec with clustered+sorted children") {
     import org.apache.spark.sql.graftexec.NativeAsOf
     import spark.implicits._
