@@ -3851,6 +3851,29 @@ object SparkEntry {
         .select(col("id"), col("grp"), col("v"))
     }),
 
+    // DSv2 RUNTIME filtering (`SupportsRuntimeFiltering`) — the dynamic-
+    // partition-pruning analogue for a connector, and the scan-side
+    // contract that makes fact-dim joins cheap at 100 TB: Spark runs the
+    // filtered dimension first (reusing the join's broadcast), hands the
+    // joinable ids back to the scan, and the 10M-row fixture materializes
+    // ONLY those ids (exact contiguous-run partitions). The join still
+    // re-evaluates the condition, so pruning is correctness-free.
+    // PlanSpec pins the dynamicpruning runtime filter reaching the
+    // BatchScan and the scan's output-row metric collapsing to the dim
+    // cardinality; the oracle replays the generator arithmetic over the
+    // surviving custkeys.
+    "q98_dsv2_runtime_filter" -> ((s, dir) => {
+      val fixture = s.read.format("graft.sources.FixtureDataSource")
+        .option("rows", "10000000").option("slices", "8").load()
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").cast("long").as("ck"))
+      fixture.join(dim, fixture("id") === col("ck"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .orderBy("grp")
+    }),
+
     // Contamination FRACTION (d18's graded sibling): per train doc, the
     // share of its 5-gram hashes present anywhere in the held-out set —
     // partial contamination that a binary flag misses. Held-out hashes
@@ -6414,6 +6437,13 @@ object SparkEntry {
       """SELECT CAST(i AS BIGINT) AS id, CAST(i % 32 AS INT) AS grp,
         |  (CAST(i AS BIGINT) * 2654435761) % 1000003 AS v
         |FROM range(1000000025, 1000000057) AS r(i)""".stripMargin,
+
+    "q98_dsv2_runtime_filter" ->
+      """SELECT CAST(c_custkey % 32 AS INT) AS grp, COUNT(*) AS n,
+        |  CAST(SUM((CAST(c_custkey AS BIGINT) * 2654435761) % 1000003) AS BIGINT) AS sv
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey >= 0 AND c_custkey < 10000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d52_contamination_frac" ->
       s"""WITH corpus AS ($duckMutantCorpus),

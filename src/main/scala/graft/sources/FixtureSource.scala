@@ -3,11 +3,11 @@ package graft.sources
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -212,7 +212,7 @@ class FixtureScan(
     lo: Long, hi: Long, slices: Int, schema: StructType, pushed: Array[Filter],
     batchRows: Long = 1000L,
     pushedLimit: Option[Int] = None, pushedOffset: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -220,12 +220,56 @@ class FixtureScan(
       pushedLimit.map(l => s"PushedLimit: $l, ").getOrElse("") +
       pushedOffset.map(o => s"PushedOffset: $o, ").getOrElse("") +
       s"ReadSchema: ${schema.simpleString}"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, slices)
-    val span = hi - lo
-    (0 until n).map { k =>
-      FixtureRange(lo + span * k / n, lo + span * (k + 1) / n)
-    }.filter(p => p.end > p.start).toArray[InputPartition]
+
+  // ---- runtime filtering: the DSv2 analogue of dynamic partition
+  // pruning. When this scan is the probe side of a join on `id`, Spark
+  // executes the build side first, collects the joinable id values, and
+  // hands them back here as an In filter BEFORE planInputPartitions —
+  // a 100 TB fact scan then materializes only the ids a filtered
+  // dimension can actually match. Pruning-only contract: the join above
+  // still re-evaluates the condition, so dropping to the exact id runs
+  // is safe (and maximally effective — non-matching ids never exist).
+  @volatile private var runtimeIds: Option[Array[Long]] = None
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case _ => None
+  }
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+  override def filter(filters: Array[Filter]): Unit = {
+    // A pushed LIMIT/OFFSET already truncated the interval counting every
+    // id in it; pruning ids after the fact would change which rows the
+    // (already-dropped) Limit operator saw. The cases can't legally
+    // co-occur today (limit pushdown never crosses a join) — guard anyway.
+    if (pushedLimit.isDefined || pushedOffset.isDefined) return
+    val sets = filters.collect {
+      case In("id", vs) => vs.iterator.flatMap(asLong).toSet
+      case EqualTo("id", v) => asLong(v).toSet
+    }
+    if (sets.nonEmpty) runtimeIds = Some(sets.reduce(_ intersect _).toArray.sorted)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = runtimeIds match {
+    case Some(ids) =>
+      // contiguous runs of surviving ids → one exact partition per run
+      val inRange = ids.filter(id => id >= lo && id < hi)
+      val parts = Array.newBuilder[InputPartition]
+      var i = 0
+      while (i < inRange.length) {
+        var j = i
+        while (j + 1 < inRange.length && inRange(j + 1) == inRange(j) + 1) j += 1
+        parts += FixtureRange(inRange(i), inRange(j) + 1)
+        i = j + 1
+      }
+      parts.result()
+    case None =>
+      val n = math.max(1, slices)
+      val span = hi - lo
+      (0 until n).map { k =>
+        FixtureRange(lo + span * k / n, lo + span * (k + 1) / n)
+      }.filter(p => p.end > p.start).toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new FixtureReaderFactory(schema)

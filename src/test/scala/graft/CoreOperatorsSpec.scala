@@ -181,6 +181,29 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(df.filter(col("id") >= Long.MaxValue).count() == 0)
   }
 
+  test("DSv2 runtime filter prunes the scan to exact contiguous id runs") {
+    import graft.sources.{FixtureRange, FixtureScan, FixtureTable}
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val scan = new FixtureScan(0L, 1000L, 8, FixtureTable.fullSchema, Array.empty)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("id", Array[Any](5L, 6L, 7L, 500L, 900L, 2000L))))
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[FixtureRange]).toSeq
+    // runs collapse to [5,8); out-of-interval 2000 is dropped
+    assert(parts == Seq(FixtureRange(5, 8), FixtureRange(500, 501), FixtureRange(900, 901)))
+    // EqualTo intersects with In
+    val scan2 = new FixtureScan(0L, 1000L, 8, FixtureTable.fullSchema, Array.empty)
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("id", Array[Any](5L, 6L)), EqualTo("id", 6L)))
+    assert(scan2.planInputPartitions().map(_.asInstanceOf[FixtureRange]).toSeq ==
+      Seq(FixtureRange(6, 7)))
+    // a limit/offset-pushed scan must IGNORE runtime filters (the Limit
+    // operator is already dropped counting every id in the interval)
+    val lim = new FixtureScan(0L, 1000L, 8, FixtureTable.fullSchema, Array.empty,
+      1000L, Some(10), None)
+    lim.filter(Array[org.apache.spark.sql.sources.Filter](In("id", Array[Any](5L))))
+    assert(lim.planInputPartitions().length == 8)
+  }
+
   test("DSv2 micro-batch stream: restart clamps planning behind the checkpoint forward") {
     import graft.sources.{FixtureMicroBatchStream, FixtureOffset}
     import org.apache.spark.sql.types.StructType

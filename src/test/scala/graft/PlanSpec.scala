@@ -39,6 +39,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedOffset: 25"), p)
   }
 
+  test("q98: runtime dynamicpruning filter reaches the DSv2 BatchScan") {
+    val df = SparkEntry.queries("q98_dsv2_runtime_filter")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // the optimizer injected a DPP-style runtime filter on the scan's id
+    assert(p.contains("RuntimeFilters: [dynamicpruning"), p)
+    // and executing it stays correct (join re-evaluates the condition)
+    val total = df.collect().map(_.getLong(1)).sum
+    assert(total > 0)
+  }
+
   test("q1: bookmark predicate reaches the parquet scan") {
     val p = plan("q1_incremental_scan")
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_orderkey,1200)"), p)
