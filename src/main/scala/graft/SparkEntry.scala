@@ -3874,6 +3874,30 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // DSv2 WRITE-side contract (`SupportsWrite`, rowlog connector): two
+    // snapshot overwrites through Spark's V2 write path — executor
+    // DataWriters stage UnsafeRow part files, the driver commits with the
+    // VersionedTable nonce-rename protocol — then BOTH versions read back
+    // through the V2 reader (v1 pinned = time travel, latest = v2). One
+    // output row cross-checks row counts and key sums of both snapshots;
+    // the oracle recomputes them straight from `orders`. Completes the
+    // connector ladder: q95-q98 pin the scan contracts, this pins the
+    // staged-commit write half.
+    "q99_dsv2_write" -> ((s, dir) => {
+      val root = tmpdir("q99_rowlog")
+      val src = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val fmt = "graft.sources.RowLogDataSource"
+      src.write.format(fmt).mode("overwrite").save(root)
+      src.filter(col("o_orderkey") % 2 === 0)
+        .write.format(fmt).mode("overwrite").save(root)
+      val v1 = s.read.format(fmt).option("version", "1").load(root)
+      val v2 = s.read.format(fmt).load(root)
+      v1.agg(count(lit(1)).as("n_v1"), sum(col("o_orderkey")).as("s_v1"))
+        .crossJoin(
+          v2.agg(count(lit(1)).as("n_v2"), sum(col("o_orderkey")).as("s_v2")))
+    }),
+
     // Contamination FRACTION (d18's graded sibling): per train doc, the
     // share of its 5-gram hashes present anywhere in the held-out set —
     // partial contamination that a binary flag misses. Held-out hashes
@@ -6444,6 +6468,12 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey >= 0 AND c_custkey < 10000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q99_dsv2_write" ->
+      """SELECT (SELECT COUNT(*) FROM orders) AS n_v1,
+        |  CAST((SELECT SUM(o_orderkey) FROM orders) AS BIGINT) AS s_v1,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_v2,
+        |  CAST((SELECT SUM(o_orderkey) FROM orders WHERE o_orderkey % 2 = 0) AS BIGINT) AS s_v2""".stripMargin,
 
     "d52_contamination_frac" ->
       s"""WITH corpus AS ($duckMutantCorpus),

@@ -47,23 +47,27 @@ object VersionedTable {
     }.flatten.sorted
   }
 
-  private def dirName(v: Long): String = f"v$v%08d"
+  private[graft] def dirName(v: Long): String = f"v$v%08d"
 
-  /** Write `df` as the next version; returns the committed version number.
-    * The data is staged ONCE; only the visibility rename retries under
-    * writer races, so the race window is a metadata operation, not a
-    * dataset rewrite.
+  /** Committed version numbers from an already-resolved FileSystem. */
+  private[graft] def versionsOf(f: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path): Seq[Long] = {
+    if (!f.exists(rootPath)) return Seq.empty
+    f.listStatus(rootPath).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case VersionDir(n) => Some(n.toLong)
+          case _             => None
+        }
+    }.flatten.sorted
+  }
+
+  /** Sweep `_staging-*`/`_dropped-*` orphans older than the TTL — a
+    * crashed orphan stops aging; a live concurrent writer commits long
+    * before the TTL. Never touches a committed v*.
     */
-  def write(spark: SparkSession, df: DataFrame, root: String,
-      maxAttempts: Int = 20, orphanTtlMs: Long = 15 * 60 * 1000L): Long = {
-    val rootPath = new Path(root)
-    val f = fs(spark, rootPath)
-    f.mkdirs(rootPath)
-    // Sweep orphans from crashed writers and crashed vacuums — but only
-    // ones older than the TTL: a CONCURRENT writer's live staging dir is
-    // indistinguishable from a crashed one by name, so age is the tiebreak
-    // (a crashed orphan stops aging; a live writer commits long before the
-    // TTL). Never touches a committed v*.
+  private[graft] def sweepOrphans(f: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path, orphanTtlMs: Long): Unit = {
     val cutoff = System.currentTimeMillis() - orphanTtlMs
     f.listStatus(rootPath).foreach { st =>
       val n = st.getPath.getName
@@ -71,16 +75,19 @@ object VersionedTable {
           st.getModificationTime < cutoff)
         f.delete(st.getPath, true)
     }
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new Path(rootPath, s"_staging-$nonce")
-    df.write.mode("overwrite").parquet(staging.toString)
-    // Underscore-prefixed nonce marker: invisible to parquet readers,
-    // proves below that the committed dir is OURS.
-    f.create(new Path(staging, s"_commit-$nonce"), false).close()
+  }
+
+  /** The visibility half of the commit protocol, shared by the DataFrame
+    * writer below and the DSv2 row-log BatchWrite: rename a fully-staged
+    * directory (already carrying a `_commit-<nonce>` marker) to the next
+    * version number, race-proof. Returns the committed version.
+    */
+  private[graft] def commitStaged(f: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path, staging: Path, nonce: String, maxAttempts: Int): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val next = versions(spark, root).lastOption.getOrElse(0L) + 1
+      val next = versionsOf(f, rootPath).lastOption.getOrElse(0L) + 1
       val dst = new Path(rootPath, dirName(next))
       // Visibility point. A bare rename is NOT race-proof: when the
       // destination already exists (a racing writer committed this version
@@ -97,7 +104,27 @@ object VersionedTable {
       if (f.exists(misplaced)) f.rename(misplaced, staging)
     }
     f.delete(staging, true)
-    sys.error(s"versioned write lost the commit race $maxAttempts times at $root")
+    sys.error(s"versioned write lost the commit race $maxAttempts times at $rootPath")
+  }
+
+  /** Write `df` as the next version; returns the committed version number.
+    * The data is staged ONCE; only the visibility rename retries under
+    * writer races, so the race window is a metadata operation, not a
+    * dataset rewrite.
+    */
+  def write(spark: SparkSession, df: DataFrame, root: String,
+      maxAttempts: Int = 20, orphanTtlMs: Long = 15 * 60 * 1000L): Long = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    f.mkdirs(rootPath)
+    sweepOrphans(f, rootPath, orphanTtlMs)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(rootPath, s"_staging-$nonce")
+    df.write.mode("overwrite").parquet(staging.toString)
+    // Underscore-prefixed nonce marker: invisible to parquet readers,
+    // proves in commitStaged that the committed dir is OURS.
+    f.create(new Path(staging, s"_commit-$nonce"), false).close()
+    commitStaged(f, rootPath, staging, nonce, maxAttempts)
   }
 
   /** Read a pinned version (time travel) or the latest committed one. */

@@ -1,0 +1,220 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.VersionedTable
+
+/** The WRITE half of the DSv2 connector ladder: a versioned snapshot
+  * table whose batch writes run through Spark's V2 write path
+  * (`WriteBuilder` → `BatchWrite` → executor `DataWriter`s) and commit
+  * with the SAME race-proof nonce-rename protocol as
+  * [[graft.sinks.VersionedTable]] — stage part files under
+  * `_staging-<nonce>`, then one visibility rename to `v<N>` verified by
+  * the nonce marker. Torn writes are never observable; a crashed task's
+  * leftover files are dropped at commit (only files named in committed
+  * `WriterCommitMessage`s survive — the two-phase commit a speculative
+  * or retried task requires); a crashed JOB leaves an orphan staging dir
+  * the next writer sweeps.
+  *
+  * Data format: one `.rowlog` file per write task, length-prefixed
+  * `UnsafeRow` bytes — the engine's own columnar-free row format, so the
+  * connector demonstrates the contract without borrowing Spark's parquet
+  * writer. Schema travels in the version directory (`_schema.json`),
+  * making every committed version self-describing; reads pin a version
+  * (`option("version", n)` — time travel) or serve the latest, one input
+  * partition per part file.
+  *
+  * Semantics: each write is a full snapshot (`mode("overwrite")` /
+  * truncate). Append is rejected — a versioned snapshot table's "append"
+  * is a new version written by the reader of the old one, which keeps
+  * version history linear and every version immutable.
+  */
+class RowLogDataSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true // writes pass df.schema
+
+  private def root(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "rowlog source needs a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RowLogTable.schemaAt(root(options),
+      Option(options.get("version")).map(_.toLong))
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new RowLogTable(properties.get("path"), schema,
+      Option(properties.get("version")).map(_.toLong))
+}
+
+object RowLogTable {
+  private[sources] def fs(root: String) =
+    new Path(root).getFileSystem(new Configuration())
+
+  /** Resolve the version directory to read: pinned or latest committed. */
+  private[sources] def versionDir(root: String, version: Option[Long]): Path = {
+    val f = fs(root)
+    val vs = VersionedTable.versionsOf(f, new Path(root))
+    require(vs.nonEmpty, s"no committed rowlog versions at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not committed at $root (have $vs)")
+    new Path(new Path(root), VersionedTable.dirName(v))
+  }
+
+  private[sources] def schemaAt(root: String, version: Option[Long]): StructType = {
+    val dir = versionDir(root, version)
+    val in = fs(root).open(new Path(dir, "_schema.json"))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    DataType.fromJson(json).asInstanceOf[StructType]
+  }
+}
+
+class RowLogTable(root: String, schema0: StructType, version: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_rowlog($root)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new RowLogScan(root, schema0, version)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new RowLogWriteBuilder(root, info.schema())
+}
+
+class RowLogWriteBuilder(root: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncated = false
+  override def truncate(): WriteBuilder = { truncated = true; this }
+  override def build(): Write = {
+    require(truncated,
+      "rowlog is a versioned snapshot table: append would mutate an " +
+        "immutable version — write with mode(\"overwrite\")")
+    new Write {
+      override def description(): String = s"graft_rowlog overwrite -> $root"
+      override def toBatch: BatchWrite = new RowLogBatchWrite(root, schema)
+    }
+  }
+}
+
+class RowLogBatchWrite(root: String, schema: StructType) extends BatchWrite {
+  private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  private val stagingDir = new Path(new Path(root), s"_staging-$nonce")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val f = RowLogTable.fs(root)
+    f.mkdirs(stagingDir)
+    VersionedTable.sweepOrphans(f, new Path(root), 15 * 60 * 1000L)
+    RowLogWriterFactory(stagingDir.toString, schema.json)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = RowLogTable.fs(root)
+    val committed = messages.collect { case RowLogCommit(file, _) => file }.toSet
+    // two-phase commit: only files a committed task reported survive —
+    // a speculative/retried attempt's leftovers are dropped here
+    f.listStatus(stagingDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".rowlog") && !committed.contains(n)) f.delete(st.getPath, false)
+    }
+    val out = new DataOutputStream(f.create(new Path(stagingDir, "_schema.json"), true))
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    f.create(new Path(stagingDir, s"_commit-$nonce"), false).close()
+    VersionedTable.commitStaged(f, new Path(root), stagingDir, nonce, maxAttempts = 20)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    RowLogTable.fs(root).delete(stagingDir, true)
+}
+
+case class RowLogCommit(file: String, rows: Long) extends WriterCommitMessage
+
+case class RowLogWriterFactory(stagingDir: String, schemaJson: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    // taskId is unique per attempt, so speculative attempts never collide
+    val file = f"part-$partitionId%05d-$taskId.rowlog"
+    val path = new Path(stagingDir, file)
+    val f = path.getFileSystem(new Configuration())
+    new DataWriter[InternalRow] {
+      private val out = new DataOutputStream(f.create(path, true))
+      private val toUnsafe = UnsafeProjection.create(schema)
+      private var rows = 0L
+      override def write(record: InternalRow): Unit = {
+        val u = toUnsafe(record)
+        out.writeInt(u.getSizeInBytes)
+        out.write(u.getBytes)
+        rows += 1
+      }
+      override def commit(): WriterCommitMessage = { out.close(); RowLogCommit(file, rows) }
+      override def abort(): Unit = { out.close(); f.delete(path, false) }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+class RowLogScan(root: String, schema: StructType, version: Option[Long])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_rowlog $root${version.map(v => s" @v$v").getOrElse("")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = RowLogTable.versionDir(root, version)
+    RowLogTable.fs(root).listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".rowlog"))
+      .sortBy(_.getPath.getName)
+      .map(st => RowLogFile(st.getPath.toString): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    RowLogReaderFactory(schema.size)
+}
+
+case class RowLogFile(path: String) extends InputPartition
+
+case class RowLogReaderFactory(numFields: Int) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val RowLogFile(pathStr) = p
+    val path = new Path(pathStr)
+    val in = new DataInputStream(
+      path.getFileSystem(new Configuration()).open(path))
+    new PartitionReader[InternalRow] {
+      private val row = new UnsafeRow(numFields)
+      private var eof = false
+      override def next(): Boolean = {
+        if (eof) return false
+        val lenOrEof = try in.readInt() catch {
+          case _: java.io.EOFException => eof = true; -1
+        }
+        if (eof) false else {
+          val bytes = new Array[Byte](lenOrEof)
+          in.readFully(bytes)
+          row.pointTo(bytes, lenOrEof)
+          true
+        }
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = in.close()
+    }
+  }
+}

@@ -152,7 +152,10 @@ class PlanSpec extends SparkSpec {
     val skip = Set("q5_partition_write_counts", "q6_write_readback_agg",
       "q9_incremental_ingest", "q10_csv_roundtrip", "q11_json_roundtrip",
       "q30_orc_roundtrip", "q32_dynamic_overwrite", "q46_bucketed_join",
-      "q47_compaction")
+      "q47_compaction",
+      // q99 executes two V2 writes when built; its one cross join is the
+      // q20 shape (two single-row aggregates)
+      "q99_dsv2_write")
     // e7/e8: the PQ ADC scan is DELIBERATELY a broadcast nested loop — a
     // compressed linear scan over 8-byte codes is the operator's design.
     // d21/d26 cross-join ONE broadcast row of corpus statistics (N,

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** DSv2 write-side contract (rowlog connector): staged nonce commit,
+  * snapshot versions, time travel, two-phase task commit, append
+  * rejection, and the V2 write plan shape.
+  */
+class RowLogSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.RowLogDataSource"
+
+  test("rowlog: V2 overwrite commits versions; reads pin or follow latest") {
+    import spark.implicits._
+    val root = tmpDir("rowlog_rt")
+    val df1 = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("k", "s", "x")
+    df1.write.format(fmt).mode("overwrite").save(root)
+    val df2 = Seq((10L, "z", 0.0)).toDF("k", "s", "x")
+    df2.write.format(fmt).mode("overwrite").save(root)
+
+    val latest = spark.read.format(fmt).load(root)
+    assert(latest.collect().map(_.getLong(0)).toSet == Set(10L))
+    val v1 = spark.read.format(fmt).option("version", "1").load(root)
+    assert(v1.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+
+    // commit hygiene: two v* dirs, each with a nonce marker + schema, no staging orphans
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = f.listStatus(new Path(root)).map(_.getPath.getName).toSet
+    assert(names == Set("v00000001", "v00000002"), names)
+    Seq("v00000001", "v00000002").foreach { v =>
+      val inner = f.listStatus(new Path(root, v)).map(_.getPath.getName)
+      assert(inner.contains("_schema.json"), inner.toSeq)
+      assert(inner.exists(_.startsWith("_commit-")), inner.toSeq)
+      assert(inner.exists(_.endsWith(".rowlog")), inner.toSeq)
+    }
+  }
+
+  test("rowlog: append mode is rejected (versions are immutable snapshots)") {
+    import spark.implicits._
+    val root = tmpDir("rowlog_append")
+    Seq((1L, 2L)).toDF("a", "b").write.format(fmt).mode("overwrite").save(root)
+    val e = intercept[Exception] {
+      Seq((3L, 4L)).toDF("a", "b").write.format(fmt).mode("append").save(root)
+    }
+    assert(e.getMessage.contains("overwrite"), e.getMessage)
+    // the failed append committed nothing
+    assert(spark.read.format(fmt).load(root).count() == 1)
+  }
+
+  test("rowlog: commit drops staged files no committed task reported") {
+    import graft.sources.{RowLogBatchWrite, RowLogCommit}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val root = tmpDir("rowlog_2pc")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val bw = new RowLogBatchWrite(root, schema)
+    val factory = bw.createBatchWriterFactory(null)
+    val w0 = factory.createWriter(0, 100L)
+    w0.write(InternalRow(1L, UTF8String.fromString("x")))
+    val m0 = w0.commit()
+    // a speculative attempt for the same partition writes too, but its
+    // message is never delivered to the driver
+    val w1 = factory.createWriter(0, 999L)
+    w1.write(InternalRow(2L, UTF8String.fromString("dup")))
+    w1.commit()
+    bw.commit(Array(m0))
+    val rows = spark.read.format(fmt).load(root).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L), rows.toSeq)
+    assert(m0.asInstanceOf[RowLogCommit].rows == 1L)
+  }
+
+  test("rowlog: the write runs through the V2 OverwriteByExpression plan") {
+    import spark.implicits._
+    val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        seen.add(s"[$funcName]\n${qe.executedPlan}")
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val root = tmpDir("rowlog_plan")
+      Seq((1L, 2L)).toDF("a", "b").write.format(fmt).mode("overwrite").save(root)
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def hit = seen.toArray.map(_.toString).find(_.contains("OverwriteByExpression"))
+      while (hit.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(hit.isDefined, seen.toArray.mkString("\n---\n"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
