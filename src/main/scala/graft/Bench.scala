@@ -40,11 +40,42 @@ object Bench {
         System.err.println(s"[bench] warm $name failed: ${e.getMessage}")
       }
     }
+    // Streaming drain cadence: st* query wall-time is micro-batch COUNT
+    // (trigger cadence), not data volume — record batches per st query so
+    // a future bench delta is attributable to cadence vs real work.
+    // Listener delivery is async, so batch counts settle (poll until
+    // stable) before and after each timed streaming query.
+    // counted on the shared LiveListenerBus, NOT via spark.streams
+    // .addListener: drains run on CLONED sessions (drainToMemory), whose
+    // queries a per-session streaming listener never sees
+    val progressCount = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case _: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent =>
+            progressCount.incrementAndGet()
+          case _ => ()
+        }
+    })
+    def settledBatches(): Long = {
+      var prev = -1L; var cur = progressCount.get()
+      val deadline = System.nanoTime() + 2000000000L
+      while (cur != prev && System.nanoTime() < deadline) {
+        Thread.sleep(50); prev = cur; cur = progressCount.get()
+      }
+      cur
+    }
+    val batchesByName = scala.collection.mutable.Map.empty[String, Long]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val streaming = name.startsWith("st")
+      val before = if (streaming) settledBatches() else 0L
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // a sentinel re-run overwrites (not adds) — latest run's cadence
+        if (streaming) batchesByName(name) = settledBatches() - before
+        t
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
@@ -69,10 +100,14 @@ object Bench {
       } else name -> t
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    def batchesJson(keyOf: String => String): String =
+      batchesByName.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + keyOf(k) + "\":" + v }
+        .mkString("{", ",", "}")
     def jsonLine(keyOf: String => String, dp: String, sf: String): String = {
       val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + dp.format(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"batches":${batchesJson(keyOf)},"sf":"$sf"}"""
     }
     // Full-precision, full-name line → file (canonical artifact, committed).
     val full = jsonLine(identity, "%.3f", sfDir)
@@ -93,7 +128,7 @@ object Bench {
       val qs = rs.map { case (k, v) => "\"" + keyOf(k) + "\":" + "%.2f".format(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs$om,"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs$om,"batches":${batchesJson(keyOf)},"sf":"$sfTag"}"""
     }
     // If the query map ever outgrows the harness's 2000-char tail window,
     // keep the slowest queries (the ones the judge reads) and count the

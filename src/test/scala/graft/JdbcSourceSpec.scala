@@ -153,6 +153,36 @@ class JdbcSourceSpec extends SparkSpec {
     }
   }
 
+  test("MySQL md5 template executes verbatim on a second independent engine (Spark SQL)") {
+    // A live MySQL/Postgres (or an H2 jar for its compatibility modes) is
+    // unreachable here — zero egress, and the pinned coursier cache ships
+    // only Derby. Spark SQL is the closest truly independent syntax
+    // engine: its MD5/SUBSTR/CONV are MySQL-derived (CONV exists in Spark
+    // BECAUSE of MySQL), and it parses the template string VERBATIM — so
+    // this catches template syntax/semantics bugs the Derby run could
+    // inherit from our own CREATE FUNCTION shims.
+    import spark.implicits._
+    val keys = (1 to 257).map(i => s"key-$i-${"x" * (i % 7)}")
+    keys.toDF("k").createOrReplaceTempView("mysql_tpl_probe")
+    val hx = JdbcSource.mysqlMd5Hash.replace("%s", "k")
+    // per-key value equality with the JVM reference semantics
+    spark.sql(s"SELECT k, CAST($hx AS BIGINT) AS h FROM mysql_tpl_probe")
+      .collect().foreach { r =>
+        assert(r.getLong(1) == JdbcSource.md5Prefix32(r.getString(0)), r.getString(0))
+      }
+    // split completeness + disjointness with the EXACT MOD clauses
+    // JdbcSource issues as JDBC partition predicates
+    val n = 4
+    val counts = (0 until n).map { i =>
+      val p = s"MOD($hx, $n) = $i"
+      val clause = if (i == 0) s"($p OR k IS NULL)" else p
+      spark.sql(s"SELECT COUNT(*) AS c FROM mysql_tpl_probe WHERE $clause")
+        .head().getLong(0)
+    }
+    assert(counts.sum == keys.size, counts)      // complete (no dropped rows)
+    assert(counts.forall(_ > 0), counts)         // and actually spread
+  }
+
   test("empty incremental batch short-circuits (S2 probe)") {
     val src = new JdbcSource(url, props)
     val df = src.readIncremental(spark, cfg, Map("o_orderkey" -> "999999999"))
