@@ -95,7 +95,15 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (!java.nio.file.Files.isDirectory(
+    // Never generate in place or anywhere near the driver's testdata:
+    // an overwrite into srcDir would delete its own input mid-read.
+    require(new java.io.File(dstDir).getCanonicalPath !=
+        new java.io.File(srcDir).getCanonicalPath,
+      s"dstDir must differ from srcDir ($srcDir)")
+    require(!new java.io.File(dstDir).getCanonicalPath.startsWith("/root/testdata"),
+      "dstDir must not be under /root/testdata (read-only driver data)")
+    // exists, not isDirectory: a prior run may have produced either shape
+    if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$dstDir/lineitem.parquet"))) {
       println(s"[scale] generating 10x replica of $srcDir at $dstDir")
       generate(spark, srcDir, dstDir, replicas = 10)
