@@ -3757,6 +3757,28 @@ object SparkEntry {
       s.table(qname).orderBy("grp")
     }),
 
+    // Streaming WRITE through the rowlog connector's StreamingWrite: a
+    // 3-micro-batch complete-mode aggregate lands one committed VERSION
+    // per epoch (exactly-once: each version records its `_epoch-<id>`
+    // marker, replayed epochs are dropped), and the FINAL version — read
+    // back through the V2 reader — must equal the one-shot batch
+    // aggregate. Closes the connector ladder's last rung: DSv2 streaming
+    // source (st18) + DSv2 streaming sink (this).
+    "st19_stream_rowlog_sink" -> ((s, dir) => {
+      val root = tmpdir("st19_rowlog")
+      val ckpt = tmpdir("st19_ckpt")
+      val stream = s.readStream.format("graft.sources.FixtureDataSource")
+        .option("rows", "90000").option("slices", "4").option("batchRows", "30000")
+        .load()
+      val q = stream.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .writeStream.format("graft.sources.RowLogDataSource")
+        .option("path", root).option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft.sources.RowLogDataSource").load(root).orderBy("grp")
+    }),
+
     // Attribute-filtered ANN (the vector-DB staple): the metadata
     // predicate applies BEFORE ranking — post-filtering a plain top-k
     // returns fewer than k (or misses qualifying neighbors entirely)
@@ -6405,6 +6427,13 @@ object SparkEntry {
       """WITH t AS (SELECT CAST(i AS BIGINT) AS id, CAST(i % 32 AS INT) AS grp,
         |  (CAST(i AS BIGINT) * 2654435761) % 1000003 AS v
         |  FROM range(0, 60000) AS r(i))
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
+        |FROM t GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "st19_stream_rowlog_sink" ->
+      """WITH t AS (SELECT CAST(i AS BIGINT) AS id, CAST(i % 32 AS INT) AS grp,
+        |  (CAST(i AS BIGINT) * 2654435761) % 1000003 AS v
+        |  FROM range(0, 90000) AS r(i))
         |SELECT grp, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
         |FROM t GROUP BY grp ORDER BY grp""".stripMargin,
 

@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -89,7 +90,7 @@ class RowLogTable(root: String, schema0: StructType, version: Option[Long])
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -107,11 +108,85 @@ class RowLogWriteBuilder(root: String, schema: StructType)
   override def build(): Write = {
     require(truncated,
       "rowlog is a versioned snapshot table: append would mutate an " +
-        "immutable version — write with mode(\"overwrite\")")
+        "immutable version — write with mode(\"overwrite\") (batch) or " +
+        "outputMode(\"complete\") (streaming)")
     new Write {
       override def description(): String = s"graft_rowlog overwrite -> $root"
       override def toBatch: BatchWrite = new RowLogBatchWrite(root, schema)
+      override def toStreaming: StreamingWrite = new RowLogStreamingWrite(root, schema)
     }
+  }
+}
+
+/** Shared staging finalization: keep only committed files, stamp schema +
+  * markers, then the VersionedTable nonce-rename.
+  */
+private[sources] object RowLogCommitOps {
+  def finalizeStaging(root: String, staging: Path, nonce: String,
+      schemaJson: String, committedFiles: Set[String],
+      extraMarkers: Seq[String]): Long = {
+    val f = RowLogTable.fs(root)
+    // two-phase commit: only files a committed task reported survive —
+    // a speculative/retried attempt's leftovers are dropped here
+    f.listStatus(staging).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".rowlog") && !committedFiles.contains(n)) f.delete(st.getPath, false)
+    }
+    val out = new DataOutputStream(f.create(new Path(staging, "_schema.json"), true))
+    try out.write(schemaJson.getBytes("UTF-8")) finally out.close()
+    extraMarkers.foreach(m => f.create(new Path(staging, m), false).close())
+    f.create(new Path(staging, s"_commit-$nonce"), false).close()
+    VersionedTable.commitStaged(f, new Path(root), staging, nonce, maxAttempts = 20)
+  }
+}
+
+/** The STREAMING half of the write contract: one committed version per
+  * micro-batch epoch (complete-mode snapshots), same staging + nonce
+  * rename as the batch writer. Exactly-once: every version records its
+  * epoch in an `_epoch-<id>` marker; a replayed epoch (post-restart
+  * re-commit of a batch whose commit already landed) is detected there
+  * and dropped, so the version history never double-counts a batch.
+  */
+class RowLogStreamingWrite(root: String, schema: StructType) extends StreamingWrite {
+  private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  private def staging(epochId: Long) =
+    new Path(new Path(root), s"_staging-$nonce-e$epochId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    RowLogStreamingWriterFactory(root, nonce, schema.json)
+
+  private def epochCommitted(epochId: Long): Boolean = {
+    val f = RowLogTable.fs(root)
+    val rootPath = new Path(root)
+    VersionedTable.versionsOf(f, rootPath).exists { v =>
+      f.exists(new Path(new Path(rootPath, VersionedTable.dirName(v)), s"_epoch-$epochId"))
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val stg = staging(epochId)
+    if (epochCommitted(epochId)) { // replayed epoch — exactly-once drop
+      RowLogTable.fs(root).delete(stg, true)
+      return
+    }
+    RowLogCommitOps.finalizeStaging(root, stg, nonce, schema.json,
+      messages.collect { case RowLogCommit(file, _) => file }.toSet,
+      extraMarkers = Seq(s"_epoch-$epochId"))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    RowLogTable.fs(root).delete(staging(epochId), true)
+}
+
+case class RowLogStreamingWriterFactory(root: String, nonce: String, schemaJson: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val staging = new Path(new Path(root), s"_staging-$nonce-e$epochId")
+    val f = staging.getFileSystem(new Configuration())
+    f.mkdirs(staging)
+    RowLogWriters.fileWriter(f, staging, schemaJson,
+      f"part-$partitionId%05d-$taskId.rowlog")
   }
 }
 
@@ -126,20 +201,10 @@ class RowLogBatchWrite(root: String, schema: StructType) extends BatchWrite {
     RowLogWriterFactory(stagingDir.toString, schema.json)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val f = RowLogTable.fs(root)
-    val committed = messages.collect { case RowLogCommit(file, _) => file }.toSet
-    // two-phase commit: only files a committed task reported survive —
-    // a speculative/retried attempt's leftovers are dropped here
-    f.listStatus(stagingDir).foreach { st =>
-      val n = st.getPath.getName
-      if (n.endsWith(".rowlog") && !committed.contains(n)) f.delete(st.getPath, false)
-    }
-    val out = new DataOutputStream(f.create(new Path(stagingDir, "_schema.json"), true))
-    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-    f.create(new Path(stagingDir, s"_commit-$nonce"), false).close()
-    VersionedTable.commitStaged(f, new Path(root), stagingDir, nonce, maxAttempts = 20)
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    RowLogCommitOps.finalizeStaging(root, stagingDir, nonce, schema.json,
+      messages.collect { case RowLogCommit(file, _) => file }.toSet,
+      extraMarkers = Seq.empty)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     RowLogTable.fs(root).delete(stagingDir, true)
@@ -150,11 +215,19 @@ case class RowLogCommit(file: String, rows: Long) extends WriterCommitMessage
 case class RowLogWriterFactory(stagingDir: String, schemaJson: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val staging = new Path(stagingDir)
+    val f = staging.getFileSystem(new Configuration())
     // taskId is unique per attempt, so speculative attempts never collide
-    val file = f"part-$partitionId%05d-$taskId.rowlog"
-    val path = new Path(stagingDir, file)
-    val f = path.getFileSystem(new Configuration())
+    RowLogWriters.fileWriter(f, staging, schemaJson,
+      f"part-$partitionId%05d-$taskId.rowlog")
+  }
+}
+
+private[sources] object RowLogWriters {
+  def fileWriter(f: org.apache.hadoop.fs.FileSystem, staging: Path,
+      schemaJson: String, file: String): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val path = new Path(staging, file)
     new DataWriter[InternalRow] {
       private val out = new DataOutputStream(f.create(path, true))
       private val toUnsafe = UnsafeProjection.create(schema)

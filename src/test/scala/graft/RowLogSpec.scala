@@ -74,6 +74,60 @@ class RowLogSpec extends SparkSpec {
     assert(m0.asInstanceOf[RowLogCommit].rows == 1L)
   }
 
+  test("rowlog streaming sink: one version per epoch; final version = batch result") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("rowlog_stream")
+    val ckpt = tmpDir("rowlog_stream_ckpt")
+    val stream = spark.readStream.format("graft.sources.FixtureDataSource")
+      .option("rows", "900").option("slices", "3").option("batchRows", "300").load()
+    val q = stream.groupBy("grp").agg(count(lit(1)).as("n"))
+      .writeStream.format(fmt)
+      .option("path", root).option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val versions = graft.sinks.VersionedTable.versions(spark, root)
+    assert(versions == Seq(1L, 2L, 3L), versions) // 900/300 = 3 epochs
+    // final snapshot equals the one-shot batch aggregate
+    val got = spark.read.format(fmt).load(root)
+      .orderBy("grp").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val want = (0 until 32).map(g => g -> (900 / 32 + (if (g < 900 % 32) 1 else 0)).toLong)
+    assert(got == want)
+    // intermediate epochs are time-travelable partial snapshots
+    val v1 = spark.read.format(fmt).option("version", "1").load(root)
+      .agg(sum("n")).head().getLong(0)
+    assert(v1 == 300L, v1)
+  }
+
+  test("rowlog streaming sink: a replayed epoch commits exactly once") {
+    import graft.sources.{RowLogCommit, RowLogStreamingWrite}
+    import org.apache.spark.sql.catalyst.InternalRow
+    val root = tmpDir("rowlog_epoch")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    def commitEpoch(w: RowLogStreamingWrite, epoch: Long, v: Long): Unit = {
+      val writer = w.createStreamingWriterFactory(null).createWriter(0, v, epoch)
+      writer.write(InternalRow(v))
+      w.commit(epoch, Array(writer.commit()))
+    }
+    val w1 = new RowLogStreamingWrite(root, schema)
+    commitEpoch(w1, 7L, 1L)
+    // restart: a FRESH StreamingWrite (new nonce) replays the same epoch
+    val w2 = new RowLogStreamingWrite(root, schema)
+    commitEpoch(w2, 7L, 2L)
+    commitEpoch(w2, 8L, 3L)
+    val versions = graft.sinks.VersionedTable.versions(spark, root)
+    assert(versions == Seq(1L, 2L), versions) // epoch 7 committed ONCE
+    val vals = spark.read.format(fmt).option("version", "1").load(root)
+      .collect().map(_.getLong(0)).toSeq
+    assert(vals == Seq(1L), vals) // the FIRST commit of epoch 7 won
+    // no staging leftovers from the dropped replay
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphans = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_staging"))
+    assert(orphans.isEmpty, orphans.toSeq)
+  }
+
   test("rowlog: the write runs through the V2 OverwriteByExpression plan") {
     import spark.implicits._
     val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
