@@ -212,8 +212,27 @@ class FixtureScan(
     lo: Long, hi: Long, slices: Int, schema: StructType, pushed: Array[Filter],
     batchRows: Long = 1000L,
     pushedLimit: Option[Int] = None, pushedOffset: Option[Int] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
   override def readSchema(): StructType = schema
+
+  // ---- statistics: exact post-pushdown cardinality, so the optimizer
+  // sizes joins against this source from REAL numbers instead of
+  // defaultSizeInBytes (which silently forces every join partner to
+  // broadcast-or-bust). estimateStatistics runs after filter/limit
+  // pushdown per the DSv2 contract — report the truncated interval.
+  override def estimateStatistics(): Statistics = new Statistics {
+    // lo/hi arrive already filter- AND limit/offset-truncated (build()
+    // collapses the interval before constructing the scan)
+    private val rows = math.max(0L, hi - lo)
+    // 8B id + 4B grp + 8B v + row overhead ≈ 28B per full-width row;
+    // scale by the pruned column fraction
+    private val bytesPerRow = math.max(8L, 28L * schema.size / 3)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * bytesPerRow)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_fixture [$lo, $hi) PushedFilters: [${pushed.mkString(", ")}], " +

@@ -93,8 +93,14 @@ class RowLogTable(root: String, schema0: StructType, version: Option[Long])
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new RowLogScan(root, schema0, version)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // rowlog is row-major, so pruning can't skip bytes on disk — but
+      // honoring it still shrinks every downstream exchange/operator row
+      // and keeps the scan's contract honest (ReadSchema shows the prune)
+      private var required = schema0
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new RowLogScan(root, schema0, required, version)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -245,12 +251,14 @@ private[sources] object RowLogWriters {
   }
 }
 
-class RowLogScan(root: String, schema: StructType, version: Option[Long])
+class RowLogScan(root: String, fullSchema: StructType, required: StructType,
+    version: Option[Long])
     extends Scan with Batch {
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_rowlog $root${version.map(v => s" @v$v").getOrElse("")}"
+    s"graft_rowlog $root${version.map(v => s" @v$v").getOrElse("")} " +
+      s"ReadSchema: ${required.simpleString}"
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = RowLogTable.versionDir(root, version)
     RowLogTable.fs(root).listStatus(dir).toSeq
@@ -260,19 +268,35 @@ class RowLogScan(root: String, schema: StructType, version: Option[Long])
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    RowLogReaderFactory(schema.size)
+    RowLogReaderFactory(fullSchema.json, required.json)
 }
 
 case class RowLogFile(path: String) extends InputPartition
 
-case class RowLogReaderFactory(numFields: Int) extends PartitionReaderFactory {
+case class RowLogReaderFactory(fullSchemaJson: String, requiredSchemaJson: String)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val RowLogFile(pathStr) = p
+    val fullSchema = DataType.fromJson(fullSchemaJson).asInstanceOf[StructType]
+    val required = DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType]
     val path = new Path(pathStr)
     val in = new DataInputStream(
       path.getFileSystem(new Configuration()).open(path))
+    // prune once per partition: bind required columns to their positions
+    // in the stored row, emit rows in the pruned schema's order
+    val prune: UnsafeRow => InternalRow =
+      if (required == fullSchema) identity
+      else {
+        val proj = UnsafeProjection.create(
+          required.map { f =>
+            val i = fullSchema.fieldIndex(f.name)
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, fullSchema(i).dataType, fullSchema(i).nullable)
+          })
+        (r: UnsafeRow) => proj(r)
+      }
     new PartitionReader[InternalRow] {
-      private val row = new UnsafeRow(numFields)
+      private val row = new UnsafeRow(fullSchema.size)
       private var eof = false
       override def next(): Boolean = {
         if (eof) return false
@@ -286,7 +310,7 @@ case class RowLogReaderFactory(numFields: Int) extends PartitionReaderFactory {
           true
         }
       }
-      override def get(): InternalRow = row
+      override def get(): InternalRow = prune(row)
       override def close(): Unit = in.close()
     }
   }

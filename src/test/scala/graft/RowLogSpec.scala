@@ -128,6 +128,19 @@ class RowLogSpec extends SparkSpec {
     assert(orphans.isEmpty, orphans.toSeq)
   }
 
+  test("rowlog: column prune reaches the scan and values survive the projection") {
+    import spark.implicits._
+    val root = tmpDir("rowlog_prune")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "x")
+      .write.format(fmt).mode("overwrite").save(root)
+    val df = spark.read.format(fmt).load(root).select("x", "k") // reordered subset
+    val p = df.queryExecution.executedPlan.toString
+    // Spark prunes in table order; the reorder happens in the Project above
+    assert(p.contains("ReadSchema: struct<k:bigint,x:double>"), p)
+    assert(df.orderBy("k").collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq ==
+      Seq((10.0, 1L), (20.0, 2L)))
+  }
+
   test("rowlog: the write runs through the V2 OverwriteByExpression plan") {
     import spark.implicits._
     val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
