@@ -272,17 +272,35 @@ class FixtureScan(
 
   override def planInputPartitions(): Array[InputPartition] = runtimeIds match {
     case Some(ids) =>
-      // contiguous runs of surviving ids → one exact partition per run
+      // Exact contiguous runs of surviving ids, then runs CHUNKED into at
+      // most `slices` partitions (round-robin by run, balancing row
+      // counts). One-partition-per-run would schedule a task per id for a
+      // sparse In-set — at DPP scale (millions of joinable ids) the task
+      // overhead would dwarf the pruning win.
       val inRange = ids.filter(id => id >= lo && id < hi)
-      val parts = Array.newBuilder[InputPartition]
+      val runs = Array.newBuilder[FixtureRange]
       var i = 0
       while (i < inRange.length) {
         var j = i
         while (j + 1 < inRange.length && inRange(j + 1) == inRange(j) + 1) j += 1
-        parts += FixtureRange(inRange(i), inRange(j) + 1)
+        runs += FixtureRange(inRange(i), inRange(j) + 1)
         i = j + 1
       }
-      parts.result()
+      val all = runs.result()
+      val n = math.max(1, math.min(slices, all.length))
+      if (all.isEmpty) Array.empty
+      else {
+        // greedy fill by rows: runs are similar-sized in practice; a
+        // simple least-loaded bin keeps partitions balanced
+        val bins = Array.fill(n)(Vector.empty[FixtureRange])
+        val load = Array.fill(n)(0L)
+        all.sortBy(r => r.start - r.end).foreach { r => // largest first
+          val k = load.indices.minBy(load)
+          bins(k) :+= r
+          load(k) += r.end - r.start
+        }
+        bins.filter(_.nonEmpty).map(rs => FixtureRuns(rs): InputPartition)
+      }
     case None =>
       val n = math.max(1, slices)
       val span = hi - lo
@@ -297,6 +315,11 @@ class FixtureScan(
 }
 
 case class FixtureRange(start: Long, end: Long) extends InputPartition
+
+/** Several disjoint [start, end) runs served by ONE task — the shape a
+  * runtime-filtered scan plans (id runs chunked into `slices` bins).
+  */
+case class FixtureRuns(runs: Seq[FixtureRange]) extends InputPartition
 
 /** Offset = the exclusive upper bound of rows served so far. */
 case class FixtureOffset(pos: Long) extends Offset {
@@ -353,7 +376,11 @@ class FixtureMicroBatchStream(
 
 class FixtureReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val FixtureRange(start, end) = partition
+    val runs: Seq[FixtureRange] = partition match {
+      case r: FixtureRange => Seq(r)
+      case FixtureRuns(rs) => rs
+      case other => throw new IllegalArgumentException(s"unknown partition $other")
+    }
     // pre-resolve the projection once per partition, not per row
     val cols: Array[Long => Any] = schema.fields.map(_.name match {
       case "id" => (id: Long) => id
@@ -362,8 +389,18 @@ class FixtureReaderFactory(schema: StructType) extends PartitionReaderFactory {
       case other => throw new IllegalArgumentException(s"unknown column $other")
     })
     new PartitionReader[InternalRow] {
-      private var cur = start - 1
-      override def next(): Boolean = { cur += 1; cur < end }
+      private var runIdx = 0
+      private var cur = if (runs.isEmpty) 0L else runs.head.start - 1
+      override def next(): Boolean = {
+        if (runIdx >= runs.length) return false
+        cur += 1
+        if (cur < runs(runIdx).end) true
+        else {
+          runIdx += 1
+          if (runIdx >= runs.length) false
+          else { cur = runs(runIdx).start; true }
+        }
+      }
       override def get(): InternalRow = InternalRow.fromSeq(cols.map(_(cur)).toSeq)
       override def close(): Unit = ()
     }

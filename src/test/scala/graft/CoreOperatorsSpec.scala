@@ -182,20 +182,30 @@ class CoreOperatorsSpec extends SparkSpec {
   }
 
   test("DSv2 runtime filter prunes the scan to exact contiguous id runs") {
-    import graft.sources.{FixtureRange, FixtureScan, FixtureTable}
+    import graft.sources.{FixtureRange, FixtureRuns, FixtureScan, FixtureTable}
     import org.apache.spark.sql.sources.{EqualTo, In}
+    def allRuns(parts: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      parts.flatMap { case FixtureRuns(rs) => rs; case r: FixtureRange => Seq(r) }.toSet
     val scan = new FixtureScan(0L, 1000L, 8, FixtureTable.fullSchema, Array.empty)
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       In("id", Array[Any](5L, 6L, 7L, 500L, 900L, 2000L))))
-    val parts = scan.planInputPartitions().map(_.asInstanceOf[FixtureRange]).toSeq
+    val parts = scan.planInputPartitions()
     // runs collapse to [5,8); out-of-interval 2000 is dropped
-    assert(parts == Seq(FixtureRange(5, 8), FixtureRange(500, 501), FixtureRange(900, 901)))
+    assert(allRuns(parts) ==
+      Set(FixtureRange(5, 8), FixtureRange(500, 501), FixtureRange(900, 901)))
+    assert(parts.length <= 8) // chunked, never one task per run
     // EqualTo intersects with In
     val scan2 = new FixtureScan(0L, 1000L, 8, FixtureTable.fullSchema, Array.empty)
     scan2.filter(Array[org.apache.spark.sql.sources.Filter](
       In("id", Array[Any](5L, 6L)), EqualTo("id", 6L)))
-    assert(scan2.planInputPartitions().map(_.asInstanceOf[FixtureRange]).toSeq ==
-      Seq(FixtureRange(6, 7)))
+    assert(allRuns(scan2.planInputPartitions()) == Set(FixtureRange(6, 7)))
+    // a sparse 10k-id set must plan a BOUNDED number of tasks
+    val scan3 = new FixtureScan(0L, 100000L, 8, FixtureTable.fullSchema, Array.empty)
+    scan3.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("id", (0L until 100000L by 10L).map(x => x: Any).toArray)))
+    val p3 = scan3.planInputPartitions()
+    assert(p3.length == 8, p3.length)
+    assert(allRuns(p3).size == 10000)
     // a limit/offset-pushed scan must IGNORE runtime filters (the Limit
     // operator is already dropped counting every id in the interval)
     val lim = new FixtureScan(0L, 1000L, 8, FixtureTable.fullSchema, Array.empty,
