@@ -253,12 +253,26 @@ private[sources] object RowLogWriters {
 
 class RowLogScan(root: String, fullSchema: StructType, required: StructType,
     version: Option[Long])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_rowlog $root${version.map(v => s" @v$v").getOrElse("")} " +
       s"ReadSchema: ${required.simpleString}"
+
+  // real on-disk bytes of the pinned version (one listing) — join sizing
+  // sees the table's actual footprint, not defaultSizeInBytes
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long =
+      try {
+        val dir = RowLogTable.versionDir(root, version)
+        RowLogTable.fs(root).listStatus(dir)
+          .filter(_.getPath.getName.endsWith(".rowlog")).map(_.getLen).sum
+      } catch { case _: Exception => Long.MaxValue }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = RowLogTable.versionDir(root, version)
     RowLogTable.fs(root).listStatus(dir).toSeq

@@ -97,6 +97,40 @@ class CodegenHygieneSpec extends SparkSpec {
     }
   }
 
+  test("every SQL-registered scalar graft function runs twice per stage, fallback off") {
+    // registration-path twin of the projection tests above: the SQL names
+    // resolve through GraftExtensions, each called twice in one SELECT,
+    // with silent fallback disabled so a codegen bug aborts loudly
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = spark.sql(
+        """SELECT graft_cosine(v, v) c1, graft_cosine(v, v) c2,
+          |       graft_zorder(a, b) z1, graft_zorder(b, a) z2,
+          |       graft_url_canon(u) u1, graft_url_canon(u) u2,
+          |       graft_jaro_winkler(s1, s2) j1, graft_jaro_winkler(s2, s1) j2,
+          |       size(graft_shingle_hashes(s1, 2)) g1, size(graft_shingle_hashes(s2, 2)) g2,
+          |       size(graft_term_counts(s1)) t1,
+          |       size(graft_srp_signature(v, 3, 2, 4, 7)) p1
+          |FROM VALUES (array(1.0D, 2.0D, 3.0D), 3L, 5L,
+          |  'HTTP://X.Y:80/a?b=2&a=1', 'martha one two', 'marhta one two') AS
+          |  t(v, a, b, u, s1, s2)
+          |""".stripMargin).collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && r.getDouble(0) == r.getDouble(1))
+      assert(r.getLong(2) == graft.functions.ZOrder2.interleave(3L, 5L))
+      assert(r.getString(4) == "http://x.y/a?a=1&b=2" && r.getString(4) == r.getString(5))
+      assert(r.getDouble(6) == r.getDouble(7))
+      assert(r.getInt(8) > 0 && r.getInt(9) > 0 && r.getInt(10) > 0 && r.getInt(11) == 2)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("two graft_cosine calls in one stage execute with codegen fallback disabled") {
     // End-to-end pin: with spark.sql.codegen.fallback=false a compile
     // failure aborts the query instead of degrading silently, so a green
