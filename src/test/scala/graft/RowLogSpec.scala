@@ -128,6 +128,36 @@ class RowLogSpec extends SparkSpec {
     assert(orphans.isEmpty, orphans.toSeq)
   }
 
+  test("rowlog: roundtrips nulls, arrays, structs, decimals, timestamps") {
+    val root = tmpDir("rowlog_types")
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, CAST(NULL AS STRING), array(1, NULL, 3),
+        |   named_struct('a', 1.5D, 'b', 'x'),
+        |   TIMESTAMP'2026-01-02 03:04:05', CAST(12.345 AS DECIMAL(10,3))),
+        |  (2L, 'y', array(CAST(NULL AS INT)),
+        |   named_struct('a', CAST(NULL AS DOUBLE), 'b', CAST(NULL AS STRING)),
+        |   CAST(NULL AS TIMESTAMP), CAST(NULL AS DECIMAL(10,3)))
+        |  AS t(k, s, arr, st, ts, dec)""".stripMargin)
+    df.write.format(fmt).mode("overwrite").save(root)
+    val back = spark.read.format(fmt).load(root)
+    assert(back.schema == df.schema, back.schema.treeString)
+    assert(back.orderBy("k").collect().map(_.toString).toSeq ==
+      df.orderBy("k").collect().map(_.toString).toSeq)
+  }
+
+  test("rowlog: an empty overwrite commits a readable empty snapshot") {
+    import spark.implicits._
+    val root = tmpDir("rowlog_empty")
+    Seq((1L, "a")).toDF("k", "s").write.format(fmt).mode("overwrite").save(root)
+    Seq.empty[(Long, String)].toDF("k", "s")
+      .write.format(fmt).mode("overwrite").save(root)
+    val latest = spark.read.format(fmt).load(root)
+    assert(latest.count() == 0)
+    assert(latest.schema.fieldNames.toSeq == Seq("k", "s")) // schema survives
+    assert(spark.read.format(fmt).option("version", "1").load(root).count() == 1)
+  }
+
   test("rowlog: concurrent V2 writers both commit; version history stays linear") {
     import spark.implicits._
     val root = tmpDir("rowlog_race")
