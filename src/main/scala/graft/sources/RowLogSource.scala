@@ -63,8 +63,17 @@ class RowLogDataSource extends TableProvider {
 }
 
 object RowLogTable {
+  /** Driver-side FileSystem resolution uses the ACTIVE session's Hadoop
+    * configuration (credentials, filesystem impls — `new Configuration()`
+    * would silently drop S3/HDFS settings on a real cluster); executor
+    * code gets the same conf shipped through [[HadoopConfMap]].
+    */
+  private[sources] def conf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
   private[sources] def fs(root: String) =
-    new Path(root).getFileSystem(new Configuration())
+    new Path(root).getFileSystem(conf())
 
   /** Resolve the version directory to read: pinned or latest committed. */
   private[sources] def versionDir(root: String, version: Option[Long]): Path = {
@@ -159,7 +168,7 @@ class RowLogStreamingWrite(root: String, schema: StructType) extends StreamingWr
     new Path(new Path(root), s"_staging-$nonce-e$epochId")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    RowLogStreamingWriterFactory(root, nonce, schema.json)
+    RowLogStreamingWriterFactory(root, nonce, schema.json, HadoopConfMap.capture())
 
   private def epochCommitted(epochId: Long): Boolean = {
     val f = RowLogTable.fs(root)
@@ -184,12 +193,13 @@ class RowLogStreamingWrite(root: String, schema: StructType) extends StreamingWr
     RowLogTable.fs(root).delete(staging(epochId), true)
 }
 
-case class RowLogStreamingWriterFactory(root: String, nonce: String, schemaJson: String)
+case class RowLogStreamingWriterFactory(root: String, nonce: String,
+    schemaJson: String, confMap: Map[String, String])
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val staging = new Path(new Path(root), s"_staging-$nonce-e$epochId")
-    val f = staging.getFileSystem(new Configuration())
+    val f = staging.getFileSystem(HadoopConfMap.restore(confMap))
     f.mkdirs(staging)
     RowLogWriters.fileWriter(f, staging, schemaJson,
       f"part-$partitionId%05d-$taskId.rowlog")
@@ -204,7 +214,7 @@ class RowLogBatchWrite(root: String, schema: StructType) extends BatchWrite {
     val f = RowLogTable.fs(root)
     f.mkdirs(stagingDir)
     VersionedTable.sweepOrphans(f, new Path(root), 15 * 60 * 1000L)
-    RowLogWriterFactory(stagingDir.toString, schema.json)
+    RowLogWriterFactory(stagingDir.toString, schema.json, HadoopConfMap.capture())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -218,11 +228,31 @@ class RowLogBatchWrite(root: String, schema: StructType) extends BatchWrite {
 
 case class RowLogCommit(file: String, rows: Long) extends WriterCommitMessage
 
-case class RowLogWriterFactory(stagingDir: String, schemaJson: String)
+/** Hadoop conf as a serializable map — factories ship it to executors so
+  * remote filesystems see the session's credentials/settings (a plain
+  * `new Configuration()` executor-side only works for file://).
+  */
+private[sources] object HadoopConfMap {
+  def capture(): Map[String, String] = {
+    val c = RowLogTable.conf()
+    val it = c.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+  def restore(m: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+case class RowLogWriterFactory(stagingDir: String, schemaJson: String,
+    confMap: Map[String, String])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val staging = new Path(stagingDir)
-    val f = staging.getFileSystem(new Configuration())
+    val f = staging.getFileSystem(HadoopConfMap.restore(confMap))
     // taskId is unique per attempt, so speculative attempts never collide
     RowLogWriters.fileWriter(f, staging, schemaJson,
       f"part-$partitionId%05d-$taskId.rowlog")
@@ -282,12 +312,13 @@ class RowLogScan(root: String, fullSchema: StructType, required: StructType,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    RowLogReaderFactory(fullSchema.json, required.json)
+    RowLogReaderFactory(fullSchema.json, required.json, HadoopConfMap.capture())
 }
 
 case class RowLogFile(path: String) extends InputPartition
 
-case class RowLogReaderFactory(fullSchemaJson: String, requiredSchemaJson: String)
+case class RowLogReaderFactory(fullSchemaJson: String, requiredSchemaJson: String,
+    confMap: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val RowLogFile(pathStr) = p
@@ -295,7 +326,7 @@ case class RowLogReaderFactory(fullSchemaJson: String, requiredSchemaJson: Strin
     val required = DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType]
     val path = new Path(pathStr)
     val in = new DataInputStream(
-      path.getFileSystem(new Configuration()).open(path))
+      path.getFileSystem(HadoopConfMap.restore(confMap)).open(path))
     // prune once per partition: bind required columns to their positions
     // in the stored row, emit rows in the pruned schema's order
     val prune: UnsafeRow => InternalRow =
