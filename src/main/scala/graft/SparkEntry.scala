@@ -807,13 +807,18 @@ object SparkEntry {
       recallBound(approx, exact, threshold = 0.5)
     }),
 
-    // Embedding near-duplicate pairs (cosine ≥ 0.99 against perturbed copies).
+    // Embedding near-duplicate pairs (cosine ≥ 0.99 against perturbed
+    // copies). bucketCap=256 bounds any (table, bucket) cell's pairwise
+    // term; at the gate SFs occupancy stays under the cap (the oracle is
+    // exact equality with brute force — SemDedupCapSpec proves the capped
+    // path loses nothing when it does engage).
     "e3_embedding_neardup" -> ((s, dir) => {
       val base = tbl(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val mut = base.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
-      Dedup.embeddingNearDupLsh(base.union(mut), "vec_id", "v", threshold = 0.99, dim = 64)
+      Dedup.embeddingNearDupLsh(base.union(mut), "vec_id", "v", threshold = 0.99,
+          dim = 64, bucketCap = 256)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos6"))
         .orderBy("a", "b")
     }),
@@ -3518,7 +3523,11 @@ object SparkEntry {
     // vectors — e11's convention) bound the pairwise term; the corpus is
     // e3's mutant union (originals ∪ first-element-perturbed copies at
     // id+100000), so every cell contains guaranteed semantic dups with a
-    // known keep/drop structure. Full per-vector verdict, hash-gated.
+    // known keep/drop structure. Round 6: cell occupancy is HARD-bounded
+    // by cap=512 sorted-neighborhood rank-chunks (the oracle implements
+    // the identical chunking, so the gate exercises the bounded path at
+    // every SF where cells exceed the cap — sf0.1 cells hold ~5000).
+    // Full per-vector verdict, hash-gated.
     "d47_semdedup" -> ((s, dir) => {
       val base = tbl(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -3526,7 +3535,7 @@ object SparkEntry {
         transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
       val cents = base.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("cvec"))
-      Dedup.semDedup(base.union(mut), "vec_id", "v", cents, threshold = 0.99)
+      Dedup.semDedup(base.union(mut), "vec_id", "v", cents, threshold = 0.99, cap = 512)
         .select(col("id").as("vec_id"), col("cid"), col("kept"))
         .orderBy("vec_id")
     }),
@@ -6257,16 +6266,19 @@ object SparkEntry {
         |c AS (SELECT vec_id AS cid, v AS cvec FROM base WHERE vec_id < 8),
         |s AS (SELECT e.vec_id, c.cid,
         |  round(list_cosine_similarity(e.v, c.cvec), 6) AS sim FROM corpus e, c),
-        |a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |a AS (SELECT vec_id, cid, sim FROM (SELECT vec_id, cid, sim,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s)
         |  WHERE rn = 1),
-        |av AS (SELECT a.vec_id, a.cid, e.v FROM a JOIN corpus e USING (vec_id)),
-        |drp AS (SELECT DISTINCT r.vec_id FROM av l JOIN av r
-        |  ON l.cid = r.cid AND l.vec_id < r.vec_id
+        |rk AS (SELECT a.vec_id, a.cid, e.v,
+        |  (row_number() OVER (PARTITION BY a.cid ORDER BY a.sim DESC, a.vec_id) - 1) // 512
+        |    AS chunk
+        |  FROM a JOIN corpus e USING (vec_id)),
+        |drp AS (SELECT DISTINCT r.vec_id FROM rk l JOIN rk r
+        |  ON l.cid = r.cid AND l.vec_id < r.vec_id AND abs(l.chunk - r.chunk) <= 1
         |  WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.99)
-        |SELECT av.vec_id, av.cid, (drp.vec_id IS NULL) AS kept
-        |FROM av LEFT JOIN drp ON av.vec_id = drp.vec_id
-        |ORDER BY av.vec_id""".stripMargin,
+        |SELECT rk.vec_id, rk.cid, (drp.vec_id IS NULL) AS kept
+        |FROM rk LEFT JOIN drp ON rk.vec_id = drp.vec_id
+        |ORDER BY rk.vec_id""".stripMargin,
 
     "d48_rag_chunks" ->
       """WITH t AS (SELECT doc_id,

@@ -333,12 +333,14 @@ object corpus {
 
     /** SemDeDup (d47): centroid-cell semantic dedup over an embedding
       * column — see [[graft.operators.Dedup.semDedup]]. Returns
-      * (id, cid, kept) for every vector.
+      * (id, cid, kept) for every vector. `cap` bounds any cell's
+      * pairwise term via sorted-neighborhood rank-chunking.
       */
     def semDedup(
         centroids: DataFrame, idCol: String = "vec_id",
-        vecCol: String = "embedding", threshold: Double = 0.99): DataFrame =
-      Dedup.semDedup(df, idCol, vecCol, centroids, threshold)
+        vecCol: String = "embedding", threshold: Double = 0.99,
+        cap: Int = 512): DataFrame =
+      Dedup.semDedup(df, idCol, vecCol, centroids, threshold, cap)
 
     /** First-seen n-gram novelty (d50): per doc, the fraction of its
       * word-`n`-gram hashes first seen there (by ascending id) — the

@@ -247,19 +247,54 @@ object Dedup {
     * sign-random-projection buckets (near-identical vectors collide with
     * overwhelming probability), verified with exact cosine. Linear in
     * corpus size; the brute-force twin below is the validation oracle.
+    *
+    * `bucketCap` HARD-bounds the per-(table, bucket) pairwise term: a
+    * bucket with ≤ cap members compares all pairs (the original
+    * semantics); an oversized bucket ranks its members along a fixed
+    * seeded direction (cosine to one deterministic hyperplane, 6-dp
+    * rounded, id tiebreak), cuts the ranking into chunks of `cap`, and
+    * compares only same-or-adjacent chunks — O(n_bucket · cap) instead of
+    * O(n_bucket²), the boilerplate-mega-cluster insurance. Near-identical
+    * vectors have near-identical projections (|cos(a,u) − cos(b,u)| ≤
+    * ‖â−b̂‖ = √(2−2θ), ≈0.14 at θ=0.99), so true near-dup pairs sit
+    * nearly rank-adjacent within a bucket; a pair separated by an
+    * Ω(cap)-sized crowd in EVERY colliding table is the only loss mode
+    * (each of `numTables` tables gets an independent shot).
     */
   def embeddingNearDupLsh(
       embs: DataFrame, idCol: String, vecCol: String, threshold: Double, dim: Int,
-      numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L): DataFrame = {
+      numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L,
+      bucketCap: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
+    // fixed ordering direction for oversized buckets: one extra seeded
+    // hyperplane, distinct from every bucketing plane (seed offset)
+    val u = Similarity.hyperplanes(1, dim, seed * 31 + 1).head
+    val proj = round(cosine(col(vecCol), array(u.map(lit(_)): _*)), 6)
     // bucket join on ids only — vectors never ride through the candidate
-    // dedup shuffle; they are fetched once per distinct pair afterwards
-    val withB = embs.select(col(idCol).as("doc"),
+    // dedup shuffle; they are fetched once per distinct pair afterwards.
+    // `p` (one double per row) is the only extra payload the cap needs.
+    val withB = embs.select(col(idCol).as("doc"), proj.as("p"),
         posexplode(Similarity.srpSignature(col(vecCol), dim, numTables, bitsPerTable, seed)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-    val cands = withB.as("l").join(withB.as("r"),
-        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
-          col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("a"), col("r.doc").as("b"))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("table", "bucket")))
+      .withColumn("chunk",
+        when(col("occ") <= bucketCap, lit(0L)).otherwise(floor(
+          (row_number().over(Window.partitionBy("table", "bucket")
+            .orderBy("p", "doc")) - 1) / lit(bucketCap.toLong))))
+    // oversized-bucket rows emit at {chunk, chunk+1}; k == greatest(lc, rc)
+    // admits each |Δchunk| ≤ 1 pair exactly once (same scheme as
+    // semDedup). Within-cap rows emit at {0} only — exactly the original
+    // single-key join, no duplicated enumeration.
+    def keyed(side: String) = withB
+      .select(col("doc").as(s"${side}_doc"), col("table"), col("bucket"),
+        col("chunk").as(s"${side}_c"),
+        explode(when(col("occ") <= bucketCap, array(col("chunk")))
+          .otherwise(array(col("chunk"), col("chunk") + 1))).as("k"))
+    val cands = keyed("l").join(keyed("r"), Seq("table", "bucket", "k"))
+      .filter(col("k") === greatest(col("l_c"), col("r_c")) &&
+        col("l_doc") < col("r_doc"))
+      .select(col("l_doc").as("a"), col("r_doc").as("b"))
       .distinct().persist()
     try {
       // same exchange discipline as verifyJaccard: vectors reach the pair
@@ -279,24 +314,48 @@ object Dedup {
   /** SemDeDup (semantic dedup, Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus around `centroids`, then mark as duplicates the
     * vectors whose cosine to a LOWER-id member of the SAME cluster is ≥
-    * `threshold`. The pairwise comparison never leaves a cluster — at
-    * 100 TB the cells bound the quadratic term exactly the way LSH bands
-    * bound MinHash (cluster granularity is the knob; the cross-cluster
-    * pairs SemDeDup deliberately ignores are the approximation).
+    * `threshold`. The pairwise comparison never leaves a cluster, and —
+    * new in round 6 — never leaves a bounded NEIGHBORHOOD within the
+    * cluster: members are ranked by similarity to their own centroid
+    * (desc, id tiebreak), cut into rank-chunks of `cap` rows, and only
+    * pairs within the same or adjacent chunk are compared. That turns the
+    * intra-cell term from O(n_cell²) into O(n_cell · cap): a HARD bound
+    * that holds even for boilerplate mega-clusters where every member is
+    * mutually near-identical (the case k-scaling and recursive
+    * sub-clustering both fail on, because identical vectors refuse to
+    * split). The approximation this buys is the sorted-neighborhood one:
+    * a pair is only found if the two members rank within ~cap of each
+    * other on the centroid-similarity axis. Near-duplicates at threshold
+    * θ satisfy |cos(a,c) − cos(b,c)| ≤ ‖â−b̂‖ = √(2−2θ) for ANY c (≈0.14
+    * at θ=0.99), so true near-dups sit nearly rank-adjacent unless an
+    * Ω(cap)-sized crowd separates them — and such a crowd is itself one
+    * dense dup cluster whose chunk-local comparisons already drop all but
+    * ~one member per chunk. Cells of ≤ cap rows get exactly the original
+    * (full-pairwise) SemDeDup semantics.
     *
-    * Determinism: similarities are rounded to 6 dp BEFORE the argmax and
-    * BEFORE the threshold compare, so kernel ulps can neither flip an
-    * assignment nor a keep decision (the e11 rule); the keep rule
-    * ("dropped iff ANY lower id within threshold") needs no transitive
-    * closure, so the result is a pure function of the inputs.
+    * Determinism: similarities are rounded to 6 dp BEFORE the argmax,
+    * BEFORE the rank, and BEFORE the threshold compare, so kernel ulps
+    * can neither flip an assignment, a chunk boundary, nor a keep
+    * decision (the e11 rule); rank ties break by id, so the chunking is a
+    * pure function of the inputs and the keep rule ("dropped iff ANY
+    * lower id among the bounded candidates is within threshold") needs no
+    * transitive closure.
     *
-    * Returns one row per vector: (id, cid, kept). The intra-cell
-    * self-join shuffles vectors once, keyed by cell — unavoidable here
-    * (the comparison IS vector-vector), bounded by the cell width.
+    * Returns one row per vector: (id, cid, kept). Plan shape: the
+    * pairwise step is a pure equi-join on (cid, chunk-key) — each side
+    * explodes to its own chunk and chunk+1, and `key = greatest(lc, rc)`
+    * keeps exactly one copy of every |Δchunk| ≤ 1 pair — so the per-key
+    * build sides hold ≤ 2·cap rows by construction. The rank window
+    * carries (id, sim, cid) only; vectors rejoin by id afterwards.
+    * Parallelism of the rank window equals the centroid count, so k is
+    * still the scale knob SemDeDup says it is (k ∝ N) — but cap now
+    * bounds the damage when an operator under-provisions k.
     */
   def semDedup(
       embs: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, cap: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0, s"cap must be positive, got $cap")
     // argmax carries (id, sim, cid) only — vectors rejoin by id after the
     // assignment shuffle, not through it (8 centroid copies of every
     // embedding through an exchange would be the d2 payload mistake)
@@ -306,13 +365,29 @@ object Dedup {
       .select(col("id"), round(cosine(col("v"), col("cvec")), 6).as("sim"), col("cid"))
       .groupBy("id")
       .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("w"))
-      .select(col("id"), (-col("w.nc")).as("cid"))
+      .select(col("id"), (-col("w.nc")).as("cid"), col("w.sim").as("simc"))
+    val ranked = cells
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("cid")))
+      .withColumn("chunk",
+        when(col("occ") <= cap, lit(0L)).otherwise(floor((row_number().over(
+          Window.partitionBy("cid").orderBy(desc("simc"), col("id"))) - 1)
+          / lit(cap.toLong))))
     val assigned = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(cells, "id")
-    val dropped = assigned.as("l").join(assigned.as("r"),
-        col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
-      .filter(round(cosine(col("l.v"), col("r.v")), 6) >= threshold)
-      .select(col("r.id").as("id")).distinct()
+      .join(ranked.select("id", "cid", "chunk", "occ"), "id")
+    // over-cap cells emit at {chunk, chunk+1}; key == greatest(lc, rc)
+    // admits each |Δchunk| ≤ 1 pair exactly once (Δ=0 at k=c, Δ=1 at the
+    // higher chunk; Δ≥2 shares no key). Sub-cap cells emit a single key —
+    // exactly the original full-pairwise intra-cell join.
+    def keyed(side: String) = assigned
+      .select(col("id").as(s"${side}_id"), col("v").as(s"${side}_v"),
+        col("cid"), col("chunk").as(s"${side}_c"),
+        explode(when(col("occ") <= cap, array(col("chunk")))
+          .otherwise(array(col("chunk"), col("chunk") + 1))).as("k"))
+    val dropped = keyed("l").join(keyed("r"), Seq("cid", "k"))
+      .filter(col("k") === greatest(col("l_c"), col("r_c")) &&
+        col("l_id") < col("r_id"))
+      .filter(round(cosine(col("l_v"), col("r_v")), 6) >= threshold)
+      .select(col("r_id").as("id")).distinct()
     assigned.join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cid"), coalesce(col("dup"), lit(false)).as("dup"))
       .select(col("id"), col("cid"), (!col("dup")).as("kept"))
