@@ -3929,6 +3929,27 @@ object SparkEntry {
           v2.agg(count(lit(1)).as("n_v2"), sum(col("o_orderkey")).as("s_v2")))
     }),
 
+    // Rowlog scan-side predicate pushdown (`SupportsPushDownFilters`):
+    // the equality + range predicates push into the rowlog reader and
+    // evaluate row-locally against the full stored row (excluded rows
+    // never surface into the prune projection or the exchange); the
+    // modulo predicate is honestly residual — it stays a Spark Filter
+    // above the scan. RowLogSpec pins the plan (PushedFilters on the
+    // BatchScan, residual Filter node); this gates the VALUES against
+    // DuckDB recomputing straight from `orders`.
+    "q100_rowlog_pushdown" -> ((s, dir) => {
+      val root = tmpdir("q100_rowlog")
+      val fmt = "graft.sources.RowLogDataSource"
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .write.format(fmt).mode("overwrite").save(root)
+      s.read.format(fmt).load(root)
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") > 1000 &&
+          col("o_custkey") % 7 === 0)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sk"),
+          max(col("o_custkey")).as("mc"))
+    }),
+
     // Contamination FRACTION (d18's graded sibling): per train doc, the
     // share of its 5-gram hashes present anywhere in the held-out set —
     // partial contamination that a binary flag misses. Held-out hashes
@@ -6515,6 +6536,12 @@ object SparkEntry {
         |  CAST((SELECT SUM(o_orderkey) FROM orders) AS BIGINT) AS s_v1,
         |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_v2,
         |  CAST((SELECT SUM(o_orderkey) FROM orders WHERE o_orderkey % 2 = 0) AS BIGINT) AS s_v2""".stripMargin,
+
+    "q100_rowlog_pushdown" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sk,
+        |MAX(o_custkey) AS mc FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey > 1000
+        |AND o_custkey % 7 = 0""".stripMargin,
 
     "d52_contamination_frac" ->
       s"""WITH corpus AS ($duckMutantCorpus),

@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -55,11 +56,22 @@ class RowLogDataSource extends TableProvider {
     RowLogTable.schemaAt(root(options),
       Option(options.get("version")).map(_.toLong))
 
+  /** An unpinned read resolves `latest` HERE, exactly once — schema and
+    * data then come from the same committed version no matter how long
+    * analysis-to-execution takes or what a concurrent writer commits in
+    * between (UnsafeRow bytes are schema-blind, so a version/schema split
+    * would misread silently, not fail). A write-only table with no
+    * committed versions stays unpinned (reads on it fail loudly in
+    * `versionDir`; the writer never consults the pin).
+    */
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new RowLogTable(properties.get("path"), schema,
-      Option(properties.get("version")).map(_.toLong))
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    val pinned = Option(properties.get("version")).map(_.toLong)
+      .orElse(RowLogTable.latestVersion(path))
+    new RowLogTable(path, schema, pinned)
+  }
 }
 
 object RowLogTable {
@@ -74,6 +86,11 @@ object RowLogTable {
       .getOrElse(new Configuration())
   private[sources] def fs(root: String) =
     new Path(root).getFileSystem(conf())
+
+  /** Latest committed version, if any (None for a not-yet-written root). */
+  private[sources] def latestVersion(root: String): Option[Long] =
+    try VersionedTable.versionsOf(fs(root), new Path(root)).lastOption
+    catch { case _: Exception => None }
 
   /** Resolve the version directory to read: pinned or latest committed. */
   private[sources] def versionDir(root: String, version: Option[Long]): Path = {
@@ -102,14 +119,29 @@ class RowLogTable(root: String, schema0: StructType, version: Option[Long])
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       // rowlog is row-major, so pruning can't skip bytes on disk — but
       // honoring it still shrinks every downstream exchange/operator row
       // and keeps the scan's contract honest (ReadSchema shows the prune)
       private var required = schema0
+      private var pushed: Array[sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new RowLogScan(root, schema0, required, version)
+      // rowlog can't skip bytes either, but a pushed predicate evaluates
+      // ROW-LOCALLY in the reader against the full stored row — excluded
+      // rows never reach the prune projection, the exchange, or any
+      // operator above the scan. Accepted filters are fully applied
+      // (exact evaluation), so only residuals go back to Spark.
+      override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+        val (ok, residual) =
+          filters.partition(RowLogFilters.translate(schema0, _).isDefined)
+        pushed = ok
+        residual
+      }
+      override def pushedFilters(): Array[sources.Filter] = pushed
+      override def build(): Scan =
+        new RowLogScan(root, schema0, required, version, pushed)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -141,6 +173,10 @@ private[sources] object RowLogCommitOps {
       schemaJson: String, committedFiles: Set[String],
       extraMarkers: Seq[String]): Long = {
     val f = RowLogTable.fs(root)
+    // a zero-task micro-batch never ran a writer, so nothing created the
+    // staging dir (the streaming path mkdirs executor-side) — an empty
+    // snapshot must still commit as a version, not throw FileNotFound
+    f.mkdirs(staging)
     // two-phase commit: only files a committed task reported survive —
     // a speculative/retried attempt's leftovers are dropped here
     f.listStatus(staging).foreach { st =>
@@ -173,9 +209,25 @@ class RowLogStreamingWrite(root: String, schema: StructType) extends StreamingWr
   private def epochCommitted(epochId: Long): Boolean = {
     val f = RowLogTable.fs(root)
     val rootPath = new Path(root)
-    VersionedTable.versionsOf(f, rootPath).exists { v =>
-      f.exists(new Path(new Path(rootPath, VersionedTable.dirName(v)), s"_epoch-$epochId"))
-    }
+    // Committed epochs are MONOTONE: structured streaming commits batches
+    // in order and only ever replays the tail one after a restart, so the
+    // newest version carrying an epoch marker is the high-water mark —
+    // committed iff epochId ≤ it. Scanning newest-first and stopping at
+    // the first marker makes this O(1) listings per commit at micro-batch
+    // cadence (batch-write versions without markers are skipped), instead
+    // of one exists() probe per version per epoch — O(n²) cumulative over
+    // a long-running query. Retention is still vacuum's job:
+    // complete-mode streams commit one version per batch and long-running
+    // queries should run VersionedTable.vacuum periodically.
+    VersionedTable.versionsOf(f, rootPath).reverseIterator
+      .map { v =>
+        f.listStatus(new Path(rootPath, VersionedTable.dirName(v)))
+          .map(_.getPath.getName).collectFirst {
+            case n if n.startsWith("_epoch-") => n.stripPrefix("_epoch-").toLong
+          }
+      }
+      .collectFirst { case Some(hwm) => epochId <= hwm }
+      .getOrElse(false)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -281,14 +333,77 @@ private[sources] object RowLogWriters {
   }
 }
 
+/** `sources.Filter` → bound Catalyst predicate over the STORED (full)
+  * row schema. A filter translates iff every referenced attribute
+  * resolves and the shape is one Spark itself evaluates — translation
+  * failure just means "residual", never an error. The translated
+  * expression evaluates with the same Catalyst semantics the upstream
+  * Filter node would have used (three-valued logic via
+  * `BasePredicate.eval`: null ⇒ row excluded), so claiming pushed
+  * filters as fully applied is exact.
+  */
+private[sources] object RowLogFilters {
+  import org.apache.spark.sql.catalyst.{expressions => ce}
+
+  def translate(schema: StructType, f: sources.Filter): Option[ce.Expression] = {
+    def idx(attr: String): Option[Int] = {
+      val i = schema.fieldNames.indexOf(attr)
+      if (i >= 0) Some(i) else None
+    }
+    def ref(attr: String): Option[ce.BoundReference] =
+      idx(attr).map { i =>
+        ce.BoundReference(i, schema(i).dataType, schema(i).nullable)
+      }
+    def lit(attr: String, v: Any): Option[ce.Expression] =
+      idx(attr).map { i =>
+        ce.Literal.create(v, schema(i).dataType)
+      }
+    def bin(attr: String, v: Any)(
+        mk: (ce.Expression, ce.Expression) => ce.Expression): Option[ce.Expression] =
+      for { r <- ref(attr); l <- lit(attr, v) } yield mk(r, l)
+    f match {
+      case sources.EqualTo(a, v)            => bin(a, v)(ce.EqualTo)
+      case sources.EqualNullSafe(a, v)      => bin(a, v)(ce.EqualNullSafe)
+      case sources.GreaterThan(a, v)        => bin(a, v)(ce.GreaterThan)
+      case sources.GreaterThanOrEqual(a, v) => bin(a, v)(ce.GreaterThanOrEqual)
+      case sources.LessThan(a, v)           => bin(a, v)(ce.LessThan)
+      case sources.LessThanOrEqual(a, v)    => bin(a, v)(ce.LessThanOrEqual)
+      case sources.In(a, vs) =>
+        ref(a).map(r => ce.In(r, vs.toSeq.map(v =>
+          ce.Literal.create(v, r.dataType))))
+      case sources.IsNull(a)    => ref(a).map(ce.IsNull)
+      case sources.IsNotNull(a) => ref(a).map(ce.IsNotNull)
+      case sources.StringStartsWith(a, v) => bin(a, v)(ce.StartsWith)
+      case sources.StringEndsWith(a, v)   => bin(a, v)(ce.EndsWith)
+      case sources.StringContains(a, v)   => bin(a, v)(ce.Contains)
+      case sources.And(l, r) =>
+        for { cl <- translate(schema, l); cr <- translate(schema, r) }
+          yield ce.And(cl, cr)
+      case sources.Or(l, r) =>
+        for { cl <- translate(schema, l); cr <- translate(schema, r) }
+          yield ce.Or(cl, cr)
+      case sources.Not(c) => translate(schema, c).map(ce.Not)
+      case sources.AlwaysTrue()  => Some(ce.Literal.TrueLiteral)
+      case sources.AlwaysFalse() => Some(ce.Literal.FalseLiteral)
+      case _ => None
+    }
+  }
+
+  /** Conjunction of all translated filters, ready to bind to a reader. */
+  def predicateExpr(schema: StructType,
+      filters: Seq[sources.Filter]): Option[ce.Expression] =
+    filters.flatMap(translate(schema, _)).reduceOption(ce.And)
+}
+
 class RowLogScan(root: String, fullSchema: StructType, required: StructType,
-    version: Option[Long])
+    version: Option[Long], pushed: Array[sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_rowlog $root${version.map(v => s" @v$v").getOrElse("")} " +
-      s"ReadSchema: ${required.simpleString}"
+      s"ReadSchema: ${required.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   // real on-disk bytes of the pinned version (one listing) — join sizing
   // sees the table's actual footprint, not defaultSizeInBytes
@@ -304,6 +419,15 @@ class RowLogScan(root: String, fullSchema: StructType, required: StructType,
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
   override def planInputPartitions(): Array[InputPartition] = {
+    // belt-and-braces against the analysis/execution version race the
+    // getTable-time pin already closes: the pinned version's stored
+    // schema must BE the analysis schema, or the UnsafeRow bytes would
+    // be reinterpreted as garbage — fail loudly instead
+    val stored = RowLogTable.schemaAt(root, version)
+    require(stored == fullSchema,
+      s"rowlog $root${version.map(v => s" v$v").getOrElse("")} schema " +
+        s"changed between analysis and execution: stored " +
+        s"${stored.simpleString}, expected ${fullSchema.simpleString}")
     val dir = RowLogTable.versionDir(root, version)
     RowLogTable.fs(root).listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".rowlog"))
@@ -312,21 +436,35 @@ class RowLogScan(root: String, fullSchema: StructType, required: StructType,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    RowLogReaderFactory(fullSchema.json, required.json, HadoopConfMap.capture())
+    RowLogReaderFactory(fullSchema.json, required.json, pushed,
+      HadoopConfMap.capture())
 }
 
 case class RowLogFile(path: String) extends InputPartition
 
 case class RowLogReaderFactory(fullSchemaJson: String, requiredSchemaJson: String,
-    confMap: Map[String, String])
+    pushed: Array[sources.Filter], confMap: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val RowLogFile(pathStr) = p
     val fullSchema = DataType.fromJson(fullSchemaJson).asInstanceOf[StructType]
     val required = DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType]
     val path = new Path(pathStr)
-    val in = new DataInputStream(
-      path.getFileSystem(HadoopConfMap.restore(confMap)).open(path))
+    // explicit 64 KiB buffer: FSDataInputStream buffering covers local
+    // disks, but the 4-byte length-prefix read pattern would be one RPC
+    // per row on an unbuffered remote filesystem
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      path.getFileSystem(HadoopConfMap.restore(confMap)).open(path), 1 << 16))
+    // pushed predicates evaluate against the FULL stored row (they may
+    // reference columns the prune drops), codegen'd once per partition
+    val filter: UnsafeRow => Boolean =
+      RowLogFilters.predicateExpr(fullSchema, pushed.toSeq) match {
+        case None => _ => true
+        case Some(e) =>
+          val pred = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+          pred.initialize(0)
+          (r: UnsafeRow) => pred.eval(r)
+      }
     // prune once per partition: bind required columns to their positions
     // in the stored row, emit rows in the pruned schema's order
     val prune: UnsafeRow => InternalRow =
@@ -344,16 +482,18 @@ case class RowLogReaderFactory(fullSchemaJson: String, requiredSchemaJson: Strin
       private val row = new UnsafeRow(fullSchema.size)
       private var eof = false
       override def next(): Boolean = {
-        if (eof) return false
-        val lenOrEof = try in.readInt() catch {
-          case _: java.io.EOFException => eof = true; -1
+        while (!eof) {
+          val lenOrEof = try in.readInt() catch {
+            case _: java.io.EOFException => eof = true; -1
+          }
+          if (!eof) {
+            val bytes = new Array[Byte](lenOrEof)
+            in.readFully(bytes)
+            row.pointTo(bytes, lenOrEof)
+            if (filter(row)) return true // non-matching rows never surface
+          }
         }
-        if (eof) false else {
-          val bytes = new Array[Byte](lenOrEof)
-          in.readFully(bytes)
-          row.pointTo(bytes, lenOrEof)
-          true
-        }
+        false
       }
       override def get(): InternalRow = prune(row)
       override def close(): Unit = in.close()

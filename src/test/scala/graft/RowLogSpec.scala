@@ -214,6 +214,72 @@ class RowLogSpec extends SparkSpec {
       Seq((10.0, 1L), (20.0, 2L)))
   }
 
+  test("rowlog: pushed filters evaluate in the reader; residuals stay above the scan") {
+    import spark.implicits._
+    val root = tmpDir("rowlog_pushdown")
+    (1L to 100L).map(i => (i, s"s$i")).toDF("k", "s")
+      .write.format(fmt).mode("overwrite").save(root)
+    val df = spark.read.format(fmt).load(root)
+      .filter(col("k") > 90 && col("s").startsWith("s9") && col("k") % 2 === 0)
+    val p = df.queryExecution.executedPlan.toString
+    // the comparable predicates push; the modulo is honestly residual
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(k,90)"), p)
+    assert(p.contains("StringStartsWith(s,s9)"), p)
+    assert(p.contains("% 2"), s"residual modulo must stay a Spark Filter:\n$p")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(92L, 94L, 96L, 98L))
+  }
+
+  test("rowlog: fully-pushed predicates leave no post-scan Filter") {
+    import spark.implicits._
+    val root = tmpDir("rowlog_fullpush")
+    (1L to 50L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.format(fmt).mode("overwrite").save(root)
+    val df = spark.read.format(fmt).load(root)
+      .filter(col("k") >= 40 && col("v") < 90)
+    val filters = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filters.isEmpty,
+      s"source claims pushed filters as fully applied:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(40L, 41L, 42L, 43L, 44L))
+    // a pushed filter referencing a PRUNED column still applies (it
+    // evaluates against the full stored row, before the prune projection)
+    val pruned = spark.read.format(fmt).load(root)
+      .filter(col("v") === 60).select("k")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(30L))
+  }
+
+  test("rowlog streaming sink: a zero-task epoch commits an empty snapshot") {
+    import graft.sources.RowLogStreamingWrite
+    val root = tmpDir("rowlog_zerotask")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    val w = new RowLogStreamingWrite(root, schema)
+    w.commit(0L, Array.empty) // no task ran, so nothing mkdir'd the staging
+    assert(graft.sinks.VersionedTable.versions(spark, root) == Seq(1L))
+    val back = spark.read.format(fmt).load(root)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("k"))
+  }
+
+  test("rowlog: an unpinned read resolves its version ONCE, at table creation") {
+    import spark.implicits._
+    val root = tmpDir("rowlog_pin")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.format(fmt).mode("overwrite").save(root)
+    val df = spark.read.format(fmt).load(root) // pins latest = v1 here
+    // a concurrent writer commits v2 with a DIFFERENT schema before the
+    // read executes — the pinned read must still serve v1's rows with
+    // v1's schema (pre-fix, execution re-resolved latest and would have
+    // reinterpreted v2's UnsafeRow bytes under v1's schema: garbage)
+    Seq((9.5, true)).toDF("x", "y").write.format(fmt).mode("overwrite").save(root)
+    assert(df.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // and a fresh unpinned read follows the new latest
+    val fresh = spark.read.format(fmt).load(root).collect()
+    assert(fresh.map(r => (r.getDouble(0), r.getBoolean(1))).toSeq == Seq((9.5, true)))
+  }
+
   test("rowlog: the write runs through the V2 OverwriteByExpression plan") {
     import spark.implicits._
     val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
