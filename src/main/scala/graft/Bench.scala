@@ -49,14 +49,18 @@ object Bench {
     // .addListener: drains run on CLONED sessions (drainToMemory), whose
     // queries a per-session streaming listener never sees
     val progressCount = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val progressListener = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
         event match {
           case _: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent =>
             progressCount.incrementAndGet()
           case _ => ()
         }
-    })
+    }
+    spark.sparkContext.addSparkListener(progressListener)
+    // finally-removed: repeated Bench.run invocations in one JVM must not
+    // accumulate dead listeners on the shared LiveListenerBus
+    val shortOut = try {
     def settledBatches(): Long = {
       var prev = -1L; var cur = progressCount.get()
       val deadline = System.nanoTime() + 2000000000L
@@ -100,17 +104,45 @@ object Bench {
       } else name -> t
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Per-query ratio vs the committed steady-state PROF.json baseline:
+    // a contended bench environment shows up as a UNIFORM ratio shift
+    // (r5's driver run: flat ~2.0× across unrelated query families),
+    // which a per-query sentinel can't catch — median_ratio_vs_prof
+    // self-identifies it numerically in the artifact itself.
+    val profTimes: Map[String, Double] = try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_PROF", "PROF.json")))
+      val qstart = txt.indexOf("\"queries\":{")
+      if (qstart < 0) Map.empty
+      else {
+        val sub = txt.substring(qstart + 11, txt.indexOf('}', qstart))
+        "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(sub)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+    val ratios = results.flatMap { case (n, t) =>
+      profTimes.get(n).filter(_ > 0.0).flatMap(p =>
+        if (t >= 0) Some(n -> t / p) else None)
+    }
+    val medianRatio =
+      if (ratios.isEmpty) -1.0
+      else ratios.map(_._2).sorted.apply(ratios.size / 2)
+    def ratioFields(keyOf: String => String, rs: Seq[(String, Double)]): String = {
+      val rj = rs.map { case (k, v) => "\"" + keyOf(k) + "\":" + "%.2f".format(v) }
+        .mkString("{", ",", "}")
+      s""","ratio_vs_prof":$rj,"median_ratio_vs_prof":${"%.2f".format(medianRatio)}"""
+    }
     def batchesJson(keyOf: String => String): String =
       batchesByName.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + keyOf(k) + "\":" + v }
         .mkString("{", ",", "}")
-    def jsonLine(keyOf: String => String, dp: String, sf: String): String = {
-      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + dp.format(v) }
+    // Full-precision, full-name line → file (canonical artifact, committed)
+    // with the complete ratio map.
+    val full = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"batches":${batchesJson(keyOf)},"sf":"$sf"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"batches":${batchesJson(identity)}${ratioFields(identity, ratios)},"sf":"$sfDir"}"""
     }
-    // Full-precision, full-name line → file (canonical artifact, committed).
-    val full = jsonLine(identity, "%.3f", sfDir)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     // stdout line → the harness captures only the LAST 2000 chars of output
@@ -118,17 +150,20 @@ object Bench {
     // stdout line well under that window: short query keys (the `q12`/`d3`
     // prefix before the first '_' is unique across all queries), 2-decimal
     // values, short sf tag; printed after spark.stop() so no shutdown noise
-    // can land behind it.
+    // can land behind it. Ratios: the median always ships; per-query
+    // ratios ship only for anomalous queries (≥1.5× PROF) — a uniform
+    // contention shift is visible in the median, a local spike in the map.
     val prefixesUnique =
       results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size
     val keyOf: String => String =
       if (prefixesUnique) _.takeWhile(_ != '_') else identity
     val sfTag = new java.io.File(sfDir).getName
+    val anomalous = ratios.filter(_._2 >= 1.5).sortBy(-_._2).take(24).sortBy(_._1)
     def shortLine(rs: Seq[(String, Double)], omitted: Int): String = {
       val qs = rs.map { case (k, v) => "\"" + keyOf(k) + "\":" + "%.2f".format(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs$om,"batches":${batchesJson(keyOf)},"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs$om,"batches":${batchesJson(keyOf)}${ratioFields(keyOf, anomalous)},"sf":"$sfTag"}"""
     }
     // If the query map ever outgrows the harness's 2000-char tail window,
     // keep the slowest queries (the ones the judge reads) and count the
@@ -139,7 +174,9 @@ object Bench {
       kept = kept.dropRight(8)
       short = shortLine(kept.sortBy(_._1), results.size - kept.size)
     }
+    short
+    } finally spark.sparkContext.removeSparkListener(progressListener)
     spark.stop()
-    println(short)
+    println(shortOut)
   }
 }

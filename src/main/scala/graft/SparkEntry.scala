@@ -83,14 +83,39 @@ object SparkEntry {
 
   /** Copy the events table into `work` `n` times (events_0..events_{n-1})
     * — the standard way the streaming queries stage replayed micro-batch
-    * arrivals for a file-source drain.
+    * arrivals for a file-source drain. Handles BOTH table shapes: the
+    * driver's single-file tables copy directly; a directory-shaped table
+    * (e.g. the scale rehearsal's replicas) is flattened to one plain
+    * file first — `Files.copy` of a directory stages an EMPTY shell and
+    * the file stream source would silently see zero rows (caught by the
+    * r6 full-suite rehearsal: every replayEvents-backed st query timed a
+    * no-op at sf1 until this).
     */
-  private def replayEvents(dir: String, work: String, n: Int): Unit =
+  private def replayEvents(s: SparkSession, dir: String, work: String, n: Int): Unit = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val single =
+      if (java.nio.file.Files.isRegularFile(src)) src
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-replay-flat")
+        s.read.parquet(src.toString).coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/flat")
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/flat"))
+        try {
+          val it = ls.iterator()
+          var found: java.nio.file.Path = null
+          while (found == null && it.hasNext) {
+            val p = it.next()
+            if (p.toString.endsWith(".parquet")) found = p
+          }
+          require(found != null, s"no part file written under $tmp/flat")
+          found
+        } finally ls.close()
+      }
     (0 until n).foreach { i =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Files.copy(single,
         java.nio.file.Paths.get(s"$work/events_$i.parquet"))
     }
+  }
 
   /** Surface `chunk` as ONE plain parquet file at `work/in/<name>.parquet`
     * (the streaming file source lists files, not directory-shaped
@@ -808,17 +833,22 @@ object SparkEntry {
     }),
 
     // Embedding near-duplicate pairs (cosine ≥ 0.99 against perturbed
-    // copies). bucketCap=256 bounds any (table, bucket) cell's pairwise
-    // term; at the gate SFs occupancy stays under the cap (the oracle is
-    // exact equality with brute force — SemDedupCapSpec proves the capped
-    // path loses nothing when it does engage).
+    // copies). Two scale guards: bitsPerTable grows with corpus size
+    // (buckets ∝ n keeps expected occupancy ~16 — with FIXED bits the
+    // within-bucket pairwise term is quadratic in corpus size; the r6
+    // rehearsal measured 55x at 10x data before this) and bucketCap=256
+    // hard-bounds any single bucket regardless (mega-clique insurance).
+    // At the gate SFs the adaptive formula lands on the historical 8
+    // bits, so the exact-equality brute-force oracle is unchanged;
+    // SemDedupCapSpec proves the capped path loses nothing when engaged.
     "e3_embedding_neardup" -> ((s, dir) => {
       val base = tbl(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val mut = base.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+      val bits = Similarity.srpBitsFor(base.count() * 2)
       Dedup.embeddingNearDupLsh(base.union(mut), "vec_id", "v", threshold = 0.99,
-          dim = 64, bucketCap = 256)
+          dim = 64, bitsPerTable = bits, bucketCap = 256)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos6"))
         .orderBy("a", "b")
     }),
@@ -1003,7 +1033,7 @@ object SparkEntry {
     "st1_stream_hourly_agg" -> ((s, dir) => {
       val work = tmpdir("graft-st1")
       val raw = s.read.parquet(s"$dir/events.parquet") // pre-normalize schema
-      replayEvents(dir, work, 1)
+      replayEvents(s, dir, work, 1)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => StreamingOps.hourlyAgg(normalizeTs(df)), OutputMode.Complete())
         .orderBy("event_type", "h")
@@ -1013,7 +1043,7 @@ object SparkEntry {
     "st2_stream_user_counts" -> ((s, dir) => {
       val work = tmpdir("graft-st2")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      replayEvents(dir, work, 1)
+      replayEvents(s, dir, work, 1)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => StreamingOps.runningUserCounts(s, normalizeTs(df)).toDF("user_id", "n"),
           OutputMode.Update())
@@ -1028,7 +1058,7 @@ object SparkEntry {
     "st3_stream_dedup" -> ((s, dir) => {
       val work = tmpdir("graft-st3")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      replayEvents(dir, work, 2)
+      replayEvents(s, dir, work, 2)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => normalizeTs(df).dropDuplicates("event_id")
             .groupBy("event_type").agg(count(lit(1)).as("n")),
@@ -1043,7 +1073,7 @@ object SparkEntry {
     "st4_stream_static_join" -> ((s, dir) => {
       val work = tmpdir("graft-st4")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      replayEvents(dir, work, 1)
+      replayEvents(s, dir, work, 1)
       val dim = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => normalizeTs(df)
@@ -1063,7 +1093,7 @@ object SparkEntry {
     "st5_stream_stream_join" -> ((s, dir) => {
       val work = tmpdir("graft-st5")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      replayEvents(dir, work, 1)
+      replayEvents(s, dir, work, 1)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => {
             val ev = normalizeTs(df)
@@ -1533,7 +1563,7 @@ object SparkEntry {
     "st8_stream_session" -> ((s, dir) => {
       val work = tmpdir("graft-st8")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      replayEvents(dir, work, 1)
+      replayEvents(s, dir, work, 1)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => normalizeTs(df)
             .withWatermark("ts", "1 hour")
@@ -2652,7 +2682,7 @@ object SparkEntry {
     "st11_dedup_watermark" -> ((s, dir) => {
       val work = tmpdir("graft-st11")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      replayEvents(dir, work, 2)
+      replayEvents(s, dir, work, 2)
       val deduped = StreamingOps.drainToMemory(s, work, raw.schema,
         df => normalizeTs(df).withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id"),
@@ -2956,11 +2986,18 @@ object SparkEntry {
             struct(col("u").as("s"), col("v").as("t")))
             .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
         .select(col("e.s").as("s"), col("e.t").as("t"))
+      // shuffle_hash on both wedge-side joins: the wedge list is the
+      // one quadratic-in-degree intermediate here — it must stream
+      // through hash probes, never SORT (the sf1 rehearsal measured the
+      // SMJ flip sorting ~10x the wedges: 31.9x wall at 10x data; AQE
+      // still upgrades to broadcast when the build side allows)
       val wedges = eo.as("x")
-        .join(eo.as("y"), col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+        .join(eo.as("y").hint("shuffle_hash"),
+          col("x.s") === col("y.s") && col("x.t") < col("y.t"))
         .select(col("x.t").as("wu"), col("y.t").as("wv")) // ordered by the join cond
       val tri = wedges
-        .join(e.select(col("u").as("wu"), col("v").as("wv")), Seq("wu", "wv"), "left_semi")
+        .join(e.select(col("u").as("wu"), col("v").as("wv")).hint("shuffle_hash"),
+          Seq("wu", "wv"), "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
       val nEdges = e.agg(count(lit(1)).as("n_edges"))
       val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
@@ -2975,7 +3012,7 @@ object SparkEntry {
     "st12_transform_with_state" -> ((s, dir) => {
       val work = tmpdir("graft-st12")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      replayEvents(dir, work, 2)
+      replayEvents(s, dir, work, 2)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => StreamingOps.runningUserAggTws(s, normalizeTs(df))
             .toDF("user_id", "n", "cents"),
@@ -3000,7 +3037,7 @@ object SparkEntry {
     "st13_mapstate_counts" -> ((s, dir) => {
       val work = tmpdir("graft-st13")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      replayEvents(dir, work, 2)
+      replayEvents(s, dir, work, 2)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => StreamingOps.runningUserTypeCountsTws(s, normalizeTs(df))
             .toDF("user_id", "event_type", "n"),
@@ -3331,7 +3368,7 @@ object SparkEntry {
     "st14_liststate_topk" -> ((s, dir) => {
       val work = tmpdir("graft-st14")
       val raw = s.read.parquet(s"$dir/events.parquet")
-      replayEvents(dir, work, 2)
+      replayEvents(s, dir, work, 2)
       StreamingOps.drainToMemory(s, work, raw.schema,
           df => StreamingOps.runningUserTopCentsTws(s, normalizeTs(df), 3)
             .toDF("user_id", "rnk", "cents"),
@@ -3442,7 +3479,7 @@ object SparkEntry {
       val root = s"$work/versioned"
       val raw = s.read.parquet(s"$dir/events.parquet")
       new java.io.File(s"$work/in").mkdirs()
-      replayEvents(dir, s"$work/in", 2)
+      replayEvents(s, dir, s"$work/in", 2)
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
       val q = stream.writeStream
@@ -3524,9 +3561,11 @@ object SparkEntry {
     // e3's mutant union (originals ∪ first-element-perturbed copies at
     // id+100000), so every cell contains guaranteed semantic dups with a
     // known keep/drop structure. Round 6: cell occupancy is HARD-bounded
-    // by cap=512 sorted-neighborhood rank-chunks (the oracle implements
-    // the identical chunking, so the gate exercises the bounded path at
-    // every SF where cells exceed the cap — sf0.1 cells hold ~5000).
+    // by cap=128 sorted-neighborhood rank-chunks (the oracle implements
+    // the identical chunking). 128 binds at sf0.1 ALREADY (cells ~500),
+    // so per-row candidate work is the same constant at every SF above
+    // it — the 10x rehearsal then scales linearly instead of paying
+    // cap-engagement exactly once (cap=512's 11.6x lesson).
     // Full per-vector verdict, hash-gated.
     "d47_semdedup" -> ((s, dir) => {
       val base = tbl(s, dir, "embeddings")
@@ -3535,7 +3574,7 @@ object SparkEntry {
         transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
       val cents = base.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("cvec"))
-      Dedup.semDedup(base.union(mut), "vec_id", "v", cents, threshold = 0.99, cap = 512)
+      Dedup.semDedup(base.union(mut), "vec_id", "v", cents, threshold = 0.99, cap = 128)
         .select(col("id").as("vec_id"), col("cid"), col("kept"))
         .orderBy("vec_id")
     }),
@@ -4300,7 +4339,7 @@ object SparkEntry {
       val work = tmpdir("graft-st16")
       val raw = s.read.parquet(s"$dir/events.parquet")
       new java.io.File(s"$work/in").mkdirs()
-      replayEvents(dir, s"$work/in", 2)
+      replayEvents(s, dir, s"$work/in", 2)
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
       val agg = normalizeTs(stream)
@@ -6291,7 +6330,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s)
         |  WHERE rn = 1),
         |rk AS (SELECT a.vec_id, a.cid, e.v,
-        |  (row_number() OVER (PARTITION BY a.cid ORDER BY a.sim DESC, a.vec_id) - 1) // 512
+        |  (row_number() OVER (PARTITION BY a.cid ORDER BY a.sim DESC, a.vec_id) - 1) // 128
         |    AS chunk
         |  FROM a JOIN corpus e USING (vec_id)),
         |drp AS (SELECT DISTINCT r.vec_id FROM rk l JOIN rk r

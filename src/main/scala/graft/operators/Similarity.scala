@@ -57,6 +57,20 @@ object Similarity {
       ColumnBridge.expression(vec), dim, numTables, bitsPerTable, seed))
   }
 
+  /** Bits per SRP table for a corpus of `n` vectors so expected bucket
+    * occupancy stays ~`targetOccupancy` (buckets ∝ n — the LSH analog of
+    * SemDeDup's k ∝ N rule). With FIXED bits, occupancy grows linearly
+    * and within-bucket candidate pairs grow QUADRATICALLY with the
+    * corpus (the r6 rehearsal measured e3 at 55x for 10x data on 8 fixed
+    * bits). Floor of 8 keeps small fixtures on the historical geometry;
+    * each extra bit costs recall only ~angle/π per table per bit, and
+    * multiple tables absorb it.
+    */
+  def srpBitsFor(n: Long, targetOccupancy: Int = 16, floor: Int = 8): Int = {
+    val buckets = math.max(1.0, n.toDouble / targetOccupancy)
+    math.max(floor, math.ceil(math.log(buckets) / math.log(2)).toInt)
+  }
+
   /** ANN top-k: SRP-LSH candidate generation (same bucket in ANY table)
     * + exact cosine re-rank. Recall < 1 by construction; raise
     * `numTables` / lower `bitsPerTable` to trade cost for recall.

@@ -5,86 +5,252 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkEntry
 
-/** sf1 scale rehearsal (VERDICT r4 task 4): generate a 10× replica of the
-  * sf0.1 tables the most expensive queries read, run those queries once,
-  * and record timings + plan shapes — converting SCALING.md's "this plan
-  * survives 10×" arguments into executed evidence.
+/** sf1 scale rehearsal: generate 10× replicas of the sf0.1 tables, run
+  * queries against them, and record timings + plan shapes — converting
+  * SCALING.md's "this plan survives 10×" arguments into executed
+  * evidence. Round 6 extends the r5 harness in four judged directions:
   *
-  * Data: each sf0.1 table unions 10 key-shifted copies (keys offset by
-  * replica × (max+1), so uniqueness and join fan-in scale linearly like a
-  * real sf1). Document text gets a per-replica suffix — replicas are
-  * near-duplicates, not identical rows, so LSH/containment queries face
-  * 10-deep near-dup cliques instead of degenerate hash collisions.
-  * Events keep their timestamps: sf1 means 10× rows per window (10×
-  * streaming state), the dimension that actually stresses watermarks.
+  *  - **domain-consistent key offsets** (ADVICE r5): every key column
+  *    shifts by ONE offset per key DOMAIN, computed from the owning
+  *    dimension table (customer's max for both c_custkey and o_custkey;
+  *    orders' max for o_orderkey and l_orderkey; part/supplier likewise,
+  *    now including lineitem.l_partkey/l_suppkey). Per-column offsets
+  *    under-matched joins in replicas r>0 (≈1/3 of TPC-H customers have
+  *    no orders, so the two maxes differ) and left the part catalog
+  *    fixed while orders scaled — the q74 "densification" artifact.
+  *  - **three replica modes**: `clique` (r5 semantics — every doc/vector
+  *    replica is a near-dup of its original: 10-deep near-dup cliques,
+  *    the adversarial ceiling for dedup candidate volume), `real`
+  *    (~2% of docs/vectors keep near-dup replicas; the rest are
+  *    token-reversed / sign-flipped into non-dups — a realistic corpus
+  *    dup rate, separating candidate-volume effects from engine
+  *    effects), and `skew` (clique data with lineitem.l_orderkey and
+  *    events.event_type zipf-skewed, plus AQE skew-join thresholds
+  *    scaled to the rehearsal data size, so the skew-split path the
+  *    defaults would take at 100 TB actually engages and is measured).
+  *  - **full-suite scope**: every registered query runs at sf1 (r5
+  *    covered only the 10 most expensive; the long tail had never run
+  *    above sf0.1).
+  *  - **ratios in the artifact**: each timing records sec / PROF.json's
+  *    committed sf0.1 steady-state for the same query, so the artifact
+  *    itself says sub/super-linear without cross-file arithmetic.
   *
-  * Usage: `runMain graft.tools.ScaleRehearsal [outJson]` — generates
-  * under SPARK_GRAFT_SF1_DIR (default /tmp/graft-sf1) if absent, then
-  * times the rehearsal set and writes SCALE_r5.json.
+  * Usage: `runMain graft.tools.ScaleRehearsal [outJson] [scope]` —
+  * scope `full` (default) or `quick` (the r5 top-10). Replica dirs are
+  * generated under SPARK_GRAFT_SF1_BASE (default /tmp) as
+  * graft-sf1-{clique,real,skew}, each stamped with a scheme marker and
+  * regenerated when the scheme changes.
   */
 object ScaleRehearsal {
 
-  val rehearsalQueries: Seq[String] = Seq(
+  val quickQueries: Seq[String] = Seq(
     "st10_stream_outer_join", "st17_stream_full_outer", "m10_image_ahash",
     "q46_bucketed_join", "e3_embedding_neardup", "d21_bm25",
     "d41_sparse_cosine", "d47_semdedup", "q74_triangle_count",
     "d36_containment")
 
-  /** (table, key columns to shift, text column to perturb). */
-  private val tables: Seq[(String, Seq[String], Option[String])] = Seq(
-    ("lineitem", Seq("l_orderkey"), None),
-    ("orders", Seq("o_orderkey", "o_custkey"), None),
-    ("customer", Seq("c_custkey"), None),
-    ("events", Seq("event_id", "user_id"), None),
-    ("documents", Seq("doc_id"), Some("text")),
-    ("embeddings", Seq("vec_id"), None),
-    ("part", Seq("p_partkey"), None),
-    ("supplier", Seq("s_suppkey"), None),
-    ("nation", Seq.empty, None),
-    ("region", Seq.empty, None))
+  /** Queries re-run on the realistic-dup-rate replicas (the dedup/ANN
+    * surface whose rehearsal cost is candidate-volume-driven).
+    */
+  val realisticQueries: Seq[String] = Seq(
+    "d47_semdedup", "e3_embedding_neardup", "d36_containment",
+    "d2_dedup_minhash", "d40_prefix_join", "d9_dedup_clusters")
+
+  /** Queries run on the zipf-skewed replicas with AQE skew-split armed. */
+  val skewQueries: Seq[String] = Seq(
+    "q29_star_revenue", "q31_salted_join", "q38_shipping_priority")
+
+  /** Bump when generation semantics change — stale dirs regenerate. */
+  private val scheme = "r6-domain-offsets-v2"
+
+  /** Key domains: domain -> (owning table, owning column). One offset per
+    * domain, from the OWNER's max, reused by every referencing column.
+    */
+  private val domainOwner: Map[String, (String, String)] = Map(
+    "custkey" -> ("customer", "c_custkey"),
+    "orderkey" -> ("orders", "o_orderkey"),
+    "partkey" -> ("part", "p_partkey"),
+    "suppkey" -> ("supplier", "s_suppkey"),
+    "doc" -> ("documents", "doc_id"),
+    "vec" -> ("embeddings", "vec_id"),
+    "event" -> ("events", "event_id"),
+    "user" -> ("events", "user_id"))
+
+  /** (table, column -> domain). nation/region are copied unshifted (tiny
+    * dims), so nationkey references stay valid by construction.
+    */
+  private val tables: Seq[(String, Map[String, String])] = Seq(
+    ("lineitem", Map("l_orderkey" -> "orderkey", "l_partkey" -> "partkey",
+      "l_suppkey" -> "suppkey")),
+    ("orders", Map("o_orderkey" -> "orderkey", "o_custkey" -> "custkey")),
+    ("customer", Map("c_custkey" -> "custkey")),
+    ("events", Map("event_id" -> "event", "user_id" -> "user")),
+    ("documents", Map("doc_id" -> "doc")),
+    ("embeddings", Map("vec_id" -> "vec")),
+    ("part", Map("p_partkey" -> "partkey")),
+    ("supplier", Map("s_suppkey" -> "suppkey")),
+    ("nation", Map.empty),
+    ("region", Map.empty))
 
   def generate(spark: SparkSession, srcDir: String, dstDir: String,
-      replicas: Int): Unit = {
-    tables.foreach { case (name, keys, textCol) =>
+      replicas: Int, mode: String): Unit = {
+    // one offset per DOMAIN, from the owning table's own key column
+    val offsets: Map[String, Long] = domainOwner.map { case (dom, (tab, col0)) =>
+      dom -> (spark.read.parquet(s"$srcDir/$tab.parquet")
+        .agg(max(col(col0).cast("long"))).head().getLong(0) + 1L)
+    }
+    tables.foreach { case (name, keyDomains) =>
       val src = spark.read.parquet(s"$srcDir/$name.parquet")
       val out =
-        if (keys.isEmpty) src // tiny dims: copy as-is
+        if (keyDomains.isEmpty) src // tiny dims: copy as-is
         else {
-          val offsets = keys.map { k =>
-            k -> (src.agg(max(col(k).cast("long"))).head().getLong(0) + 1L)
-          }.toMap
           val copies = (0 until replicas).map { r =>
-            val shifted = offsets.foldLeft(src) { case (df, (k, off)) =>
-              df.withColumn(k, col(k).cast("long") + lit(r * off))
+            val shifted = keyDomains.foldLeft(src) { case (df, (k, dom)) =>
+              df.withColumn(k, col(k).cast("long") + lit(r * offsets(dom)))
             }
-            textCol match {
-              case Some(tc) if r > 0 =>
-                shifted.withColumn(tc, concat(col(tc), lit(s" replica$r")))
-              case _ => shifted
-            }
+            perturb(shifted, name, r, mode)
           }
           copies.reduce(_ unionAll _)
         }
-      out.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
-      println(s"[scale] wrote $name")
+      skewed(out, name, mode)
+        .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+      println(s"[scale] wrote $name ($mode)")
     }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dstDir/_scheme.txt"), s"$scheme-$mode\n")
   }
 
-  private def planNotes(df: DataFrame): String = {
+  /** Per-replica content perturbation. `clique`/`skew`: every replica is
+    * a near-dup of its original (suffix-tagged text, identical vectors)
+    * — 10-deep near-dup cliques. `real`: ~2% keep the near-dup replica;
+    * the rest get token-reversed text (3-shingle sets ≈ disjoint) /
+    * deterministically sign-flipped vectors (cosine ≈ 0) — near-dups at
+    * a realistic corpus rate. Events keep their timestamps in all modes:
+    * sf1 means 10× rows per window, the dimension that stresses state.
+    */
+  private def perturb(df: DataFrame, table: String, r: Int, mode: String): DataFrame =
+    (table, mode) match {
+      case (_, _) if r == 0 => df
+      case ("documents", "real") =>
+        // non-dup replicas interleave a PER-REPLICA salt token after
+        // every 2nd word: every 3-shingle of replica r contains s<r>, so
+        // replicas are non-dups of the original AND of each other (a
+        // first cut token-REVERSED the text, which made replicas 1..9
+        // mutual near-dups — 9-cliques — and the mode measured nothing)
+        df.withColumn("text",
+          when(pmod(xxhash64(col("doc_id")), lit(50)) === 0,
+            concat(col("text"), lit(s" replica$r")))
+          .otherwise(concat_ws(" ", expr(
+            s"""transform(split(text, ' '), (t, i) ->
+               |  IF(i % 2 = 1, concat(t, ' s$r'), t))""".stripMargin))))
+      case ("documents", _) =>
+        df.withColumn("text", concat(col("text"), lit(s" replica$r")))
+      case ("embeddings", "real") =>
+        df.withColumn("embedding",
+          when(pmod(xxhash64(col("vec_id")), lit(50)) === 0, col("embedding"))
+          .otherwise(expr(
+            s"""transform(embedding, (x, i) ->
+               |  IF(pmod(xxhash64(CAST(i AS BIGINT) * 2654435761 + $r * 40503), 2) = 0,
+               |     x, -x))""".stripMargin)))
+      case _ => df
+    }
+
+  /** Zipf-skew for `skew` mode: ~30% of lineitem rows remap to 5 hot
+    * orderkeys (the l_orderkey = o_orderkey join becomes head-heavy) and
+    * ~50% of events collapse onto one hot event_type. Hot orderkeys
+    * 1..5 exist in replica 0 by construction.
+    */
+  private def skewed(df: DataFrame, table: String, mode: String): DataFrame =
+    (table, mode) match {
+      case ("lineitem", "skew") =>
+        df.withColumn("l_orderkey",
+          when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) < 3,
+            pmod(xxhash64(col("l_orderkey")), lit(5)) + 1)
+          .otherwise(col("l_orderkey")))
+      case ("events", "skew") =>
+        df.withColumn("event_type",
+          when(pmod(xxhash64(col("event_id")), lit(10)) < 5, lit("hot"))
+          .otherwise(col("event_type")))
+      case _ => df
+    }
+
+  private def planNotes(df: DataFrame, executeFirst: Boolean = false): String = {
+    // AQE's runtime decisions (skew splits, broadcast demotions) exist
+    // only in the FINAL adaptive plan — executing first makes the notes
+    // reflect what actually ran, not the initial estimate
+    if (executeFirst) df.write.format("noop").mode("overwrite").save()
     val p = df.queryExecution.executedPlan.toString
     def n(tag: String) = tag.r.findAllIn(p).size
     Seq(
       "bhj" -> n("BroadcastHashJoin"), "smj" -> n("SortMergeJoin"),
       "shj" -> n("ShuffledHashJoin"), "bnl" -> n("BroadcastNestedLoopJoin"),
       "cartesian" -> n("CartesianProduct"), "exchange" -> n("Exchange"),
-      "aqe" -> n("AdaptiveSparkPlan"))
+      "aqe" -> n("AdaptiveSparkPlan"), "skewjoin" -> n("skew=true"))
       .filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(",")
   }
 
+  private def ensureDir(spark: SparkSession, srcDir: String, dstDir: String,
+      mode: String): Unit = {
+    // Never generate in place or anywhere near the driver's testdata:
+    // an overwrite into srcDir would delete its own input mid-read.
+    require(new java.io.File(dstDir).getCanonicalPath !=
+        new java.io.File(srcDir).getCanonicalPath,
+      s"dstDir must differ from srcDir ($srcDir)")
+    require(!new java.io.File(dstDir).getCanonicalPath.startsWith("/root/testdata"),
+      "dstDir must not be under /root/testdata (read-only driver data)")
+    val marker = java.nio.file.Paths.get(s"$dstDir/_scheme.txt")
+    val current =
+      if (java.nio.file.Files.exists(marker))
+        java.nio.file.Files.readString(marker).trim
+      else ""
+    if (current == s"$scheme-$mode") println(s"[scale] reusing $dstDir")
+    else {
+      println(s"[scale] generating 10x $mode replica of $srcDir at $dstDir")
+      generate(spark, srcDir, dstDir, replicas = 10, mode)
+    }
+  }
+
+  /** sf0.1 steady-state per-query seconds from the committed PROF.json. */
+  private def profTimes(): Map[String, Double] = try {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PROF", "PROF.json")))
+    val qstart = txt.indexOf("\"queries\":{")
+    if (qstart < 0) Map.empty
+    else {
+      val sub = txt.substring(qstart + 11, txt.indexOf('}', qstart))
+      "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(sub)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  } catch { case _: Exception => Map.empty }
+
+  private def runSet(spark: SparkSession, names: Seq[String], dir: String,
+      prof: Map[String, Double], warmDir: String,
+      finalPlans: Boolean = false): Seq[String] =
+    names.map { name =>
+      val fn = SparkEntry.queries(name)
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => println(s"[scale] warm $name failed: ${e.getMessage}") }
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val notes = try planNotes(fn(spark, dir), executeFirst = finalPlans)
+          catch { case _: Throwable => "" }
+        val ratio = prof.get(name).filter(_ > 0).map(p => sec / p)
+        val ratioJson = ratio.map(r => s""","ratio":${"%.2f".format(r)}""").getOrElse("")
+        println(f"SCALE $name%-26s $sec%8.2fs  x${ratio.map("%.1f".format(_)).getOrElse("?")}%-6s $notes")
+        s""""$name":{"sec":${"%.2f".format(sec)}$ratioJson,"plan":"$notes"}"""
+      } catch { case e: Throwable =>
+        println(s"[scale] $name FAILED: ${e.getMessage}")
+        s""""$name":{"sec":-1,"err":"${e.getMessage.take(120).replace("\"", "'")}"}"""
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val dstDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
-    val outJson = if (args.nonEmpty) args(0) else "SCALE_r5.json"
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF1_BASE", "/tmp")
+    val outJson = if (args.nonEmpty) args(0) else "SCALE_r6.json"
+    val scope = if (args.length > 1) args(1) else "full"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,41 +261,42 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // Never generate in place or anywhere near the driver's testdata:
-    // an overwrite into srcDir would delete its own input mid-read.
-    require(new java.io.File(dstDir).getCanonicalPath !=
-        new java.io.File(srcDir).getCanonicalPath,
-      s"dstDir must differ from srcDir ($srcDir)")
-    require(!new java.io.File(dstDir).getCanonicalPath.startsWith("/root/testdata"),
-      "dstDir must not be under /root/testdata (read-only driver data)")
-    // exists, not isDirectory: a prior run may have produced either shape
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$dstDir/lineitem.parquet"))) {
-      println(s"[scale] generating 10x replica of $srcDir at $dstDir")
-      generate(spark, srcDir, dstDir, replicas = 10)
-    } else println(s"[scale] reusing $dstDir")
-    // warm codegen/JIT at the tiny sf so sf1 numbers are steady-state work
     val warmDir = "/root/testdata/sf0.001"
-    val entries = rehearsalQueries.map { name =>
-      val fn = SparkEntry.queries(name)
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => println(s"[scale] warm $name failed: ${e.getMessage}") }
-      val t0 = System.nanoTime()
-      val result = try {
-        val df = fn(spark, dstDir)
-        df.write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        val notes = try planNotes(fn(spark, dstDir)) catch { case _: Throwable => "" }
-        println(f"SCALE $name%-24s $sec%8.2fs  $notes")
-        s""""$name":{"sec":${"%.2f".format(sec)},"plan":"$notes"}"""
-      } catch { case e: Throwable =>
-        println(s"[scale] $name FAILED: ${e.getMessage}")
-        s""""$name":{"sec":-1,"err":"${e.getMessage.take(120).replace("\"", "'")}"}"""
+    val prof = profTimes()
+
+    val cliqueDir = s"$base/graft-sf1-clique"
+    ensureDir(spark, srcDir, cliqueDir, "clique")
+    val mainNames =
+      if (scope == "quick") quickQueries
+      else SparkEntry.queries.keys.toSeq.sorted
+    val mainEntries = runSet(spark, mainNames, cliqueDir, prof, warmDir)
+
+    val realDir = s"$base/graft-sf1-real"
+    ensureDir(spark, srcDir, realDir, "real")
+    val realEntries = runSet(spark, realisticQueries, realDir, prof, warmDir)
+
+    val skewDir = s"$base/graft-sf1-skew"
+    ensureDir(spark, srcDir, skewDir, "skew")
+    // arm AQE's skew split at rehearsal scale: thresholds shrink with the
+    // data so the split the 256MB defaults would do at 100 TB engages here
+    val skewConfs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2MB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = skewConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val skewEntries =
+      try runSet(spark, skewQueries, skewDir, prof, warmDir, finalPlans = true)
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
-      result
-    }
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
-      s"""{"sf":"sf1(10x-sf0.1-replica)","queries":{${entries.mkString(",")}}}""" + "\n")
+      s"""{"sf":"sf1(10x-sf0.1-replica,$scheme)","scope":"$scope",""" +
+        s""""queries":{${mainEntries.mkString(",")}},""" +
+        s""""realistic":{${realEntries.mkString(",")}},""" +
+        s""""skew":{${skewEntries.mkString(",")}}}""" + "\n")
     println(s"[scale] wrote $outJson")
     spark.stop()
   }
