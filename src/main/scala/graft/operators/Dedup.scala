@@ -80,21 +80,65 @@ object Dedup {
   /** Candidate pairs from LSH banding: docs sharing any band-bucket, where
     * a band's bucket is the hash of its `numHashes/bands` signature
     * slots. Emits (a, b) with a < b, deduplicated.
+    *
+    * `bucketCap` (with `rankBy`, a per-doc ordering column) HARD-bounds
+    * the per-(band, bucket) pairwise term exactly like
+    * [[embeddingNearDupLsh]]: a bucket with ≤ cap members compares all
+    * pairs (the original semantics — sub-cap buckets join on a single
+    * chunk key 0, which IS the plain bucket join); an oversized bucket
+    * ranks its members by (`rankBy`, doc), cuts the ranking into chunks
+    * of `cap`, and compares only same-or-adjacent chunks — O(n · cap)
+    * instead of O(n²), the boilerplate-mega-bucket insurance. With
+    * `rankBy` = shingle-set size the loss mode is benign: a true pair at
+    * Jaccard ≥ t has |A|/|B| within [t, 1/t], so the Ω(cap) crowd that
+    * could separate it inside a shared bucket consists of docs whose
+    * sizes interpolate between the pair's — in a mega-bucket (shared
+    * exact band signature) those are themselves near-dups, and
+    * chunk-adjacency keeps the whole cluster CONNECTED as a rank chain,
+    * so downstream clustering ([[clusters]]) sees the same components.
     */
   def lshCandidates(
-      sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+      sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
+      bucketCap: Int = Int.MaxValue, rankBy: Column = lit(0L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val r = numHashes / bands
     require(r * bands == numHashes, s"bands=$bands must divide numHashes=$numHashes")
+    require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
     val bandHashes = (0 until bands).map { j =>
       xxhash64((j * r until (j + 1) * r).map(i => element_at(col("sig"), i + 1)): _*)
     }
-    val banded = sigs.select(col(idCol).as("doc"), posexplode(array(bandHashes: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("a"), col("r.doc").as("b"))
-      .distinct()
+    if (bucketCap == Int.MaxValue) {
+      // uncapped fast path: no windows, single equi-join on (band, bucket)
+      val banded = sigs.select(col(idCol).as("doc"), posexplode(array(bandHashes: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      banded.as("l").join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+            col("l.doc") < col("r.doc"))
+        .select(col("l.doc").as("a"), col("r.doc").as("b"))
+        .distinct()
+    } else {
+      val banded = sigs
+        .select(col(idCol).as("doc"), rankBy.as("rk"), posexplode(array(bandHashes: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+        .withColumn("chunk",
+          when(col("occ") <= bucketCap, lit(0L)).otherwise(floor(
+            (row_number().over(Window.partitionBy("band", "bucket")
+              .orderBy("rk", "doc")) - 1) / lit(bucketCap.toLong))))
+      // oversized-bucket rows emit at {chunk, chunk+1}; k == greatest(lc, rc)
+      // admits each |Δchunk| ≤ 1 pair exactly once (the semDedup scheme).
+      // Sub-cap rows emit a single key — exactly the original bucket join.
+      def keyed(side: String) = banded
+        .select(col("doc").as(s"${side}_doc"), col("band"), col("bucket"),
+          col("chunk").as(s"${side}_c"),
+          explode(when(col("occ") <= bucketCap, array(col("chunk")))
+            .otherwise(array(col("chunk"), col("chunk") + 1))).as("k"))
+      keyed("l").join(keyed("r"), Seq("band", "bucket", "k"))
+        .filter(col("k") === greatest(col("l_c"), col("r_c")) &&
+          col("l_doc") < col("r_doc"))
+        .select(col("l_doc").as("a"), col("r_doc").as("b"))
+        .distinct()
+    }
   }
 
   /** Exact Jaccard similarity between the shingle sets of candidate pairs.
@@ -128,7 +172,7 @@ object Dedup {
   def minHashLsh(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, bucketCap: Int = 1024): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     // hash shingles ONCE (single-pass expression); signatures aggregate
     // the exploded hashes, verify intersects the hash sets — the shingle
@@ -139,13 +183,18 @@ object Dedup {
       // row-local signatures: MinHash is a pure function of one doc's
       // shingle-hash set, so no explode / aggregation state / shuffle —
       // identical output to the MinHashAggregate formulation (parity
-      // spec-pinned in NorthStarSpec)
+      // spec-pinned in NorthStarSpec). `sz` (shingle count) is the
+      // rank key the bucket cap chunks oversized buckets by: a true
+      // pair at J ≥ t has size ratio within [t, 1/t], so rank-distance
+      // inside a mega-bucket tracks real dissimilarity.
       val sigs = hashed.select(col(idCol), ColumnBridge.column(
         graft.functions.MinHashSignature(
-          ColumnBridge.expression(col("hs")), numHashes, 42L)).as("sig"))
+          ColumnBridge.expression(col("hs")), numHashes, 42L)).as("sig"),
+        size(col("hs")).cast("long").as("sz"))
       // the candidate list is referenced three times by the verify join
       // (pair list + the two id-prune sides) — cache it
-      val cands = lshCandidates(sigs, idCol, numHashes, bands).persist()
+      val cands = lshCandidates(sigs, idCol, numHashes, bands,
+        bucketCap, col("sz")).persist()
       try {
         val verified = verifyJaccard(cands, hashed, idCol, "hs")
           .filter(col("jaccard") >= threshold).persist()
@@ -488,7 +537,9 @@ object Dedup {
     * score the candidate pairs.
     */
   def prefixJaccardJoin(
-      sets: DataFrame, num: Int, den: Int): DataFrame = {
+      sets: DataFrame, num: Int, den: Int, bucketCap: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
     // the element table feeds both the frequency agg and the sort join —
     // cache it so the upstream (shingle hashing etc.) runs once
     val s0 = sets.persist()
@@ -501,18 +552,43 @@ object Dedup {
       .withColumn("p", col("n") - expr(s"CAST(($num * n + $den - 1) DIV $den AS INT)") + 1)
       .persist()
     try {
+      // Prefix tokens are globally RARE by construction (ascending-df sort),
+      // which bounds bucket sizes on natural corpora — but a boilerplate
+      // mega-cluster shares its "rare" tokens across the whole cluster, so
+      // the per-token pairwise term gets the same hard bound as
+      // lshCandidates: rank bucket members by (set size, id) — a true pair
+      // at t = num/den has |A|/|B| within [t, 1/t] — and compare only
+      // same-or-adjacent rank-chunks of `bucketCap`. Sub-cap buckets keep
+      // the exact original single-key join semantics.
       val prefixes = sorted.select(col("id"), col("n"),
-        explode(expr("slice(toks, 1, p)")).as("tk"))
-      val cands = prefixes.as("a")
-        .join(prefixes.as("b"), col("a.tk") === col("b.tk") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("ia"), col("b.id").as("ib"))
-        .distinct()
+          explode(expr("slice(toks, 1, p)")).as("tk"))
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy("tk")))
+        .withColumn("chunk",
+          when(col("occ") <= bucketCap, lit(0L)).otherwise(floor(
+            (row_number().over(Window.partitionBy("tk").orderBy("n", "id")) - 1)
+              / lit(bucketCap.toLong))))
+      def keyed(side: String) = prefixes
+        .select(col("id").as(s"${side}_id"), col("tk"), col("chunk").as(s"${side}_c"),
+          explode(when(col("occ") <= bucketCap, array(col("chunk")))
+            .otherwise(array(col("chunk"), col("chunk") + 1))).as("k"))
+      val cands = keyed("a").join(keyed("b"), Seq("tk", "k"))
+        .filter(col("k") === greatest(col("a_c"), col("b_c")) &&
+          col("a_id") < col("b_id"))
+        .select(col("a_id").as("ia"), col("b_id").as("ib"))
+        .distinct().persist()
+      // verify with the verifyJaccard exchange discipline: the (wide)
+      // sorted-token arrays reach the candidate-bounded pair list via
+      // map-side prune + broadcast, never a hash-partition shuffle
+      val ta = sorted.select(col("id").as("ia"), col("toks").as("ta"), col("n").as("na"))
+        .join(broadcast(cands.select("ia").distinct()), "ia")
+      val tb = sorted.select(col("id").as("ib"), col("toks").as("tb"), col("n").as("nb"))
+        .join(broadcast(cands.select("ib").distinct()), "ib")
       // persist the (small) result and materialize it while `sorted` is
       // cached — same ownership convention as minHashLsh: the returned
       // DataFrame is persisted, caller unpersists when done
       val out = cands
-        .join(sorted.select(col("id").as("ia"), col("toks").as("ta"), col("n").as("na")), "ia")
-        .join(sorted.select(col("id").as("ib"), col("toks").as("tb"), col("n").as("nb")), "ib")
+        .join(broadcast(ta), "ia")
+        .join(broadcast(tb), "ib")
         .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
         .withColumn("un", col("na") + col("nb") - col("inter"))
         .filter(lit(den) * col("inter") >= lit(num) * col("un"))
@@ -520,6 +596,7 @@ object Dedup {
           col("inter").cast("long").as("inter"), col("un").cast("long").as("un"))
         .persist()
       out.count()
+      cands.unpersist(blocking = false)
       out
     } finally {
       sorted.unpersist(blocking = false)
