@@ -73,6 +73,10 @@ object Bench {
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val streaming = name.startsWith("st")
       val before = if (streaming) settledBatches() else 0L
+      // attribution-honest timing: drop the per-session intermediate cache
+      // so each query pays its full pipeline (d9 otherwise measures a
+      // cache read of d2's pair list; PROF ratios then overstate scaling)
+      SparkEntry.resetSessionCache(spark)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -191,6 +191,23 @@ object SparkEntry {
       perSession.getOrElseUpdate(key, compute)
     }
   }
+  /** Bench/Prof/rehearsal hook: drop and unpersist every cached
+    * intermediate for `s`, so a timed query run pays its FULL pipeline
+    * instead of re-reading a sibling query's materialized result (d9
+    * reuses d2's pair list by design — correct for a real pipeline
+    * session, but it turns per-query timing attribution into noise:
+    * whichever of d2/d9 runs first absorbs the LSH cost and the other
+    * measures a cache read). Tools call this before every timed run;
+    * the library behavior (per-session sharing) is unchanged.
+    */
+  def resetSessionCache(s: SparkSession): Unit = {
+    val m = sessionCache.synchronized { sessionCache.remove(s) }
+    if (m != null) m.synchronized {
+      m.values.foreach(_.unpersist(blocking = false))
+      m.clear()
+    }
+  }
+
   private def minHashPairs(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, s"pairs|$dir") {
       Dedup.minHashLsh(nearDupCorpus(tbl(s, dir, "documents")), "doc_id", "text",

@@ -117,27 +117,49 @@ object Dedup {
         .select(col("l.doc").as("a"), col("r.doc").as("b"))
         .distinct()
     } else {
+      // Two-phase occupancy split — the cap must be FREE when it does not
+      // engage (the first formulation ran the rank window over EVERY
+      // bucket and doubled d2's 10× rehearsal cost). Phase 1 counts
+      // bucket occupancy with a map-side-combined aggregate (the shuffle
+      // carries partial (band, bucket, count) rows, not docs); the
+      // oversized-bucket list is mega-clusters only — rare by nature —
+      // and AQE broadcasts it back (no hint: if a pathological corpus
+      // made it huge, the join degrades to shuffle instead of OOMing the
+      // driver). Sub-cap rows then take EXACTLY the original
+      // single-shuffle bucket join; only over-cap rows pay the sort.
+      // `banded` feeds the occupancy agg + both join branches (3 scans of
+      // `sigs`) — callers on the capped path should pass a persisted
+      // `sigs` frame (minHashLsh does) so the signature kernel runs once.
       val banded = sigs
         .select(col(idCol).as("doc"), rankBy.as("rk"), posexplode(array(bandHashes: _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-        .withColumn("occ", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-        .withColumn("chunk",
-          when(col("occ") <= bucketCap, lit(0L)).otherwise(floor(
-            (row_number().over(Window.partitionBy("band", "bucket")
-              .orderBy("rk", "doc")) - 1) / lit(bucketCap.toLong))))
-      // oversized-bucket rows emit at {chunk, chunk+1}; k == greatest(lc, rc)
-      // admits each |Δchunk| ≤ 1 pair exactly once (the semDedup scheme).
-      // Sub-cap rows emit a single key — exactly the original bucket join.
-      def keyed(side: String) = banded
+      val over = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("occ")).filter(col("occ") > bucketCap)
+      val flagged = banded.join(over, Seq("band", "bucket"), "left")
+      val normal = flagged.filter(col("occ").isNull)
+      val normalPairs = normal.as("l").join(normal.as("r"),
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+            col("l.doc") < col("r.doc"))
+        .select(col("l.doc").as("a"), col("r.doc").as("b"))
+      // oversized-bucket rows rank by (rk, doc), chunk by cap, emit at
+      // {chunk, chunk+1}; k == greatest(lc, rc) admits each |Δchunk| ≤ 1
+      // pair exactly once (the semDedup scheme) — O(n · cap) per bucket.
+      val big = flagged.filter(col("occ").isNotNull)
+        .withColumn("chunk", floor(
+          (row_number().over(Window.partitionBy("band", "bucket")
+            .orderBy("rk", "doc")) - 1) / lit(bucketCap.toLong)))
+      def keyed(side: String) = big
         .select(col("doc").as(s"${side}_doc"), col("band"), col("bucket"),
           col("chunk").as(s"${side}_c"),
-          explode(when(col("occ") <= bucketCap, array(col("chunk")))
-            .otherwise(array(col("chunk"), col("chunk") + 1))).as("k"))
-      keyed("l").join(keyed("r"), Seq("band", "bucket", "k"))
+          explode(array(col("chunk"), col("chunk") + 1)).as("k"))
+      val bigPairs = keyed("l").join(keyed("r"), Seq("band", "bucket", "k"))
         .filter(col("k") === greatest(col("l_c"), col("r_c")) &&
           col("l_doc") < col("r_doc"))
         .select(col("l_doc").as("a"), col("r_doc").as("b"))
-        .distinct()
+      // a bucket is entirely sub-cap or entirely over-cap, so no pair can
+      // appear in both branches for the same bucket; distinct dedups
+      // multi-bucket collisions exactly as the uncapped path does.
+      normalPairs.union(bigPairs).distinct()
     }
   }
 
@@ -186,11 +208,13 @@ object Dedup {
       // spec-pinned in NorthStarSpec). `sz` (shingle count) is the
       // rank key the bucket cap chunks oversized buckets by: a true
       // pair at J ≥ t has size ratio within [t, 1/t], so rank-distance
-      // inside a mega-bucket tracks real dissimilarity.
+      // inside a mega-bucket tracks real dissimilarity. The capped
+      // candidate path scans sigs three times (occupancy agg + two join
+      // branches) — persist so the signature kernel runs once.
       val sigs = hashed.select(col(idCol), ColumnBridge.column(
         graft.functions.MinHashSignature(
           ColumnBridge.expression(col("hs")), numHashes, 42L)).as("sig"),
-        size(col("hs")).cast("long").as("sz"))
+        size(col("hs")).cast("long").as("sz")).persist()
       // the candidate list is referenced three times by the verify join
       // (pair list + the two id-prune sides) — cache it
       val cands = lshCandidates(sigs, idCol, numHashes, bands,
@@ -200,7 +224,10 @@ object Dedup {
           .filter(col("jaccard") >= threshold).persist()
         verified.count() // materialize while the shingle-hash cache is hot
         verified
-      } finally cands.unpersist(blocking = false)
+      } finally {
+        cands.unpersist(blocking = false)
+        sigs.unpersist(blocking = false)
+      }
     } finally hashed.unpersist(blocking = false)
   }
 
@@ -323,28 +350,40 @@ object Dedup {
     // bucket join on ids only — vectors never ride through the candidate
     // dedup shuffle; they are fetched once per distinct pair afterwards.
     // `p` (one double per row) is the only extra payload the cap needs.
+    // Two-phase occupancy split (the lshCandidates scheme): sub-cap
+    // buckets take exactly the original single-shuffle join; only
+    // over-cap buckets (mega-clusters, rare) pay the rank sort. The
+    // oversized list joins back unhinted so AQE broadcasts it when tiny.
+    // withB feeds the occupancy agg + both branches — persist it so the
+    // SRP signature kernel runs once (scalars only: doc, p, table,
+    // bucket).
     val withB = embs.select(col(idCol).as("doc"), proj.as("p"),
         posexplode(Similarity.srpSignature(col(vecCol), dim, numTables, bitsPerTable, seed)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("table", "bucket")))
-      .withColumn("chunk",
-        when(col("occ") <= bucketCap, lit(0L)).otherwise(floor(
-          (row_number().over(Window.partitionBy("table", "bucket")
-            .orderBy("p", "doc")) - 1) / lit(bucketCap.toLong))))
+      .persist()
+    val over = withB.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > bucketCap)
+    val flagged = withB.join(over, Seq("table", "bucket"), "left")
+    val normal = flagged.filter(col("occ").isNull)
+    val normalPairs = normal.as("l").join(normal.as("r"),
+        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("a"), col("r.doc").as("b"))
     // oversized-bucket rows emit at {chunk, chunk+1}; k == greatest(lc, rc)
-    // admits each |Δchunk| ≤ 1 pair exactly once (same scheme as
-    // semDedup). Within-cap rows emit at {0} only — exactly the original
-    // single-key join, no duplicated enumeration.
-    def keyed(side: String) = withB
+    // admits each |Δchunk| ≤ 1 pair exactly once (same scheme as semDedup)
+    val big = flagged.filter(col("occ").isNotNull)
+      .withColumn("chunk", floor(
+        (row_number().over(Window.partitionBy("table", "bucket")
+          .orderBy("p", "doc")) - 1) / lit(bucketCap.toLong)))
+    def keyed(side: String) = big
       .select(col("doc").as(s"${side}_doc"), col("table"), col("bucket"),
         col("chunk").as(s"${side}_c"),
-        explode(when(col("occ") <= bucketCap, array(col("chunk")))
-          .otherwise(array(col("chunk"), col("chunk") + 1))).as("k"))
-    val cands = keyed("l").join(keyed("r"), Seq("table", "bucket", "k"))
+        explode(array(col("chunk"), col("chunk") + 1)).as("k"))
+    val bigPairs = keyed("l").join(keyed("r"), Seq("table", "bucket", "k"))
       .filter(col("k") === greatest(col("l_c"), col("r_c")) &&
         col("l_doc") < col("r_doc"))
       .select(col("l_doc").as("a"), col("r_doc").as("b"))
-      .distinct().persist()
+    val cands = normalPairs.union(bigPairs).distinct().persist()
     try {
       // same exchange discipline as verifyJaccard: vectors reach the pair
       // list via map-side prune + broadcast, never a hash-partition shuffle
@@ -357,7 +396,10 @@ object Dedup {
         .filter(col("cos") >= threshold).persist()
       out.count() // materialize before releasing the candidate cache
       out
-    } finally cands.unpersist(blocking = false)
+    } finally {
+      cands.unpersist(blocking = false)
+      withB.unpersist(blocking = false)
+    }
   }
 
   /** SemDeDup (semantic dedup, Abbas et al. 2023, arXiv:2303.09540):
@@ -558,24 +600,35 @@ object Dedup {
       // the per-token pairwise term gets the same hard bound as
       // lshCandidates: rank bucket members by (set size, id) — a true pair
       // at t = num/den has |A|/|B| within [t, 1/t] — and compare only
-      // same-or-adjacent rank-chunks of `bucketCap`. Sub-cap buckets keep
-      // the exact original single-key join semantics.
+      // same-or-adjacent rank-chunks of `bucketCap`. Two-phase occupancy
+      // split keeps the cap FREE when it does not engage: sub-cap tokens
+      // take exactly the original single-shuffle join; only tokens shared
+      // by > cap sets (mega-cluster signature) pay the rank sort. The
+      // oversized-token list joins back without a broadcast hint so AQE
+      // broadcasts it when tiny and degrades to shuffle if a pathological
+      // corpus makes it huge. `prefixes` explodes from the persisted
+      // `sorted` cache, so its three scans recompute only the slice.
       val prefixes = sorted.select(col("id"), col("n"),
-          explode(expr("slice(toks, 1, p)")).as("tk"))
-        .withColumn("occ", count(lit(1)).over(Window.partitionBy("tk")))
-        .withColumn("chunk",
-          when(col("occ") <= bucketCap, lit(0L)).otherwise(floor(
-            (row_number().over(Window.partitionBy("tk").orderBy("n", "id")) - 1)
-              / lit(bucketCap.toLong))))
-      def keyed(side: String) = prefixes
+        explode(expr("slice(toks, 1, p)")).as("tk"))
+      val overTk = prefixes.groupBy("tk")
+        .agg(count(lit(1)).as("occ")).filter(col("occ") > bucketCap)
+      val flagged = prefixes.join(overTk, Seq("tk"), "left")
+      val normal = flagged.filter(col("occ").isNull)
+      val normalPairs = normal.as("a").join(normal.as("b"),
+          col("a.tk") === col("b.tk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      val big = flagged.filter(col("occ").isNotNull)
+        .withColumn("chunk", floor(
+          (row_number().over(Window.partitionBy("tk").orderBy("n", "id")) - 1)
+            / lit(bucketCap.toLong)))
+      def keyed(side: String) = big
         .select(col("id").as(s"${side}_id"), col("tk"), col("chunk").as(s"${side}_c"),
-          explode(when(col("occ") <= bucketCap, array(col("chunk")))
-            .otherwise(array(col("chunk"), col("chunk") + 1))).as("k"))
-      val cands = keyed("a").join(keyed("b"), Seq("tk", "k"))
+          explode(array(col("chunk"), col("chunk") + 1)).as("k"))
+      val bigPairs = keyed("a").join(keyed("b"), Seq("tk", "k"))
         .filter(col("k") === greatest(col("a_c"), col("b_c")) &&
           col("a_id") < col("b_id"))
         .select(col("a_id").as("ia"), col("b_id").as("ib"))
-        .distinct().persist()
+      val cands = normalPairs.union(bigPairs).distinct().persist()
       // verify with the verifyJaccard exchange discipline: the (wide)
       // sorted-token arrays reach the candidate-bounded pair list via
       // map-side prune + broadcast, never a hash-partition shuffle

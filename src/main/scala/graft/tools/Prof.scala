@@ -43,6 +43,10 @@ object Prof {
       }
       try {
         val times = (1 to reps).map { _ =>
+          // attribution-honest timing: drop the per-session intermediate
+          // cache so every rep pays its full pipeline (otherwise rep 2 of
+          // d2 — and d9 whenever d2 ran first — measures a cache read)
+          SparkEntry.resetSessionCache(spark)
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9

@@ -230,6 +230,10 @@ object ScaleRehearsal {
       val fn = SparkEntry.queries(name)
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => println(s"[scale] warm $name failed: ${e.getMessage}") }
+      // attribution-honest timing: each query pays its full pipeline (the
+      // session cache otherwise lets d9/graph queries reuse a sibling's
+      // materialized intermediates, hiding their true 10× cost)
+      SparkEntry.resetSessionCache(spark)
       val t0 = System.nanoTime()
       try {
         fn(spark, dir).write.format("noop").mode("overwrite").save()
