@@ -925,10 +925,14 @@ object SparkEntry {
     // approximate production path.
     "e5_knn_ivf_full" -> ((s, dir) => {
       val embs = tbl(s, dir, "embeddings")
-      val centroids = graft.operators.Ivf.train(embs, "embedding", k = 16)
+      // cellsFor: k follows the corpus (√N regime; gate SFs land on the
+      // historical 16, so the exact-equality oracle is unchanged there)
+      val cells = graft.operators.Ivf.cellsFor(embs.count())
+      val centroids = graft.operators.Ivf.train(embs, "embedding", k = cells,
+        sampleSize = math.max(4096, 8 * cells))
       graft.operators.Ivf.topK(
           embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
-          centroids, nprobe = 16)
+          centroids, nprobe = cells)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     }),
@@ -968,12 +972,14 @@ object SparkEntry {
     // composition end-to-end.
     "e9_knn_ivfpq_full" -> ((s, dir) => {
       val embs = tbl(s, dir, "embeddings")
-      val centroids = graft.operators.Ivf.train(embs, "embedding", k = 16)
+      val cells = graft.operators.Ivf.cellsFor(embs.count())
+      val centroids = graft.operators.Ivf.train(embs, "embedding", k = cells,
+        sampleSize = math.max(4096, 8 * cells))
       val books = graft.operators.Pq.train(embs, "embedding", dim = 64)
       graft.operators.Pq.ivfPqTopK(
           embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5,
           centroids, books, m = 8, ksub = 16, dsub = 8,
-          nprobe = 16, candidates = 1 << 30)
+          nprobe = cells, candidates = 1 << 30)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     }),
@@ -985,7 +991,9 @@ object SparkEntry {
     "e10_knn_ivfpq" -> ((s, dir) => {
       val embs = tbl(s, dir, "embeddings")
       val queries = embs.filter(col("vec_id") < 8)
-      val centroids = graft.operators.Ivf.train(embs, "embedding", k = 16)
+      val cells = graft.operators.Ivf.cellsFor(embs.count())
+      val centroids = graft.operators.Ivf.train(embs, "embedding", k = cells,
+        sampleSize = math.max(4096, 8 * cells))
       val books = graft.operators.Pq.train(embs, "embedding", dim = 64)
       val approx = graft.operators.Pq.ivfPqTopK(
         embs, queries, "vec_id", "embedding", k = 5,
@@ -1022,7 +1030,9 @@ object SparkEntry {
     "e4_knn_ivf" -> ((s, dir) => {
       val embs = tbl(s, dir, "embeddings")
       val queries = embs.filter(col("vec_id") < 8)
-      val centroids = graft.operators.Ivf.train(embs, "embedding", k = 16)
+      val cells = graft.operators.Ivf.cellsFor(embs.count())
+      val centroids = graft.operators.Ivf.train(embs, "embedding", k = cells,
+        sampleSize = math.max(4096, 8 * cells))
       val approx = graft.operators.Ivf.topK(
         embs, queries, "vec_id", "embedding", k = 5, centroids, nprobe = 4)
       val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)

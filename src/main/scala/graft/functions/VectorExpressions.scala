@@ -140,3 +140,91 @@ case class SrpSignature(
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Top-`nprobe` nearest-centroid cell ids for a vector, by cosine, ties
+  * toward the LOWEST cell id — one primitive pass over a flattened
+  * `k × dim` centroid matrix instead of `k` separate per-centroid
+  * Columns. The Column formulation's expression tree (and its codegen)
+  * grows with `k`, which caps the cell count an IVF index can use; this
+  * kernel is O(k·dim) per row at constant plan size, so the cell count
+  * can follow the corpus (the FAISS `nlist ≈ √N` regime — see
+  * [[graft.operators.Ivf.cellsFor]]).
+  *
+  * Bit-parity contract with the Column path it replaces: similarity per
+  * centroid accumulates in double, left-to-right, over the common prefix
+  * `min(|vec|, dim)` with null elements as 0 (exactly
+  * [[CosineSimilarity]]); ranking compares `Double.compare(-sim, ·)`
+  * then cell id (exactly `array_sort` over `struct(-sim, cid)`, NaN
+  * ranking last); `nprobe = 1` equals
+  * `array_position(sims, array_max(sims)) - 1` (first-max-wins).
+  */
+case class NearestCells(
+    child: Expression, cents: Seq[Double], k: Int, dim: Int, nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(cents.length == k * dim, s"centroid matrix must be k*dim = ${k * dim} doubles")
+  require(nprobe >= 1 && nprobe <= k, s"nprobe must be in [1, $k], got $nprobe")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double> input, got $other")
+    }
+
+  @transient private lazy val centsArr: Array[Double] = cents.toArray
+  @transient private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val vd = v.asInstanceOf[ArrayData]
+    val m = math.min(vd.numElements(), dim)
+    val x = new Array[Double](m)
+    var na = 0.0
+    var i = 0
+    while (i < m) {
+      val xi = if (vd.isNullAt(i)) 0.0
+        else if (childIsFloat) vd.getFloat(i).toDouble else vd.getDouble(i)
+      x(i) = xi; na += xi * xi
+      i += 1
+    }
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dot = 0.0; var nb = 0.0
+      var j = 0
+      while (j < m) {
+        val y = centsArr(off + j)
+        dot += x(j) * y; nb += y * y
+        j += 1
+      }
+      sims(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    // selection by (Double.compare(-sim) asc, cid asc): strict less-than
+    // with an ascending scan keeps the lowest cid on exact ties
+    val out = new Array[Int](nprobe)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < nprobe) {
+      var best = -1
+      var cc = 0
+      while (cc < k) {
+        if (!used(cc) && (best < 0 ||
+            java.lang.Double.compare(-sims(cc), -sims(best)) < 0)) best = cc
+        cc += 1
+      }
+      used(best) = true; out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

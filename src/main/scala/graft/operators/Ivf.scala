@@ -65,27 +65,34 @@ object Ivf {
     centroids
   }
 
-  /** Per-row cosine against each centroid, as k Columns. */
-  private def centroidSims(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
-    centroids.toSeq.map(c => Dedup.cosine(vec, typedlit(c.toSeq)))
+  /** Cell count for a corpus of `n` vectors: the FAISS `nlist ≈ √N`
+    * regime, calibrated so the historical k=16 covers corpora up to
+    * ~65k vectors (`ceil(√(n/256))` — gate/bench SFs land on 16, a 10×
+    * rehearsal corpus engages ~49, a 10^10-vector corpus ~6.3k). With a
+    * FIXED cell count, occupancy grows linearly with the corpus and
+    * every probe scans `nprobe/k` of ALL vectors; under √N cells a probe
+    * scans O(√N) candidates and assignment stays one O(k·dim) kernel per
+    * row at constant plan size ([[graft.functions.NearestCells]] — the
+    * per-centroid Column formulation grew the plan with k and capped it).
+    */
+  def cellsFor(n: Long, floor: Int = 16): Int =
+    math.max(floor, math.ceil(math.sqrt(n.toDouble / 256.0)).toInt)
 
-  /** argmax cell id for a vector. */
-  def cellId(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val sims = array(centroidSims(vec, centroids): _*)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
+  private def nearest(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = centroids.head.length
+    ColumnBridge.column(graft.functions.NearestCells(
+      ColumnBridge.expression(vec),
+      centroids.flatten.toSeq, centroids.length, dim, nprobe))
   }
+
+  /** argmax cell id for a vector (first max wins → lowest cell id). */
+  def cellId(vec: Column, centroids: Array[Array[Double]]): Column =
+    element_at(nearest(vec, centroids, 1), 1)
 
   /** Top-`nprobe` cell ids for a query vector (ties by cell id). */
-  def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
-    val sims = centroidSims(vec, centroids)
-    // sort by (-sim, cid) so equal-similarity cells break toward the
-    // LOWEST id, as documented — reverse(array_sort) would flip the tie
-    // order along with the similarity order
-    val pairs = array(sims.zipWithIndex.map { case (s, i) =>
-      struct((-s).as("negsim"), lit(i).as("cid"))
-    }: _*)
-    slice(array_sort(pairs), 1, nprobe).getField("cid")
-  }
+  def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    nearest(vec, centroids, nprobe)
 
   /** IVF ANN top-k: assign the corpus to cells once, probe the `nprobe`
     * best cells per query, exact-cosine re-rank inside the probed cells.

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+import graft.operators.{Dedup, Ivf, Similarity}
+
+/** Pins the [[graft.functions.NearestCells]] kernel that backs IVF cell
+  * assignment and probing, and the `cellsFor` √N cell-count rule.
+  *
+  * The kernel replaced a per-centroid Column formulation whose plan grew
+  * with k (capping the cell count an index could use); the contract is
+  * BIT-parity with that formulation — same cosine accumulation, same
+  * (-sim, cid) tie order, same first-max-wins argmax — so the swap is
+  * invisible to the oracle-gated queries at the historical k=16.
+  */
+class IvfCellsSpec extends SparkSpec {
+
+  private lazy val embs = spark.read.parquet(sf("embeddings"))
+
+  /** The retired Column formulation, reconstructed as the reference. */
+  private def columnCellId(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val sims = array(centroids.toSeq.map(c => Dedup.cosine(vec, typedlit(c.toSeq))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+  private def columnProbeCells(
+      vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val sims = centroids.toSeq.map(c => Dedup.cosine(vec, typedlit(c.toSeq)))
+    val pairs = array(sims.zipWithIndex.map { case (s, i) =>
+      struct((-s).as("negsim"), lit(i).as("cid"))
+    }: _*)
+    slice(array_sort(pairs), 1, nprobe).getField("cid")
+  }
+
+  test("NearestCells cell assignment is bit-identical to the Column formulation") {
+    val centroids = Ivf.train(embs, "embedding", k = 16)
+    val both = embs.select(col("vec_id"),
+      Ivf.cellId(col("embedding"), centroids).as("kernel"),
+      columnCellId(col("embedding"), centroids).as("reference"))
+    assert(both.filter(col("kernel") =!= col("reference")).count() == 0)
+  }
+
+  test("NearestCells probe ranking is bit-identical to the Column formulation") {
+    val centroids = Ivf.train(embs, "embedding", k = 16)
+    for (nprobe <- Seq(1, 4, 16)) {
+      val both = embs.select(
+        Ivf.probeCells(col("embedding"), centroids, nprobe).as("kernel"),
+        columnProbeCells(col("embedding"), centroids, nprobe).as("reference"))
+      assert(both.filter(not(col("kernel") <=> col("reference"))).count() == 0,
+        s"probe mismatch at nprobe=$nprobe")
+    }
+  }
+
+  test("NearestCells matches on double input and breaks exact ties toward the lowest cid") {
+    // two identical centroids: every vector ties between cells 0 and 1
+    val dup = Array(Array.fill(4)(0.5), Array.fill(4)(0.5), Array(1.0, 0.0, 0.0, -1.0))
+    val df = spark.range(8).select(col("id"),
+      array((0 until 4).map(i => (rand(seed = 5) * 2 - 1)): _*).as("v"))
+    val got = df.select(
+      Ivf.cellId(col("v"), dup).as("kernel"),
+      columnCellId(col("v"), dup).as("reference"),
+      Ivf.probeCells(col("v"), dup, 2).as("pk"),
+      columnProbeCells(col("v"), dup, 2).as("pr"))
+    assert(got.filter(col("kernel") =!= col("reference")).count() == 0)
+    assert(got.filter(not(col("pk") <=> col("pr"))).count() == 0)
+    // the duplicate-centroid tie resolves to cell 0, never 1
+    assert(got.filter(col("kernel") === 1).count() == 0)
+  }
+
+  test("cellsFor: gate SFs stay on the historical 16; larger corpora engage sqrt(N)") {
+    assert(Ivf.cellsFor(600L) == 16)      // sf0.001
+    assert(Ivf.cellsFor(6000L) == 16)     // sf0.01
+    assert(Ivf.cellsFor(60000L) == 16)    // sf0.1
+    assert(Ivf.cellsFor(600000L) == 49)   // 10x rehearsal
+    assert(Ivf.cellsFor(60000000L) == 485)
+  }
+
+  test("full probe equals brute force at an engaged cell count (k > 16)") {
+    val cells = 25
+    val centroids = Ivf.train(embs, "embedding", k = cells,
+      sampleSize = math.max(4096, 8 * cells))
+    val brute = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)]).collect().toSet
+    val full = Ivf.topK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, centroids, nprobe = cells)
+      .select("query_id", "neighbor_id").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)]).collect().toSet
+    assert(full == brute, "full probe must equal brute force at any cell count")
+  }
+}
