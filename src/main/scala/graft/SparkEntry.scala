@@ -839,12 +839,18 @@ object SparkEntry {
     "e2_knn_lsh" -> ((s, dir) => {
       val embs = tbl(s, dir, "embeddings")
       val queries = embs.filter(col("vec_id") < 8)
-      // 16 tables × 4 bits: on THIS corpus (pure-random vectors, max
-      // pairwise cos ≈ 0.51) recall needs permissive buckets; clustered
-      // real-world embeddings warrant more bits per table.
+      // 16 tables × adaptive bits: on THIS corpus (pure-random vectors,
+      // max pairwise cos ≈ 0.51) recall needs permissive buckets, so the
+      // occupancy target is a loose 4096 with the historical 4-bit floor
+      // (gate/bench SFs all land on it — clustered real-world embeddings
+      // warrant more bits). With FIXED bits a bucket-probe's match count
+      // grows linearly with the corpus — per query that approaches
+      // brute-force cost, the same unenforced-scaling gap cellsFor closes
+      // for IVF; buckets ∝ n keeps per-query candidates ~constant.
+      val bits = Similarity.srpBitsFor(embs.count(), targetOccupancy = 4096, floor = 4)
       val approx = Similarity.lshTopK(
         embs, queries, "vec_id", "embedding", k = 5, dim = 64,
-        numTables = 16, bitsPerTable = 4)
+        numTables = 16, bitsPerTable = bits)
       val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
       recallBound(approx, exact, threshold = 0.5)
     }),
