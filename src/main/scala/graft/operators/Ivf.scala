@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * a query scores only the `nprobe` nearest cells instead of the whole
   * corpus.
   *
-  * Scale design: training runs Lloyd's iterations on a bounded driver-side
-  * SAMPLE (standard IVF practice — centroids need thousands of points, not
-  * the corpus); assignment and search are distributed, with the centroid
-  * matrix inlined as literals (no shuffle, no broadcast table). Cell
+  * Scale design: the cell count follows the corpus ([[cellsFor]], √N
+  * regime) instead of staying a fixed constant; training runs Lloyd's
+  * iterations on a bounded sample — driver-side ([[train]], standard IVF
+  * practice) or as Spark jobs ([[trainDistributed]]) once k outgrows a
+  * single thread. Assignment and search are distributed: the centroid
+  * matrix rides inside one [[graft.functions.NearestCells]] kernel per
+  * row (constant plan size in k — no shuffle, no broadcast table). Cell
   * assignment keys the only shuffle; probing multiplies the query side by
   * `nprobe`, never the corpus.
   */
@@ -63,6 +66,75 @@ object Ivf {
       }
     }
     centroids
+  }
+
+  /** Distributed spherical k-means: the trainer for cell counts beyond
+    * the driver loop's reach. `train` collects a sample and runs Lloyd's
+    * on the driver — standard IVF practice, but its cost is
+    * O(sample·k·iters·dim) single-threaded, which stops being viable
+    * around the k a 100 TB corpus wants (`cellsFor(10^10) ≈ 6.3k` cells
+    * → ~10^12 driver flops). Here every Lloyd step is a Spark job:
+    *
+    *  - **assignment** is one [[graft.functions.NearestCells]] kernel per
+    *    row (constant plan size in k — the reason this trainer can exist);
+    *  - **centroid update** is posexplode → hash-agg over INTEGER-quantized
+    *    components (`floor(x·10^6)` sums commute, so the result is
+    *    order-free across partitions → bit-deterministic run to run, where
+    *    raw double sums are not) → per-cell array rebuild;
+    *  - only `k` centroid rows (k·dim doubles) reach the driver, once per
+    *    iteration. The training sample is bounded (`sampleN`, default
+    *    64·k) and taken in deterministic xxhash64 order.
+    *
+    * Empty cells keep their previous centroid. Returns `k` L2-normalized
+    * centroids, same contract as [[train]].
+    */
+  def trainDistributed(
+      embs: DataFrame, vecCol: String, k: Int,
+      iters: Int = 10, sampleN: Int = 0): Array[Array[Double]] = {
+    val n = if (sampleN > 0) sampleN else 64 * k
+    // normalized double vectors, deterministically sampled by hash order
+    // (ties broken by the vector itself so duplicates are interchangeable)
+    val norm = expr(s"sqrt(aggregate($vecCol, 0D, (a, x) -> a + double(x) * double(x)))")
+    val sample = embs
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 && norm > 0)
+      .select(expr(s"transform($vecCol, x -> double(x) / " +
+        s"sqrt(aggregate($vecCol, 0D, (a, x) -> a + double(x) * double(x))))").as("v"))
+      .orderBy(xxhash64(col("v")), col("v")).limit(n)
+      .persist()
+    try {
+      val dim = sample.select(size(col("v"))).head().getInt(0)
+      var cents: Array[Array[Double]] = sample.limit(k)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(cents.length == k,
+        s"sample has only ${cents.length} usable vectors for k=$k centroids")
+      for (_ <- 1 to iters) {
+        val assigned = sample.select(col("v"),
+          cellId(col("v"), cents).as("cid"))
+        val updated: Map[Int, Array[Double]] = assigned
+          .select(col("cid"), posexplode(col("v")))
+          .select(col("cid"), col("pos"),
+            floor(col("col") * lit(1000000.0)).cast("long").as("xi"))
+          .groupBy("cid", "pos")
+          .agg(sum("xi").as("sx"), count(lit(1)).as("cnt"))
+          .select(col("cid"), col("pos"),
+            (col("sx").cast("double") /
+              (col("cnt").cast("double") * lit(1000000.0))).as("cv"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents = Array.tabulate(k) { c =>
+          updated.get(c) match {
+            case Some(m) =>
+              val nn = math.sqrt(m.map(x => x * x).sum)
+              if (nn == 0) cents(c) else m.map(_ / nn)
+            case None => cents(c) // empty cell: keep previous centroid
+          }
+        }
+      }
+      cents
+    } finally sample.unpersist(blocking = false)
   }
 
   /** Cell count for a corpus of `n` vectors: the FAISS `nlist ≈ √N`

@@ -61,7 +61,7 @@ object ScaleRehearsal {
     "q29_star_revenue", "q31_salted_join", "q38_shipping_priority")
 
   /** Bump when generation semantics change — stale dirs regenerate. */
-  private val scheme = "r6-domain-offsets-v2"
+  private val scheme = "r6-domain-offsets-v3"
 
   /** Key domains: domain -> (owning table, owning column). One offset per
     * domain, from the OWNER's max, reused by every referencing column.
@@ -132,17 +132,20 @@ object ScaleRehearsal {
     (table, mode) match {
       case (_, _) if r == 0 => df
       case ("documents", "real") =>
-        // non-dup replicas interleave a PER-REPLICA salt token after
-        // every 2nd word: every 3-shingle of replica r contains s<r>, so
-        // replicas are non-dups of the original AND of each other (a
-        // first cut token-REVERSED the text, which made replicas 1..9
+        // non-dup replicas modify every 2nd word IN PLACE with a
+        // per-replica suffix: every 3-shingle of replica r contains a
+        // modified token, so replicas are non-dups of the original AND
+        // of each other — while token COUNT stays identical (an earlier
+        // cut INSERTED salt tokens, which grew docs 1.5× and inflated
+        // every shingle-count-driven realistic ratio with a corpus-size
+        // artifact; before that, token-REVERSAL made replicas 1..9
         // mutual near-dups — 9-cliques — and the mode measured nothing)
         df.withColumn("text",
           when(pmod(xxhash64(col("doc_id")), lit(50)) === 0,
             concat(col("text"), lit(s" replica$r")))
           .otherwise(concat_ws(" ", expr(
             s"""transform(split(text, ' '), (t, i) ->
-               |  IF(i % 2 = 1, concat(t, ' s$r'), t))""".stripMargin))))
+               |  IF(i % 2 = 1, concat(t, 'x$r'), t))""".stripMargin))))
       case ("documents", _) =>
         df.withColumn("text", concat(col("text"), lit(s" replica$r")))
       case ("embeddings", "real") =>

@@ -75,6 +75,40 @@ class IvfCellsSpec extends SparkSpec {
     assert(Ivf.cellsFor(60000000L) == 485)
   }
 
+  test("trainDistributed: deterministic, normalized, and a better fit than its init") {
+    val k = 20
+    val run1 = Ivf.trainDistributed(embs, "embedding", k, iters = 5)
+    val run2 = Ivf.trainDistributed(embs, "embedding", k, iters = 5)
+    assert(run1.length == k)
+    // integer-quantized order-free sums => bit-identical run to run
+    assert(run1.zip(run2).forall { case (a, b) => a.sameElements(b) })
+    assert(run1.forall(c => math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+    // Lloyd improves fit: mean best-similarity under trained centroids
+    // beats the 0-iteration init (first k sample vectors)
+    val init = Ivf.trainDistributed(embs, "embedding", k, iters = 0)
+    def meanBestSim(cents: Array[Array[Double]]): Double = {
+      val sims = cents.toSeq.map(c => Dedup.cosine(col("embedding"), typedlit(c.toSeq)))
+      embs.select(array_max(array(sims: _*)).as("s"))
+        .agg(avg("s")).head().getDouble(0)
+    }
+    assert(meanBestSim(run1) > meanBestSim(init),
+      "training must improve mean best-centroid similarity over the init")
+  }
+
+  test("trainDistributed centroids drive a correct full-probe index") {
+    val cells = 20
+    val centroids = Ivf.trainDistributed(embs, "embedding", cells, iters = 3)
+    val brute = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)]).collect().toSet
+    val full = Ivf.topK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, centroids, nprobe = cells)
+      .select("query_id", "neighbor_id").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)]).collect().toSet
+    assert(full == brute)
+  }
+
   test("full probe equals brute force at an engaged cell count (k > 16)") {
     val cells = 25
     val centroids = Ivf.train(embs, "embedding", k = cells,
