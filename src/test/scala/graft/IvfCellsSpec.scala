@@ -67,6 +67,22 @@ class IvfCellsSpec extends SparkSpec {
     assert(got.filter(col("kernel") === 1).count() == 0)
   }
 
+  test("NearestCells matches the Column formulation on zero vectors (NaN similarity)") {
+    // a zero vector scores NaN against every centroid; Spark's double
+    // ordering puts NaN greatest, so argmax resolves to cell 0 and probe
+    // order degenerates to cid order — the kernel must agree exactly
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val df = spark.sql(
+      "SELECT * FROM VALUES (array(0D, 0D)), (array(1D, 1D)), (array(-3D, 4D)) AS t(v)")
+    val got = df.select(
+      Ivf.cellId(col("v"), cents).as("kernel"),
+      columnCellId(col("v"), cents).as("reference"),
+      Ivf.probeCells(col("v"), cents, 3).as("pk"),
+      columnProbeCells(col("v"), cents, 3).as("pr"))
+    assert(got.filter(col("kernel") =!= col("reference")).count() == 0)
+    assert(got.filter(not(col("pk") <=> col("pr"))).count() == 0)
+  }
+
   test("cellsFor: gate SFs stay on the historical 16; larger corpora engage sqrt(N)") {
     assert(Ivf.cellsFor(600L) == 16)      // sf0.001
     assert(Ivf.cellsFor(6000L) == 16)     // sf0.01
