@@ -104,9 +104,16 @@ case class SrpSignature(
           s"$prettyName needs array<float|double> input, got $other")
     }
 
-  @transient private lazy val planes: Array[Array[Double]] = {
+  // Plane matrix flattened plane-major into ONE contiguous double array:
+  // the per-plane loop streams sequential memory instead of chasing
+  // numTables×bitsPerTable separate arrays. Components are exactly ±1.0
+  // (multiplication by them is exact), so the flattening cannot change a
+  // single bit of any dot product. Plane p's components generate in the
+  // SAME rnd order as the old Array[Array] form — signatures are
+  // bit-identical to every committed oracle.
+  @transient private lazy val planesFlat: Array[Double] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(numTables * bitsPerTable)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    Array.fill(numTables * bitsPerTable * dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
   @transient private lazy val childIsFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -114,22 +121,34 @@ case class SrpSignature(
   override def nullSafeEval(v: Any): Any = {
     val vd = v.asInstanceOf[ArrayData]
     val n = math.min(vd.numElements(), dim)
+    // extract the vector ONCE per row: the old loop re-read every element
+    // through virtual ArrayData calls for EVERY plane — at e3's sf1
+    // geometry (8 tables × ~17 adaptive bits × 64 dims) that was ~8700
+    // virtual calls per row, the measured kernel bound of the 10×
+    // rehearsal. Null elements read as 0.0, exactly as before.
+    val x = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      x(j) = if (vd.isNullAt(j)) 0.0
+        else if (childIsFloat) vd.getFloat(j).toDouble else vd.getDouble(j)
+      j += 1
+    }
     val out = new Array[Long](numTables)
+    val planes = planesFlat
     var t = 0
+    var off = 0
     while (t < numTables) {
       var bucket = 0L
       var b = 0
       while (b < bitsPerTable) {
-        val plane = planes(t * bitsPerTable + b)
         var dot = 0.0
         var i = 0
         while (i < n) {
-          val x = if (vd.isNullAt(i)) 0.0
-            else if (childIsFloat) vd.getFloat(i).toDouble else vd.getDouble(i)
-          dot += x * plane(i)
+          dot += x(i) * planes(off + i)
           i += 1
         }
         if (dot >= 0) bucket |= (1L << b)
+        off += dim // advance a full plane even when the vector is shorter
         b += 1
       }
       out(t) = bucket

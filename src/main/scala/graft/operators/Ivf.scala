@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Deterministic spherical k-means (cosine distance) on a driver-side
-    * sample. Returns `k` L2-normalized centroids.
+    * sample. Returns `k` L2-normalized centroids, all NONZERO — zero
+    * vectors are excluded from the sample and a cell whose component sum
+    * cancels exactly resamples like an empty cell, so downstream
+    * [[graft.functions.NearestCells]] parity (which assumes no
+    * all-degenerate centroid) holds by construction.
     */
   def train(
       embs: DataFrame, vecCol: String, k: Int,
@@ -35,13 +39,15 @@ object Ivf {
         case d: Double => d
         case other     => other.toString.toDouble
       })
-    require(sample.nonEmpty, "empty training sample")
-    val dim = sample.head.length
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    val pts = sample.map(normalize)
+    // zero vectors would survive normalize() unchanged and could seed a
+    // zero centroid (NaN sims for every row) — drop them up front
+    val pts = sample.map(normalize).filter(_.exists(_ != 0.0))
+    require(pts.nonEmpty, "empty training sample (after dropping zero vectors)")
+    val dim = pts.head.length
     val rnd = new scala.util.Random(seed)
     var centroids = Array.fill(k)(pts(rnd.nextInt(pts.length)).clone())
     for (_ <- 1 to iters) {
@@ -61,8 +67,12 @@ object Ivf {
         counts(best) += 1
       }
       centroids = Array.tabulate(k) { c =>
-        if (counts(c) == 0) pts(rnd.nextInt(pts.length)).clone()
-        else normalize(sums(c))
+        // exact cancellation of a non-empty cell's sum is as degenerate as
+        // an empty cell (normalize would pass the zero vector through) —
+        // resample it the same way
+        val nv = if (counts(c) == 0) null else normalize(sums(c))
+        if (nv == null || nv.forall(_ == 0.0)) pts(rnd.nextInt(pts.length)).clone()
+        else nv
       }
     }
     centroids
@@ -102,11 +112,23 @@ object Ivf {
       .orderBy(xxhash64(col("v")), col("v")).limit(n)
       .persist()
     try {
-      val dim = sample.select(size(col("v"))).head().getInt(0)
-      var cents: Array[Array[Double]] = sample.limit(k)
+      // heterogeneous dims would otherwise surface later as an opaque
+      // NearestCells require failure — validate the sample up front
+      val dims = sample.select(size(col("v")).as("d")).distinct().limit(2).collect()
+      require(dims.length == 1, s"sampled vectors have heterogeneous dims: " +
+        dims.map(_.getInt(0)).sorted.mkString(", "))
+      // exact-duplicate vectors sort adjacently in the hash order (ties
+      // break by the vector itself), so seeding from the raw first k rows
+      // would likely duplicate initial centroids on duplicate-heavy
+      // corpora — and a duplicated cell loses every assignment tie to the
+      // lower cid, stays empty, and is pinned dead by the empty-cell
+      // keep-previous rule. Seed from DISTINCT vectors, re-sorted for
+      // determinism (dropDuplicates does not preserve order).
+      var cents: Array[Array[Double]] = sample.dropDuplicates("v")
+        .orderBy(xxhash64(col("v")), col("v")).limit(k)
         .collect().map(_.getSeq[Double](0).toArray)
       require(cents.length == k,
-        s"sample has only ${cents.length} usable vectors for k=$k centroids")
+        s"sample has only ${cents.length} distinct usable vectors for k=$k centroids")
       for (_ <- 1 to iters) {
         val assigned = sample.select(col("v"),
           cellId(col("v"), cents).as("cid"))

@@ -55,7 +55,10 @@ class IvfCellsSpec extends SparkSpec {
     // two identical centroids: every vector ties between cells 0 and 1
     val dup = Array(Array.fill(4)(0.5), Array.fill(4)(0.5), Array(1.0, 0.0, 0.0, -1.0))
     val df = spark.range(8).select(col("id"),
-      array((0 until 4).map(i => (rand(seed = 5) * 2 - 1)): _*).as("v"))
+      // seed per component: identically-seeded rand expressions evaluate
+      // to the SAME value per row, which would make every vector a
+      // multiple of (1,1,1,1) and gut the parity coverage
+      array((0 until 4).map(i => (rand(seed = 5 + i) * 2 - 1)): _*).as("v"))
     val got = df.select(
       Ivf.cellId(col("v"), dup).as("kernel"),
       columnCellId(col("v"), dup).as("reference"),
