@@ -142,10 +142,18 @@ object VersionedTable {
     * non-version name, so a version is never half-listed).
     */
   def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
-    require(keep >= 1, "must keep at least the latest version")
     val rootPath = new Path(root)
-    val f = fs(spark, rootPath)
-    val drop = versions(spark, root).dropRight(keep)
+    vacuumFs(fs(spark, rootPath), rootPath, keep)
+  }
+
+  /** [[vacuum]] against an already-resolved FileSystem — the entry point
+    * for callers that live below the SparkSession (the rowlog streaming
+    * sink's per-epoch retention).
+    */
+  private[graft] def vacuumFs(f: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the latest version")
+    val drop = versionsOf(f, rootPath).dropRight(keep)
     drop.foreach { v =>
       val dir = new Path(rootPath, dirName(v))
       val tomb = new Path(rootPath, s"_dropped-$v")

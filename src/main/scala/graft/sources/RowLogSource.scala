@@ -144,11 +144,22 @@ class RowLogTable(root: String, schema0: StructType, version: Option[Long])
         new RowLogScan(root, schema0, required, version, pushed)
     }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new RowLogWriteBuilder(root, info.schema())
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // `retain` (streaming writes only): auto-vacuum to the newest N
+    // versions after every epoch commit. Complete-mode streams commit one
+    // version per micro-batch — unbounded history until someone vacuums,
+    // which a long-running query has no natural hook to do (ADVICE r5).
+    val retain = Option(info.options.get("retain")).map { r =>
+      val n = r.toInt
+      require(n >= 1, s"retain must be >= 1, got $n")
+      n
+    }
+    new RowLogWriteBuilder(root, info.schema(), retain)
+  }
 }
 
-class RowLogWriteBuilder(root: String, schema: StructType)
+class RowLogWriteBuilder(root: String, schema: StructType,
+    retain: Option[Int] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncated = false
   override def truncate(): WriteBuilder = { truncated = true; this }
@@ -160,7 +171,8 @@ class RowLogWriteBuilder(root: String, schema: StructType)
     new Write {
       override def description(): String = s"graft_rowlog overwrite -> $root"
       override def toBatch: BatchWrite = new RowLogBatchWrite(root, schema)
-      override def toStreaming: StreamingWrite = new RowLogStreamingWrite(root, schema)
+      override def toStreaming: StreamingWrite =
+        new RowLogStreamingWrite(root, schema, retain)
     }
   }
 }
@@ -198,13 +210,30 @@ private[sources] object RowLogCommitOps {
   * re-commit of a batch whose commit already landed) is detected there
   * and dropped, so the version history never double-counts a batch.
   */
-class RowLogStreamingWrite(root: String, schema: StructType) extends StreamingWrite {
+class RowLogStreamingWrite(root: String, schema: StructType,
+    retain: Option[Int] = None) extends StreamingWrite {
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
   private def staging(epochId: Long) =
     new Path(new Path(root), s"_staging-$nonce-e$epochId")
+  private def hwmFile = new Path(new Path(root), "_epoch-hwm")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     RowLogStreamingWriterFactory(root, nonce, schema.json, HadoopConfMap.capture())
+
+  /** Epoch high-water recorded at the table root, SEPARATE from the
+    * per-version `_epoch-<id>` markers: auto-vacuum deletes marker-bearing
+    * versions, and replay detection must survive that (a dropped marker
+    * would let a post-restart replay of an already-committed epoch land
+    * twice). Single-writer by the streaming contract, so an overwrite
+    * create is safe; a torn/unreadable file degrades to the marker scan.
+    */
+  private def hwmFromFile(f: org.apache.hadoop.fs.FileSystem): Long =
+    try {
+      val in = f.open(hwmFile)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      s.toLong
+    } catch { case _: Exception => -1L }
 
   private def epochCommitted(epochId: Long): Boolean = {
     val f = RowLogTable.fs(root)
@@ -216,29 +245,41 @@ class RowLogStreamingWrite(root: String, schema: StructType) extends StreamingWr
     // the first marker makes this O(1) listings per commit at micro-batch
     // cadence (batch-write versions without markers are skipped), instead
     // of one exists() probe per version per epoch — O(n²) cumulative over
-    // a long-running query. Retention is still vacuum's job:
-    // complete-mode streams commit one version per batch and long-running
-    // queries should run VersionedTable.vacuum periodically.
-    VersionedTable.versionsOf(f, rootPath).reverseIterator
+    // a long-running query. The root-level `_epoch-hwm` file is taken as
+    // a second witness (max of both wins): with auto-vacuum retention the
+    // marker versions themselves are transient.
+    val scanHwm = VersionedTable.versionsOf(f, rootPath).reverseIterator
       .map { v =>
         f.listStatus(new Path(rootPath, VersionedTable.dirName(v)))
           .map(_.getPath.getName).collectFirst {
             case n if n.startsWith("_epoch-") => n.stripPrefix("_epoch-").toLong
           }
       }
-      .collectFirst { case Some(hwm) => epochId <= hwm }
-      .getOrElse(false)
+      .collectFirst { case Some(hwm) => hwm }
+      .getOrElse(-1L)
+    epochId <= math.max(scanHwm, hwmFromFile(f))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val stg = staging(epochId)
+    val f = RowLogTable.fs(root)
     if (epochCommitted(epochId)) { // replayed epoch — exactly-once drop
-      RowLogTable.fs(root).delete(stg, true)
+      f.delete(stg, true)
       return
     }
     RowLogCommitOps.finalizeStaging(root, stg, nonce, schema.json,
       messages.collect { case RowLogCommit(file, _) => file }.toSet,
       extraMarkers = Seq(s"_epoch-$epochId"))
+    // record the high-water AFTER the version is visible (a crash between
+    // the two leaves the marker scan authoritative, never a false replay
+    // drop), THEN vacuum — so replay detection no longer depends on the
+    // markers retention is about to delete
+    if (hwmFromFile(f) < epochId) {
+      val out = f.create(hwmFile, true)
+      try out.write(epochId.toString.getBytes("UTF-8")) finally out.close()
+    }
+    retain.foreach(k =>
+      VersionedTable.vacuumFs(f, new Path(root), keep = k))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

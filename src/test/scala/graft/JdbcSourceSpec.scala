@@ -136,6 +136,61 @@ class JdbcSourceSpec extends SparkSpec {
     }
   }
 
+  test("Postgres md5 hashfield template executes over Derby (shimmed MD5 + bit-cast)") {
+    // `::bit(32)::BIGINT` is Postgres SYNTAX, not a missing function — no
+    // CREATE FUNCTION makes Derby's parser accept a postfix cast. So:
+    // rewrite exactly that cast chain to the PGBIT32 shim (Postgres
+    // documents x::t == CAST(x AS t)) and execute everything else in the
+    // template verbatim on Derby — the 'x' || concat, the SUBSTR window,
+    // the MD5 composition. PGBIT32 implements the documented
+    // hex-text→bit(32)→bigint zero-extension, additionally pinned by the
+    // RFC-1321 goldens in the sibling test.
+    val hx = JdbcDialectShims.normalizePostgresBitCast(JdbcSource.postgresMd5Hash)
+    // the cast operand's own parens become the shim's call parens
+    assert(hx == "(PGBIT32('x' || SUBSTR(MD5(%s), 1, 8)))", hx)
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    try st.execute("DROP TABLE pkeys") catch { case _: Exception => () }
+    try st.execute("DROP FUNCTION MD5") catch { case _: Exception => () }
+    try st.execute("DROP FUNCTION PGBIT32") catch { case _: Exception => () }
+    st.execute(
+      """CREATE FUNCTION MD5(S VARCHAR(32672)) RETURNS VARCHAR(32)
+        |LANGUAGE JAVA PARAMETER STYLE JAVA DETERMINISTIC NO SQL
+        |RETURNS NULL ON NULL INPUT
+        |EXTERNAL NAME 'graft.JdbcDialectShims.md5'""".stripMargin)
+    st.execute(
+      """CREATE FUNCTION PGBIT32(S VARCHAR(64)) RETURNS BIGINT
+        |LANGUAGE JAVA PARAMETER STYLE JAVA DETERMINISTIC NO SQL
+        |RETURNS NULL ON NULL INPUT
+        |EXTERNAL NAME 'graft.JdbcDialectShims.pgHexBit32'""".stripMargin)
+    st.execute("CREATE TABLE pkeys (k VARCHAR(64), v INT)")
+    val keys = (0 until 100).map(i => s"pg-$i-${"%08x".format(i * 40503L * 65537L & 0xFFFFFFFFL)}")
+    val ps = conn.prepareStatement("INSERT INTO pkeys VALUES (?, ?)")
+    keys.zipWithIndex.foreach { case (k, i) => ps.setString(1, k); ps.setInt(2, i); ps.addBatch() }
+    ps.setNull(1, java.sql.Types.VARCHAR); ps.setInt(2, 100); ps.addBatch()
+    ps.executeBatch()
+    conn.close()
+
+    val n = 4
+    val src = new JdbcSource(url, props, hashField = Some("k"),
+      hashPartitions = n, hashExpr = Some(hx))
+    val df = src.read(spark, "pkeys")
+    assert(df.rdd.getNumPartitions == n)
+    assert(df.count() == 101 && df.select("v").distinct().count() == 101)
+    // partition i must hold EXACTLY the keys whose md5-prefix ≡ i (mod n),
+    // per the JVM reference value — plus the NULL key in split 0
+    val got = df.rdd.mapPartitionsWithIndex { case (i, it) =>
+      it.map(r => (i, Option(r.getString(0))))
+    }.collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = keys.groupBy(k => (JdbcSource.md5Prefix32(k) % n).toInt)
+      .view.mapValues(_.map(Option(_)).toSet).toMap
+    (0 until n).foreach { i =>
+      val expected = want.getOrElse(i, Set.empty[Option[String]]) ++
+        (if (i == 0) Set(None: Option[String]) else Set.empty)
+      assert(got.getOrElse(i, Set.empty) == expected, s"partition $i split mismatch")
+    }
+  }
+
   test("Postgres md5 template computes the same value; JVM goldens pin semantics") {
     // The ::bit(32)::BIGINT cast can't execute on Derby; its value
     // contract is identical to the MySQL template's — first 8 md5 hex

@@ -128,6 +128,59 @@ class RowLogSpec extends SparkSpec {
     assert(orphans.isEmpty, orphans.toSeq)
   }
 
+  test("rowlog streaming sink: retain auto-vacuums to the newest k versions") {
+    val root = tmpDir("rowlog_retain")
+    val ckpt = tmpDir("rowlog_retain_ckpt")
+    val stream = spark.readStream.format("graft.sources.FixtureDataSource")
+      .option("rows", "900").option("slices", "3").option("batchRows", "300").load()
+    val q = stream.groupBy("grp").agg(count(lit(1)).as("n"))
+      .writeStream.format(fmt)
+      .option("path", root).option("checkpointLocation", ckpt)
+      .option("retain", "1")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    // 3 epochs committed, each commit vacuumed to the newest 1 — only the
+    // final (complete) snapshot survives, and it equals the batch result
+    val versions = graft.sinks.VersionedTable.versions(spark, root)
+    assert(versions == Seq(3L), versions)
+    val total = spark.read.format(fmt).load(root).agg(sum("n")).head().getLong(0)
+    assert(total == 900L, total)
+  }
+
+  test("rowlog streaming sink: replay stays exactly-once after vacuum deletes the epoch markers") {
+    import graft.sources.{RowLogCommit, RowLogStreamingWrite}
+    import org.apache.spark.sql.catalyst.InternalRow
+    val root = tmpDir("rowlog_retain_replay")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    def commitEpoch(w: RowLogStreamingWrite, epoch: Long, v: Long): Unit = {
+      val writer = w.createStreamingWriterFactory(null).createWriter(0, v, epoch)
+      writer.write(InternalRow(v))
+      w.commit(epoch, Array(writer.commit()))
+    }
+    // epochs 1..2 commit as v1..v2 (markers + root _epoch-hwm)
+    val w1 = new RowLogStreamingWrite(root, schema)
+    commitEpoch(w1, 1L, 1L)
+    commitEpoch(w1, 2L, 2L)
+    // a batch overwrite lands v3 WITHOUT a marker, then vacuum keep=1
+    // deletes every marker-bearing version — the adversarial case where
+    // marker-scan-only replay detection would double-commit
+    import spark.implicits._
+    Seq(99L).toDF("k").write.format(fmt).mode("overwrite").save(root)
+    graft.sinks.VersionedTable.vacuum(spark, root, keep = 1)
+    assert(graft.sinks.VersionedTable.versions(spark, root) == Seq(3L))
+    // restart replays the committed tail epoch: must be DROPPED (the root
+    // high-water file survives vacuum), while a genuinely new epoch lands
+    val w2 = new RowLogStreamingWrite(root, schema)
+    commitEpoch(w2, 2L, 9L)
+    assert(graft.sinks.VersionedTable.versions(spark, root) == Seq(3L))
+    commitEpoch(w2, 3L, 10L)
+    assert(graft.sinks.VersionedTable.versions(spark, root) == Seq(3L, 4L))
+    val vals = spark.read.format(fmt).option("version", "4").load(root)
+      .collect().map(_.getLong(0)).toSeq
+    assert(vals == Seq(10L), vals)
+  }
+
   test("rowlog: roundtrips nulls, arrays, structs, decimals, timestamps") {
     val root = tmpDir("rowlog_types")
     val df = spark.sql(
