@@ -214,6 +214,38 @@ object SparkEntry {
         numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
     }
 
+  /** Incremental MinHash index maintenance (d54): the mutant corpus is
+    * partitioned into two batches such that some true near-dup pairs are
+    * internal to batch 1, some internal to batch 2, and some cross the
+    * boundary (split on orig-id mod 3: originals with r<2 + mutants with
+    * r=0 first; the rest second — a pair (orig d, mutant d+100000) shares
+    * r, so r=0 pairs are intra-batch-1, r=1 cross, r=2 intra-batch-2).
+    * Each batch is ingested into a fresh versioned signature index
+    * (signatures computed for THAT batch only; candidates only touch the
+    * batch; verification reads STORED shingle sets); the accumulated
+    * pairs must equal d2's one-shot exact oracle — the proof that
+    * incremental == one-shot.
+    */
+  private def incrementalMinHashPairs(s: SparkSession, dir: String): DataFrame =
+    cachedDf(s, s"incrpairs|$dir") {
+      import graft.operators.IncrementalIndex
+      val root = tmpdir("graft-incr-idx")
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      val r = pmod(col("doc_id") % 100000, lit(3))
+      val isMut = col("doc_id") >= 100000
+      val b1 = corpus.filter((!isMut && r < 2) || (isMut && r === 0))
+      val b2 = corpus.filter((!isMut && r === 2) || (isMut && r > 0))
+      val (_, p1) = IncrementalIndex.ingestMinHash(s, root, b1, "doc_id", "text")
+      val (_, p2) = IncrementalIndex.ingestMinHash(s, root, b2, "doc_id", "text")
+      // ingests emit disjoint pair sets by construction (pairs touching a
+      // batch, index×index excluded) — union, own the materialized result
+      val out = p1.unionAll(p2).persist()
+      out.count()
+      p1.unpersist(blocking = false)
+      p2.unpersist(blocking = false)
+      out
+    }
+
   /** Support-filtered co-purchase edges (part pairs sharing ≥2 orders),
     * materialized ONCE per (session, scale factor) and shared by the
     * graph queries (q74 triangles, q87 BFS, q88 PageRank) — the
@@ -3882,6 +3914,39 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Incremental MinHash index maintenance: two bookmark-batch ingests
+    // into a persisted versioned signature index accumulate EXACTLY the
+    // one-shot near-dup pair list (d2's exact-jaccard oracle, verbatim).
+    // Signatures are computed per batch only; batch-2's candidate and
+    // verify stages touch the index through stored (sig, hs) rows — the
+    // corpus text is shingled once per document across the index's whole
+    // lifetime, the reference's incremental spine applied to dedup.
+    "d54_incremental_minhash" -> ((s, dir) =>
+      incrementalMinHashPairs(s, dir).orderBy("a", "b")),
+
+    // Incremental IVF index maintenance: centroids train on batch 1 and
+    // freeze; batch 2 is assigned WITHOUT touching batch 1's vectors;
+    // accumulated (id, cid) assignments must equal the one-shot
+    // assignment of the full corpus under the same frozen centroids —
+    // emitted as the (n_vecs, all_match) bound-check row the oracle
+    // recomputes (the q19/q20 pattern for engine-only invariants).
+    "e20_incremental_ivf" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      val root = tmpdir("graft-incr-ivf")
+      val embs = tbl(s, dir, "embeddings")
+      val b1 = embs.filter(col("vec_id") % 2 === 0)
+      val b2 = embs.filter(col("vec_id") % 2 === 1)
+      IncrementalIndex.bootstrapIvf(s, root, b1, "vec_id", "embedding", k = 16)
+      IncrementalIndex.ingestIvf(s, root, b2, "vec_id", "embedding")
+      val incr = IncrementalIndex.readIvfAssignments(s, root)
+      val cents = IncrementalIndex.readIvfCentroids(s, root)
+      val oneShot = embs.select(col("vec_id").as("id"),
+        graft.operators.Ivf.cellId(col("embedding"), cents).as("cid1"))
+      incr.join(oneShot, "id")
+        .agg(count(lit(1)).as("n_vecs"),
+          coalesce(min(col("cid") === col("cid1")), lit(false)).as("all_match"))
+    }),
+
     // Language-distribution divergence between corpus sources (the
     // distribution-shift monitor a mixture pipeline needs): per-source
     // predicted-language histograms, pairwise Jensen-Shannon divergence.
@@ -4655,6 +4720,24 @@ object SparkEntry {
          |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
          |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
          |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+
+    // d2's exact all-pairs oracle VERBATIM: two-batch incremental index
+    // maintenance must accumulate the identical verified pair list the
+    // one-shot pipeline produces over the same corpus.
+    "d54_incremental_minhash" ->
+      s"""WITH corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+         |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
+         |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
+         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+
+    // bound-check row: the oracle recomputes the corpus size and expects
+    // the incremental-vs-one-shot assignment comparison to hold
+    "e20_incremental_ivf" ->
+      "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
 
     "d3_dedup_simhash" -> {
       val bitSums = (0 until 60)

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.sinks.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the dedup/ANN index surface — the
+  * reference's incremental spine (jdbc_incremental.py:175-229: read only
+  * the delta past the bookmark, process it, advance) applied to MinHash
+  * near-dup detection and IVF cell assignment. One-shot dedup recomputes
+  * signatures for the FULL corpus every run; at 100 TB the re-shingling
+  * term alone dwarfs every other cost, and it is pure waste — a document's
+  * signature never changes. Here the signatures PERSIST:
+  *
+  *  - the index is a [[graft.sinks.VersionedTable]] root used in the
+  *    delta-log convention: every ingested batch commits ONE new version
+  *    holding only that batch's signature rows (atomic nonce-rename
+  *    commit, O(batch) write), and the index reads as the union of
+  *    versions ([[VersionedTable.readAllVersions]] — a version boundary IS
+  *    a batch boundary, so the log time-travels to any bookmark commit);
+  *  - an ingest computes shingle hashes + signatures for the NEW batch
+  *    only, generates LSH candidates from (index ∪ batch) restricted to
+  *    pairs touching the batch (the `isNew` hook in
+  *    [[Dedup.lshCandidates]] — index×index pairs were emitted by the
+  *    ingests that indexed those rows), verifies them with the STORED
+  *    shingle-hash sets (old text is never re-read, let alone
+  *    re-shingled), and appends the batch to the index;
+  *  - accumulated pairs across ingests equal the one-shot pair list over
+  *    the union of all batches — the d54 oracle gate and
+  *    IncrementalIndexSpec pin this equality.
+  *
+  * Cost shape per ingest: shingling/signatures O(batch text); the
+  * candidate bucket join shuffles (id, band, bucket) for index + batch
+  * rows — ids only, no text, no shingle arrays; verification touches the
+  * shingle sets of candidate-pair members only (candidate-bounded
+  * broadcasts, the verifyJaccard discipline). The only index-proportional
+  * term is the ids-only band scan, which is the same term a bucketed
+  * one-shot join pays — but paid WITHOUT the corpus-wide text pass.
+  *
+  * IVF: centroids train once at bootstrap and freeze (root/centroids,
+  * snapshot convention); each ingest assigns ONLY the new vectors with the
+  * frozen centroid kernel and appends (id, cid) rows (root/assignments,
+  * delta-log convention). Accumulated assignments equal the one-shot
+  * assignment of the union under the same centroids — exactly (the kernel
+  * is deterministic per row), gated by e20. Re-training on drift is a new
+  * bootstrap.
+  */
+object IncrementalIndex {
+
+  /** Tuning knobs, defaults matching the d2 gated pipeline. */
+  final case class MinHashParams(
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
+      threshold: Double = 0.8, bucketCap: Int = 1024, seed: Long = 42L)
+
+  /** Stored signature rows for a batch: (id, sz, sig, hs) — `sz` is the
+    * rank key bucket caps chunk by, `sig` feeds candidate banding, `hs`
+    * (the distinct shingle-hash set) makes verification index-local so
+    * old TEXT never needs re-reading. Row-local: one expression pass per
+    * doc, no shuffle.
+    */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    docs
+      .select(col(idCol).as("id"), Dedup.shingleHashes(docs, textCol, p.shingleN).as("hs"))
+      .select(col("id"), size(col("hs")).cast("long").as("sz"),
+        ColumnBridge.column(graft.functions.MinHashSignature(
+          ColumnBridge.expression(col("hs")), p.numHashes, p.seed)).as("sig"),
+        col("hs"))
+  }
+
+  /** All signature rows indexed so far (optionally up to a version pin). */
+  def readMinHashIndex(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame =
+    VersionedTable.readAllVersions(spark, root, upTo)
+
+  /** Ingest one batch: compute ITS signatures, find the verified near-dup
+    * pairs this batch adds (batch-internal + batch×index, never
+    * index×index), append the batch's signatures as the next index
+    * version. Returns (committed version, new verified pairs (a, b,
+    * jaccard) with a < b) — the pairs frame is persisted and materialized;
+    * the caller owns the unpersist. An empty index root bootstraps
+    * naturally (the first ingest's pairs are its internal ones).
+    */
+  def ingestMinHash(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): (Long, DataFrame) = {
+    val batchSigs = minHashSignatures(batch, idCol, textCol, p).persist()
+    try {
+      val haveIndex = VersionedTable.versions(spark, root).nonEmpty
+      val prior =
+        if (haveIndex) Some(readMinHashIndex(spark, root)) else None
+      // the capped candidate path scans its input three times (occupancy
+      // agg + both join branches) — persist so signatures compute once and
+      // the index parquet scans once
+      val all = prior match {
+        case Some(ix) =>
+          ix.select(col("id"), col("sz"), col("sig")).withColumn("nw", lit(false))
+            .unionAll(batchSigs.select("id", "sz", "sig").withColumn("nw", lit(true)))
+        case None =>
+          batchSigs.select("id", "sz", "sig").withColumn("nw", lit(true))
+      }
+      val allP = all.persist()
+      val cands = Dedup.lshCandidates(allP, "id", p.numHashes, p.bands,
+        p.bucketCap, col("sz"), col("nw")).persist()
+      try {
+        // verification shingle sets: stored for index rows, fresh for the
+        // batch; verifyJaccard prunes to candidate ids via broadcast
+        // before any wide array moves
+        val shingled = prior match {
+          case Some(ix) => ix.select(col("id"), col("hs"))
+            .unionAll(batchSigs.select("id", "hs"))
+          case None => batchSigs.select("id", "hs")
+        }
+        val verified = Dedup.verifyJaccard(cands, shingled, "id", "hs")
+          .filter(col("jaccard") >= p.threshold).persist()
+        verified.count() // materialize while the caches are hot
+        val v = VersionedTable.write(spark, batchSigs, root)
+        (v, verified)
+      } finally {
+        cands.unpersist(blocking = false)
+        allP.unpersist(blocking = false)
+      }
+    } finally batchSigs.unpersist(blocking = false)
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  private def centroidsRoot(root: String) = s"${root.stripSuffix("/")}/centroids"
+  private def assignRoot(root: String) = s"${root.stripSuffix("/")}/assignments"
+
+  /** Train centroids on the first batch, freeze them (snapshot table),
+    * assign the batch (delta-log table). Returns the assignment version.
+    */
+  def bootstrapIvf(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, k: Int): Long = {
+    val cents = Ivf.train(batch, vecCol, k)
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cid", "cvec")
+    VersionedTable.write(spark, centsDf, centroidsRoot(root))
+    ingestIvf(spark, root, batch, idCol, vecCol)
+  }
+
+  /** Frozen centroids of a bootstrapped index, cid-ordered. */
+  def readIvfCentroids(spark: SparkSession, root: String): Array[Array[Double]] =
+    VersionedTable.read(spark, centroidsRoot(root))
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Assign ONLY the new batch under the frozen centroids and append the
+    * (id, cid) rows as the next assignment version. O(batch · k · dim)
+    * kernel work + an O(batch) write — nothing rescans indexed vectors.
+    */
+  def ingestIvf(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    val cents = readIvfCentroids(spark, root)
+    val assigned = batch.select(col(idCol).as("id"),
+      Ivf.cellId(col(vecCol), cents).as("cid"))
+    VersionedTable.write(spark, assigned, assignRoot(root))
+  }
+
+  /** All (id, cid) assignments ingested so far. */
+  def readIvfAssignments(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame =
+    VersionedTable.readAllVersions(spark, assignRoot(root), upTo)
+}

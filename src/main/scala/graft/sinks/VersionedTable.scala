@@ -136,6 +136,24 @@ object VersionedTable {
     spark.read.parquet(new Path(new Path(root), dirName(v)).toString)
   }
 
+  /** Union-read of EVERY committed version up to `upTo` (default all) —
+    * the delta-log convention: a table whose writer appends one version
+    * per ingested batch (each holding only that batch's rows) reads as
+    * the union of its versions. One parquet scan over the version dirs;
+    * pinning `upTo` time-travels the log to a batch boundary. The
+    * snapshot convention ([[read]]) and this one are the two ends of the
+    * same commit protocol — the writer picks which contract a root uses.
+    */
+  def readAllVersions(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val keep = upTo.map(u => vs.filter(_ <= u)).getOrElse(vs)
+    require(keep.nonEmpty, s"no versions <= ${upTo.get} at $root (have $vs)")
+    val rootPath = new Path(root)
+    spark.read.parquet(keep.map(v => new Path(rootPath, dirName(v)).toString): _*)
+  }
+
   /** Drop all but the newest `keep` versions; returns the dropped ones.
     * Readers of a dropped version fail fast on the `require` in [[read]]
     * rather than seeing partial data (deletion starts with a rename to a

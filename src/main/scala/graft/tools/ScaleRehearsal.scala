@@ -56,12 +56,33 @@ object ScaleRehearsal {
     "d47_semdedup", "e3_embedding_neardup", "d36_containment",
     "d2_dedup_minhash", "d40_prefix_join", "d9_dedup_clusters")
 
-  /** Queries run on the zipf-skewed replicas with AQE skew-split armed. */
+  /** Queries run on the zipf-skewed replicas with AQE skew-split armed.
+    * Round 7 extends the skew surface beyond TPC-H joins to where the
+    * 100 TB skew risk actually lives (VERDICT r6 task 6): boilerplate
+    * fingerprints (d1 — ~0.2% of docs collapse to ONE text, a hot md5
+    * key), dup-cluster labels (d9 — the same mono-text block is a dense
+    * near-dup clique, engaging bucket caps and the distributed
+    * min-label path), and celebrity graph nodes (q88 — hot l_partkeys
+    * appear in ~30% of orders, so PageRank gets high-degree vertices).
+    */
   val skewQueries: Seq[String] = Seq(
-    "q29_star_revenue", "q31_salted_join", "q38_shipping_priority")
+    "q29_star_revenue", "q31_salted_join", "q38_shipping_priority",
+    "d1_dedup_exact", "d9_dedup_clusters", "q88_pagerank")
 
-  /** Bump when generation semantics change — stale dirs regenerate. */
+  /** The sf10 (100×) spot set: the steepest/heaviest curves of the r6
+    * 10× rehearsal — one more decade says whether "sub-linear" holds.
+    */
+  val sf10Queries: Seq[String] = Seq(
+    "d2_dedup_minhash", "d9_dedup_clusters", "d40_prefix_join",
+    "e3_embedding_neardup", "d41_sparse_cosine")
+
+  /** Bump when generation semantics change — stale dirs regenerate.
+    * Per-mode suffixes let one mode's generator evolve without
+    * invalidating the others' (regeneration costs minutes per dir).
+    */
   private val scheme = "r6-domain-offsets-v3"
+  private def schemeFor(mode: String): String =
+    if (mode == "skew") s"$scheme-skewkeys-v1" else scheme
 
   /** Key domains: domain -> (owning table, owning column). One offset per
     * domain, from the OWNER's max, reused by every referencing column.
@@ -93,13 +114,14 @@ object ScaleRehearsal {
     ("region", Map.empty))
 
   def generate(spark: SparkSession, srcDir: String, dstDir: String,
-      replicas: Int, mode: String): Unit = {
+      replicas: Int, mode: String,
+      only: Option[Set[String]] = None): Unit = {
     // one offset per DOMAIN, from the owning table's own key column
     val offsets: Map[String, Long] = domainOwner.map { case (dom, (tab, col0)) =>
       dom -> (spark.read.parquet(s"$srcDir/$tab.parquet")
         .agg(max(col(col0).cast("long"))).head().getLong(0) + 1L)
     }
-    tables.foreach { case (name, keyDomains) =>
+    tables.filter(t => only.forall(_.contains(t._1))).foreach { case (name, keyDomains) =>
       val src = spark.read.parquet(s"$srcDir/$name.parquet")
       val out =
         if (keyDomains.isEmpty) src // tiny dims: copy as-is
@@ -117,7 +139,7 @@ object ScaleRehearsal {
       println(s"[scale] wrote $name ($mode)")
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dstDir/_scheme.txt"), s"$scheme-$mode\n")
+      java.nio.file.Paths.get(s"$dstDir/_scheme.txt"), s"${schemeFor(mode)}-$mode\n")
   }
 
   /** Per-replica content perturbation. `clique`/`skew`: every replica is
@@ -170,10 +192,30 @@ object ScaleRehearsal {
           when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) < 3,
             pmod(xxhash64(col("l_orderkey")), lit(5)) + 1)
           .otherwise(col("l_orderkey")))
+          // celebrity parts: 30% of rows remap to 5 hot partkeys, so the
+          // co-purchase graph (q74/q87/q88) grows high-degree vertices —
+          // the per-order pair term stays bounded (order sizes unchanged)
+          // but PageRank's contribution aggregation sees hot keys
+          .withColumn("l_partkey",
+            when(pmod(xxhash64(col("l_partkey"), col("l_orderkey")), lit(10)) < 3,
+              pmod(xxhash64(col("l_partkey")), lit(5)) + 1)
+            .otherwise(col("l_partkey")))
       case ("events", "skew") =>
         df.withColumn("event_type",
           when(pmod(xxhash64(col("event_id")), lit(10)) < 5, lit("hot"))
           .otherwise(col("event_type")))
+      case ("documents", "skew") =>
+        // boilerplate fingerprints: ~0.2% of docs collapse onto ONE text.
+        // d1's hash-agg gets a hot md5 key (map-side partial aggregation
+        // is the 100 TB answer); the same block is a dense near-dup
+        // clique for d9 — ~2.4k mutual near-dups at sf1, which engages
+        // the LSH bucket caps AND pushes the pair list past the
+        // union-find driver threshold onto the distributed label path
+        df.withColumn("text",
+          when(pmod(xxhash64(col("doc_id")), lit(500)) === 0,
+            lit("terms of service apply to all content provided herein " +
+              "all rights reserved by the respective copyright holders"))
+          .otherwise(col("text")))
       case _ => df
     }
 
@@ -193,7 +235,8 @@ object ScaleRehearsal {
   }
 
   private def ensureDir(spark: SparkSession, srcDir: String, dstDir: String,
-      mode: String): Unit = {
+      mode: String, replicas: Int = 10,
+      only: Option[Set[String]] = None): Unit = {
     // Never generate in place or anywhere near the driver's testdata:
     // an overwrite into srcDir would delete its own input mid-read.
     require(new java.io.File(dstDir).getCanonicalPath !=
@@ -206,10 +249,10 @@ object ScaleRehearsal {
       if (java.nio.file.Files.exists(marker))
         java.nio.file.Files.readString(marker).trim
       else ""
-    if (current == s"$scheme-$mode") println(s"[scale] reusing $dstDir")
+    if (current == s"${schemeFor(mode)}-$mode") println(s"[scale] reusing $dstDir")
     else {
-      println(s"[scale] generating 10x $mode replica of $srcDir at $dstDir")
-      generate(spark, srcDir, dstDir, replicas = 10, mode)
+      println(s"[scale] generating ${replicas}x $mode replica of $srcDir at $dstDir")
+      generate(spark, srcDir, dstDir, replicas, mode, only)
     }
   }
 
@@ -253,6 +296,40 @@ object ScaleRehearsal {
       }
     }
 
+  /** Incremental-ingest cost probe (VERDICT r7 task 1 "done" criterion):
+    * build a MinHash signature index from `indexDir`'s documents
+    * (untimed), then TIME ingesting one fixed sf0.01-sized batch, and —
+    * for contrast — a one-shot rebuild over index∪batch. Run at 1× and
+    * 10× index size, the ingest time must track the batch, not the
+    * index: its only index-proportional term is the ids-only band scan.
+    */
+  private def timedIngest(spark: SparkSession, base: String,
+      indexDir: String, batchDir: String, tag: String): (Double, Double) = {
+    import graft.operators.{Dedup, IncrementalIndex}
+    import org.apache.hadoop.fs.Path
+    val root = s"$base/graft-incr-$tag"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    val docs = spark.read.parquet(s"$indexDir/documents.parquet")
+      .select("doc_id", "text")
+    val (_, p0) = IncrementalIndex.ingestMinHash(spark, root, docs, "doc_id", "text")
+    p0.unpersist(blocking = false)
+    val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+      .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+    SparkEntry.resetSessionCache(spark)
+    var t0 = System.nanoTime()
+    val (_, p1) = IncrementalIndex.ingestMinHash(spark, root, batch, "doc_id", "text")
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+    p1.unpersist(blocking = false)
+    t0 = System.nanoTime()
+    val rebuilt = Dedup.minHashLsh(docs.unionAll(batch), "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    val rebuildSec = (System.nanoTime() - t0) / 1e9
+    rebuilt.unpersist(blocking = false)
+    println(f"SCALE incr[$tag] ingest $ingestSec%.2fs vs one-shot rebuild $rebuildSec%.2fs")
+    (ingestSec, rebuildSec)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF1_BASE", "/tmp")
@@ -270,6 +347,22 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("ERROR")
     val warmDir = "/root/testdata/sf0.001"
     val prof = profTimes()
+
+    if (scope == "sf10") {
+      // second decade: 100× replicas of documents+embeddings only (the
+      // five spot queries touch nothing else), clique mode — the
+      // adversarial dup-structure ceiling, same as the 10× headline
+      val sf10Dir = s"$base/graft-sf10-clique"
+      ensureDir(spark, srcDir, sf10Dir, "clique", replicas = 100,
+        only = Some(Set("documents", "embeddings")))
+      val entries = runSet(spark, sf10Queries, sf10Dir, prof, warmDir)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"sf":"sf10(100x-sf0.1-replica,$scheme)","scope":"sf10",""" +
+          s""""queries":{${entries.mkString(",")}}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
 
     val cliqueDir = s"$base/graft-sf1-clique"
     ensureDir(spark, srcDir, cliqueDir, "clique")
@@ -299,11 +392,26 @@ object ScaleRehearsal {
         case (k, None)    => spark.conf.unset(k)
       }
 
+    // per-batch incremental-ingest cost at 1× and 10× index size: the
+    // fixed batch is the sf0.01 documents table (sibling of srcDir)
+    val batchDir = new java.io.File(srcDir).getParent + "/sf0.01"
+    val incrJson =
+      if (new java.io.File(s"$batchDir/documents.parquet").exists()) {
+        val (i1, r1) = timedIngest(spark, base, srcDir, batchDir, "1x")
+        val (i10, r10) = timedIngest(spark, base, cliqueDir, batchDir, "10x")
+        s""""incr":{"ingest_1x":${"%.2f".format(i1)},""" +
+          s""""ingest_10x":${"%.2f".format(i10)},""" +
+          s""""ingest_ratio":${"%.2f".format(i10 / math.max(i1, 1e-9))},""" +
+          s""""rebuild_1x":${"%.2f".format(r1)},""" +
+          s""""rebuild_10x":${"%.2f".format(r10)}}"""
+      } else """"incr":{}"""
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
       s"""{"sf":"sf1(10x-sf0.1-replica,$scheme)","scope":"$scope",""" +
         s""""queries":{${mainEntries.mkString(",")}},""" +
         s""""realistic":{${realEntries.mkString(",")}},""" +
-        s""""skew":{${skewEntries.mkString(",")}}}""" + "\n")
+        s""""skew":{${skewEntries.mkString(",")}},""" +
+        incrJson + "}" + "\n")
     println(s"[scale] wrote $outJson")
     spark.stop()
   }

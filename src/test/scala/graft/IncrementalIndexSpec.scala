@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.config.{SortOrder, TableConfig}
+import graft.operators.{Bookmarks, Dedup, IncrementalIndex, Ivf}
+import graft.sinks.VersionedTable
+
+/** Incremental dedup/ANN index maintenance: per-batch ingests into a
+  * persisted versioned signature index accumulate EXACTLY the one-shot
+  * result, per-ingest pair sets are disjoint (no index×index recompute),
+  * and the ingest boundary composes with the reference's bookmark spine
+  * (Bookmarks.filterNew defines the batch).
+  */
+class IncrementalIndexSpec extends SparkSpec {
+
+  /** Small near-dup corpus: originals ∪ first-token-dropped mutants (the
+    * registry's nearDupCorpus shape) over the sf0.001 documents.
+    */
+  private lazy val corpus: DataFrame = {
+    val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+    val mutant = expr(
+      "CASE WHEN instr(text, ' ') > 0 THEN substring(text, instr(text, ' ') + 1) ELSE text END")
+    docs.union(docs.select((col("doc_id") + 100000).as("doc_id"), mutant.as("text")))
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("two-batch incremental minhash ingest equals one-shot dedup; batch pair sets disjoint") {
+    val root = tmpDir("incr_minhash_eq")
+    val r = pmod(col("doc_id") % 100000, lit(3))
+    val isMut = col("doc_id") >= 100000
+    val b1 = corpus.filter((!isMut && r < 2) || (isMut && r === 0))
+    val b2 = corpus.filter((!isMut && r === 2) || (isMut && r > 0))
+    val (v1, p1) = IncrementalIndex.ingestMinHash(spark, root, b1, "doc_id", "text")
+    val (v2, p2) = IncrementalIndex.ingestMinHash(spark, root, b2, "doc_id", "text")
+    assert(v1 == 1L && v2 == 2L)
+    val oneShot = Dedup.minHashLsh(corpus, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    val s1 = pairSet(p1); val s2 = pairSet(p2)
+    assert(s1.intersect(s2).isEmpty, "per-ingest pair sets must be disjoint")
+    assert(s1.union(s2) == pairSet(oneShot),
+      "accumulated incremental pairs must equal the one-shot pair list")
+    // the split genuinely exercises all three pair placements
+    val inB1 = b1.select("doc_id").collect().map(_.getLong(0)).toSet
+    def cross(p: (Long, Long)) = inB1.contains(p._1) != inB1.contains(p._2)
+    assert(s1.nonEmpty && s2.exists(cross) && s2.exists(!cross(_)),
+      "expected intra-batch-1, cross-batch, and intra-batch-2 pairs")
+    oneShot.unpersist(); p1.unpersist(); p2.unpersist()
+  }
+
+  test("empty batch commits a version and emits no pairs; index union-read sees every batch") {
+    val root = tmpDir("incr_minhash_empty")
+    val b1 = corpus.filter(col("doc_id") % 2 === 0)
+    val (v1, p1) = IncrementalIndex.ingestMinHash(spark, root, b1, "doc_id", "text")
+    val (v2, p2) = IncrementalIndex.ingestMinHash(spark, root,
+      corpus.filter(lit(false)), "doc_id", "text")
+    assert(v1 == 1L && v2 == 2L)
+    assert(p2.count() == 0)
+    val indexed = IncrementalIndex.readMinHashIndex(spark, root).count()
+    assert(indexed == b1.count(), "index must hold exactly the ingested rows")
+    // a version pin time-travels the index to the batch boundary
+    assert(IncrementalIndex.readMinHashIndex(spark, root, upTo = Some(1L)).count() == indexed)
+    p1.unpersist(); p2.unpersist()
+  }
+
+  test("ingest composes with the bookmark spine: filterNew defines the batch") {
+    val root = tmpDir("incr_minhash_bookmark")
+    val cfg = TableConfig("documents", Seq("doc_id"), SortOrder.Asc)
+    // snapshot 1 of the source: an append-ordered PREFIX in the bookmark
+    // key (originals only; mutants arrive later at higher ids)
+    val snap1 = corpus.filter(col("doc_id") < 250)
+    val (_, p1) = IncrementalIndex.ingestMinHash(spark, root, snap1, "doc_id", "text")
+    // snapshot 2 appends the rest; the bookmark predicate isolates the
+    // delta exactly as Driver.runTable would — max ingested doc_id
+    val bookmark = Map("doc_id" -> snap1.agg(max("doc_id")).head().getLong(0).toString)
+    val delta = Bookmarks.filterNew(corpus, cfg, bookmark)
+    assert(delta.count() == corpus.count() - snap1.count(),
+      "bookmark must isolate exactly the unseen rows")
+    val (_, p2) = IncrementalIndex.ingestMinHash(spark, root, delta, "doc_id", "text")
+    val oneShot = Dedup.minHashLsh(corpus, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    assert(pairSet(p1).union(pairSet(p2)) == pairSet(oneShot))
+    oneShot.unpersist(); p1.unpersist(); p2.unpersist()
+  }
+
+  test("incremental IVF assignment equals one-shot under the frozen centroids") {
+    val root = tmpDir("incr_ivf")
+    val embs = spark.read.parquet(sf("embeddings"))
+    val b1 = embs.filter(col("vec_id") % 2 === 0)
+    val b2 = embs.filter(col("vec_id") % 2 === 1)
+    IncrementalIndex.bootstrapIvf(spark, root, b1, "vec_id", "embedding", k = 8)
+    IncrementalIndex.ingestIvf(spark, root, b2, "vec_id", "embedding")
+    val cents = IncrementalIndex.readIvfCentroids(spark, root)
+    assert(cents.length == 8)
+    val incr = IncrementalIndex.readIvfAssignments(spark, root)
+    val oneShot = embs.select(col("vec_id").as("id"),
+      Ivf.cellId(col("embedding"), cents).as("cid1"))
+    assert(incr.count() == embs.count(), "every vector assigned exactly once")
+    val mismatches = incr.join(oneShot, "id")
+      .filter(col("cid") =!= col("cid1")).count()
+    assert(mismatches == 0, "incremental assignment must be bit-identical to one-shot")
+    // assignments arrived as one delta version per ingest
+    assert(VersionedTable.versions(spark, s"$root/assignments") == Seq(1L, 2L))
+  }
+}
