@@ -256,8 +256,20 @@ object SparkEntry {
     */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     cachedDf(s, s"copurch|$dir") {
+      // Basket cap: the per-order self-join is quadratic in basket size,
+      // and at corpus scale a single bot/aggregator order with 10^5
+      // distinct parts would contribute C(10^5, 2) ≈ 5·10^9 pairs — the
+      // zipf-skew rehearsal's hot orders hit exactly this. Orders keep
+      // their first 256 parts (deterministic by part id); TPC-H-shaped
+      // baskets are ≤7 parts, so the cap is inert at every gate SF and
+      // only truncates pathological mega-baskets, whose co-purchase
+      // pairs are noise (standard market-basket practice).
+      val basketCap = 256
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        .withColumn("bn", row_number().over(
+          Window.partitionBy("ok").orderBy("p")))
+        .filter(col("bn") <= basketCap).drop("bn")
       li.as("a")
         .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("u"), col("b.p").as("v"))
@@ -3947,6 +3959,40 @@ object SparkEntry {
           coalesce(min(col("cid") === col("cid1")), lit(false)).as("all_match"))
     }),
 
+    // Incremental SRP embedding index: e3's mutant corpus arrives in two
+    // batches (same three-way placement split as d54 — intra-batch-1,
+    // cross, intra-batch-2 pairs all exercised); each ingest signs ONLY
+    // its batch and probes the persisted signature index, and the
+    // accumulated verified pairs equal e3's one-shot exact-cosine oracle
+    // verbatim. Geometry note: bitsPerTable FREEZES at bootstrap (stored
+    // signatures must stay collision-compatible across ingests) — sized
+    // here for the final corpus, the way a real index is provisioned.
+    "e21_incremental_embedding_neardup" -> ((s, dir) =>
+      cachedDf(s, s"incrsrp|$dir") {
+        import graft.operators.IncrementalIndex
+        val root = tmpdir("graft-incr-srp")
+        val base = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+        val corpus = base.union(mut)
+        val p = IncrementalIndex.SrpParams(dim = 64,
+          bitsPerTable = Similarity.srpBitsFor(base.count() * 2), bucketCap = 256)
+        val r = pmod(col("vec_id") % 100000, lit(3))
+        val isMut = col("vec_id") >= 100000
+        val b1 = corpus.filter((!isMut && r < 2) || (isMut && r === 0))
+        val b2 = corpus.filter((!isMut && r === 2) || (isMut && r > 0))
+        val (_, p1) = IncrementalIndex.ingestEmbeddings(s, root, b1, "vec_id", "v", p)
+        val (_, p2) = IncrementalIndex.ingestEmbeddings(s, root, b2, "vec_id", "v", p)
+        // ingests emit disjoint pair sets; own the materialized union
+        val out = p1.unionAll(p2).persist()
+        out.count()
+        p1.unpersist(blocking = false)
+        p2.unpersist(blocking = false)
+        out
+      }.select(col("a"), col("b"), round(col("cos"), 6).as("cos6"))
+        .orderBy("a", "b")),
+
     // Language-distribution divergence between corpus sources (the
     // distribution-shift monitor a mixture pipeline needs): per-source
     // predicted-language histograms, pairwise Jensen-Shannon divergence.
@@ -4738,6 +4784,19 @@ object SparkEntry {
     // the incremental-vs-one-shot assignment comparison to hold
     "e20_incremental_ivf" ->
       "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
+
+    // e3's exact all-pairs oracle VERBATIM: incremental SRP-index ingest
+    // must accumulate the identical verified near-dup pair list
+    "e21_incremental_embedding_neardup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mut AS (SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |pairs AS (SELECT l.vec_id AS a, r.vec_id AS b,
+        |  list_cosine_similarity(l.v, r.v) AS c
+        |  FROM corpus l, corpus r WHERE l.vec_id < r.vec_id)
+        |SELECT a, b, round(c, 6) AS cos6 FROM pairs WHERE c >= 0.99
+        |ORDER BY a, b""".stripMargin,
 
     "d3_dedup_simhash" -> {
       val bitSums = (0 until 60)

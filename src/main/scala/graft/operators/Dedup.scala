@@ -356,26 +356,50 @@ object Dedup {
       embs: DataFrame, idCol: String, vecCol: String, threshold: Double, dim: Int,
       numTables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L,
       bucketCap: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
-    // fixed ordering direction for oversized buckets: one extra seeded
-    // hyperplane, distinct from every bucketing plane (seed offset)
-    val u = Similarity.hyperplanes(1, dim, seed * 31 + 1).head
-    val proj = round(cosine(col(vecCol), array(u.map(lit(_)): _*)), 6)
     // bucket join on ids only — vectors never ride through the candidate
     // dedup shuffle; they are fetched once per distinct pair afterwards.
     // `p` (one double per row) is the only extra payload the cap needs.
-    // Two-phase occupancy split (the lshCandidates scheme): sub-cap
-    // buckets take exactly the original single-shuffle join; only
-    // over-cap buckets (mega-clusters, rare) pay the rank sort. The
-    // oversized list joins back unhinted so AQE broadcasts it when tiny.
     // withB feeds the occupancy agg + both branches — persist it so the
     // SRP signature kernel runs once (scalars only: doc, p, table,
     // bucket).
-    val withB = embs.select(col(idCol).as("doc"), proj.as("p"),
+    val withB = embs.select(col(idCol).as("doc"),
+        srpRankProj(col(vecCol), dim, seed).as("p"), lit(true).as("nw"),
         posexplode(Similarity.srpSignature(col(vecCol), dim, numTables, bitsPerTable, seed)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .persist()
+    val cands = srpBucketCandidates(withB, bucketCap).persist()
+    try {
+      val out = verifyCosine(cands,
+        embs.select(col(idCol).as("id"), col(vecCol).as("v")), threshold)
+      out.count() // materialize before releasing the candidate cache
+      out
+    } finally {
+      cands.unpersist(blocking = false)
+      withB.unpersist(blocking = false)
+    }
+  }
+
+  /** Fixed ordering direction for oversized SRP buckets: one extra
+    * seeded hyperplane, distinct from every bucketing plane (seed
+    * offset), 6-dp rounded for cross-run determinism.
+    */
+  private[operators] def srpRankProj(vec: Column, dim: Int, seed: Long): Column = {
+    val u = Similarity.hyperplanes(1, dim, seed * 31 + 1).head
+    round(cosine(vec, array(u.map(lit(_)): _*)), 6)
+  }
+
+  /** Candidate pairs from SRP bucket collisions over a pre-exploded
+    * (doc, p, nw, table, bucket) frame, bucket-capped with the two-phase
+    * occupancy split (sub-cap buckets take exactly the original
+    * single-shuffle join; over-cap buckets rank by (p, doc) and compare
+    * same-or-adjacent chunks of `bucketCap` — O(n·cap)). `nw` is the
+    * incremental hook: only pairs touching a new row are emitted (a
+    * literal-true column constant-folds the filters away). The oversized
+    * list joins back unhinted so AQE broadcasts it when tiny.
+    */
+  private[operators] def srpBucketCandidates(withB: DataFrame, bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val over = withB.groupBy("table", "bucket")
       .agg(count(lit(1)).as("occ")).filter(col("occ") > bucketCap)
     val flagged = withB.join(over, Seq("table", "bucket"), "left")
@@ -383,6 +407,7 @@ object Dedup {
     val normalPairs = normal.as("l").join(normal.as("r"),
         col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
           col("l.doc") < col("r.doc"))
+      .filter(col("l.nw") || col("r.nw"))
       .select(col("l.doc").as("a"), col("r.doc").as("b"))
     // oversized-bucket rows emit at {chunk, chunk+1}; k == greatest(lc, rc)
     // admits each |Δchunk| ≤ 1 pair exactly once (same scheme as semDedup)
@@ -391,30 +416,32 @@ object Dedup {
         (row_number().over(Window.partitionBy("table", "bucket")
           .orderBy("p", "doc")) - 1) / lit(bucketCap.toLong)))
     def keyed(side: String) = big
-      .select(col("doc").as(s"${side}_doc"), col("table"), col("bucket"),
-        col("chunk").as(s"${side}_c"),
+      .select(col("doc").as(s"${side}_doc"), col("nw").as(s"${side}_nw"),
+        col("table"), col("bucket"), col("chunk").as(s"${side}_c"),
         explode(array(col("chunk"), col("chunk") + 1)).as("k"))
     val bigPairs = keyed("l").join(keyed("r"), Seq("table", "bucket", "k"))
       .filter(col("k") === greatest(col("l_c"), col("r_c")) &&
         col("l_doc") < col("r_doc"))
+      .filter(col("l_nw") || col("r_nw"))
       .select(col("l_doc").as("a"), col("r_doc").as("b"))
-    val cands = normalPairs.union(bigPairs).distinct().persist()
-    try {
-      // same exchange discipline as verifyJaccard: vectors reach the pair
-      // list via map-side prune + broadcast, never a hash-partition shuffle
-      val va = embs.select(col(idCol).as("a"), col(vecCol).as("va"))
-        .join(broadcast(cands.select("a").distinct()), "a")
-      val vb = embs.select(col(idCol).as("b"), col(vecCol).as("vb"))
-        .join(broadcast(cands.select("b").distinct()), "b")
-      val out = cands.join(broadcast(va), "a").join(broadcast(vb), "b")
-        .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
-        .filter(col("cos") >= threshold).persist()
-      out.count() // materialize before releasing the candidate cache
-      out
-    } finally {
-      cands.unpersist(blocking = false)
-      withB.unpersist(blocking = false)
-    }
+    normalPairs.union(bigPairs).distinct()
+  }
+
+  /** Exact-cosine verification of candidate pairs against a (id, v)
+    * vector table, ≥ `threshold` kept — the verifyJaccard exchange
+    * discipline: vectors reach the candidate-bounded pair list via
+    * map-side prune + broadcast, never a hash-partition shuffle. Returns
+    * (a, b, cos), persisted lazily (caller materializes + owns).
+    */
+  private[operators] def verifyCosine(
+      cands: DataFrame, vecs: DataFrame, threshold: Double): DataFrame = {
+    val va = vecs.select(col("id").as("a"), col("v").as("va"))
+      .join(broadcast(cands.select("a").distinct()), "a")
+    val vb = vecs.select(col("id").as("b"), col("v").as("vb"))
+      .join(broadcast(cands.select("b").distinct()), "b")
+    cands.join(broadcast(va), "a").join(broadcast(vb), "b")
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold).persist()
   }
 
   /** SemDeDup (semantic dedup, Abbas et al. 2023, arXiv:2303.09540):

@@ -124,6 +124,80 @@ object IncrementalIndex {
     } finally batchSigs.unpersist(blocking = false)
   }
 
+  // ----------------------------------------------------- embedding near-dup
+
+  /** SRP index geometry, FROZEN at bootstrap: signatures stored by one
+    * ingest must collide meaningfully with signatures stored by every
+    * later one, so the plane count cannot follow the (growing) corpus
+    * the way one-shot [[graft.operators.Similarity.srpBitsFor]] does.
+    * Size `bitsPerTable` for the corpus the index is EXPECTED to reach
+    * (occupancy degrades gracefully — bucket caps bound the damage);
+    * re-bitting on growth is a new bootstrap, exactly like IVF
+    * re-training.
+    */
+  final case class SrpParams(
+      dim: Int, numTables: Int = 8, bitsPerTable: Int = 8,
+      threshold: Double = 0.99, bucketCap: Int = 256, seed: Long = 7L)
+
+  /** Stored embedding-signature rows: (id, p, sig, v) — `p` the bucket
+    * rank projection, `sig` the per-table SRP buckets, `v` the vector
+    * itself (exact-cosine verification needs it; storing it keeps old
+    * source tables out of every future ingest).
+    */
+  def srpSignatures(embs: DataFrame, idCol: String, vecCol: String,
+      p: SrpParams): DataFrame =
+    embs.select(col(idCol).as("id"),
+      Dedup.srpRankProj(col(vecCol), p.dim, p.seed).as("p"),
+      Similarity.srpSignature(col(vecCol), p.dim, p.numTables, p.bitsPerTable, p.seed)
+        .as("sig"),
+      col(vecCol).as("v"))
+
+  /** All embedding-signature rows indexed so far. */
+  def readSrpIndex(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame =
+    VersionedTable.readAllVersions(spark, root, upTo)
+
+  /** Ingest one embedding batch: sign ONLY the batch, find the verified
+    * near-dup pairs it adds (batch-internal + batch×index via the SRP
+    * bucket join's `nw` hook — index×index excluded), append the batch's
+    * signature rows as the next version. Returns (version, pairs (a, b,
+    * cos) with a < b), pairs persisted + materialized, caller unpersists.
+    */
+  def ingestEmbeddings(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, p: SrpParams): (Long, DataFrame) = {
+    val batchSigs = srpSignatures(batch, idCol, vecCol, p).persist()
+    try {
+      val haveIndex = VersionedTable.versions(spark, root).nonEmpty
+      val prior = if (haveIndex) Some(readSrpIndex(spark, root)) else None
+      val all = prior match {
+        case Some(ix) =>
+          ix.select(col("id"), col("p"), col("sig")).withColumn("nw", lit(false))
+            .unionAll(batchSigs.select("id", "p", "sig").withColumn("nw", lit(true)))
+        case None =>
+          batchSigs.select("id", "p", "sig").withColumn("nw", lit(true))
+      }
+      val withB = all.select(col("id").as("doc"), col("p"), col("nw"),
+          posexplode(col("sig")))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+        .persist()
+      val cands = Dedup.srpBucketCandidates(withB, p.bucketCap).persist()
+      try {
+        val vecs = prior match {
+          case Some(ix) => ix.select(col("id"), col("v"))
+            .unionAll(batchSigs.select("id", "v"))
+          case None => batchSigs.select("id", "v")
+        }
+        val verified = Dedup.verifyCosine(cands, vecs, p.threshold)
+        verified.count()
+        val v = VersionedTable.write(spark, batchSigs, root)
+        (v, verified)
+      } finally {
+        cands.unpersist(blocking = false)
+        withB.unpersist(blocking = false)
+      }
+    } finally batchSigs.unpersist(blocking = false)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   private def centroidsRoot(root: String) = s"${root.stripSuffix("/")}/centroids"

@@ -87,6 +87,28 @@ class IncrementalIndexSpec extends SparkSpec {
     oneShot.unpersist(); p1.unpersist(); p2.unpersist()
   }
 
+  test("incremental SRP embedding ingest equals one-shot embeddingNearDupLsh") {
+    val root = tmpDir("incr_srp")
+    val embs = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val mut = embs.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(v, (x, i) -> IF(i = 0, x + 0.01D, x))").as("v"))
+    val corpus = embs.union(mut)
+    val p = IncrementalIndex.SrpParams(dim = 64, bitsPerTable = 8, bucketCap = 256)
+    val b1 = corpus.filter(pmod(col("vec_id") % 100000, lit(3)) < 2)
+    val b2 = corpus.filter(pmod(col("vec_id") % 100000, lit(3)) === 2)
+    val (v1, p1) = IncrementalIndex.ingestEmbeddings(spark, root, b1, "vec_id", "v", p)
+    val (v2, p2) = IncrementalIndex.ingestEmbeddings(spark, root, b2, "vec_id", "v", p)
+    assert(v1 == 1L && v2 == 2L)
+    val oneShot = Dedup.embeddingNearDupLsh(corpus, "vec_id", "v",
+      threshold = 0.99, dim = 64, bitsPerTable = 8, bucketCap = 256)
+    val s1 = pairSet(p1); val s2 = pairSet(p2)
+    assert(s1.intersect(s2).isEmpty)
+    assert(s1.union(s2) == pairSet(oneShot))
+    assert(s1.nonEmpty && s2.nonEmpty)
+    oneShot.unpersist(); p1.unpersist(); p2.unpersist()
+  }
+
   test("incremental IVF assignment equals one-shot under the frozen centroids") {
     val root = tmpDir("incr_ivf")
     val embs = spark.read.parquet(sf("embeddings"))
