@@ -99,15 +99,11 @@ object Dedup {
     */
   def lshCandidates(
       sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
-      bucketCap: Int = Int.MaxValue, rankBy: Column = lit(0L),
-      isNew: Column = lit(true)): DataFrame = {
-    // `isNew` (boolean over `sigs` rows) is the INCREMENTAL-maintenance
-    // hook: only pairs touching at least one new row are emitted, so an
-    // ingest that unions a persisted signature index (isNew=false) with a
-    // fresh batch (isNew=true) pays for batch×(index ∪ batch) pairs, never
-    // index×index — those were emitted by the ingests that indexed them.
-    // The default (literal true) constant-folds the filter away, leaving
-    // the single-corpus plan untouched.
+      bucketCap: Int = Int.MaxValue, rankBy: Column = lit(0L)): DataFrame = {
+    // NOTE: incremental index maintenance does NOT reuse this one-shot
+    // path — [[graft.operators.IncrementalIndex]] has its own candidate
+    // formulation in which the persisted index never enters an exchange
+    // (broadcast-batch probe; mega-bucket-only shuffle).
     import org.apache.spark.sql.expressions.Window
     val r = numHashes / bands
     require(r * bands == numHashes, s"bands=$bands must divide numHashes=$numHashes")
@@ -117,13 +113,11 @@ object Dedup {
     }
     if (bucketCap == Int.MaxValue) {
       // uncapped fast path: no windows, single equi-join on (band, bucket)
-      val banded = sigs
-        .select(col(idCol).as("doc"), isNew.as("nw"), posexplode(array(bandHashes: _*)))
+      val banded = sigs.select(col(idCol).as("doc"), posexplode(array(bandHashes: _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       banded.as("l").join(banded.as("r"),
           col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
             col("l.doc") < col("r.doc"))
-        .filter(col("l.nw") || col("r.nw"))
         .select(col("l.doc").as("a"), col("r.doc").as("b"))
         .distinct()
     } else {
@@ -141,8 +135,7 @@ object Dedup {
       // `sigs`) — callers on the capped path should pass a persisted
       // `sigs` frame (minHashLsh does) so the signature kernel runs once.
       val banded = sigs
-        .select(col(idCol).as("doc"), rankBy.as("rk"), isNew.as("nw"),
-          posexplode(array(bandHashes: _*)))
+        .select(col(idCol).as("doc"), rankBy.as("rk"), posexplode(array(bandHashes: _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val over = banded.groupBy("band", "bucket")
         .agg(count(lit(1)).as("occ")).filter(col("occ") > bucketCap)
@@ -151,25 +144,21 @@ object Dedup {
       val normalPairs = normal.as("l").join(normal.as("r"),
           col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
             col("l.doc") < col("r.doc"))
-        .filter(col("l.nw") || col("r.nw"))
         .select(col("l.doc").as("a"), col("r.doc").as("b"))
       // oversized-bucket rows rank by (rk, doc), chunk by cap, emit at
       // {chunk, chunk+1}; k == greatest(lc, rc) admits each |Δchunk| ≤ 1
       // pair exactly once (the semDedup scheme) — O(n · cap) per bucket.
-      // Index rows still RANK (chunk geometry must match the one-shot
-      // run's), they are only filtered out of the emitted pairs.
       val big = flagged.filter(col("occ").isNotNull)
         .withColumn("chunk", floor(
           (row_number().over(Window.partitionBy("band", "bucket")
             .orderBy("rk", "doc")) - 1) / lit(bucketCap.toLong)))
       def keyed(side: String) = big
-        .select(col("doc").as(s"${side}_doc"), col("nw").as(s"${side}_nw"),
-          col("band"), col("bucket"), col("chunk").as(s"${side}_c"),
+        .select(col("doc").as(s"${side}_doc"), col("band"), col("bucket"),
+          col("chunk").as(s"${side}_c"),
           explode(array(col("chunk"), col("chunk") + 1)).as("k"))
       val bigPairs = keyed("l").join(keyed("r"), Seq("band", "bucket", "k"))
         .filter(col("k") === greatest(col("l_c"), col("r_c")) &&
           col("l_doc") < col("r_doc"))
-        .filter(col("l_nw") || col("r_nw"))
         .select(col("l_doc").as("a"), col("r_doc").as("b"))
       // a bucket is entirely sub-cap or entirely over-cap, so no pair can
       // appear in both branches for the same bucket; distinct dedups
@@ -364,7 +353,7 @@ object Dedup {
     // SRP signature kernel runs once (scalars only: doc, p, table,
     // bucket).
     val withB = embs.select(col(idCol).as("doc"),
-        srpRankProj(col(vecCol), dim, seed).as("p"), lit(true).as("nw"),
+        srpRankProj(col(vecCol), dim, seed).as("p"),
         posexplode(Similarity.srpSignature(col(vecCol), dim, numTables, bitsPerTable, seed)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .persist()
@@ -390,12 +379,10 @@ object Dedup {
   }
 
   /** Candidate pairs from SRP bucket collisions over a pre-exploded
-    * (doc, p, nw, table, bucket) frame, bucket-capped with the two-phase
+    * (doc, p, table, bucket) frame, bucket-capped with the two-phase
     * occupancy split (sub-cap buckets take exactly the original
     * single-shuffle join; over-cap buckets rank by (p, doc) and compare
-    * same-or-adjacent chunks of `bucketCap` — O(n·cap)). `nw` is the
-    * incremental hook: only pairs touching a new row are emitted (a
-    * literal-true column constant-folds the filters away). The oversized
+    * same-or-adjacent chunks of `bucketCap` — O(n·cap)). The oversized
     * list joins back unhinted so AQE broadcasts it when tiny.
     */
   private[operators] def srpBucketCandidates(withB: DataFrame, bucketCap: Int): DataFrame = {
@@ -407,7 +394,6 @@ object Dedup {
     val normalPairs = normal.as("l").join(normal.as("r"),
         col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
           col("l.doc") < col("r.doc"))
-      .filter(col("l.nw") || col("r.nw"))
       .select(col("l.doc").as("a"), col("r.doc").as("b"))
     // oversized-bucket rows emit at {chunk, chunk+1}; k == greatest(lc, rc)
     // admits each |Δchunk| ≤ 1 pair exactly once (same scheme as semDedup)
@@ -416,13 +402,12 @@ object Dedup {
         (row_number().over(Window.partitionBy("table", "bucket")
           .orderBy("p", "doc")) - 1) / lit(bucketCap.toLong)))
     def keyed(side: String) = big
-      .select(col("doc").as(s"${side}_doc"), col("nw").as(s"${side}_nw"),
-        col("table"), col("bucket"), col("chunk").as(s"${side}_c"),
+      .select(col("doc").as(s"${side}_doc"), col("table"), col("bucket"),
+        col("chunk").as(s"${side}_c"),
         explode(array(col("chunk"), col("chunk") + 1)).as("k"))
     val bigPairs = keyed("l").join(keyed("r"), Seq("table", "bucket", "k"))
       .filter(col("k") === greatest(col("l_c"), col("r_c")) &&
         col("l_doc") < col("r_doc"))
-      .filter(col("l_nw") || col("r_nw"))
       .select(col("l_doc").as("a"), col("r_doc").as("b"))
     normalPairs.union(bigPairs).distinct()
   }

@@ -19,23 +19,24 @@ import org.apache.spark.sql.functions._
   *    versions ([[VersionedTable.readAllVersions]] — a version boundary IS
   *    a batch boundary, so the log time-travels to any bookmark commit);
   *  - an ingest computes shingle hashes + signatures for the NEW batch
-  *    only, generates LSH candidates from (index ∪ batch) restricted to
-  *    pairs touching the batch (the `isNew` hook in
-  *    [[Dedup.lshCandidates]] — index×index pairs were emitted by the
-  *    ingests that indexed those rows), verifies them with the STORED
-  *    shingle-hash sets (old text is never re-read, let alone
-  *    re-shingled), and appends the batch to the index;
+  *    only, generates LSH candidates restricted to pairs touching the
+  *    batch (index×index pairs were emitted by the ingests that indexed
+  *    those rows), verifies them with the STORED shingle-hash sets (old
+  *    text is never re-read, let alone re-shingled), and appends the
+  *    batch to the index;
   *  - accumulated pairs across ingests equal the one-shot pair list over
-  *    the union of all batches — the d54 oracle gate and
+  *    the union of all batches — the d54/e21 oracle gates and
   *    IncrementalIndexSpec pin this equality.
   *
-  * Cost shape per ingest: shingling/signatures O(batch text); the
-  * candidate bucket join shuffles (id, band, bucket) for index + batch
-  * rows — ids only, no text, no shingle arrays; verification touches the
+  * Cost shape per ingest: shingling/signatures O(batch text); candidate
+  * generation NEVER puts the index through an exchange
+  * ([[incrementalBucketCandidates]]: the batch's banded rows broadcast
+  * and the index's stream through a map-side hash probe; only over-cap
+  * mega-bucket rows shuffle, O(n·cap)-bounded); verification touches the
   * shingle sets of candidate-pair members only (candidate-bounded
   * broadcasts, the verifyJaccard discipline). The only index-proportional
-  * term is the ids-only band scan, which is the same term a bucketed
-  * one-shot join pays — but paid WITHOUT the corpus-wide text pass.
+  * term left is a columnar scan of the signature table — a few hundred
+  * bytes per doc, no text, no kernel.
   *
   * IVF: centroids train once at bootstrap and freeze (root/centroids,
   * snapshot convention); each ingest assigns ONLY the new vectors with the
@@ -51,6 +52,88 @@ object IncrementalIndex {
   final case class MinHashParams(
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
       threshold: Double = 0.8, bucketCap: Int = 1024, seed: Long = 42L)
+
+  /** Candidate pairs for an incremental ingest, from banded frames
+    * (doc, rk, band, bucket) — `bandedI` the persisted index, `bandedB`
+    * the new batch. THE scale property of this formulation: the index
+    * NEVER enters an exchange. Three disjoint-by-construction terms:
+    *
+    *  - sub-cap batch×index: the (tiny) batch side BROADCASTS and the
+    *    index streams through a map-side hash join — candidate
+    *    generation against a 100 TB index is a columnar scan of its
+    *    signature table, not a multi-TB ids shuffle;
+    *  - sub-cap batch×batch: a batch-sized self-join;
+    *  - over-cap buckets (mega-clusters, rare by construction): ONLY
+    *    their rows shuffle, into the same rank-chunk O(n·cap) scheme the
+    *    one-shot paths use, batch-touching pairs kept.
+    *
+    * Occupancy counts over index∪batch are a map-side-combined aggregate
+    * (the shuffle carries (band, bucket, partial count) rows); the
+    * over-cap bucket list is tiny and broadcasts back. Emitted pairs are
+    * normalized to a < b. The candidate SET can differ from the one-shot
+    * capped run's (chunk geometry sees only index∪batch, not future
+    * batches) — both are recall-bearing supersets that the exact
+    * verification then filters, which is what the d54/e21 oracle
+    * equality gates.
+    */
+  private def incrementalBucketCandidates(
+      bandedI: DataFrame, bandedB: DataFrame, bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
+    val occ = bandedI.select(col("band"), col("bucket"))
+      .unionAll(bandedB.select(col("band"), col("bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("occ"))
+    val over = occ.filter(col("occ") > bucketCap).select("band", "bucket")
+    def split(df: DataFrame) = {
+      val flagged = df.join(broadcast(over.withColumn("ov", lit(true))),
+        Seq("band", "bucket"), "left")
+      (flagged.filter(col("ov").isNull).drop("ov"),
+        flagged.filter(col("ov").isNotNull).drop("ov"))
+    }
+    val (normalI, bigI) = split(bandedI)
+    val (normalB, bigB) = split(bandedB)
+    // batch×index, map-side: broadcast the batch's banded rows
+    val biPairs = normalI.as("i").join(broadcast(normalB.as("b")),
+        col("i.band") === col("b.band") && col("i.bucket") === col("b.bucket") &&
+          col("i.doc") =!= col("b.doc"))
+      .select(least(col("i.doc"), col("b.doc")).as("a"),
+        greatest(col("i.doc"), col("b.doc")).as("b"))
+    val bbPairs = normalB.as("l").join(broadcast(normalB.as("r")),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("a"), col("r.doc").as("b"))
+    // over-cap buckets: rank-chunk over index∪batch members (same scheme
+    // as the one-shot caps), only batch-touching pairs emitted
+    val big = bigI.withColumn("nw", lit(false))
+      .unionAll(bigB.withColumn("nw", lit(true)))
+      .withColumn("chunk", floor(
+        (row_number().over(Window.partitionBy("band", "bucket")
+          .orderBy("rk", "doc")) - 1) / lit(bucketCap.toLong)))
+    def keyed(side: String) = big
+      .select(col("doc").as(s"${side}_doc"), col("nw").as(s"${side}_nw"),
+        col("band"), col("bucket"), col("chunk").as(s"${side}_c"),
+        explode(array(col("chunk"), col("chunk") + 1)).as("k"))
+    val bigPairs = keyed("l").join(keyed("r"), Seq("band", "bucket", "k"))
+      .filter(col("k") === greatest(col("l_c"), col("r_c")) &&
+        col("l_doc") < col("r_doc"))
+      .filter(col("l_nw") || col("r_nw"))
+      .select(col("l_doc").as("a"), col("r_doc").as("b"))
+    biPairs.unionAll(bbPairs).unionAll(bigPairs).distinct()
+  }
+
+  /** Band hashes of stored MinHash signatures as (doc, rk, band, bucket)
+    * — a map-only derivation from the signature table (re-deriving ~32
+    * longs per row beats persisting an exploded 32×-row banded table).
+    */
+  private def bandedOf(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val bandHashes = (0 until bands).map { j =>
+      xxhash64((j * r until (j + 1) * r).map(i => element_at(col("sig"), i + 1)): _*)
+    }
+    sigs.select(col("id").as("doc"), col("sz").as("rk"),
+        posexplode(array(bandHashes: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
 
   /** Stored signature rows for a batch: (id, sz, sig, hs) — `sz` is the
     * rank key bucket caps chunk by, `sig` feeds candidate banding, `hs`
@@ -90,19 +173,21 @@ object IncrementalIndex {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
       val prior =
         if (haveIndex) Some(readMinHashIndex(spark, root)) else None
-      // the capped candidate path scans its input three times (occupancy
-      // agg + both join branches) — persist so signatures compute once and
-      // the index parquet scans once
-      val all = prior match {
-        case Some(ix) =>
-          ix.select(col("id"), col("sz"), col("sig")).withColumn("nw", lit(false))
-            .unionAll(batchSigs.select("id", "sz", "sig").withColumn("nw", lit(true)))
+      // banded batch rows feed several joins (broadcast probes + the
+      // occupancy agg) — persist them so the signature kernel runs once;
+      // the INDEX side is a map-only derivation over its parquet scan and
+      // never enters an exchange (see incrementalBucketCandidates)
+      val bandedB = bandedOf(
+        batchSigs.select("id", "sz", "sig"), p.numHashes, p.bands).persist()
+      val cands = (prior match {
+        case Some(ix) => incrementalBucketCandidates(
+          bandedOf(ix.select(col("id"), col("sz"), col("sig")), p.numHashes, p.bands),
+          bandedB, p.bucketCap)
         case None =>
-          batchSigs.select("id", "sz", "sig").withColumn("nw", lit(true))
-      }
-      val allP = all.persist()
-      val cands = Dedup.lshCandidates(allP, "id", p.numHashes, p.bands,
-        p.bucketCap, col("sz"), col("nw")).persist()
+          // bootstrap: the batch IS the corpus — the one-shot capped path
+          incrementalBucketCandidates(
+            bandedB.filter(lit(false)), bandedB, p.bucketCap)
+      }).persist()
       try {
         // verification shingle sets: stored for index rows, fresh for the
         // batch; verifyJaccard prunes to candidate ids via broadcast
@@ -119,7 +204,7 @@ object IncrementalIndex {
         (v, verified)
       } finally {
         cands.unpersist(blocking = false)
-        allP.unpersist(blocking = false)
+        bandedB.unpersist(blocking = false)
       }
     } finally batchSigs.unpersist(blocking = false)
   }
@@ -169,18 +254,20 @@ object IncrementalIndex {
     try {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
       val prior = if (haveIndex) Some(readSrpIndex(spark, root)) else None
-      val all = prior match {
-        case Some(ix) =>
-          ix.select(col("id"), col("p"), col("sig")).withColumn("nw", lit(false))
-            .unionAll(batchSigs.select("id", "p", "sig").withColumn("nw", lit(true)))
-        case None =>
-          batchSigs.select("id", "p", "sig").withColumn("nw", lit(true))
-      }
-      val withB = all.select(col("id").as("doc"), col("p"), col("nw"),
-          posexplode(col("sig")))
-        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-        .persist()
-      val cands = Dedup.srpBucketCandidates(withB, p.bucketCap).persist()
+      // stored SRP signatures band-explode map-side per side; the index
+      // never enters an exchange (incrementalBucketCandidates: broadcast
+      // batch probe + mega-bucket-only shuffle)
+      def bandedOfSrp(sigs: DataFrame) = sigs
+        .select(col("id").as("doc"), col("p").as("rk"), posexplode(col("sig")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val bandedB = bandedOfSrp(batchSigs.select("id", "p", "sig")).persist()
+      val cands = (prior match {
+        case Some(ix) => incrementalBucketCandidates(
+          bandedOfSrp(ix.select(col("id"), col("p"), col("sig"))),
+          bandedB, p.bucketCap)
+        case None => incrementalBucketCandidates(
+          bandedB.filter(lit(false)), bandedB, p.bucketCap)
+      }).persist()
       try {
         val vecs = prior match {
           case Some(ix) => ix.select(col("id"), col("v"))
@@ -193,7 +280,7 @@ object IncrementalIndex {
         (v, verified)
       } finally {
         cands.unpersist(blocking = false)
-        withB.unpersist(blocking = false)
+        bandedB.unpersist(blocking = false)
       }
     } finally batchSigs.unpersist(blocking = false)
   }
