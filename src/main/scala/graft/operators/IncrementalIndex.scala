@@ -55,38 +55,41 @@ object IncrementalIndex {
 
   /** Candidate pairs for an incremental ingest, from banded frames
     * (doc, rk, band, bucket) — `bandedI` the persisted index, `bandedB`
-    * the new batch. THE scale property of this formulation: the index
-    * NEVER enters an exchange. Three disjoint-by-construction terms:
+    * the new batch — and the PRE-AGGREGATED over-cap bucket list `over`
+    * ((band, bucket) rows; see [[bucketStats]]: occupancy is maintained
+    * index METADATA, summed from per-batch deltas, never recounted from
+    * the index itself). THE scale properties of this formulation:
     *
-    *  - sub-cap batch×index: the (tiny) batch side BROADCASTS and the
-    *    index streams through a map-side hash join — candidate
-    *    generation against a 100 TB index is a columnar scan of its
-    *    signature table, not a multi-TB ids shuffle;
-    *  - sub-cap batch×batch: a batch-sized self-join;
+    *  - the index NEVER enters an exchange, and streams through at most
+    *    ONE scan when any bucket is over cap, ZERO extra when not: the
+    *    (tiny) batch side broadcasts into the scan (map-side hash join),
+    *    so candidate generation against a 100 TB index is one columnar
+    *    pass over its signature table — not a multi-TB ids shuffle and
+    *    not a re-count of bucket occupancy;
+    *  - sub-cap batch×batch pairs come from a batch-sized self-join;
     *  - over-cap buckets (mega-clusters, rare by construction): ONLY
     *    their rows shuffle, into the same rank-chunk O(n·cap) scheme the
-    *    one-shot paths use, batch-touching pairs kept.
+    *    one-shot paths use, batch-touching pairs kept. The whole branch
+    *    is skipped — no second index pass — when `over` is empty, which
+    *    a driver-side probe of the (bucket-count-bounded) list decides.
     *
-    * Occupancy counts over index∪batch are a map-side-combined aggregate
-    * (the shuffle carries (band, bucket, partial count) rows); the
-    * over-cap bucket list is tiny and broadcasts back. Emitted pairs are
-    * normalized to a < b. The candidate SET can differ from the one-shot
-    * capped run's (chunk geometry sees only index∪batch, not future
-    * batches) — both are recall-bearing supersets that the exact
-    * verification then filters, which is what the d54/e21 oracle
-    * equality gates.
+    * Emitted pairs are normalized to a < b. The candidate SET can differ
+    * from the one-shot capped run's (chunk geometry sees only
+    * index∪batch, not future batches) — both are recall-bearing
+    * supersets that exact verification filters, which is what the
+    * d54/e21 oracle equality gates; under ENGAGED caps the preserved
+    * invariant is connectivity (IncrementalIndexSpec pins it).
     */
   private def incrementalBucketCandidates(
-      bandedI: DataFrame, bandedB: DataFrame, bucketCap: Int): DataFrame = {
+      bandedI: DataFrame, bandedB: DataFrame, bucketCap: Int,
+      over: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
-    val occ = bandedI.select(col("band"), col("bucket"))
-      .unionAll(bandedB.select(col("band"), col("bucket")))
-      .groupBy("band", "bucket").agg(count(lit(1)).as("occ"))
-    val over = occ.filter(col("occ") > bucketCap).select("band", "bucket")
+    val overList = broadcast(over.select(col("band"), col("bucket"))
+      .withColumn("ov", lit(true)))
+    val anyOver = !over.isEmpty
     def split(df: DataFrame) = {
-      val flagged = df.join(broadcast(over.withColumn("ov", lit(true))),
-        Seq("band", "bucket"), "left")
+      val flagged = df.join(overList, Seq("band", "bucket"), "left")
       (flagged.filter(col("ov").isNull).drop("ov"),
         flagged.filter(col("ov").isNotNull).drop("ov"))
     }
@@ -102,6 +105,8 @@ object IncrementalIndex {
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("a"), col("r.doc").as("b"))
+    val subCap = biPairs.unionAll(bbPairs)
+    if (!anyOver) return subCap.distinct()
     // over-cap buckets: rank-chunk over index∪batch members (same scheme
     // as the one-shot caps), only batch-touching pairs emitted
     val big = bigI.withColumn("nw", lit(false))
@@ -118,7 +123,30 @@ object IncrementalIndex {
         col("l_doc") < col("r_doc"))
       .filter(col("l_nw") || col("r_nw"))
       .select(col("l_doc").as("a"), col("r_doc").as("b"))
-    biPairs.unionAll(bbPairs).unionAll(bigPairs).distinct()
+    subCap.unionAll(bigPairs).distinct()
+  }
+
+  /** Per-(band, bucket) occupancy DELTAS of one batch — the index
+    * metadata each ingest appends next to its signature version (the
+    * `bucketstats` sidecar, delta-log convention like the index itself).
+    * Current occupancy = SUM over all committed deltas: a
+    * bucket-count-bounded aggregate over a tiny stats table, so finding
+    * the over-cap buckets costs O(buckets), never an index scan.
+    */
+  private def bucketStats(banded: DataFrame): DataFrame =
+    banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+
+  /** Over-cap (band, bucket) list from maintained stats + this batch. */
+  private def overCapBuckets(spark: SparkSession, statsRoot: String,
+      batchStats: DataFrame, bucketCap: Int): DataFrame = {
+    val prior =
+      if (VersionedTable.versions(spark, statsRoot).nonEmpty)
+        Some(VersionedTable.readAllVersions(spark, statsRoot))
+      else None
+    prior.map(_.unionAll(batchStats)).getOrElse(batchStats)
+      .groupBy("band", "bucket").agg(sum(col("n")).as("occ"))
+      .filter(col("occ") > bucketCap)
+      .select("band", "bucket")
   }
 
   /** Band hashes of stored MinHash signatures as (doc, rk, band, bucket)
@@ -174,19 +202,22 @@ object IncrementalIndex {
       val prior =
         if (haveIndex) Some(readMinHashIndex(spark, root)) else None
       // banded batch rows feed several joins (broadcast probes + the
-      // occupancy agg) — persist them so the signature kernel runs once;
-      // the INDEX side is a map-only derivation over its parquet scan and
-      // never enters an exchange (see incrementalBucketCandidates)
+      // stats delta) — persist them so the signature kernel runs once;
+      // the INDEX side is a map-only derivation over its parquet scan
+      // and never enters an exchange (see incrementalBucketCandidates)
       val bandedB = bandedOf(
         batchSigs.select("id", "sz", "sig"), p.numHashes, p.bands).persist()
+      val batchStats = bucketStats(bandedB)
+      val statsRoot = s"${root.stripSuffix("/")}/bucketstats"
+      val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           bandedOf(ix.select(col("id"), col("sz"), col("sig")), p.numHashes, p.bands),
-          bandedB, p.bucketCap)
+          bandedB, p.bucketCap, over)
         case None =>
           // bootstrap: the batch IS the corpus — the one-shot capped path
           incrementalBucketCandidates(
-            bandedB.filter(lit(false)), bandedB, p.bucketCap)
+            bandedB.filter(lit(false)), bandedB, p.bucketCap, over)
       }).persist()
       try {
         // verification shingle sets: stored for index rows, fresh for the
@@ -200,6 +231,11 @@ object IncrementalIndex {
         val verified = Dedup.verifyJaccard(cands, shingled, "id", "hs")
           .filter(col("jaccard") >= p.threshold).persist()
         verified.count() // materialize while the caches are hot
+        // stats commit FIRST: a crash between the two writes then leaves
+        // occupancy OVERCOUNTING the lost batch (conservative — at worst
+        // extra buckets take the capped path) instead of undercounting
+        // (a missed cap engagement)
+        VersionedTable.write(spark, batchStats, statsRoot)
         val v = VersionedTable.write(spark, batchSigs, root)
         (v, verified)
       } finally {
@@ -261,12 +297,15 @@ object IncrementalIndex {
         .select(col("id").as("doc"), col("p").as("rk"), posexplode(col("sig")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val bandedB = bandedOfSrp(batchSigs.select("id", "p", "sig")).persist()
+      val batchStats = bucketStats(bandedB)
+      val statsRoot = s"${root.stripSuffix("/")}/bucketstats"
+      val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           bandedOfSrp(ix.select(col("id"), col("p"), col("sig"))),
-          bandedB, p.bucketCap)
+          bandedB, p.bucketCap, over)
         case None => incrementalBucketCandidates(
-          bandedB.filter(lit(false)), bandedB, p.bucketCap)
+          bandedB.filter(lit(false)), bandedB, p.bucketCap, over)
       }).persist()
       try {
         val vecs = prior match {
@@ -276,6 +315,7 @@ object IncrementalIndex {
         }
         val verified = Dedup.verifyCosine(cands, vecs, p.threshold)
         verified.count()
+        VersionedTable.write(spark, batchStats, statsRoot) // stats first (see ingestMinHash)
         val v = VersionedTable.write(spark, batchSigs, root)
         (v, verified)
       } finally {

@@ -58,21 +58,30 @@ object PlanTimer {
     }
     names.foreach { n =>
       SparkEntry.resetSessionCache(spark)
+      // total = query construction + execution (several registry queries
+      // materialize eagerly inside construction, so the two cannot be
+      // split from outside — measure the WHOLE pipeline under the task
+      // listener; 1 − util then upper-bounds all driver-side cost)
+      taskMs.set(0); jobs.set(0); stages.set(0)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(n)(spark, dir)
-      df.queryExecution.executedPlan // force full pre-execution planning
-      val planMs = (System.nanoTime() - t0) / 1e6
-      taskMs.set(0); jobs.set(0); stages.set(0)
-      val t1 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      val execS = (System.nanoTime() - t1) / 1e9
-      Thread.sleep(300) // let the listener bus drain task-end events
+      val totalS = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the listener bus drain task-end events
+      // pure planning cost of the FULL lineage plan, isolated: re-derive
+      // analysis → optimization → physical planning from the logical
+      // plan without executing (AQE re-optimization is excluded — it is
+      // part of the utilization gap above)
+      val t1 = System.nanoTime()
+      val replanned = spark.sessionState.executePlan(df.queryExecution.logical)
+      replanned.executedPlan
+      val replanMs = (System.nanoTime() - t1) / 1e6
       val p = df.queryExecution.executedPlan.toString
       def cnt(tag: String) = tag.r.findAllIn(p).size
       val cpuS = taskMs.get() / 1e3
-      val util = cpuS / (execS * cpus)
-      println(f"PLANTIME $n%-24s plan=${planMs}%8.1fms exec=${execS}%8.2fs " +
-        f"cpu=${cpuS}%8.1fs util=${util}%5.2f " +
+      val util = cpuS / (totalS * cpus)
+      println(f"PLANTIME $n%-24s total=${totalS}%8.2fs cpu=${cpuS}%8.1fs " +
+        f"util=${util}%5.2f replan=${replanMs}%8.1fms " +
         f"exchange=${cnt("Exchange")}%d aqe=${cnt("AdaptiveSparkPlan")}%d " +
         f"jobs=${jobs.get()}%d stages=${stages.get()}%d")
     }

@@ -87,6 +87,34 @@ class IncrementalIndexSpec extends SparkSpec {
     oneShot.unpersist(); p1.unpersist(); p2.unpersist()
   }
 
+  test("engaged bucket caps: incremental ingest keeps mega-clique connectivity") {
+    import spark.implicits._
+    val root = tmpDir("incr_cap")
+    // a 12-member identical-text mega-clique (every band-bucket over cap
+    // 4) split across two ingests, plus unrelated filler docs
+    val boiler = (0L until 12L).map(i =>
+      (i, "terms of service apply to all content provided herein always"))
+    val filler = (100L until 160L).map(i =>
+      (i, s"unique document $i carrying words w${i * 7} w${i * 13} w${i * 29} w${i * 31}"))
+    val docs = (boiler ++ filler).toDF("doc_id", "text")
+    val p = IncrementalIndex.MinHashParams(bucketCap = 4)
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    val (_, p1) = IncrementalIndex.ingestMinHash(spark, root, b1, "doc_id", "text", p)
+    val (_, p2) = IncrementalIndex.ingestMinHash(spark, root, b2, "doc_id", "text", p)
+    val pairs = pairSet(p1).union(pairSet(p2))
+    // only clique pairs survive exact verification
+    assert(pairs.forall { case (a, b) => a < 12 && b < 12 }, pairs)
+    // the rank-chunk cap may drop far-apart clique pairs; the preserved
+    // invariant is CONNECTIVITY — one component spanning all 12 members
+    val parent = scala.collection.mutable.Map((0L until 12L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until 12L).map(find).toSet.size == 1,
+      s"mega-clique must stay one component, got $pairs")
+    p1.unpersist(); p2.unpersist()
+  }
+
   test("incremental SRP embedding ingest equals one-shot embeddingNearDupLsh") {
     val root = tmpDir("incr_srp")
     val embs = spark.read.parquet(sf("embeddings"))
