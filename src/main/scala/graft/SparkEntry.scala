@@ -3993,6 +3993,40 @@ object SparkEntry {
       }.select(col("a"), col("b"), round(col("cos"), 6).as("cos6"))
         .orderBy("a", "b")),
 
+    // Incremental SemDeDup: centroids freeze at bootstrap, batches arrive
+    // in APPEND-ORDERED id batches (the bookmark guarantee), and each
+    // batch member is dropped iff a lower-id same-cell member (indexed or
+    // in-batch) sits within threshold. Under that order verdicts never
+    // flip, so accumulated verdicts equal the one-shot exact rule — the
+    // oracle checks it WITHOUT replaying any chunk geometry (cap 4096
+    // stays disengaged at the gate SFs; at scale the rank-chunk
+    // neighborhood bounds over-cap cells like one-shot d47).
+    "e22_incremental_semdedup" -> ((s, dir) =>
+      cachedDf(s, s"incrsem|$dir") {
+        import graft.operators.IncrementalIndex
+        val root = tmpdir("graft-incr-sem")
+        val base = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+        val corpus = base.union(mut)
+        val cents = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cvec"))
+        val splitId = base.count() / 2 // lower half of originals first
+        val b1 = corpus.filter(col("vec_id") < splitId)
+        val b2 = corpus.filter(col("vec_id") >= splitId)
+        val (_, k1) = IncrementalIndex.bootstrapSemDedup(
+          s, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 4096)
+        val (_, k2) = IncrementalIndex.ingestSemDedup(
+          s, root, b2, "vec_id", "v", threshold = 0.99, cap = 4096)
+        val out = k1.unionAll(k2).persist()
+        out.count()
+        k1.unpersist(blocking = false)
+        k2.unpersist(blocking = false)
+        out
+      }.select(col("id").as("vec_id"), col("cid"), col("kept"))
+        .orderBy("vec_id")),
+
     // Language-distribution divergence between corpus sources (the
     // distribution-shift monitor a mixture pipeline needs): per-source
     // predicted-language histograms, pairwise Jensen-Shannon divergence.
@@ -4784,6 +4818,29 @@ object SparkEntry {
     // the incremental-vs-one-shot assignment comparison to hold
     "e20_incremental_ivf" ->
       "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
+
+    // exact SemDeDup semantics, NO chunk replay (cap 4096 disengaged at
+    // gate SFs): argmax assignment as d47, then kept = no lower-id
+    // same-cell member within the (unrounded) threshold — incremental
+    // verdict accumulation must equal this corpus-wide rule exactly
+    "e22_incremental_semdedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mut AS (SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |c AS (SELECT vec_id AS cid, v AS cvec FROM base WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  round(list_cosine_similarity(e.v, c.cvec), 6) AS sim FROM corpus e, c),
+        |a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s)
+        |  WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cid, e.v FROM a JOIN corpus e USING (vec_id)),
+        |drp AS (SELECT DISTINCT r.vec_id FROM m l JOIN m r
+        |  ON l.cid = r.cid AND l.vec_id < r.vec_id
+        |  AND list_cosine_similarity(l.v, r.v) >= 0.99)
+        |SELECT m.vec_id, m.cid, (drp.vec_id IS NULL) AS kept
+        |FROM m LEFT JOIN drp ON m.vec_id = drp.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
 
     // e3's exact all-pairs oracle VERBATIM: incremental SRP-index ingest
     // must accumulate the identical verified near-dup pair list

@@ -360,6 +360,36 @@ object corpus {
           round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
     }
 
+    /** Incremental near-dup ingest (d54): treat `df` as ONE
+      * bookmark-batch of new documents, dedup it against the persisted
+      * MinHash signature index at `indexRoot` (signatures computed for
+      * this batch only; indexed text is never re-read; the index streams
+      * — it never enters an exchange), and append the batch to the
+      * index. Returns the verified near-dup pairs this batch ADDS —
+      * accumulated pairs across ingests equal a one-shot
+      * [[dedupNearMinHash]]-style run over everything ingested
+      * (oracle-gated, d54). An empty/absent `indexRoot` bootstraps.
+      */
+    def ingestIntoDedupIndex(
+        indexRoot: String, idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame =
+      graft.operators.IncrementalIndex.ingestMinHash(
+        df.sparkSession, indexRoot, df, idCol, textCol)._2
+
+    /** Incremental SemDeDup ingest (e22): assign `df`'s vectors to the
+      * index's FROZEN centroids and return (id, cid, kept) verdicts —
+      * kept=false iff a lower-id same-cell member (already indexed or in
+      * this batch) sits within `threshold`. Requires append-ordered ids
+      * (the bookmark guarantee); bootstrap the index first with
+      * [[graft.operators.IncrementalIndex.bootstrapSemDedup]].
+      */
+    def ingestIntoSemDedupIndex(
+        indexRoot: String, idCol: String = "vec_id",
+        vecCol: String = "embedding", threshold: Double = 0.99,
+        cap: Int = 512): DataFrame =
+      graft.operators.IncrementalIndex.ingestSemDedup(
+        df.sparkSession, indexRoot, df, idCol, vecCol, threshold, cap)._2
+
     /** Graded contamination (d52): per doc, the fraction of its
       * word-`n`-gram hashes present anywhere in `heldOut` — the graded
       * sibling of [[decontaminateAgainst]]'s binary drop. Held-out

@@ -469,6 +469,22 @@ object Dedup {
     * still the scale knob SemDeDup says it is (k ∝ N) — but cap now
     * bounds the damage when an operator under-provisions k.
     */
+  /** Cell assignment by 6-dp-rounded cosine argmax, lowest cid on ties —
+    * the shared assignment step of [[semDedup]] and its incremental twin
+    * ([[graft.operators.IncrementalIndex.ingestSemDedup]]). Returns
+    * (id, cid, simc); carries ids and ints only through the aggregate —
+    * vectors rejoin by id afterwards, never through the exchange.
+    */
+  def assignCells(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    embs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .select(col("id"), round(cosine(col("v"), col("cvec")), 6).as("sim"), col("cid"))
+      .groupBy("id")
+      .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("w"))
+      .select(col("id"), (-col("w.nc")).as("cid"), col("w.sim").as("simc"))
+
   def semDedup(
       embs: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
       threshold: Double, cap: Int = 512): DataFrame = {
@@ -477,13 +493,7 @@ object Dedup {
     // argmax carries (id, sim, cid) only — vectors rejoin by id after the
     // assignment shuffle, not through it (8 centroid copies of every
     // embedding through an exchange would be the d2 payload mistake)
-    val cells = embs
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
-      .select(col("id"), round(cosine(col("v"), col("cvec")), 6).as("sim"), col("cid"))
-      .groupBy("id")
-      .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("w"))
-      .select(col("id"), (-col("w.nc")).as("cid"), col("w.sim").as("simc"))
+    val cells = assignCells(embs, idCol, vecCol, centroids)
     val ranked = cells
       .withColumn("occ", count(lit(1)).over(Window.partitionBy("cid")))
       .withColumn("chunk",

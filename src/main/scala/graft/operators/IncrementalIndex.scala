@@ -325,6 +325,96 @@ object IncrementalIndex {
     } finally batchSigs.unpersist(blocking = false)
   }
 
+  // ------------------------------------------------------------- SemDeDup
+
+  private def semCentroidsRoot(root: String) = s"${root.stripSuffix("/")}/centroids"
+  private def semMembersRoot(root: String) = s"${root.stripSuffix("/")}/members"
+
+  /** Freeze the centroids and ingest the first batch. */
+  def bootstrapSemDedup(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      threshold: Double, cap: Int = 512): (Long, DataFrame) = {
+    VersionedTable.write(spark,
+      centroids.select(col("cid"), col("cvec")), semCentroidsRoot(root))
+    ingestSemDedup(spark, root, batch, idCol, vecCol, threshold, cap)
+  }
+
+  /** Incremental SemDeDup ingest: assign ONLY the batch to the frozen
+    * centroids, mark each batch member dropped iff a LOWER-id member of
+    * the same cell (indexed or in-batch) sits within `threshold`, and
+    * append (id, cid, rk, v) member rows + cell-occupancy stats deltas.
+    * Returns (members version, batch verdicts (id, cid, kept)).
+    *
+    * Requires APPEND-ORDERED ids (each batch's ids above every indexed
+    * id — exactly what a bookmark-incremental source delivers): under
+    * that order a new member can never flip an already-recorded verdict,
+    * because SemDeDup drops only against LOWER ids. Accumulated verdicts
+    * then equal the one-shot exact rule while every cell stays ≤ `cap`
+    * (the e22 gate); an over-cap cell falls back to the rank-chunk
+    * neighborhood (sorted by centroid-similarity — the d47 argument)
+    * over CURRENT membership, whose geometry legitimately differs from a
+    * one-shot run's. Same exchange discipline as the other ingests: the
+    * batch broadcasts, members stream, only over-cap cells shuffle.
+    */
+  def ingestSemDedup(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double, cap: Int = 512): (Long, DataFrame) = {
+    val cents = VersionedTable.read(spark, semCentroidsRoot(root))
+    val assigned = Dedup.assignCells(batch, idCol, vecCol, cents)
+      .join(batch.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+      .select(col("id"), col("cid"), (-col("simc")).as("rk"), col("v"))
+      .persist()
+    try {
+      val membersRoot = semMembersRoot(root)
+      val haveIndex = VersionedTable.versions(spark, membersRoot).nonEmpty
+      val prior =
+        if (haveIndex) Some(VersionedTable.readAllVersions(spark, membersRoot))
+        else None
+      // cells are buckets with band=0 — the candidate machinery is shared
+      def banded(df: DataFrame) = df.select(col("id").as("doc"), col("rk"),
+        lit(0).as("band"), col("cid").as("bucket"))
+      val bandedB = banded(assigned).persist()
+      val batchStats = bucketStats(bandedB)
+      val statsRoot = s"${root.stripSuffix("/")}/cellstats"
+      val over = overCapBuckets(spark, statsRoot, batchStats, cap)
+      val cands = (prior match {
+        case Some(ix) => incrementalBucketCandidates(
+          banded(ix), bandedB, cap, over)
+        case None => incrementalBucketCandidates(
+          bandedB.filter(lit(false)), bandedB, cap, over)
+      }).persist()
+      try {
+        val vecs = prior match {
+          case Some(ix) => ix.select(col("id"), col("v"))
+            .unionAll(assigned.select(col("id"), col("v")))
+          case None => assigned.select(col("id"), col("v"))
+        }
+        // a < b by construction; b is dropped iff the pair verifies AND b
+        // is a batch member (under append order the greater id always is;
+        // pairs whose greater id is an INDEXED member — an out-of-order
+        // arrival — are ignored rather than silently flipping history)
+        val verified = Dedup.verifyCosine(cands, vecs, threshold)
+        val dropped = verified
+          .select(col("b").as("id")).distinct()
+          .join(assigned.select("id"), "id")
+        val verdicts = assigned.select("id", "cid")
+          .join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
+          .select(col("id"), col("cid"),
+            coalesce(!col("dup"), lit(true)).as("kept"))
+          .persist()
+        verdicts.count()
+        verified.unpersist(blocking = false)
+        VersionedTable.write(spark, batchStats, statsRoot) // stats first (see ingestMinHash)
+        val v = VersionedTable.write(spark,
+          assigned.select("id", "cid", "rk", "v"), membersRoot)
+        (v, verdicts)
+      } finally {
+        cands.unpersist(blocking = false)
+        bandedB.unpersist(blocking = false)
+      }
+    } finally assigned.unpersist(blocking = false)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   private def centroidsRoot(root: String) = s"${root.stripSuffix("/")}/centroids"

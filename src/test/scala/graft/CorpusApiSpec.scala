@@ -225,4 +225,30 @@ class CorpusApiSpec extends SparkSpec {
     assert(api == q && api.nonEmpty)
     assert(api.values.exists(!_._2)) // the mutant corpus guarantees drops
   }
+
+  test("incremental ingest APIs accumulate the one-shot results across two batches") {
+    import graft.operators.{Dedup, IncrementalIndex}
+    // MinHash side: two bookmark batches through the API == one-shot pairs
+    val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+    val dedupRoot = tmpDir("corpus_incr_dedup")
+    val p1 = docs.filter(col("doc_id") < 250).ingestIntoDedupIndex(dedupRoot)
+    val p2 = docs.filter(col("doc_id") >= 250).ingestIntoDedupIndex(dedupRoot)
+    val oneShot = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ps(p1).union(ps(p2)) == ps(oneShot))
+    oneShot.unpersist(); p1.unpersist(); p2.unpersist()
+    // SemDeDup side: bootstrap + API ingest covers every vector once
+    val embs = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val semRoot = tmpDir("corpus_incr_sem")
+    val (_, k1) = IncrementalIndex.bootstrapSemDedup(spark, semRoot,
+      embs.filter(col("vec_id") < 300), "vec_id", "embedding", cents, 0.99)
+    val k2 = embs.filter(col("vec_id") >= 300).ingestIntoSemDedupIndex(semRoot)
+    assert(k1.count() + k2.count() == embs.count())
+    k1.unpersist(); k2.unpersist()
+  }
 }

@@ -137,6 +137,44 @@ class IncrementalIndexSpec extends SparkSpec {
     oneShot.unpersist(); p1.unpersist(); p2.unpersist()
   }
 
+  test("incremental SemDeDup verdicts equal the one-shot exact rule; batch-1 verdicts stable") {
+    val root = tmpDir("incr_sem")
+    val embs = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val mut = embs.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(v, (x, i) -> IF(i = 0, x + 0.01D, x))").as("v"))
+    val corpus = embs.union(mut)
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val split = embs.count() / 2
+    val b1 = corpus.filter(col("vec_id") < split)
+    val b2 = corpus.filter(col("vec_id") >= split)
+    val (_, k1) = IncrementalIndex.bootstrapSemDedup(
+      spark, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 4096)
+    val (_, k2) = IncrementalIndex.ingestSemDedup(
+      spark, root, b2, "vec_id", "v", threshold = 0.99, cap = 4096)
+    def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Boolean)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val incr = verdicts(k1.select("id", "cid", "kept")) ++
+      verdicts(k2.select("id", "cid", "kept"))
+    // one-shot EXACT rule (cap never engages at this size): dropped iff
+    // any lower-id same-cell member within threshold
+    val assigned = Dedup.assignCells(corpus, "vec_id", "v", cents)
+      .join(corpus.select(col("vec_id").as("id"), col("v")), "id")
+    val dropped = assigned.as("l").join(assigned.as("r"),
+        col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
+      .filter(Dedup.cosine(col("l.v"), col("r.v")) >= 0.99)
+      .select(col("r.id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val oneShot = assigned.select("id", "cid").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), !dropped.contains(r.getLong(0)))).toMap
+    assert(incr == oneShot)
+    // every batch-1 verdict was final at ingest time (append-ordered ids)
+    val k1Only = verdicts(k1.select("id", "cid", "kept"))
+    assert(k1Only.forall { case (id, v) => oneShot(id) == v })
+    k1.unpersist(); k2.unpersist()
+  }
+
   test("incremental IVF assignment equals one-shot under the frozen centroids") {
     val root = tmpDir("incr_ivf")
     val embs = spark.read.parquet(sf("embeddings"))

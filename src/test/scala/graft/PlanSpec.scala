@@ -195,7 +195,9 @@ class PlanSpec extends SparkSpec {
       // (e1's broadcast-queries × corpus shape) alongside the fast path to
       // emit the hash-gated recall_ok bound (e8 was already here for its
       // ADC scan)
-      "e2_knn_lsh", "e4_knn_ivf", "e10_knn_ivfpq")
+      "e2_knn_lsh", "e4_knn_ivf", "e10_knn_ivfpq",
+      // e22 assigns cells with d47's broadcast-centroid cross join
+      "e22_incremental_semdedup")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
