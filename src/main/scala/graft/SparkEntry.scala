@@ -3998,7 +3998,7 @@ object SparkEntry {
     // batch member is dropped iff a lower-id same-cell member (indexed or
     // in-batch) sits within threshold. Under that order verdicts never
     // flip, so accumulated verdicts equal the one-shot exact rule — the
-    // oracle checks it WITHOUT replaying any chunk geometry (cap 4096
+    // oracle checks it WITHOUT replaying any chunk geometry (cap 2048
     // stays disengaged at the gate SFs; at scale the rank-chunk
     // neighborhood bounds over-cap cells like one-shot d47).
     "e22_incremental_semdedup" -> ((s, dir) =>
@@ -4016,9 +4016,9 @@ object SparkEntry {
         val b1 = corpus.filter(col("vec_id") < splitId)
         val b2 = corpus.filter(col("vec_id") >= splitId)
         val (_, k1) = IncrementalIndex.bootstrapSemDedup(
-          s, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 4096)
+          s, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 2048)
         val (_, k2) = IncrementalIndex.ingestSemDedup(
-          s, root, b2, "vec_id", "v", threshold = 0.99, cap = 4096)
+          s, root, b2, "vec_id", "v", threshold = 0.99, cap = 2048)
         val out = k1.unionAll(k2).persist()
         out.count()
         k1.unpersist(blocking = false)
@@ -4819,7 +4819,7 @@ object SparkEntry {
     "e20_incremental_ivf" ->
       "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
 
-    // exact SemDeDup semantics, NO chunk replay (cap 4096 disengaged at
+    // exact SemDeDup semantics, NO chunk replay (cap 2048 disengaged at
     // gate SFs): argmax assignment as d47, then kept = no lower-id
     // same-cell member within the (unrounded) threshold — incremental
     // verdict accumulation must equal this corpus-wide rule exactly

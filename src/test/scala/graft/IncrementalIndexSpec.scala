@@ -150,9 +150,9 @@ class IncrementalIndexSpec extends SparkSpec {
     val b1 = corpus.filter(col("vec_id") < split)
     val b2 = corpus.filter(col("vec_id") >= split)
     val (_, k1) = IncrementalIndex.bootstrapSemDedup(
-      spark, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 4096)
+      spark, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 2048)
     val (_, k2) = IncrementalIndex.ingestSemDedup(
-      spark, root, b2, "vec_id", "v", threshold = 0.99, cap = 4096)
+      spark, root, b2, "vec_id", "v", threshold = 0.99, cap = 2048)
     def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Boolean)] =
       df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val incr = verdicts(k1.select("id", "cid", "kept")) ++
