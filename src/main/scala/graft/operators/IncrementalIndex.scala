@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** Incremental maintenance of the dedup/ANN index surface — the
   * reference's incremental spine (jdbc_incremental.py:175-229: read only
   * the delta past the bookmark, process it, advance) applied to MinHash
-  * near-dup detection and IVF cell assignment. One-shot dedup recomputes
+  * near-dup detection, SRP embedding near-dup, SemDeDup, and IVF cell
+  * assignment. One-shot dedup recomputes
   * signatures for the FULL corpus every run; at 100 TB the re-shingling
   * term alone dwarfs every other cost, and it is pure waste — a document's
   * signature never changes. Here the signatures PERSIST:
@@ -47,6 +48,9 @@ import org.apache.spark.sql.functions._
   * bootstrap.
   */
 object IncrementalIndex {
+
+  private def subRoot(root: String, name: String) =
+    s"${root.stripSuffix("/")}/$name"
 
   /** Tuning knobs, defaults matching the d2 gated pipeline. */
   final case class MinHashParams(
@@ -208,7 +212,7 @@ object IncrementalIndex {
       val bandedB = bandedOf(
         batchSigs.select("id", "sz", "sig"), p.numHashes, p.bands).persist()
       val batchStats = bucketStats(bandedB)
-      val statsRoot = s"${root.stripSuffix("/")}/bucketstats"
+      val statsRoot = subRoot(root, "bucketstats")
       val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
@@ -279,8 +283,8 @@ object IncrementalIndex {
     VersionedTable.readAllVersions(spark, root, upTo)
 
   /** Ingest one embedding batch: sign ONLY the batch, find the verified
-    * near-dup pairs it adds (batch-internal + batch×index via the SRP
-    * bucket join's `nw` hook — index×index excluded), append the batch's
+    * near-dup pairs it adds (batch-internal + batch×index — index×index
+    * excluded by [[incrementalBucketCandidates]]), append the batch's
     * signature rows as the next version. Returns (version, pairs (a, b,
     * cos) with a < b), pairs persisted + materialized, caller unpersists.
     */
@@ -298,7 +302,7 @@ object IncrementalIndex {
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val bandedB = bandedOfSrp(batchSigs.select("id", "p", "sig")).persist()
       val batchStats = bucketStats(bandedB)
-      val statsRoot = s"${root.stripSuffix("/")}/bucketstats"
+      val statsRoot = subRoot(root, "bucketstats")
       val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
@@ -327,8 +331,8 @@ object IncrementalIndex {
 
   // ------------------------------------------------------------- SemDeDup
 
-  private def semCentroidsRoot(root: String) = s"${root.stripSuffix("/")}/centroids"
-  private def semMembersRoot(root: String) = s"${root.stripSuffix("/")}/members"
+  private def semCentroidsRoot(root: String) = subRoot(root, "centroids")
+  private def semMembersRoot(root: String) = subRoot(root, "members")
 
   /** Freeze the centroids and ingest the first batch. */
   def bootstrapSemDedup(spark: SparkSession, root: String, batch: DataFrame,
@@ -375,7 +379,7 @@ object IncrementalIndex {
         lit(0).as("band"), col("cid").as("bucket"))
       val bandedB = banded(assigned).persist()
       val batchStats = bucketStats(bandedB)
-      val statsRoot = s"${root.stripSuffix("/")}/cellstats"
+      val statsRoot = subRoot(root, "cellstats")
       val over = overCapBuckets(spark, statsRoot, batchStats, cap)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
@@ -417,8 +421,8 @@ object IncrementalIndex {
 
   // ------------------------------------------------------------------ IVF
 
-  private def centroidsRoot(root: String) = s"${root.stripSuffix("/")}/centroids"
-  private def assignRoot(root: String) = s"${root.stripSuffix("/")}/assignments"
+  private def centroidsRoot(root: String) = subRoot(root, "centroids")
+  private def assignRoot(root: String) = subRoot(root, "assignments")
 
   /** Train centroids on the first batch, freeze them (snapshot table),
     * assign the batch (delta-log table). Returns the assignment version.
