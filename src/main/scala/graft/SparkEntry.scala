@@ -4015,10 +4015,10 @@ object SparkEntry {
         val splitId = base.count() / 2 // lower half of originals first
         val b1 = corpus.filter(col("vec_id") < splitId)
         val b2 = corpus.filter(col("vec_id") >= splitId)
-        val (_, k1) = IncrementalIndex.bootstrapSemDedup(
-          s, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 2048)
-        val (_, k2) = IncrementalIndex.ingestSemDedup(
-          s, root, b2, "vec_id", "v", threshold = 0.99, cap = 2048)
+        val k1 = IncrementalIndex.bootstrapSemDedup(
+          s, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 2048).verdicts
+        val k2 = IncrementalIndex.ingestSemDedup(
+          s, root, b2, "vec_id", "v", threshold = 0.99, cap = 2048).verdicts
         val out = k1.unionAll(k2).persist()
         out.count()
         k1.unpersist(blocking = false)

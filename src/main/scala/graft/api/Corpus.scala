@@ -388,7 +388,7 @@ object corpus {
         vecCol: String = "embedding", threshold: Double = 0.99,
         cap: Int = 512): DataFrame =
       graft.operators.IncrementalIndex.ingestSemDedup(
-        df.sparkSession, indexRoot, df, idCol, vecCol, threshold, cap)._2
+        df.sparkSession, indexRoot, df, idCol, vecCol, threshold, cap).verdicts
 
     /** Graded contamination (d52): per doc, the fraction of its
       * word-`n`-gram hashes present anywhere in `heldOut` — the graded

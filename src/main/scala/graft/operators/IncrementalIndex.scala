@@ -52,10 +52,23 @@ object IncrementalIndex {
   private def subRoot(root: String, name: String) =
     s"${root.stripSuffix("/")}/$name"
 
+  /** Default ceiling (in banded rows: batch docs × bands) below which the
+    * batch side of candidate generation broadcasts. 8M scalar rows hash
+    * to well under 1 GB — comfortably inside Spark's broadcast limits
+    * (8 GB / 512M rows) and a small executor's memory. Above it — a
+    * bootstrap or backfill-sized batch — the hint would fail the job
+    * outright at the broadcast ceiling, so candidate generation falls
+    * back to a plain (band, bucket) shuffle join: the index pays one
+    * exchange, which for a corpus-sized batch IS the one-shot cost
+    * (everything must be compared against everything once).
+    */
+  val DefaultBroadcastRowLimit: Long = 8L * 1000 * 1000
+
   /** Tuning knobs, defaults matching the d2 gated pipeline. */
   final case class MinHashParams(
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
-      threshold: Double = 0.8, bucketCap: Int = 1024, seed: Long = 42L)
+      threshold: Double = 0.8, bucketCap: Int = 1024, seed: Long = 42L,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit)
 
   /** Candidate pairs for an incremental ingest, from banded frames
     * (doc, rk, band, bucket) — `bandedI` the persisted index, `bandedB`
@@ -64,12 +77,22 @@ object IncrementalIndex {
     * index METADATA, summed from per-batch deltas, never recounted from
     * the index itself). THE scale properties of this formulation:
     *
-    *  - the index NEVER enters an exchange, and streams through at most
-    *    ONE scan when any bucket is over cap, ZERO extra when not: the
-    *    (tiny) batch side broadcasts into the scan (map-side hash join),
-    *    so candidate generation against a 100 TB index is one columnar
-    *    pass over its signature table — not a multi-TB ids shuffle and
-    *    not a re-count of bucket occupancy;
+    *  - in the intended regime (a bookmark batch far smaller than the
+    *    index, `batchRows` ≤ `broadcastRowLimit`) the index NEVER enters
+    *    an exchange, and streams through at most ONE scan when any
+    *    bucket is over cap, ZERO extra when not: the (tiny) batch side
+    *    broadcasts into the scan (map-side hash join), so candidate
+    *    generation against a 100 TB index is one columnar pass over its
+    *    signature table — not a multi-TB ids shuffle and not a re-count
+    *    of bucket occupancy;
+    *  - a bootstrap or backfill-sized batch (`batchRows` over the limit)
+    *    would blow past Spark's broadcast ceiling, so the hint is
+    *    DROPPED and both joins run as plain (band, bucket) shuffle
+    *    joins — with an empty index this is exactly the one-shot
+    *    [[Dedup.lshCandidates]] sub-cap shape (a single self-shuffle on
+    *    the banded rows), which is the unavoidable cost of comparing a
+    *    corpus against itself once. Both paths emit the same pair set
+    *    (spec-pinned);
     *  - sub-cap batch×batch pairs come from a batch-sized self-join;
     *  - over-cap buckets (mega-clusters, rare by construction): ONLY
     *    their rows shuffle, into the same rank-chunk O(n·cap) scheme the
@@ -86,12 +109,19 @@ object IncrementalIndex {
     */
   private def incrementalBucketCandidates(
       bandedI: DataFrame, bandedB: DataFrame, bucketCap: Int,
-      over: DataFrame): DataFrame = {
+      over: DataFrame, batchRows: Long,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
     val overList = broadcast(over.select(col("band"), col("bucket"))
       .withColumn("ov", lit(true)))
     val anyOver = !over.isEmpty
+    // size gate on the batch-side broadcast: a bookmark-sized batch
+    // probes the index map-side; a bootstrap/backfill-sized one would
+    // die at the broadcast ceiling, so it takes the (band, bucket)
+    // shuffle join instead (the one-shot shape — same pairs, spec-pinned)
+    val hintB: DataFrame => DataFrame =
+      if (batchRows <= broadcastRowLimit) df => broadcast(df) else identity
     def split(df: DataFrame) = {
       val flagged = df.join(overList, Seq("band", "bucket"), "left")
       (flagged.filter(col("ov").isNull).drop("ov"),
@@ -99,13 +129,13 @@ object IncrementalIndex {
     }
     val (normalI, bigI) = split(bandedI)
     val (normalB, bigB) = split(bandedB)
-    // batch×index, map-side: broadcast the batch's banded rows
-    val biPairs = normalI.as("i").join(broadcast(normalB.as("b")),
+    // batch×index: broadcast the batch's banded rows when small enough
+    val biPairs = normalI.as("i").join(hintB(normalB.as("b")),
         col("i.band") === col("b.band") && col("i.bucket") === col("b.bucket") &&
           col("i.doc") =!= col("b.doc"))
       .select(least(col("i.doc"), col("b.doc")).as("a"),
         greatest(col("i.doc"), col("b.doc")).as("b"))
-    val bbPairs = normalB.as("l").join(broadcast(normalB.as("r")),
+    val bbPairs = normalB.as("l").join(hintB(normalB.as("r")),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("a"), col("r.doc").as("b"))
@@ -211,17 +241,22 @@ object IncrementalIndex {
       // and never enters an exchange (see incrementalBucketCandidates)
       val bandedB = bandedOf(
         batchSigs.select("id", "sz", "sig"), p.numHashes, p.bands).persist()
+      // materializes the cache; the count also drives the broadcast gate
+      val batchRows = bandedB.count()
       val batchStats = bucketStats(bandedB)
       val statsRoot = subRoot(root, "bucketstats")
       val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           bandedOf(ix.select(col("id"), col("sz"), col("sig")), p.numHashes, p.bands),
-          bandedB, p.bucketCap, over)
+          bandedB, p.bucketCap, over, batchRows, p.broadcastRowLimit)
         case None =>
-          // bootstrap: the batch IS the corpus — the one-shot capped path
+          // bootstrap: the batch IS the corpus — over the row limit the
+          // gate drops the broadcast hint and this becomes the genuine
+          // one-shot shuffle shape (empty index side + banded self-join)
           incrementalBucketCandidates(
-            bandedB.filter(lit(false)), bandedB, p.bucketCap, over)
+            bandedB.filter(lit(false)), bandedB, p.bucketCap, over,
+            batchRows, p.broadcastRowLimit)
       }).persist()
       try {
         // verification shingle sets: stored for index rows, fresh for the
@@ -262,7 +297,8 @@ object IncrementalIndex {
     */
   final case class SrpParams(
       dim: Int, numTables: Int = 8, bitsPerTable: Int = 8,
-      threshold: Double = 0.99, bucketCap: Int = 256, seed: Long = 7L)
+      threshold: Double = 0.99, bucketCap: Int = 256, seed: Long = 7L,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit)
 
   /** Stored embedding-signature rows: (id, p, sig, v) — `p` the bucket
     * rank projection, `sig` the per-table SRP buckets, `v` the vector
@@ -301,15 +337,17 @@ object IncrementalIndex {
         .select(col("id").as("doc"), col("p").as("rk"), posexplode(col("sig")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val bandedB = bandedOfSrp(batchSigs.select("id", "p", "sig")).persist()
+      val batchRows = bandedB.count() // materializes; drives the broadcast gate
       val batchStats = bucketStats(bandedB)
       val statsRoot = subRoot(root, "bucketstats")
       val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           bandedOfSrp(ix.select(col("id"), col("p"), col("sig"))),
-          bandedB, p.bucketCap, over)
+          bandedB, p.bucketCap, over, batchRows, p.broadcastRowLimit)
         case None => incrementalBucketCandidates(
-          bandedB.filter(lit(false)), bandedB, p.bucketCap, over)
+          bandedB.filter(lit(false)), bandedB, p.bucketCap, over,
+          batchRows, p.broadcastRowLimit)
       }).persist()
       try {
         val vecs = prior match {
@@ -334,13 +372,27 @@ object IncrementalIndex {
   private def semCentroidsRoot(root: String) = subRoot(root, "centroids")
   private def semMembersRoot(root: String) = subRoot(root, "members")
 
+  /** Result of one SemDeDup ingest: the committed members version, the
+    * batch's (id, cid, kept) verdicts (persisted + materialized; caller
+    * unpersists), and `outOfOrderPairs` — verified near-dup pairs whose
+    * GREATER id was already indexed. Under the append-ordered-id
+    * contract this is always 0; a non-zero count means the source
+    * delivered ids out of bookmark order, and those pairs were ignored
+    * rather than flipping an already-recorded verdict — the count makes
+    * a mis-ordered source loud instead of silently absorbed.
+    */
+  final case class SemDedupIngest(
+      version: Long, verdicts: DataFrame, outOfOrderPairs: Long)
+
   /** Freeze the centroids and ingest the first batch. */
   def bootstrapSemDedup(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String, vecCol: String, centroids: DataFrame,
-      threshold: Double, cap: Int = 512): (Long, DataFrame) = {
+      threshold: Double, cap: Int = 512,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): SemDedupIngest = {
     VersionedTable.write(spark,
       centroids.select(col("cid"), col("cvec")), semCentroidsRoot(root))
-    ingestSemDedup(spark, root, batch, idCol, vecCol, threshold, cap)
+    ingestSemDedup(spark, root, batch, idCol, vecCol, threshold, cap,
+      broadcastRowLimit)
   }
 
   /** Incremental SemDeDup ingest: assign ONLY the batch to the frozen
@@ -362,7 +414,8 @@ object IncrementalIndex {
     */
   def ingestSemDedup(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String, vecCol: String,
-      threshold: Double, cap: Int = 512): (Long, DataFrame) = {
+      threshold: Double, cap: Int = 512,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): SemDedupIngest = {
     val cents = VersionedTable.read(spark, semCentroidsRoot(root))
     val assigned = Dedup.assignCells(batch, idCol, vecCol, cents)
       .join(batch.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
@@ -378,14 +431,16 @@ object IncrementalIndex {
       def banded(df: DataFrame) = df.select(col("id").as("doc"), col("rk"),
         lit(0).as("band"), col("cid").as("bucket"))
       val bandedB = banded(assigned).persist()
+      val batchRows = bandedB.count() // materializes; drives the broadcast gate
       val batchStats = bucketStats(bandedB)
       val statsRoot = subRoot(root, "cellstats")
       val over = overCapBuckets(spark, statsRoot, batchStats, cap)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
-          banded(ix), bandedB, cap, over)
+          banded(ix), bandedB, cap, over, batchRows, broadcastRowLimit)
         case None => incrementalBucketCandidates(
-          bandedB.filter(lit(false)), bandedB, cap, over)
+          bandedB.filter(lit(false)), bandedB, cap, over,
+          batchRows, broadcastRowLimit)
       }).persist()
       try {
         val vecs = prior match {
@@ -396,7 +451,8 @@ object IncrementalIndex {
         // a < b by construction; b is dropped iff the pair verifies AND b
         // is a batch member (under append order the greater id always is;
         // pairs whose greater id is an INDEXED member — an out-of-order
-        // arrival — are ignored rather than silently flipping history)
+        // arrival — are ignored rather than flipping an already-recorded
+        // verdict, and COUNTED in the result so the mis-ordering is loud)
         val verified = Dedup.verifyCosine(cands, vecs, threshold)
         val dropped = verified
           .select(col("b").as("id")).distinct()
@@ -407,11 +463,14 @@ object IncrementalIndex {
             coalesce(!col("dup"), lit(true)).as("kept"))
           .persist()
         verdicts.count()
+        val outOfOrder = verified
+          .join(assigned.select(col("id").as("b")), Seq("b"), "left_anti")
+          .count()
         verified.unpersist(blocking = false)
         VersionedTable.write(spark, batchStats, statsRoot) // stats first (see ingestMinHash)
         val v = VersionedTable.write(spark,
           assigned.select("id", "cid", "rk", "v"), membersRoot)
-        (v, verdicts)
+        SemDedupIngest(v, verdicts, outOfOrder)
       } finally {
         cands.unpersist(blocking = false)
         bandedB.unpersist(blocking = false)

@@ -245,8 +245,8 @@ class CorpusApiSpec extends SparkSpec {
     val cents = embs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val semRoot = tmpDir("corpus_incr_sem")
-    val (_, k1) = IncrementalIndex.bootstrapSemDedup(spark, semRoot,
-      embs.filter(col("vec_id") < 300), "vec_id", "embedding", cents, 0.99)
+    val k1 = IncrementalIndex.bootstrapSemDedup(spark, semRoot,
+      embs.filter(col("vec_id") < 300), "vec_id", "embedding", cents, 0.99).verdicts
     val k2 = embs.filter(col("vec_id") >= 300).ingestIntoSemDedupIndex(semRoot)
     assert(k1.count() + k2.count() == embs.count())
     k1.unpersist(); k2.unpersist()

@@ -149,10 +149,13 @@ class IncrementalIndexSpec extends SparkSpec {
     val split = embs.count() / 2
     val b1 = corpus.filter(col("vec_id") < split)
     val b2 = corpus.filter(col("vec_id") >= split)
-    val (_, k1) = IncrementalIndex.bootstrapSemDedup(
+    val r1 = IncrementalIndex.bootstrapSemDedup(
       spark, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 2048)
-    val (_, k2) = IncrementalIndex.ingestSemDedup(
+    val r2 = IncrementalIndex.ingestSemDedup(
       spark, root, b2, "vec_id", "v", threshold = 0.99, cap = 2048)
+    val (k1, k2) = (r1.verdicts, r2.verdicts)
+    // append-ordered batches: no pair's greater id was already indexed
+    assert(r1.outOfOrderPairs == 0 && r2.outOfOrderPairs == 0)
     def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Boolean)] =
       df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val incr = verdicts(k1.select("id", "cid", "kept")) ++
@@ -173,6 +176,70 @@ class IncrementalIndexSpec extends SparkSpec {
     val k1Only = verdicts(k1.select("id", "cid", "kept"))
     assert(k1Only.forall { case (id, v) => oneShot(id) == v })
     k1.unpersist(); k2.unpersist()
+  }
+
+  test("over-limit batches take the shuffle fallback and emit identical pairs") {
+    // broadcastRowLimit = 0 forces every ingest (bootstrap AND probe) down
+    // the no-hint shuffle path — the route a corpus-sized backfill takes
+    // at 100 TB where the broadcast ceiling would kill the hinted plan.
+    // Pair lists must match the broadcast path exactly, batch by batch.
+    val rootB = tmpDir("incr_fallback_bcast")
+    val rootS = tmpDir("incr_fallback_shuffle")
+    val b1 = corpus.filter(pmod(col("doc_id") % 100000, lit(3)) < 2)
+    val b2 = corpus.filter(pmod(col("doc_id") % 100000, lit(3)) === 2)
+    val pb = IncrementalIndex.MinHashParams()
+    val psh = IncrementalIndex.MinHashParams(broadcastRowLimit = 0L)
+    val (_, pb1) = IncrementalIndex.ingestMinHash(spark, rootB, b1, "doc_id", "text", pb)
+    val (_, pb2) = IncrementalIndex.ingestMinHash(spark, rootB, b2, "doc_id", "text", pb)
+    val (_, ps1) = IncrementalIndex.ingestMinHash(spark, rootS, b1, "doc_id", "text", psh)
+    val (_, ps2) = IncrementalIndex.ingestMinHash(spark, rootS, b2, "doc_id", "text", psh)
+    assert(pairSet(ps1) == pairSet(pb1), "bootstrap batch: fallback pairs must match")
+    assert(pairSet(ps2) == pairSet(pb2), "probe batch: fallback pairs must match")
+    Seq(pb1, pb2, ps1, ps2).foreach(_.unpersist())
+    // SRP side: same gate, same equality
+    val embs = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val mut = embs.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(v, (x, i) -> IF(i = 0, x + 0.01D, x))").as("v"))
+    val ec = embs.union(mut)
+    val e1 = ec.filter(col("vec_id") % 100000 < 200)
+    val e2 = ec.filter(col("vec_id") % 100000 >= 200)
+    val srpB = IncrementalIndex.SrpParams(dim = 64, bitsPerTable = 8, bucketCap = 256)
+    val srpS = srpB.copy(broadcastRowLimit = 0L)
+    val rootEB = tmpDir("incr_fallback_srp_b")
+    val rootES = tmpDir("incr_fallback_srp_s")
+    val (_, eb1) = IncrementalIndex.ingestEmbeddings(spark, rootEB, e1, "vec_id", "v", srpB)
+    val (_, eb2) = IncrementalIndex.ingestEmbeddings(spark, rootEB, e2, "vec_id", "v", srpB)
+    val (_, es1) = IncrementalIndex.ingestEmbeddings(spark, rootES, e1, "vec_id", "v", srpS)
+    val (_, es2) = IncrementalIndex.ingestEmbeddings(spark, rootES, e2, "vec_id", "v", srpS)
+    assert(pairSet(es1) == pairSet(eb1) && pairSet(es2) == pairSet(eb2))
+    assert(pairSet(eb1).nonEmpty && pairSet(eb2).nonEmpty)
+    Seq(eb1, eb2, es1, es2).foreach(_.unpersist())
+  }
+
+  test("out-of-order SemDeDup arrival is counted, never flips an indexed verdict") {
+    import spark.implicits._
+    val root = tmpDir("incr_sem_ooo")
+    // two identical vectors; the HIGHER id (20) arrives first. The later
+    // lower-id batch (10) produces a verified pair whose greater id (20)
+    // is already indexed — the drop-20 verdict is history and must not
+    // flip; the ignored pair must be COUNTED.
+    def vec(s: Double) = Array.tabulate(8)(i => if (i == 0) s else 1.0)
+    val cents = Seq((0L, vec(1.0).toSeq)).toDF("cid", "cvec")
+    val bHigh = Seq((20L, vec(1.0).toSeq)).toDF("vec_id", "v")
+    val bLow = Seq((10L, vec(1.0).toSeq)).toDF("vec_id", "v")
+    val r1 = IncrementalIndex.bootstrapSemDedup(
+      spark, root, bHigh, "vec_id", "v", cents, threshold = 0.99)
+    assert(r1.outOfOrderPairs == 0)
+    assert(r1.verdicts.collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet ==
+      Set((20L, true)))
+    val r2 = IncrementalIndex.ingestSemDedup(
+      spark, root, bLow, "vec_id", "v", threshold = 0.99)
+    // the (10, 20) pair verifies but 20 is indexed: ignored AND counted
+    assert(r2.outOfOrderPairs == 1L, s"expected 1 ignored pair, got ${r2.outOfOrderPairs}")
+    assert(r2.verdicts.collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet ==
+      Set((10L, true)), "the lower id keeps; history is not rewritten")
+    r1.verdicts.unpersist(); r2.verdicts.unpersist()
   }
 
   test("incremental IVF assignment equals one-shot under the frozen centroids") {
