@@ -518,4 +518,59 @@ object IncrementalIndex {
   def readIvfAssignments(spark: SparkSession, root: String,
       upTo: Option[Long] = None): DataFrame =
     VersionedTable.readAllVersions(spark, assignRoot(root), upTo)
+
+  // ---------------------------------------------------------- compaction
+
+  /** Compact one delta-log root: write a single checkpoint version
+    * holding `transform(union of all committed versions)` and reclaim
+    * the covered versions. Union-read semantics are preserved exactly
+    * ([[VersionedTable.readAllVersions]] plans checkpoint + later
+    * deltas); pinned reads at PRE-compaction versions keep working until
+    * `vacuum` (pass false to retain them for time travel) and fail fast
+    * after. `transform` must be read-equivalent for the root's consumers
+    * — identity for signature/member/assignment tables, the occupancy
+    * re-aggregate for stats sidecars (sum of sums = sum).
+    */
+  def compactLog(spark: SparkSession, root: String,
+      transform: DataFrame => DataFrame = identity,
+      vacuum: Boolean = true): Long = {
+    val vs = VersionedTable.versions(spark, root)
+    require(vs.nonEmpty, s"nothing to compact at $root")
+    val upTo = vs.last
+    val v = VersionedTable.writeCheckpoint(spark,
+      transform(VersionedTable.readAllVersions(spark, root, Some(upTo))),
+      root, upTo)
+    if (vacuum) VersionedTable.vacuumCovered(spark, root)
+    v
+  }
+
+  /** Compact a MinHash or SRP signature index: one checkpoint for the
+    * signature table (rows verbatim) and one for the `bucketstats`
+    * sidecar, PRE-AGGREGATED — the per-ingest over-cap probe then reads
+    * one (band, bucket, n) row per bucket instead of re-summing every
+    * delta ever written (the O(ingests) term this call exists to kill;
+    * N daily ingests otherwise mean N tiny parquet versions forever).
+    */
+  def compactDedupIndex(spark: SparkSession, root: String,
+      vacuum: Boolean = true): Unit = {
+    compactLog(spark, root, vacuum = vacuum)
+    compactLog(spark, subRoot(root, "bucketstats"),
+      _.groupBy("band", "bucket").agg(sum(col("n")).as("n")), vacuum)
+  }
+
+  /** Compact a SemDeDup index: member rows verbatim, `cellstats`
+    * pre-aggregated. Centroids are a frozen snapshot — nothing to
+    * compact there.
+    */
+  def compactSemDedupIndex(spark: SparkSession, root: String,
+      vacuum: Boolean = true): Unit = {
+    compactLog(spark, semMembersRoot(root), vacuum = vacuum)
+    compactLog(spark, subRoot(root, "cellstats"),
+      _.groupBy("band", "bucket").agg(sum(col("n")).as("n")), vacuum)
+  }
+
+  /** Compact an IVF index's assignment log (centroids are frozen). */
+  def compactIvfIndex(spark: SparkSession, root: String,
+      vacuum: Boolean = true): Unit =
+    compactLog(spark, assignRoot(root), vacuum = vacuum)
 }

@@ -28,39 +28,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
-  private val VersionDir = "^v(\\d{8})$".r
+  /** `v<version>` for ordinary versions; `v<version>-c<upto>` for a
+    * CHECKPOINT version, whose data is the union of every version ≤
+    * `upto` (written by [[writeCheckpoint]]). Encoding the covered bound
+    * in the directory NAME keeps version resolution at ONE root listing
+    * — a side-channel marker file would cost a probe per version, or
+    * worse, a root-level file whose loss after the rename silently
+    * double-counts the checkpointed data on union reads.
+    */
+  private val VersionDir = "^v(\\d{8})(?:-c(\\d{8}))?$".r
 
   private def fs(spark: SparkSession, root: Path) =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Committed version numbers, ascending (one directory listing). */
-  def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val rootPath = new Path(root)
-    val f = fs(spark, rootPath)
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    versionsOf(fs(spark, new Path(root)), new Path(root))
+
+  private[graft] def dirName(v: Long): String = f"v$v%08d"
+  private def checkpointDirName(v: Long, upTo: Long): String =
+    f"v$v%08d-c$upTo%08d"
+
+  /** (version, checkpoint-covered-upto) per committed version dir,
+    * ascending by version — the one-listing resolution every reader
+    * shares. `upto` is defined only for checkpoint versions.
+    */
+  private[graft] def entriesOf(f: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path): Seq[(Long, Option[Long])] = {
     if (!f.exists(rootPath)) return Seq.empty
     f.listStatus(rootPath).toSeq.collect {
       case st if st.isDirectory =>
         st.getPath.getName match {
-          case VersionDir(n) => Some(n.toLong)
-          case _             => None
+          case VersionDir(n, u) => Some((n.toLong, Option(u).map(_.toLong)))
+          case _                => None
         }
-    }.flatten.sorted
+    }.flatten.sortBy(_._1)
   }
 
-  private[graft] def dirName(v: Long): String = f"v$v%08d"
+  private def nameOf(e: (Long, Option[Long])): String = e match {
+    case (v, Some(u)) => checkpointDirName(v, u)
+    case (v, None)    => dirName(v)
+  }
 
   /** Committed version numbers from an already-resolved FileSystem. */
   private[graft] def versionsOf(f: org.apache.hadoop.fs.FileSystem,
-      rootPath: Path): Seq[Long] = {
-    if (!f.exists(rootPath)) return Seq.empty
-    f.listStatus(rootPath).toSeq.collect {
-      case st if st.isDirectory =>
-        st.getPath.getName match {
-          case VersionDir(n) => Some(n.toLong)
-          case _             => None
-        }
-    }.flatten.sorted
-  }
+      rootPath: Path): Seq[Long] = entriesOf(f, rootPath).map(_._1)
 
   /** Sweep `_staging-*`/`_dropped-*` orphans older than the TTL — a
     * crashed orphan stops aging; a live concurrent writer commits long
@@ -83,12 +95,14 @@ object VersionedTable {
     * version number, race-proof. Returns the committed version.
     */
   private[graft] def commitStaged(f: org.apache.hadoop.fs.FileSystem,
-      rootPath: Path, staging: Path, nonce: String, maxAttempts: Int): Long = {
+      rootPath: Path, staging: Path, nonce: String, maxAttempts: Int,
+      checkpointUpTo: Option[Long] = None): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val next = versionsOf(f, rootPath).lastOption.getOrElse(0L) + 1
-      val dst = new Path(rootPath, dirName(next))
+      val dst = new Path(rootPath, checkpointUpTo
+        .map(checkpointDirName(next, _)).getOrElse(dirName(next)))
       // Visibility point. A bare rename is NOT race-proof: when the
       // destination already exists (a racing writer committed this version
       // first), Hadoop rename moves the source INTO it and still returns
@@ -113,7 +127,28 @@ object VersionedTable {
     * dataset rewrite.
     */
   def write(spark: SparkSession, df: DataFrame, root: String,
-      maxAttempts: Int = 20, orphanTtlMs: Long = 15 * 60 * 1000L): Long = {
+      maxAttempts: Int = 20, orphanTtlMs: Long = 15 * 60 * 1000L): Long =
+    stageAndCommit(spark, df, root, maxAttempts, orphanTtlMs, None)
+
+  /** Write `df` as a CHECKPOINT version claiming to supersede every
+    * version ≤ `upTo`: union reads ([[readAllVersions]]) then plan the
+    * checkpoint INSTEAD of the covered versions, and [[vacuumCovered]]
+    * may reclaim them. The caller owns the claim — `df` must BE the
+    * union of versions ≤ `upTo` (or a read-equivalent aggregate of it);
+    * a writer racing in a version between `upTo` and the checkpoint's
+    * own number loses nothing, because the covered bound travels in the
+    * committed directory name, not in the (racy) "everything before
+    * me" position. Delta-log compaction writes these so a root ingested
+    * thousands of times reads as checkpoint + recent deltas, not
+    * thousands of tiny version scans.
+    */
+  def writeCheckpoint(spark: SparkSession, df: DataFrame, root: String,
+      upTo: Long, maxAttempts: Int = 20,
+      orphanTtlMs: Long = 15 * 60 * 1000L): Long =
+    stageAndCommit(spark, df, root, maxAttempts, orphanTtlMs, Some(upTo))
+
+  private def stageAndCommit(spark: SparkSession, df: DataFrame, root: String,
+      maxAttempts: Int, orphanTtlMs: Long, checkpointUpTo: Option[Long]): Long = {
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     f.mkdirs(rootPath)
@@ -124,16 +159,19 @@ object VersionedTable {
     // Underscore-prefixed nonce marker: invisible to parquet readers,
     // proves in commitStaged that the committed dir is OURS.
     f.create(new Path(staging, s"_commit-$nonce"), false).close()
-    commitStaged(f, rootPath, staging, nonce, maxAttempts)
+    commitStaged(f, rootPath, staging, nonce, maxAttempts, checkpointUpTo)
   }
 
   /** Read a pinned version (time travel) or the latest committed one. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
-    val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no committed versions at $root")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not committed at $root (have $vs)")
-    spark.read.parquet(new Path(new Path(root), dirName(v)).toString)
+    val rootPath = new Path(root)
+    val entries = entriesOf(fs(spark, rootPath), rootPath)
+    require(entries.nonEmpty, s"no committed versions at $root")
+    val v = version.getOrElse(entries.last._1)
+    val e = entries.find(_._1 == v)
+    require(e.nonEmpty,
+      s"version $v not committed at $root (have ${entries.map(_._1)})")
+    spark.read.parquet(new Path(rootPath, nameOf(e.get)).toString)
   }
 
   /** Union-read of EVERY committed version up to `upTo` (default all) —
@@ -146,12 +184,19 @@ object VersionedTable {
     */
   def readAllVersions(spark: SparkSession, root: String,
       upTo: Option[Long] = None): DataFrame = {
-    val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no committed versions at $root")
-    val keep = upTo.map(u => vs.filter(_ <= u)).getOrElse(vs)
-    require(keep.nonEmpty, s"no versions <= ${upTo.get} at $root (have $vs)")
     val rootPath = new Path(root)
-    spark.read.parquet(keep.map(v => new Path(rootPath, dirName(v)).toString): _*)
+    val entries = entriesOf(fs(spark, rootPath), rootPath)
+    require(entries.nonEmpty, s"no committed versions at $root")
+    val inPin = upTo.map(u => entries.filter(_._1 <= u)).getOrElse(entries)
+    require(inPin.nonEmpty,
+      s"no versions <= ${upTo.get} at $root (have ${entries.map(_._1)})")
+    // the latest checkpoint within the pin supersedes every version ≤ its
+    // covered bound; versions ABOVE the bound (later deltas, and any
+    // writer that raced in between the bound and the checkpoint's own
+    // commit) still read alongside it
+    val cut = inPin.collect { case (_, Some(u)) => u }.maxOption.getOrElse(-1L)
+    val keep = inPin.filter(_._1 > cut)
+    spark.read.parquet(keep.map(e => new Path(rootPath, nameOf(e)).toString): _*)
   }
 
   /** Drop all but the newest `keep` versions; returns the dropped ones.
@@ -171,12 +216,32 @@ object VersionedTable {
   private[graft] def vacuumFs(f: org.apache.hadoop.fs.FileSystem,
       rootPath: Path, keep: Int): Seq[Long] = {
     require(keep >= 1, "must keep at least the latest version")
-    val drop = versionsOf(f, rootPath).dropRight(keep)
-    drop.foreach { v =>
-      val dir = new Path(rootPath, dirName(v))
-      val tomb = new Path(rootPath, s"_dropped-$v")
+    dropEntries(f, rootPath, entriesOf(f, rootPath).dropRight(keep))
+  }
+
+  private def dropEntries(f: org.apache.hadoop.fs.FileSystem, rootPath: Path,
+      drop: Seq[(Long, Option[Long])]): Seq[Long] = {
+    drop.foreach { e =>
+      val dir = new Path(rootPath, nameOf(e))
+      val tomb = new Path(rootPath, s"_dropped-${e._1}")
       if (f.rename(dir, tomb)) f.delete(tomb, true)
     }
-    drop
+    drop.map(_._1)
+  }
+
+  /** Reclaim the versions superseded by the LATEST checkpoint (those ≤
+    * its covered bound — a union read never plans them again). Pinned
+    * reads at a reclaimed version fail fast afterwards, same contract as
+    * [[vacuum]]; pins above the bound keep working. No-op without a
+    * checkpoint. Kept separate from the count-based [[vacuum]] because
+    * "newest k" on a delta log would happily delete UNCOVERED deltas —
+    * data loss, not reclamation.
+    */
+  def vacuumCovered(spark: SparkSession, root: String): Seq[Long] = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val entries = entriesOf(f, rootPath)
+    val cut = entries.collect { case (_, Some(u)) => u }.maxOption.getOrElse(-1L)
+    dropEntries(f, rootPath, entries.filter(_._1 <= cut))
   }
 }

@@ -107,6 +107,45 @@ class CompactionSpec extends SparkSpec {
     orders.unpersist()
   }
 
+  test("versioned table: checkpoint supersedes covered versions; union-read and pins hold") {
+    import graft.sinks.VersionedTable
+    import spark.implicits._
+    val root = tmpDir("vt5") + "/t"
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    // three delta versions, then a checkpoint of their union
+    VersionedTable.write(spark, (1L to 10L).toDF("x"), root)
+    VersionedTable.write(spark, (11L to 20L).toDF("x"), root)
+    VersionedTable.write(spark, (21L to 30L).toDF("x"), root)
+    val c = VersionedTable.writeCheckpoint(spark,
+      VersionedTable.readAllVersions(spark, root), root, upTo = 3L)
+    assert(c == 4L)
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L, 4L))
+    // union read = checkpoint only (no double count), same data
+    assert(rows(VersionedTable.readAllVersions(spark, root)) == (1L to 30L).toSet)
+    // PRE-compaction pinned reads keep working while the deltas remain
+    assert(rows(VersionedTable.readAllVersions(spark, root, Some(2L))) == (1L to 20L).toSet)
+    // a delta landing AFTER the checkpoint reads alongside it
+    VersionedTable.write(spark, (31L to 35L).toDF("x"), root)
+    assert(rows(VersionedTable.readAllVersions(spark, root)) == (1L to 35L).toSet)
+    // reclaim covered versions: union read unchanged, covered pins fail fast
+    assert(VersionedTable.vacuumCovered(spark, root) == Seq(1L, 2L, 3L))
+    assert(rows(VersionedTable.readAllVersions(spark, root)) == (1L to 35L).toSet)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAllVersions(spark, root, Some(2L)).collect()
+    }
+    // pin AT the checkpoint still time-travels to the compaction boundary
+    assert(rows(VersionedTable.readAllVersions(spark, root, Some(4L))) == (1L to 30L).toSet)
+    // a racer's version BETWEEN the covered bound and the checkpoint's own
+    // number is never mistaken for covered data: simulate by checkpointing
+    // only up to version 4 (the first checkpoint) while v5 exists
+    val c2 = VersionedTable.writeCheckpoint(spark,
+      VersionedTable.readAllVersions(spark, root, Some(4L)), root, upTo = 4L)
+    assert(c2 == 6L)
+    assert(rows(VersionedTable.readAllVersions(spark, root)) == (1L to 35L).toSet,
+      "the uncovered racer version v5 must still be read")
+  }
+
   test("versioned table: crashed-vacuum tombstones are swept by the next write") {
     import graft.sinks.VersionedTable
     val root = tmpDir("vt4") + "/t"

@@ -242,6 +242,36 @@ class IncrementalIndexSpec extends SparkSpec {
     r1.verdicts.unpersist(); r2.verdicts.unpersist()
   }
 
+  test("index compaction: later ingests see the same index; accumulated pairs preserved") {
+    val r = pmod(col("doc_id") % 100000, lit(3))
+    val b = (0 to 2).map(i => corpus.filter(r === i))
+    val root = tmpDir("incr_compact")
+    val twin = tmpDir("incr_compact_twin")
+    def ingest(rt: String, batch: DataFrame) =
+      IncrementalIndex.ingestMinHash(spark, rt, batch, "doc_id", "text")._2
+    val (p1, p2) = (ingest(root, b(0)), ingest(root, b(1)))
+    val (t1, t2) = (ingest(twin, b(0)), ingest(twin, b(1)))
+    // compact one root; the twin keeps its raw delta log
+    IncrementalIndex.compactDedupIndex(spark, root)
+    assert(VersionedTable.versions(spark, root) == Seq(3L),
+      "covered signature deltas reclaimed, one checkpoint version")
+    assert(IncrementalIndex.readMinHashIndex(spark, root).count() ==
+      b(0).count() + b(1).count())
+    // a post-compaction ingest probes the checkpointed index + stats and
+    // must add exactly the pairs the uncompacted twin adds
+    val p3 = ingest(root, b(2))
+    val t3 = ingest(twin, b(2))
+    assert(pairSet(p3) == pairSet(t3),
+      "post-compaction ingest must be blind to the compaction")
+    val oneShot = Dedup.minHashLsh(corpus, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    assert(pairSet(p1) ++ pairSet(p2) ++ pairSet(p3) == pairSet(oneShot))
+    // compacting again (checkpoint-of-checkpoint) stays read-equivalent
+    IncrementalIndex.compactDedupIndex(spark, root)
+    assert(IncrementalIndex.readMinHashIndex(spark, root).count() == corpus.count())
+    Seq(p1, p2, p3, t1, t2, t3, oneShot).foreach(_.unpersist())
+  }
+
   test("incremental IVF assignment equals one-shot under the frozen centroids") {
     val root = tmpDir("incr_ivf")
     val embs = spark.read.parquet(sf("embeddings"))
