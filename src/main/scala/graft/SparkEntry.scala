@@ -4027,6 +4027,31 @@ object SparkEntry {
       }.select(col("id").as("vec_id"), col("cid"), col("kept"))
         .orderBy("vec_id")),
 
+    // Incremental PQ index: codebooks train on batch 1 and FREEZE (the
+    // IVF-centroid pattern — codes from every ingest must decode against
+    // the same books); each ingest encodes ONLY its batch and appends
+    // (id, codes) deltas. The deterministic per-row encode kernel makes
+    // accumulated codes bit-equal to a one-shot encode of the union
+    // under the frozen books — emitted as the (n_vecs, all_match)
+    // bound-check row the oracle recomputes (the e20 pattern).
+    "e23_incremental_pq" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      val root = tmpdir("graft-incr-pq")
+      val embs = tbl(s, dir, "embeddings")
+      val b1 = embs.filter(col("vec_id") % 2 === 0)
+      val b2 = embs.filter(col("vec_id") % 2 === 1)
+      IncrementalIndex.bootstrapPq(s, root, b1, "vec_id", "embedding", dim = 64)
+      IncrementalIndex.ingestPq(s, root, b2, "vec_id", "embedding")
+      val (dim, m, ksub, books) = IncrementalIndex.readPqCodebooks(s, root)
+      val incr = IncrementalIndex.readPqCodes(s, root)
+      val oneShot = embs.select(col("vec_id").as("id"),
+        graft.operators.Pq.encode(col("embedding"), books, m, ksub, dim / m)
+          .as("codes1"))
+      incr.join(oneShot, "id")
+        .agg(count(lit(1)).as("n_vecs"),
+          coalesce(min(col("codes") === col("codes1")), lit(false)).as("all_match"))
+    }),
+
     // Language-distribution divergence between corpus sources (the
     // distribution-shift monitor a mixture pipeline needs): per-source
     // predicted-language histograms, pairwise Jensen-Shannon divergence.
@@ -4817,6 +4842,10 @@ object SparkEntry {
     // bound-check row: the oracle recomputes the corpus size and expects
     // the incremental-vs-one-shot assignment comparison to hold
     "e20_incremental_ivf" ->
+      "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
+
+    // same bound-check shape for the incremental PQ code index
+    "e23_incremental_pq" ->
       "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
 
     // exact SemDeDup semantics, NO chunk replay (cap 2048 disengaged at

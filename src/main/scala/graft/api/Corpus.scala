@@ -390,6 +390,21 @@ object corpus {
       graft.operators.IncrementalIndex.ingestSemDedup(
         df.sparkSession, indexRoot, df, idCol, vecCol, threshold, cap).verdicts
 
+    /** Incremental PQ-code ingest (e23): encode this batch with the
+      * index's FROZEN codebooks and append the (id, codes) rows as the
+      * next codes version — indexed vectors are never re-encoded.
+      * Bootstrap the index first with
+      * [[graft.operators.IncrementalIndex.bootstrapPq]]; search the
+      * persisted codes with
+      * [[graft.operators.IncrementalIndex.pqTopKIndexed]]. Returns the
+      * committed codes version.
+      */
+    def ingestIntoPqIndex(
+        indexRoot: String, idCol: String = "vec_id",
+        vecCol: String = "embedding"): Long =
+      graft.operators.IncrementalIndex.ingestPq(
+        df.sparkSession, indexRoot, df, idCol, vecCol)
+
     /** Graded contamination (d52): per doc, the fraction of its
       * word-`n`-gram hashes present anywhere in `heldOut` — the graded
       * sibling of [[decontaminateAgainst]]'s binary drop. Held-out

@@ -519,6 +519,76 @@ object IncrementalIndex {
       upTo: Option[Long] = None): DataFrame =
     VersionedTable.readAllVersions(spark, assignRoot(root), upTo)
 
+  // ------------------------------------------------------------------- PQ
+
+  private def pqBooksRoot(root: String) = subRoot(root, "codebooks")
+  private def pqCodesRoot(root: String) = subRoot(root, "codes")
+
+  /** Train PQ codebooks on the first batch and FREEZE them (snapshot
+    * convention, exactly the IVF-centroid pattern: codes stored by one
+    * ingest must decode against the same books as codes stored by every
+    * later one), then encode + append the batch. Re-training on drift is
+    * a new bootstrap. Returns the codes version.
+    */
+  def bootstrapPq(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int = 8,
+      ksub: Int = 16): Long = {
+    val books = Pq.train(batch, vecCol, dim, m, ksub)
+    import spark.implicits._
+    VersionedTable.write(spark,
+      Seq((dim, m, ksub, books)).toDF("dim", "m", "ksub", "books"),
+      pqBooksRoot(root))
+    ingestPq(spark, root, batch, idCol, vecCol)
+  }
+
+  /** Frozen geometry + codebooks of a bootstrapped PQ index. */
+  def readPqCodebooks(spark: SparkSession, root: String): (Int, Int, Int, Seq[Double]) = {
+    val r = VersionedTable.read(spark, pqBooksRoot(root))
+      .select("dim", "m", "ksub", "books").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Double](3))
+  }
+
+  /** Encode ONLY the new batch under the frozen codebooks and append the
+    * (id, codes) rows as the next codes version. O(batch · dim · ksub)
+    * kernel work + an O(batch) write — indexed vectors are never
+    * re-encoded, and the deterministic per-row kernel makes accumulated
+    * codes bit-equal to a one-shot encode of the union (the e23 gate).
+    */
+  def ingestPq(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    val (dim, m, ksub, books) = readPqCodebooks(spark, root)
+    VersionedTable.write(spark,
+      batch.select(col(idCol).as("id"),
+        Pq.encode(col(vecCol), books, m, ksub, dim / m).as("codes")),
+      pqCodesRoot(root))
+  }
+
+  /** All (id, codes) rows ingested so far. */
+  def readPqCodes(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame =
+    VersionedTable.readAllVersions(spark, pqCodesRoot(root), upTo)
+
+  /** PQ top-k over the PERSISTED code index: the ADC scan reads stored
+    * codes (nothing re-encodes the corpus — at 100 TB the encode pass is
+    * the dominant one-shot cost); `corpus` supplies raw vectors only for
+    * the candidate-bounded exact re-rank.
+    */
+  def pqTopKIndexed(spark: SparkSession, root: String, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      candidates: Int, qIdCol: String = "query_id"): DataFrame = {
+    val (dim, m, ksub, books) = readPqCodebooks(spark, root)
+    Pq.topKFromCodes(
+      readPqCodes(spark, root)
+        .select(col("id").as("neighbor_id"), col("codes")),
+      corpus, queries, idCol, vecCol, k, books, m, ksub, dim / m,
+      candidates, qIdCol)
+  }
+
+  /** Compact a PQ index's code log (codebooks are frozen). */
+  def compactPqIndex(spark: SparkSession, root: String,
+      vacuum: Boolean = true): Unit =
+    compactLog(spark, pqCodesRoot(root), vacuum = vacuum)
+
   // ---------------------------------------------------------- compaction
 
   /** Compact one delta-log root: write a single checkpoint version

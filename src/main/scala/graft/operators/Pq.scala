@@ -139,9 +139,24 @@ object Pq {
       idCol: String, vecCol: String, k: Int,
       books: Seq[Double], m: Int, ksub: Int, dsub: Int,
       candidates: Int,
+      qIdCol: String = "query_id"): DataFrame =
+    topKFromCodes(
+      corpus.select(col(idCol).as("neighbor_id"),
+        encode(col(vecCol), books, m, ksub, dsub).as("codes")),
+      corpus, queries, idCol, vecCol, k, books, m, ksub, dsub,
+      candidates, qIdCol)
+
+  /** [[topK]] over an already-encoded (neighbor_id, codes) table — the
+    * entry point for a PERSISTED code index
+    * ([[graft.operators.IncrementalIndex.pqTopKIndexed]]): the ADC scan
+    * reads stored codes, so a search never re-encodes the corpus.
+    */
+  def topKFromCodes(
+      codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      books: Seq[Double], m: Int, ksub: Int, dsub: Int,
+      candidates: Int,
       qIdCol: String = "query_id"): DataFrame = {
-    val codes = corpus.select(col(idCol).as("neighbor_id"),
-      encode(col(vecCol), books, m, ksub, dsub).as("codes"))
     val qside = broadcast(queries.select(col(idCol).as(qIdCol),
       adcTable(col(vecCol), books, m, ksub, dsub).as("tbl")))
     // compressed linear scan: every (query, code-row) pair, scored by m

@@ -242,6 +242,41 @@ class IncrementalIndexSpec extends SparkSpec {
     r1.verdicts.unpersist(); r2.verdicts.unpersist()
   }
 
+  test("incremental PQ codes equal one-shot under frozen books; indexed search matches") {
+    import graft.operators.Pq
+    val root = tmpDir("incr_pq")
+    val embs = spark.read.parquet(sf("embeddings"))
+    val b1 = embs.filter(col("vec_id") % 2 === 0)
+    val b2 = embs.filter(col("vec_id") % 2 === 1)
+    IncrementalIndex.bootstrapPq(spark, root, b1, "vec_id", "embedding", dim = 64)
+    IncrementalIndex.ingestPq(spark, root, b2, "vec_id", "embedding")
+    val (dim, m, ksub, books) = IncrementalIndex.readPqCodebooks(spark, root)
+    assert((dim, m, ksub) == (64, 8, 16) && books.size == m * ksub * (dim / m))
+    // accumulated codes are bit-equal to a one-shot encode of the union
+    val incr = IncrementalIndex.readPqCodes(spark, root)
+    assert(incr.count() == embs.count())
+    val oneShot = embs.select(col("vec_id").as("id"),
+      Pq.encode(col("embedding"), books, m, ksub, dim / m).as("codes1"))
+    assert(incr.join(oneShot, "id").filter(col("codes") =!= col("codes1")).count() == 0)
+    // full-re-rank search over the persisted index == the same search
+    // over freshly-encoded codes (nothing re-encodes the corpus)
+    val queries = embs.filter(col("vec_id") < 4)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaIndex = IncrementalIndex.pqTopKIndexed(spark, root, embs, queries,
+      "vec_id", "embedding", k = 5, candidates = 1 << 30)
+    val direct = Pq.topK(embs, queries, "vec_id", "embedding", k = 5,
+      books, m, ksub, dim / m, candidates = 1 << 30)
+    assert(ranks(viaIndex) == ranks(direct) && ranks(direct).nonEmpty)
+    // code-log compaction is invisible to search
+    IncrementalIndex.compactPqIndex(spark, root)
+    assert(VersionedTable.versions(spark, s"$root/codes") == Seq(3L))
+    val afterCompact = IncrementalIndex.pqTopKIndexed(spark, root, embs, queries,
+      "vec_id", "embedding", k = 5, candidates = 1 << 30)
+    assert(ranks(afterCompact) == ranks(direct))
+  }
+
   test("index compaction: later ingests see the same index; accumulated pairs preserved") {
     val r = pmod(col("doc_id") % 100000, lit(3))
     val b = (0 to 2).map(i => corpus.filter(r === i))
