@@ -263,7 +263,10 @@ object SparkEntry {
       // their first 256 parts (deterministic by part id); TPC-H-shaped
       // baskets are ≤7 parts, so the cap is inert at every gate SF and
       // only truncates pathological mega-baskets, whose co-purchase
-      // pairs are noise (standard market-basket practice).
+      // pairs are noise (standard market-basket practice). The q74/q87/
+      // q88 oracles mirror this cap in their li CTE, so a future
+      // fixture with a mega-basket truncates identically in both
+      // engines instead of silently diverging.
       val basketCap = 256
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
@@ -6308,9 +6311,15 @@ object SparkEntry {
         |CAST(SUM(len) AS BIGINT) AS active_hours
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // the li CTE mirrors coPurchaseEdges' basketCap=256 (first 256 parts
+    // per order by part id): inert on TPC-H-shaped baskets (≤7 parts),
+    // but a future fixture with a mega-basket then truncates IDENTICALLY
+    // in both engines instead of silently diverging (ADVICE r7)
     "q74_triangle_count" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-        |  FROM lineitem),
+      """WITH li AS (SELECT ok, p FROM (
+        |  SELECT ok, p, row_number() OVER (PARTITION BY ok ORDER BY p) AS bn
+        |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem))
+        |  WHERE bn <= 256),
         |e AS (SELECT u, v FROM (SELECT a.p AS u, b.p AS v, COUNT(*) AS s
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2)
         |  WHERE s >= 2),
@@ -7043,8 +7052,12 @@ object SparkEntry {
         |AND round(jaro_winkler_similarity(l.t, r.t), 6) >= 0.9
         |ORDER BY a, b""".stripMargin,
 
+    // li mirrors the engine's basketCap=256 — see q74_triangle_count
     "q88_pagerank" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      """WITH li AS (SELECT ok, p FROM (
+        |  SELECT ok, p, row_number() OVER (PARTITION BY ok ORDER BY p) AS bn
+        |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem))
+        |  WHERE bn <= 256),
         |e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b
         |  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |dir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
@@ -7074,9 +7087,13 @@ object SparkEntry {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= t.m - INTERVAL 30 MINUTE
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // li mirrors the engine's basketCap=256 — see q74_triangle_count
     "q87_bfs_distance" ->
       """WITH RECURSIVE
-        |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |li AS (SELECT ok, p FROM (
+        |  SELECT ok, p, row_number() OVER (PARTITION BY ok ORDER BY p) AS bn
+        |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem))
+        |  WHERE bn <= 256),
         |e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b
         |  ON a.ok = b.ok AND a.p < b.p GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
         |dir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),

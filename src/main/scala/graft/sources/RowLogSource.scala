@@ -225,15 +225,29 @@ class RowLogStreamingWrite(root: String, schema: StructType,
     * versions, and replay detection must survive that (a dropped marker
     * would let a post-restart replay of an already-committed epoch land
     * twice). Single-writer by the streaming contract, so an overwrite
-    * create is safe; a torn/unreadable file degrades to the marker scan.
+    * create is safe. Failure semantics are deliberate: file ABSENT or
+    * torn content → -1 (no recorded high-water — the marker scan is
+    * authoritative, and the hwm is only ever written after its version
+    * is visible); an unexpected READ failure → propagate, FAILING the
+    * commit — in the vacuumed-marker configuration `retain` exists for,
+    * silently degrading on a transient filesystem error would let an
+    * already-committed epoch land twice during a restart replay.
+    *
+    * Lineage note: the hwm belongs to the table's CURRENT streaming
+    * lineage. A batch truncate/overwrite deletes it (new lineage — see
+    * [[RowLogBatchWrite.commit]]); pointing a brand-new streaming query
+    * (fresh checkpoint, epochs restarting at 0) at a root a PREVIOUS
+    * query populated requires removing `_epoch-hwm` (and any surviving
+    * `_epoch-*` marker versions) first, or the old high-water silently
+    * drops every new commit as a replay.
     */
-  private def hwmFromFile(f: org.apache.hadoop.fs.FileSystem): Long =
-    try {
-      val in = f.open(hwmFile)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      s.toLong
-    } catch { case _: Exception => -1L }
+  private def hwmFromFile(f: org.apache.hadoop.fs.FileSystem): Long = {
+    if (!f.exists(hwmFile)) return -1L
+    val in = f.open(hwmFile)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    try s.toLong catch { case _: NumberFormatException => -1L } // torn write
+  }
 
   private def epochCommitted(epochId: Long): Boolean = {
     val f = RowLogTable.fs(root)
@@ -310,10 +324,17 @@ class RowLogBatchWrite(root: String, schema: StructType) extends BatchWrite {
     RowLogWriterFactory(stagingDir.toString, schema.json, HadoopConfMap.capture())
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     RowLogCommitOps.finalizeStaging(root, stagingDir, nonce, schema.json,
       messages.collect { case RowLogCommit(file, _) => file }.toSet,
       extraMarkers = Seq.empty)
+    // a batch truncate/overwrite starts a NEW table lineage: the
+    // streaming epoch high-water must not outlive it, or a later
+    // streaming query's epochs ≤ the stale mark are silently dropped as
+    // replays (permanently — vacuum can reclaim marker versions but
+    // never touched this file)
+    RowLogTable.fs(root).delete(new Path(new Path(root), "_epoch-hwm"), false)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     RowLogTable.fs(root).delete(stagingDir, true)

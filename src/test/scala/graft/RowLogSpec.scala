@@ -153,6 +153,8 @@ class RowLogSpec extends SparkSpec {
     val root = tmpDir("rowlog_retain_replay")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def commitEpoch(w: RowLogStreamingWrite, epoch: Long, v: Long): Unit = {
       val writer = w.createStreamingWriterFactory(null).createWriter(0, v, epoch)
       writer.write(InternalRow(v))
@@ -162,23 +164,59 @@ class RowLogSpec extends SparkSpec {
     val w1 = new RowLogStreamingWrite(root, schema)
     commitEpoch(w1, 1L, 1L)
     commitEpoch(w1, 2L, 2L)
-    // a batch overwrite lands v3 WITHOUT a marker, then vacuum keep=1
-    // deletes every marker-bearing version — the adversarial case where
-    // marker-scan-only replay detection would double-commit
-    import spark.implicits._
-    Seq(99L).toDF("k").write.format(fmt).mode("overwrite").save(root)
+    // adversarial marker loss WITHIN the lineage: vacuum to the newest
+    // version, then strip its _epoch marker (a foreign cleanup tool) —
+    // marker-scan detection is blind, the root high-water file must
+    // still drop the restart replay
     graft.sinks.VersionedTable.vacuum(spark, root, keep = 1)
-    assert(graft.sinks.VersionedTable.versions(spark, root) == Seq(3L))
-    // restart replays the committed tail epoch: must be DROPPED (the root
-    // high-water file survives vacuum), while a genuinely new epoch lands
+    val v2dir = new org.apache.hadoop.fs.Path(root, f"v${2L}%08d")
+    f.listStatus(v2dir).map(_.getPath).filter(_.getName.startsWith("_epoch-"))
+      .foreach(p => f.delete(p, false))
     val w2 = new RowLogStreamingWrite(root, schema)
-    commitEpoch(w2, 2L, 9L)
-    assert(graft.sinks.VersionedTable.versions(spark, root) == Seq(3L))
-    commitEpoch(w2, 3L, 10L)
-    assert(graft.sinks.VersionedTable.versions(spark, root) == Seq(3L, 4L))
-    val vals = spark.read.format(fmt).option("version", "4").load(root)
+    commitEpoch(w2, 2L, 9L) // replayed tail epoch: DROPPED
+    assert(graft.sinks.VersionedTable.versions(spark, root) == Seq(2L))
+    commitEpoch(w2, 3L, 10L) // genuinely new epoch: lands
+    assert(graft.sinks.VersionedTable.versions(spark, root) == Seq(2L, 3L))
+    val vals = spark.read.format(fmt).option("version", "3").load(root)
       .collect().map(_.getLong(0)).toSeq
     assert(vals == Seq(10L), vals)
+  }
+
+  test("rowlog streaming sink: a batch overwrite resets the lineage — no stale replay drops") {
+    import graft.sources.{RowLogCommit, RowLogStreamingWrite}
+    import org.apache.spark.sql.catalyst.InternalRow
+    val root = tmpDir("rowlog_lineage_reset")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commitEpoch(w: RowLogStreamingWrite, epoch: Long, v: Long): Unit = {
+      val writer = w.createStreamingWriterFactory(null).createWriter(0, v, epoch)
+      writer.write(InternalRow(v))
+      w.commit(epoch, Array(writer.commit()))
+    }
+    // an old streaming lineage advances the high-water to epoch 7
+    val w1 = new RowLogStreamingWrite(root, schema)
+    commitEpoch(w1, 7L, 1L)
+    assert(f.exists(new org.apache.hadoop.fs.Path(root, "_epoch-hwm")))
+    // a batch truncate/overwrite starts a NEW lineage: the hwm file must
+    // go with it (ADVICE r7: leaving it made every later commit with
+    // epoch ≤ 7 vanish as a 'replay' — permanently, beyond vacuum's reach)
+    import spark.implicits._
+    Seq(99L).toDF("k").write.format(fmt).mode("overwrite").save(root)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(root, "_epoch-hwm")),
+      "batch overwrite must clear the stale epoch high-water")
+    graft.sinks.VersionedTable.vacuum(spark, root, keep = 1)
+    // a fresh streaming query (epochs restarting low) against the
+    // overwritten root: its commits must LAND, not vanish
+    val w2 = new RowLogStreamingWrite(root, schema)
+    commitEpoch(w2, 0L, 20L)
+    commitEpoch(w2, 1L, 21L)
+    assert(graft.sinks.VersionedTable.versions(spark, root) == Seq(2L, 3L, 4L))
+    // and within the new lineage, replay detection works from scratch
+    commitEpoch(new RowLogStreamingWrite(root, schema), 1L, 22L)
+    assert(graft.sinks.VersionedTable.versions(spark, root) == Seq(2L, 3L, 4L),
+      "replayed epoch 1 of the new lineage must still be dropped")
   }
 
   test("rowlog: roundtrips nulls, arrays, structs, decimals, timestamps") {
