@@ -76,13 +76,16 @@ object PlanTimer {
       val replanned = spark.sessionState.executePlan(df.queryExecution.logical)
       replanned.executedPlan
       val replanMs = (System.nanoTime() - t1) / 1e6
-      val p = df.queryExecution.executedPlan.toString
-      def cnt(tag: String) = tag.r.findAllIn(p).size
+      // distinct-node census (PlanNodes), not a string scan: the plan
+      // STRING doubles every count under an executed adaptive plan
+      // (initial+final print) and re-prints cached lineages per scan
+      val c = PlanNodes.census(df)
       val cpuS = taskMs.get() / 1e3
       val util = cpuS / (totalS * cpus)
       println(f"PLANTIME $n%-24s total=${totalS}%8.2fs cpu=${cpuS}%8.1fs " +
         f"util=${util}%5.2f replan=${replanMs}%8.1fms " +
-        f"exchange=${cnt("Exchange")}%d aqe=${cnt("AdaptiveSparkPlan")}%d " +
+        f"exchange=${c.shuffle + c.bcast}%d reused=${c.reused}%d " +
+        f"aqe=${c.aqe}%d nodes=${c.nodes}%d " +
         f"jobs=${jobs.get()}%d stages=${stages.get()}%d")
     }
     spark.stop()

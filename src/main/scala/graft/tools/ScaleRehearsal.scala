@@ -222,16 +222,14 @@ object ScaleRehearsal {
   private def planNotes(df: DataFrame, executeFirst: Boolean = false): String = {
     // AQE's runtime decisions (skew splits, broadcast demotions) exist
     // only in the FINAL adaptive plan — executing first makes the notes
-    // reflect what actually ran, not the initial estimate
+    // reflect what actually ran, not the initial estimate. Counts are by
+    // DISTINCT node identity ([[PlanNodes]]): the r5–r7 artifacts
+    // regex-scanned the plan STRING, which compounds the adaptive
+    // initial+final double-print and per-scan InMemoryRelation lineage
+    // re-prints (e22's "8,869 exchanges" in SCALE_r7.json was that
+    // artifact, not a plan).
     if (executeFirst) df.write.format("noop").mode("overwrite").save()
-    val p = df.queryExecution.executedPlan.toString
-    def n(tag: String) = tag.r.findAllIn(p).size
-    Seq(
-      "bhj" -> n("BroadcastHashJoin"), "smj" -> n("SortMergeJoin"),
-      "shj" -> n("ShuffledHashJoin"), "bnl" -> n("BroadcastNestedLoopJoin"),
-      "cartesian" -> n("CartesianProduct"), "exchange" -> n("Exchange"),
-      "aqe" -> n("AdaptiveSparkPlan"), "skewjoin" -> n("skew=true"))
-      .filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(",")
+    PlanNodes.census(df).notes
   }
 
   private def ensureDir(spark: SparkSession, srcDir: String, dstDir: String,
@@ -310,24 +308,26 @@ object ScaleRehearsal {
     val root = s"$base/graft-incr-$tag"
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(root), true)
-    val docs = spark.read.parquet(s"$indexDir/documents.parquet")
-      .select("doc_id", "text")
-    val (_, p0) = IncrementalIndex.ingestMinHash(spark, root, docs, "doc_id", "text")
-    p0.unpersist(blocking = false)
-    val batch = spark.read.parquet(s"$batchDir/documents.parquet")
-      .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
-    SparkEntry.resetSessionCache(spark)
-    var t0 = System.nanoTime()
-    val (_, p1) = IncrementalIndex.ingestMinHash(spark, root, batch, "doc_id", "text")
-    val ingestSec = (System.nanoTime() - t0) / 1e9
-    p1.unpersist(blocking = false)
-    t0 = System.nanoTime()
-    val rebuilt = Dedup.minHashLsh(docs.unionAll(batch), "doc_id", "text",
-      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
-    val rebuildSec = (System.nanoTime() - t0) / 1e9
-    rebuilt.unpersist(blocking = false)
-    println(f"SCALE incr[$tag] ingest $ingestSec%.2fs vs one-shot rebuild $rebuildSec%.2fs")
-    (ingestSec, rebuildSec)
+    try {
+      val docs = spark.read.parquet(s"$indexDir/documents.parquet")
+        .select("doc_id", "text")
+      val (_, p0) = IncrementalIndex.ingestMinHash(spark, root, docs, "doc_id", "text")
+      p0.unpersist(blocking = false)
+      val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+        .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+      SparkEntry.resetSessionCache(spark)
+      var t0 = System.nanoTime()
+      val (_, p1) = IncrementalIndex.ingestMinHash(spark, root, batch, "doc_id", "text")
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      p1.unpersist(blocking = false)
+      t0 = System.nanoTime()
+      val rebuilt = Dedup.minHashLsh(docs.unionAll(batch), "doc_id", "text",
+        numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+      val rebuildSec = (System.nanoTime() - t0) / 1e9
+      rebuilt.unpersist(blocking = false)
+      println(f"SCALE incr[$tag] ingest $ingestSec%.2fs vs one-shot rebuild $rebuildSec%.2fs")
+      (ingestSec, rebuildSec)
+    } finally fs.delete(new Path(root), true) // rehearsal roots are multi-GB
   }
 
   def main(args: Array[String]): Unit = {
