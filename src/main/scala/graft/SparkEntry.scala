@@ -3257,22 +3257,38 @@ object SparkEntry {
         .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
       val dfreq = toks.groupBy("tk").agg(count(lit(1)).as("df"))
       val n = tbl(s, dir, "documents").agg(count(lit(1)).as("nn"))
-      // weighted feeds THREE consumers (norms, probe side, corpus side) —
-      // materialize it once (localCheckpoint, the coPurchaseEdges rule)
-      // instead of re-running the corpus explode + tf aggregate per branch
-      val weighted = toks.join(broadcast(dfreq), "tk").crossJoin(broadcast(n))
-        .withColumn("w", col("tf") *
-          round((log((col("nn") + 1).cast("double") / (col("df") + 1)) + 1) * 1e6, 0)
-            .cast("long"))
-        .select(col("doc_id"), col("tk"), col("w"))
-        .localCheckpoint()
+      // the corpus-wide weight table feeds THREE consumers (norms, probe
+      // side, corpus side) — materialize it ONCE as a COLUMNAR cache
+      // (compressed InMemoryRelation, memory-and-disk). Strategy measured
+      // head-to-head at sf10 (6M docs, one JVM, alternating reps,
+      // SCALING.md r8): columnar persist ≈ localCheckpoint (32.4 vs
+      // 32.6 s) and re-deriving lazily from the shared tf exchange is
+      // ~23% slower (40 s — each consumer re-runs the final tf aggregate
+      // + weight arithmetic). persist wins on the cluster argument, not
+      // the local number: localCheckpoint blocks are NON-RECOVERABLE (an
+      // executor loss kills the job — a certainty across a 1000-executor
+      // fleet), while a persisted partition lost with its executor
+      // recomputes from lineage; and the columnar blocks compress where
+      // checkpoint rows do not. Tracked in the session cache so
+      // resetSessionCache unpersists it.
+      val weighted = cachedDf(s, s"d41w|$dir") {
+        val w = toks.join(broadcast(dfreq), "tk").crossJoin(broadcast(n))
+          .withColumn("w", col("tf") *
+            round((log((col("nn") + 1).cast("double") / (col("df") + 1)) + 1) * 1e6, 0)
+              .cast("long"))
+          .select(col("doc_id"), col("tk"), col("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        w.count() // materialize while the scan is hot
+        w
+      }
       val norms = weighted.groupBy("doc_id")
         .agg(sum(col("w") * col("w")).as("nrm2"))
-      // the probe side is 50 docs' tokens — BROADCAST it so the corpus
-      // token table streams map-side through the shared-token join and
-      // the (ia, ib) partial aggregation, instead of shuffling every
-      // (doc, token, weight) row by token (a skew magnet: stopword
-      // tokens are the hottest keys in the corpus)
+      // the probe side is 50 docs' tokens — the predicate prunes the
+      // cached scan — BROADCAST so the corpus token table streams
+      // map-side through the shared-token join and the (ia, ib) partial
+      // aggregation, instead of shuffling every (doc, token, weight) row
+      // by token (a skew magnet: stopword tokens are the hottest keys in
+      // the corpus)
       val probes = broadcast(weighted.filter(col("doc_id") < 50)
         .select(col("doc_id").as("ia"), col("tk"), col("w").as("wa")))
       val dots = weighted

@@ -296,13 +296,18 @@ object ScaleRehearsal {
 
   /** Incremental-ingest cost probe (VERDICT r7 task 1 "done" criterion):
     * build a MinHash signature index from `indexDir`'s documents
-    * (untimed), then TIME ingesting one fixed sf0.01-sized batch, and —
-    * for contrast — a one-shot rebuild over index∪batch. Run at 1× and
-    * 10× index size, the ingest time must track the batch, not the
-    * index: its only index-proportional term is the ids-only band scan.
+    * (bootstrap, TIMED — for the 10×/100× corpora its banded-row count
+    * is far past [[graft.operators.IncrementalIndex.DefaultBroadcastRowLimit]],
+    * so the timing exercises the size-gated shuffle fallback with a
+    * genuinely corpus-sized batch), then TIME ingesting one fixed
+    * sf0.01-sized batch, and — for contrast — a one-shot rebuild over
+    * index∪batch. Across 1×/10×/100× index size the per-batch ingest
+    * time must track the batch, not the index: its only
+    * index-proportional term is the ids-only band scan.
+    * Returns (bootstrapSec, ingestSec, rebuildSec).
     */
   private def timedIngest(spark: SparkSession, base: String,
-      indexDir: String, batchDir: String, tag: String): (Double, Double) = {
+      indexDir: String, batchDir: String, tag: String): (Double, Double, Double) = {
     import graft.operators.{Dedup, IncrementalIndex}
     import org.apache.hadoop.fs.Path
     val root = s"$base/graft-incr-$tag"
@@ -311,12 +316,14 @@ object ScaleRehearsal {
     try {
       val docs = spark.read.parquet(s"$indexDir/documents.parquet")
         .select("doc_id", "text")
+      var t0 = System.nanoTime()
       val (_, p0) = IncrementalIndex.ingestMinHash(spark, root, docs, "doc_id", "text")
+      val bootSec = (System.nanoTime() - t0) / 1e9
       p0.unpersist(blocking = false)
       val batch = spark.read.parquet(s"$batchDir/documents.parquet")
         .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
       SparkEntry.resetSessionCache(spark)
-      var t0 = System.nanoTime()
+      t0 = System.nanoTime()
       val (_, p1) = IncrementalIndex.ingestMinHash(spark, root, batch, "doc_id", "text")
       val ingestSec = (System.nanoTime() - t0) / 1e9
       p1.unpersist(blocking = false)
@@ -325,9 +332,63 @@ object ScaleRehearsal {
         numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
       val rebuildSec = (System.nanoTime() - t0) / 1e9
       rebuilt.unpersist(blocking = false)
-      println(f"SCALE incr[$tag] ingest $ingestSec%.2fs vs one-shot rebuild $rebuildSec%.2fs")
-      (ingestSec, rebuildSec)
+      println(f"SCALE incr[$tag] bootstrap $bootSec%.2fs ingest $ingestSec%.2fs " +
+        f"vs one-shot rebuild $rebuildSec%.2fs")
+      (bootSec, ingestSec, rebuildSec)
     } finally fs.delete(new Path(root), true) // rehearsal roots are multi-GB
+  }
+
+  /** Log-growth probe (VERDICT r7 task 3 "done" criterion): many small
+    * ingests into one index root, with and without periodic
+    * [[graft.operators.IncrementalIndex.compactDedupIndex]]. Without
+    * compaction every ingest union-reads one more parquet version and
+    * re-aggregates one more stats delta — per-ingest cost grows with
+    * ingest COUNT even at constant index size. With compaction every
+    * `every` ingests, the version count is bounded and per-ingest cost
+    * must stay flat. Reports mean per-ingest seconds over the first and
+    * last `window` ingests of each arm, plus the final version counts.
+    */
+  private def manyIngests(spark: SparkSession, base: String, srcDir: String,
+      batches: Int, every: Int, window: Int = 8): String = {
+    import graft.operators.IncrementalIndex
+    import org.apache.hadoop.fs.Path
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select("doc_id", "text").persist()
+    docs.count()
+    val arms = Seq("nocompact" -> 0, "compact" -> every)
+    val rows = arms.map { case (arm, k) =>
+      val root = s"$base/graft-incr-many-$arm"
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      try {
+        var compactSec = 0.0
+        val times = (0 until batches).map { i =>
+          val b = docs.filter(pmod(col("doc_id"), lit(batches)) === i)
+          val t0 = System.nanoTime()
+          val (_, p) = IncrementalIndex.ingestMinHash(spark, root, b, "doc_id", "text")
+          p.unpersist(blocking = false)
+          val ingestSec = (System.nanoTime() - t0) / 1e9
+          // maintenance cost accounted separately: the flat-ingest claim
+          // is about the PER-BATCH path; compaction is the amortized
+          // price paid to keep it flat, reported as its own total
+          if (k > 0 && (i + 1) % k == 0) {
+            val t1 = System.nanoTime()
+            IncrementalIndex.compactDedupIndex(spark, root)
+            compactSec += (System.nanoTime() - t1) / 1e9
+          }
+          ingestSec
+        }
+        val head = times.take(window).sum / window
+        val tail = times.takeRight(window).sum / window
+        val nv = graft.sinks.VersionedTable.versions(spark, root).size
+        println(f"SCALE many[$arm] first$window ${head}%.2fs/ingest " +
+          f"last$window ${tail}%.2fs/ingest compaction ${compactSec}%.1fs total versions=$nv")
+        s""""$arm":{"first":${"%.2f".format(head)},"last":${"%.2f".format(tail)},""" +
+          s""""compact_sec":${"%.1f".format(compactSec)},"versions":$nv}"""
+      } finally fs.delete(new Path(root), true)
+    }
+    docs.unpersist(blocking = false)
+    s""""many_ingests":{"batches":$batches,"compact_every":$every,${rows.mkString(",")}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -363,19 +424,69 @@ object ScaleRehearsal {
     }
 
     if (scope == "incr") {
-      // re-measure ONLY the incremental-ingest probe (merge into the main
-      // artifact by hand) — the full pass takes ~25 min, this ~1
+      // re-measure ONLY the incremental-index probes (merge into the main
+      // artifact by hand). Three index decades (1×/10×/100× — the 100×
+      // bootstrap is a genuinely corpus-sized batch through the
+      // size-gated shuffle fallback), then the many-small-ingests
+      // compaction contrast.
       val batchDir = new java.io.File(srcDir).getParent + "/sf0.01"
       val cliqueDir0 = s"$base/graft-sf1-clique"
       ensureDir(spark, srcDir, cliqueDir0, "clique")
-      val (i1, r1) = timedIngest(spark, base, srcDir, batchDir, "1x")
-      val (i10, r10) = timedIngest(spark, base, cliqueDir0, batchDir, "10x")
+      val sf10Dir = s"$base/graft-sf10-real"
+      ensureDir(spark, srcDir, sf10Dir, "real", replicas = 100,
+        only = Some(Set("documents", "embeddings")))
+      val (b1, i1, r1) = timedIngest(spark, base, srcDir, batchDir, "1x")
+      val (b10, i10, r10) = timedIngest(spark, base, cliqueDir0, batchDir, "10x")
+      val (b100, i100, r100) = timedIngest(spark, base, sf10Dir, batchDir, "100x")
+      val many = manyIngests(spark, base, srcDir, batches = 100, every = 10)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
         s"""{"incr":{"ingest_1x":${"%.2f".format(i1)},""" +
           s""""ingest_10x":${"%.2f".format(i10)},""" +
-          s""""ingest_ratio":${"%.2f".format(i10 / math.max(i1, 1e-9))},""" +
+          s""""ingest_100x":${"%.2f".format(i100)},""" +
+          s""""ingest_ratio_10x":${"%.2f".format(i10 / math.max(i1, 1e-9))},""" +
+          s""""ingest_ratio_100x":${"%.2f".format(i100 / math.max(i1, 1e-9))},""" +
+          s""""bootstrap_1x":${"%.2f".format(b1)},""" +
+          s""""bootstrap_10x":${"%.2f".format(b10)},""" +
+          s""""bootstrap_100x":${"%.2f".format(b100)},""" +
           s""""rebuild_1x":${"%.2f".format(r1)},""" +
-          s""""rebuild_10x":${"%.2f".format(r10)}}}""" + "\n")
+          s""""rebuild_10x":${"%.2f".format(r10)},""" +
+          s""""rebuild_100x":${"%.2f".format(r100)}},""" +
+          many + "}\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope.startsWith("skewrep:")) {
+      // variance probe: run ONE query repeatedly on the skew corpus with
+      // AQE skew-split armed (VERDICT r7 task 5 — q88's 6.7–14.8 s
+      // pass-to-pass range needs attribution: plan skew or host noise)
+      val parts = scope.stripPrefix("skewrep:").split(":")
+      val name = parts(0)
+      val reps = if (parts.length > 1) parts(1).toInt else 6
+      val skewDir0 = s"$base/graft-sf1-skew"
+      ensureDir(spark, srcDir, skewDir0, "skew")
+      Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+        .foreach { case (k, v) => spark.conf.set(k, v) }
+      val fn = SparkEntry.queries(name)
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => println(s"[scale] warm $name failed: ${e.getMessage}") }
+      val times = (1 to reps).map { _ =>
+        SparkEntry.resetSessionCache(spark)
+        val t0 = System.nanoTime()
+        fn(spark, skewDir0).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE skewrep $name $sec%.2fs")
+        sec
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"skewrep":{"query":"$name","reps":$reps,""" +
+          s""""times":[${times.map("%.2f".format(_)).mkString(",")}],""" +
+          s""""min":${"%.2f".format(times.min)},"max":${"%.2f".format(times.max)},""" +
+          s""""spread":${"%.2f".format(times.max / times.min)}}}""" + "\n")
       println(s"[scale] wrote $outJson")
       spark.stop()
       return
@@ -435,11 +546,13 @@ object ScaleRehearsal {
     val batchDir = new java.io.File(srcDir).getParent + "/sf0.01"
     val incrJson =
       if (new java.io.File(s"$batchDir/documents.parquet").exists()) {
-        val (i1, r1) = timedIngest(spark, base, srcDir, batchDir, "1x")
-        val (i10, r10) = timedIngest(spark, base, cliqueDir, batchDir, "10x")
+        val (b1, i1, r1) = timedIngest(spark, base, srcDir, batchDir, "1x")
+        val (b10, i10, r10) = timedIngest(spark, base, cliqueDir, batchDir, "10x")
         s""""incr":{"ingest_1x":${"%.2f".format(i1)},""" +
           s""""ingest_10x":${"%.2f".format(i10)},""" +
           s""""ingest_ratio":${"%.2f".format(i10 / math.max(i1, 1e-9))},""" +
+          s""""bootstrap_1x":${"%.2f".format(b1)},""" +
+          s""""bootstrap_10x":${"%.2f".format(b10)},""" +
           s""""rebuild_1x":${"%.2f".format(r1)},""" +
           s""""rebuild_10x":${"%.2f".format(r10)}}"""
       } else """"incr":{}"""

@@ -197,7 +197,11 @@ class PlanSpec extends SparkSpec {
       // ADC scan)
       "e2_knn_lsh", "e4_knn_ivf", "e10_knn_ivfpq",
       // e22 assigns cells with d47's broadcast-centroid cross join
-      "e22_incremental_semdedup")
+      "e22_incremental_semdedup",
+      // d41 cross-joins the broadcast scalar corpus count into the weight
+      // arithmetic; visible since r8 because the weight table's columnar
+      // cache keeps its lineage in-plan (localCheckpoint used to truncate)
+      "d41_sparse_cosine")
     val flagged = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || skip(n))
       .filter { n =>
@@ -374,16 +378,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("d41: the probe side broadcasts — corpus tokens never shuffle by token") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  test("d41: probe broadcasts, weight table cached columnar, no token-row shuffle") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("d41_sparse_cosine")(spark, "/root/testdata/sf0.001")
-    val p = df.queryExecution.executedPlan
-    assert(p.toString.contains("BroadcastHashJoin"), p.toString)
-    val tokenShuffles = p.collect {
-      case e: ShuffleExchangeExec
-          if e.outputPartitioning.toString.contains("tk") => e
+    val nodes = graft.tools.PlanNodes.collect(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.toString.startsWith("BroadcastHashJoin")),
+      df.queryExecution.executedPlan.toString)
+    // corpus (doc, token, weight) rows never shuffle BY TOKEN ALONE (the
+    // stopword-skew magnet) — only the vocabulary-sized dfreq aggregate
+    // may partition on tk (its rows are (tk, count): no doc payload, and
+    // map-side partial aggregation collapses the stopword skew); the tf
+    // aggregate's (doc_id, tk) partitioning is salt-by-construction
+    val tokenRowShuffles = nodes.collect {
+      case e: ShuffleExchangeLike
+          if e.outputPartitioning.toString.contains("tk#") &&
+            !e.outputPartitioning.toString.contains("doc_id") &&
+            e.output.exists(_.name == "doc_id") => e
     }
-    assert(tokenShuffles.isEmpty, tokenShuffles.mkString("\n"))
+    assert(tokenRowShuffles.isEmpty, tokenRowShuffles.mkString("\n"))
+    // the weight table materializes ONCE as a columnar cache serving all
+    // three consumers (norms, probe side, corpus dot side): its cached
+    // plan holds the only corpus explodes (tf + dfreq), counted once by
+    // the identity census however many scans read it. A third Generate
+    // means a consumer grew its own corpus pass back.
+    val cacheScans = nodes.collect { case c: InMemoryTableScanExec => c }
+    assert(cacheScans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val gens = nodes.count(_.isInstanceOf[GenerateExec])
+    assert(gens == 2, s"$gens Generate nodes\n${df.queryExecution.executedPlan}")
+    // and the probe branch's doc_id < 50 prunes its cache scan (batch
+    // stats filtering), not a post-scan corpus filter
+    assert(cacheScans.exists(_.toString.contains("< 50")),
+      cacheScans.mkString("\n"))
   }
 
   test("q90: the injected rule turns instr(...)>0 into a pushed StringContains") {
