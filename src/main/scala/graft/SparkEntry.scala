@@ -4071,6 +4071,30 @@ object SparkEntry {
           coalesce(min(col("codes") === col("codes1")), lit(false)).as("all_match"))
     }),
 
+    // Incremental sparse TF-IDF index (the d41 family's persistent twin,
+    // closing the last ANN/dedup family without one): document
+    // frequencies + corpus count FREEZE at bootstrap over batch 1 (the
+    // IVF-centroid snapshot convention — the IDF term is the
+    // cross-document part, so stored weights stay comparable across
+    // ingests; drift = new bootstrap); batch 2 is tokenized and weighed
+    // WITHOUT re-reading batch 1's text, and scoring reads the PERSISTED
+    // weight log — amortizing exactly the corpus-wide weight-table
+    // materialization that is d41's measured sf10 cost center. The
+    // oracle recomputes the full frozen-stats pipeline in SQL (df/N from
+    // even doc_ids only, +1-smoothed so batch-2-only tokens take df=0),
+    // making this an exact-value gate, not a bound check.
+    "d55_incremental_tfidf" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      val root = tmpdir("graft-incr-tfidf")
+      val docs = tbl(s, dir, "documents")
+      IncrementalIndex.bootstrapTfidf(
+        s, root, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      IncrementalIndex.ingestTfidf(
+        s, root, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      IncrementalIndex.sparseCosineIndexed(s, root, col("id") < 50, 0.2)
+        .orderBy("ia", "ib")
+    }),
+
     // Language-distribution divergence between corpus sources (the
     // distribution-shift monitor a mixture pipeline needs): per-source
     // predicted-language histograms, pairwise Jensen-Shannon divergence.
@@ -4866,6 +4890,29 @@ object SparkEntry {
     // same bound-check shape for the incremental PQ code index
     "e23_incremental_pq" ->
       "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
+
+    // d41's scoring pipeline under stats FROZEN over batch 1 (even
+    // doc_ids): df counts only even docs, nn = |even docs|, and unseen
+    // tokens take df=0 through the +1 smoothing — the exact rule the
+    // incremental index must reproduce from its persisted weight log
+    "d55_incremental_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tk
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT tk, COUNT(*) AS df FROM tf WHERE doc_id % 2 = 0 GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM documents WHERE doc_id % 2 = 0),
+        |wts AS (SELECT tf.doc_id, tf.tk,
+        |  tf.tf * CAST(round((ln(CAST(n.nn + 1 AS DOUBLE) / (COALESCE(dfq.df, 0) + 1)) + 1) * 1000000) AS BIGINT) AS w
+        |  FROM tf LEFT JOIN dfq USING (tk) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, SUM(w * w) AS nrm2 FROM wts GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS ia, b.doc_id AS ib, SUM(a.w * b.w) AS dot
+        |  FROM wts a JOIN wts b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 50 GROUP BY 1, 2),
+        |sc AS (SELECT ia, ib, CAST(dot AS BIGINT) AS dot,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6) AS cos
+        |  FROM dots JOIN nrm na ON ia = na.doc_id JOIN nrm nb ON ib = nb.doc_id)
+        |SELECT ia, ib, dot, cos FROM sc WHERE cos >= 0.2 ORDER BY ia, ib""".stripMargin,
 
     // exact SemDeDup semantics, NO chunk replay (cap 2048 disengaged at
     // gate SFs): argmax assignment as d47, then kept = no lower-id

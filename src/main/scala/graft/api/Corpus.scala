@@ -405,6 +405,21 @@ object corpus {
       graft.operators.IncrementalIndex.ingestPq(
         df.sparkSession, indexRoot, df, idCol, vecCol)
 
+    /** Incremental sparse TF-IDF ingest (d55): tokenize and weigh `df`
+      * under the index's FROZEN (df, N) stats and append its weight +
+      * norm rows — indexed docs are never re-tokenized (the one-shot
+      * pipeline's dominant cost at scale). Bootstrap the index first
+      * with [[graft.operators.IncrementalIndex.bootstrapTfidf]]; score
+      * from the persisted log with
+      * [[graft.operators.IncrementalIndex.sparseCosineIndexed]].
+      * Returns the committed weights version.
+      */
+    def ingestIntoTfidfIndex(
+        indexRoot: String, idCol: String = "doc_id",
+        textCol: String = "text"): Long =
+      graft.operators.IncrementalIndex.ingestTfidf(
+        df.sparkSession, indexRoot, df, idCol, textCol)
+
     /** Graded contamination (d52): per doc, the fraction of its
       * word-`n`-gram hashes present anywhere in `heldOut` — the graded
       * sibling of [[decontaminateAgainst]]'s binary drop. Held-out

@@ -589,6 +589,148 @@ object IncrementalIndex {
       vacuum: Boolean = true): Unit =
     compactLog(spark, pqCodesRoot(root), vacuum = vacuum)
 
+  // ------------------------------------------------------- sparse TF-IDF
+
+  private def idfStatsRoot(root: String) = subRoot(root, "idfstats")
+  private def idfMetaRoot(root: String) = subRoot(root, "idfmeta")
+  private def weightsRoot(root: String) = subRoot(root, "weights")
+  private def normsRoot(root: String) = subRoot(root, "norms")
+
+  /** Whitespace tokenization → (id, tk, tf): the d41 kernel, row-local
+    * explode then hash aggregate (map-side partial agg absorbs stopword
+    * skew — the hottest tokens collapse per map partition).
+    */
+  private def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(expr(
+          s"filter(split(lower($textCol), '\\\\s+'), x -> x <> '')")).as("tk"))
+      .groupBy("id", "tk").agg(count(lit(1)).as("tf"))
+
+  /** d41's integer-exact TF-IDF weight under frozen stats: `df` may be
+    * null (token unseen at bootstrap — smoothing's +1 keeps it defined).
+    */
+  private def tfidfWeight(nn: Long): org.apache.spark.sql.Column =
+    col("tf") * round((log((lit(nn) + 1).cast("double") /
+      (coalesce(col("df"), lit(0L)) + 1)) + 1) * 1e6, 0).cast("long")
+
+  /** Bootstrap a sparse TF-IDF index: compute document frequencies and
+    * the corpus count over the FIRST batch and FREEZE them (snapshot
+    * convention, exactly the IVF-centroid / PQ-codebook pattern: weights
+    * stored by one ingest must be comparable with weights stored by
+    * every later one, and the IDF term is the cross-document part —
+    * refreshing it on vocabulary drift is a new bootstrap). Then weighs
+    * and appends the batch. The one-shot d41 pipeline re-tokenizes and
+    * re-weighs the FULL corpus every run — its measured sf10 cost center
+    * is exactly the corpus-wide weight-table materialization; here that
+    * table persists and each ingest appends only its batch's rows.
+    * Returns the committed weights version.
+    */
+  def bootstrapTfidf(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String): Long = {
+    val tf = termFreqs(batch, idCol, textCol)
+    VersionedTable.write(spark,
+      tf.groupBy("tk").agg(count(lit(1)).as("df")), idfStatsRoot(root))
+    import spark.implicits._
+    VersionedTable.write(spark,
+      Seq(batch.count()).toDF("nn"), idfMetaRoot(root))
+    ingestTfidf(spark, root, batch, idCol, textCol)
+  }
+
+  /** Frozen corpus count of a bootstrapped TF-IDF index. */
+  def readTfidfCorpusCount(spark: SparkSession, root: String): Long =
+    VersionedTable.read(spark, idfMetaRoot(root)).head().getLong(0)
+
+  /** Weigh ONLY the new batch under the frozen (df, N) stats and append
+    * (id, tk, w) weight rows plus an (id, nrm2) norm sidecar row per doc
+    * — maintained index metadata, like `bucketstats`: the scorer reads
+    * norms as a per-doc table instead of re-aggregating the full weight
+    * log. Exchange discipline matches the candidate path: the
+    * vocabulary-sized frozen stats table is PRUNED map-side by a
+    * broadcast of the batch's distinct tokens, and the pruned
+    * (batch-bounded) slice broadcasts back into the weight join — the
+    * frozen stats never enter an exchange while the batch is under
+    * `broadcastRowLimit`; past it (bootstrap/backfill) both joins fall
+    * back to plain shuffles. Unseen tokens take df=0 (the +1-smoothed
+    * IDF stays defined and deterministic). O(batch text) kernel work +
+    * O(batch) writes; indexed docs are never re-tokenized.
+    */
+  def ingestTfidf(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Long = {
+    val nn = readTfidfCorpusCount(spark, root)
+    val tf = termFreqs(batch, idCol, textCol).persist()
+    try {
+      val batchRows = tf.count() // materializes; drives the broadcast gate
+      val hintB: DataFrame => DataFrame =
+        if (batchRows <= broadcastRowLimit) df => broadcast(df) else identity
+      val dfPruned = VersionedTable.read(spark, idfStatsRoot(root))
+        .join(hintB(tf.select("tk").distinct()), "tk")
+      val weighted = tf.join(hintB(dfPruned), Seq("tk"), "left")
+        .select(col("id"), col("tk"), tfidfWeight(nn).as("w"))
+        .persist()
+      weighted.count()
+      try {
+        // norms first: the crash-conservative ordering (a norm row whose
+        // weight rows are lost scores nothing — the doc has no weight
+        // rows to dot against; the reverse order could score a doc with
+        // a missing norm as an error)
+        VersionedTable.write(spark,
+          weighted.groupBy("id").agg(sum(col("w") * col("w")).as("nrm2")),
+          normsRoot(root))
+        VersionedTable.write(spark, weighted, weightsRoot(root))
+      } finally weighted.unpersist(blocking = false)
+    } finally tf.unpersist(blocking = false)
+  }
+
+  /** All (id, tk, w) weight rows ingested so far. */
+  def readTfidfWeights(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame =
+    VersionedTable.readAllVersions(spark, weightsRoot(root), upTo)
+
+  /** All (id, nrm2) norm rows ingested so far (one per indexed doc). */
+  def readTfidfNorms(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame =
+    VersionedTable.readAllVersions(spark, normsRoot(root), upTo)
+
+  /** Sparse cosine scores from the PERSISTED weight log: pairs (ia, ib,
+    * dot, cos) with ia < ib, `ia` drawn from the probe rows selected by
+    * `probe` and cos ≥ `minCos` — the d41 scoring shape with the corpus
+    * tokenize+weigh pass replaced by a columnar read of the index
+    * (nothing re-reads indexed TEXT; at 100 TB the tokenize/weigh pass
+    * is the dominant one-shot cost, measured as d41's sf10 cost center).
+    * Probe rows broadcast (probe-bounded); the weight log streams
+    * map-side through the shared-token join and the (ia, ib) partial
+    * aggregation — it never shuffles by token (the stopword-skew
+    * magnet); norms arrive from the maintained per-doc sidecar.
+    */
+  def sparseCosineIndexed(spark: SparkSession, root: String,
+      probe: org.apache.spark.sql.Column, minCos: Double): DataFrame = {
+    val w = readTfidfWeights(spark, root)
+    val norms = readTfidfNorms(spark, root)
+    val probes = broadcast(w.filter(probe)
+      .select(col("id").as("ia"), col("tk"), col("w").as("wa")))
+    w.select(col("id").as("ib"), col("tk"), col("w").as("wb"))
+      .join(probes, "tk")
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("id").as("ia"), col("nrm2").as("na")), "ia")
+      .join(norms.select(col("id").as("ib"), col("nrm2").as("nb")), "ib")
+      .withColumn("cos", round(col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("ia"), col("ib"), col("dot"), col("cos"))
+  }
+
+  /** Compact a TF-IDF index's weight + norm logs (rows verbatim — each
+    * doc lives in exactly one batch, so union-read is already per-doc
+    * unique; the idf stats are a frozen snapshot, nothing to compact).
+    */
+  def compactTfidfIndex(spark: SparkSession, root: String,
+      vacuum: Boolean = true): Unit = {
+    compactLog(spark, weightsRoot(root), vacuum = vacuum)
+    compactLog(spark, normsRoot(root), vacuum = vacuum)
+  }
+
   // ---------------------------------------------------------- compaction
 
   /** Compact one delta-log root: write a single checkpoint version

@@ -326,4 +326,69 @@ class IncrementalIndexSpec extends SparkSpec {
     // assignments arrived as one delta version per ingest
     assert(VersionedTable.versions(spark, s"$root/assignments") == Seq(1L, 2L))
   }
+
+  test("incremental TF-IDF weights equal one-shot under the frozen stats; unseen tokens take df=0") {
+    val root = tmpDir("incr_tfidf")
+    val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+    val r = pmod(col("doc_id"), lit(3))
+    // three batches, stats frozen over batch 0 only; one doc carries a
+    // token no bootstrap doc has, exercising the df=0 smoothing path
+    import spark.implicits._
+    val sentinel = Seq((900001L, "zzzunseentoken zzzunseentoken common"))
+      .toDF("doc_id", "text")
+    val b = Seq(docs.filter(r === 0), docs.filter(r === 1),
+      docs.filter(r === 2).union(sentinel))
+    IncrementalIndex.bootstrapTfidf(spark, root, b(0), "doc_id", "text")
+    IncrementalIndex.ingestTfidf(spark, root, b(1), "doc_id", "text")
+    IncrementalIndex.ingestTfidf(spark, root, b(2), "doc_id", "text")
+    // one-shot weigh of the union under the SAME frozen (df, N)
+    val union = b.reduce(_ union _)
+    val toks = union.select(col("doc_id").as("id"),
+        explode(expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')")).as("tk"))
+      .groupBy("id", "tk").agg(count(lit(1)).as("tf"))
+    val frozenDf = VersionedTable.read(spark, s"$root/idfstats")
+    val nn = IncrementalIndex.readTfidfCorpusCount(spark, root)
+    assert(nn == b(0).count(), "corpus count frozen at bootstrap")
+    val oneShot = toks.join(frozenDf, Seq("tk"), "left")
+      .select(col("id"), col("tk"), (col("tf") *
+        round((log((lit(nn) + 1).cast("double") /
+          (coalesce(col("df"), lit(0L)) + 1)) + 1) * 1e6, 0).cast("long")).as("w1"))
+    val incr = IncrementalIndex.readTfidfWeights(spark, root)
+    assert(incr.count() == oneShot.count(), "one weight row per (doc, token)")
+    assert(incr.join(oneShot, Seq("id", "tk"))
+      .filter(col("w") =!= col("w1")).count() == 0,
+      "accumulated weights must be bit-identical to one-shot under frozen stats")
+    // the sentinel's unseen token got the df=0 smoothed weight
+    val wUnseen = incr.filter(col("id") === 900001L && col("tk") === "zzzunseentoken")
+      .select("w").head().getLong(0)
+    assert(wUnseen == 2L * math.round((math.log(nn + 1.0) + 1) * 1e6),
+      s"df=0 smoothing: got $wUnseen")
+    // norms sidecar: one row per doc with weight rows, equal to sum(w^2)
+    val norms = IncrementalIndex.readTfidfNorms(spark, root)
+    assert(norms.count() == incr.select("id").distinct().count())
+    assert(norms.join(incr.groupBy("id").agg(sum(col("w") * col("w")).as("n2")), "id")
+      .filter(col("nrm2") =!= col("n2")).count() == 0)
+  }
+
+  test("TF-IDF compaction preserves scores; post-compaction ingest blind to it") {
+    val root = tmpDir("incr_tfidf_compact")
+    val twin = tmpDir("incr_tfidf_compact_twin")
+    val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+    val r = pmod(col("doc_id"), lit(3))
+    val b = (0 to 2).map(i => docs.filter(r === i))
+    for (rt <- Seq(root, twin)) {
+      IncrementalIndex.bootstrapTfidf(spark, rt, b(0), "doc_id", "text")
+      IncrementalIndex.ingestTfidf(spark, rt, b(1), "doc_id", "text")
+    }
+    IncrementalIndex.compactTfidfIndex(spark, root)
+    assert(VersionedTable.versions(spark, s"$root/weights") == Seq(3L))
+    IncrementalIndex.ingestTfidf(spark, root, b(2), "doc_id", "text")
+    IncrementalIndex.ingestTfidf(spark, twin, b(2), "doc_id", "text")
+    def scores(rt: String) = IncrementalIndex
+      .sparseCosineIndexed(spark, rt, col("id") < 50, 0.2)
+      .select("ia", "ib", "dot", "cos").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSet
+    assert(scores(root) == scores(twin),
+      "compaction must be invisible to scoring and later ingests")
+  }
 }
