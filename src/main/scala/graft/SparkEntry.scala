@@ -3923,6 +3923,46 @@ object SparkEntry {
       s.read.format("graft.sources.RowLogDataSource").load(root).orderBy("grp")
     }),
 
+    // Streaming ingest INTO the incremental dedup index — the two
+    // flagship surfaces composed: the corpus arrives as a file stream
+    // (one micro-batch per file, the streaming face of the bookmark
+    // spine), foreachBatch ingests each micro-batch into the persisted
+    // MinHash index and appends its verified pairs to a versioned pair
+    // log. Accumulated pairs equal d2's exact-jaccard oracle verbatim
+    // under ANY batch split or arrival order (per-ingest pair sets are
+    // disjoint and union-complete — the d54 theorem), so the gate is
+    // robust to micro-batch nondeterminism by construction.
+    "st20_stream_dedup_index" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      import graft.sinks.VersionedTable
+      val work = tmpdir("graft-st20")
+      val root = tmpdir("graft-st20-index")
+      val pairsRoot = tmpdir("graft-st20-pairs")
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      val r = pmod(col("doc_id") % 100000, lit(3))
+      val isMut = col("doc_id") >= 100000
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, corpus.filter((!isMut && r < 2) || (isMut && r === 0)),
+        "b1", Some(t0 - 30000))
+      arriveFile(work, corpus.filter((!isMut && r === 2) || (isMut && r > 0)),
+        "b2", Some(t0))
+      val sess = s.newSession()
+      val stream = sess.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val (_, p) = IncrementalIndex.ingestMinHash(
+            sess, root, batch, "doc_id", "text")
+          VersionedTable.write(sess, p, pairsRoot)
+          p.unpersist(blocking = false)
+          ()
+        }
+        .option("checkpointLocation", tmpdir("graft-st20-ckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      VersionedTable.readAllVersions(s, pairsRoot).orderBy("a", "b")
+    }),
+
     // Attribute-filtered ANN (the vector-DB staple): the metadata
     // predicate applies BEFORE ranking — post-filtering a plain top-k
     // returns fewer than k (or misses qualifying neighbors entirely)
@@ -4873,6 +4913,18 @@ object SparkEntry {
     // maintenance must accumulate the identical verified pair list the
     // one-shot pipeline produces over the same corpus.
     "d54_incremental_minhash" ->
+      s"""WITH corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+         |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
+         |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
+         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+
+    // the streaming-ingest composition accumulates the same exact pair
+    // list (d54's oracle verbatim — split/order-invariant by theorem)
+    "st20_stream_dedup_index" ->
       s"""WITH corpus AS ($duckMutantCorpus),
          |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
          |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
