@@ -4135,6 +4135,38 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
+    // Index retraction (takedown / right-to-be-forgotten — the delete
+    // every production corpus eventually owes someone): d54's two-batch
+    // ingest with the r=0 originals RETRACTED between the batches. A
+    // retraction is one O(ids) tombstone version; every index read
+    // anti-joins it, so batch 2's candidates and verification never
+    // touch a retracted doc, and the caller filters its pair log with
+    // retractPairs (a retraction retracts the pairs). Accumulated
+    // output must equal the one-shot exact-jaccard pairs over the
+    // SURVIVING corpus — the oracle recomputes that rule in SQL. Exact
+    // because retracted ids ⊆ batch 1: filtered-p1 ∪ p2 covers
+    // precisely (b1 ∖ R) ∪ b2 = corpus ∖ R.
+    "d56_index_retraction" -> ((s, dir) =>
+      cachedDf(s, s"retractpairs|$dir") {
+        import graft.operators.IncrementalIndex
+        val root = tmpdir("graft-incr-retract")
+        val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+        val r = pmod(col("doc_id") % 100000, lit(3))
+        val isMut = col("doc_id") >= 100000
+        val b1 = corpus.filter((!isMut && r < 2) || (isMut && r === 0))
+        val b2 = corpus.filter((!isMut && r === 2) || (isMut && r > 0))
+        val retracted = corpus.filter(!isMut && r === 0).select("doc_id")
+        val (_, p1) = IncrementalIndex.ingestMinHash(s, root, b1, "doc_id", "text")
+        IncrementalIndex.retract(s, root, retracted, "doc_id")
+        val (_, p2) = IncrementalIndex.ingestMinHash(s, root, b2, "doc_id", "text")
+        val out = IncrementalIndex.retractPairs(p1, retracted, "doc_id")
+          .unionAll(p2).persist()
+        out.count()
+        p1.unpersist(blocking = false)
+        p2.unpersist(blocking = false)
+        out
+      }.orderBy("a", "b")),
+
     // Language-distribution divergence between corpus sources (the
     // distribution-shift monitor a mixture pipeline needs): per-source
     // predicted-language histograms, pairwise Jensen-Shannon divergence.
@@ -4942,6 +4974,20 @@ object SparkEntry {
     // same bound-check shape for the incremental PQ code index
     "e23_incremental_pq" ->
       "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
+
+    // one-shot exact-jaccard pairs over the SURVIVING corpus (the r=0
+    // originals retracted) — what the tombstoned index must accumulate
+    "d56_index_retraction" ->
+      s"""WITH corpus0 AS ($duckMutantCorpus),
+         |corpus AS (SELECT * FROM corpus0
+         |  WHERE NOT (doc_id < 100000 AND doc_id % 3 = 0)),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+         |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
+         |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
+         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
 
     // d41's scoring pipeline under stats FROZEN over batch 1 (even
     // doc_ids): df counts only even docs, nn = |even docs|, and unseen

@@ -420,6 +420,19 @@ object corpus {
       graft.operators.IncrementalIndex.ingestTfidf(
         df.sparkSession, indexRoot, df, idCol, textCol)
 
+    /** Retract this frame's ids from an incremental index (d56 —
+      * takedown / right-to-be-forgotten): one O(ids) tombstone version;
+      * every later index read and ingest excludes them. Physical removal
+      * is the purge family
+      * ([[graft.operators.IncrementalIndex.purgeDedupIndex]] etc.);
+      * filter caller-owned pair logs with
+      * [[graft.operators.IncrementalIndex.retractPairs]].
+      */
+    def retractFromIndex(
+        indexRoot: String, idCol: String = "doc_id"): Long =
+      graft.operators.IncrementalIndex.retract(
+        df.sparkSession, indexRoot, df, idCol)
+
     /** Graded contamination (d52): per doc, the fraction of its
       * word-`n`-gram hashes present anywhere in `heldOut` — the graded
       * sibling of [[decontaminateAgainst]]'s binary drop. Held-out

@@ -214,10 +214,13 @@ object IncrementalIndex {
         col("hs"))
   }
 
-  /** All signature rows indexed so far (optionally up to a version pin). */
+  /** All signature rows indexed so far (optionally up to a version pin),
+    * minus any retracted ids ([[retract]]).
+    */
   def readMinHashIndex(spark: SparkSession, root: String,
       upTo: Option[Long] = None): DataFrame =
-    VersionedTable.readAllVersions(spark, root, upTo)
+    applyTombstones(spark, root,
+      VersionedTable.readAllVersions(spark, root, upTo))
 
   /** Ingest one batch: compute ITS signatures, find the verified near-dup
     * pairs this batch adds (batch-internal + batch×index, never
@@ -313,10 +316,20 @@ object IncrementalIndex {
         .as("sig"),
       col(vecCol).as("v"))
 
-  /** All embedding-signature rows indexed so far. */
+  /** Stored SRP signatures as (doc, rk, band, bucket) — band-explode is
+    * map-side per side; the index never enters an exchange
+    * ([[incrementalBucketCandidates]]: broadcast batch probe +
+    * mega-bucket-only shuffle).
+    */
+  private def bandedOfSrp(sigs: DataFrame): DataFrame = sigs
+    .select(col("id").as("doc"), col("p").as("rk"), posexplode(col("sig")))
+    .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** All embedding-signature rows indexed so far, minus retracted ids. */
   def readSrpIndex(spark: SparkSession, root: String,
       upTo: Option[Long] = None): DataFrame =
-    VersionedTable.readAllVersions(spark, root, upTo)
+    applyTombstones(spark, root,
+      VersionedTable.readAllVersions(spark, root, upTo))
 
   /** Ingest one embedding batch: sign ONLY the batch, find the verified
     * near-dup pairs it adds (batch-internal + batch×index — index×index
@@ -330,12 +343,6 @@ object IncrementalIndex {
     try {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
       val prior = if (haveIndex) Some(readSrpIndex(spark, root)) else None
-      // stored SRP signatures band-explode map-side per side; the index
-      // never enters an exchange (incrementalBucketCandidates: broadcast
-      // batch probe + mega-bucket-only shuffle)
-      def bandedOfSrp(sigs: DataFrame) = sigs
-        .select(col("id").as("doc"), col("p").as("rk"), posexplode(col("sig")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val bandedB = bandedOfSrp(batchSigs.select("id", "p", "sig")).persist()
       val batchRows = bandedB.count() // materializes; drives the broadcast gate
       val batchStats = bucketStats(bandedB)
@@ -514,10 +521,11 @@ object IncrementalIndex {
     VersionedTable.write(spark, assigned, assignRoot(root))
   }
 
-  /** All (id, cid) assignments ingested so far. */
+  /** All (id, cid) assignments ingested so far, minus retracted ids. */
   def readIvfAssignments(spark: SparkSession, root: String,
       upTo: Option[Long] = None): DataFrame =
-    VersionedTable.readAllVersions(spark, assignRoot(root), upTo)
+    applyTombstones(spark, root,
+      VersionedTable.readAllVersions(spark, assignRoot(root), upTo))
 
   // ------------------------------------------------------------------- PQ
 
@@ -563,10 +571,11 @@ object IncrementalIndex {
       pqCodesRoot(root))
   }
 
-  /** All (id, codes) rows ingested so far. */
+  /** All (id, codes) rows ingested so far, minus retracted ids. */
   def readPqCodes(spark: SparkSession, root: String,
       upTo: Option[Long] = None): DataFrame =
-    VersionedTable.readAllVersions(spark, pqCodesRoot(root), upTo)
+    applyTombstones(spark, root,
+      VersionedTable.readAllVersions(spark, pqCodesRoot(root), upTo))
 
   /** PQ top-k over the PERSISTED code index: the ADC scan reads stored
     * codes (nothing re-encodes the corpus — at 100 TB the encode pass is
@@ -588,6 +597,153 @@ object IncrementalIndex {
   def compactPqIndex(spark: SparkSession, root: String,
       vacuum: Boolean = true): Unit =
     compactLog(spark, pqCodesRoot(root), vacuum = vacuum)
+
+  // ----------------------------------------------------------- retraction
+
+  private def tombstonesRoot(root: String) = subRoot(root, "tombstones")
+
+  /** Retract documents from an index (takedown / right-to-be-forgotten —
+    * the delete every real corpus pipeline eventually needs): append one
+    * tombstone version holding the retracted ids. O(ids) write, nothing
+    * rewritten; every index read path anti-joins the (small) tombstone
+    * log, so retracted docs stop appearing in candidates, verification,
+    * assignments, codes and scores from this commit on. Physical removal
+    * is [[purgeDedupIndex]]/[[purgeLog]]. Contract notes:
+    *
+    *  - retracted ids must not be re-ingested — under the bookmark
+    *    append-ordered-id contract ids never repeat, so a returning
+    *    document gets a new id and this never binds;
+    *  - already-emitted pair logs are the CALLER's tables; filter them
+    *    with [[retractPairs]] (a retraction retracts the pairs too);
+    *  - bucket/cell occupancy stats are NOT decremented: they overcount
+    *    retracted members, which is the conservative direction (caps can
+    *    only engage early, never miss) — the same argument as the
+    *    stats-first crash ordering. [[purgeDedupIndex]] re-derives them
+    *    exactly;
+    *  - the SemDeDup member log is deliberately NOT retraction-aware:
+    *    its verdicts are order-dependent (doc B was dropped BECAUSE of
+    *    lower-id doc A), so removing A would require replaying B's
+    *    verdict — a rebuild, not a filter. Retract SemDeDup state by
+    *    re-bootstrapping the index over the surviving corpus.
+    */
+  def retract(spark: SparkSession, root: String, ids: DataFrame,
+      idCol: String = "id"): Long =
+    VersionedTable.write(spark,
+      ids.select(col(idCol).as("id")).distinct(), tombstonesRoot(root))
+
+  /** Anti-join `df` against the index's tombstone log (no-op while no
+    * retraction has ever been committed). The tombstone side is tiny by
+    * construction (retractions are rare events, and [[purgeDedupIndex]]
+    * resets the log) — AQE plans the anti-join as a broadcast.
+    */
+  private def applyTombstones(spark: SparkSession, root: String,
+      df: DataFrame, idCol: String = "id"): DataFrame = {
+    val tr = tombstonesRoot(root)
+    if (VersionedTable.versions(spark, tr).isEmpty) df
+    else df.join(VersionedTable.readAllVersions(spark, tr)
+      .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** Drop pairs touching a retracted id from a caller-owned pair log.
+    * Column ORDER is preserved (a USING-join moves its key to the front,
+    * which would silently swap (a, b) under a later positional union).
+    */
+  def retractPairs(pairs: DataFrame, ids: DataFrame,
+      idCol: String = "id"): DataFrame = {
+    val t = ids.select(col(idCol).as("id")).distinct()
+    pairs.join(broadcast(t.select(col("id").as("a"))), Seq("a"), "left_anti")
+      .join(broadcast(t.select(col("id").as("b"))), Seq("b"), "left_anti")
+      .select(pairs.columns.map(col).toSeq: _*)
+  }
+
+  /** Physically remove retracted rows from one delta-log root: write a
+    * checkpoint version holding the anti-joined survivors (covering every
+    * committed version) and reclaim the covered deltas. Read-equivalent
+    * at every step — the tombstones stay active until the caller clears
+    * them ([[clearTombstones]]), so a crash mid-purge leaves a filter
+    * that no longer matches anything: harmless, never resurrecting.
+    */
+  def purgeLog(spark: SparkSession, root: String, dataRoot: String,
+      idCol: String = "id"): Long = {
+    val v = VersionedTable.writeCheckpoint(spark,
+      applyTombstones(spark, root,
+        VersionedTable.readAllVersions(spark, dataRoot), idCol),
+      dataRoot, VersionedTable.versions(spark, dataRoot).last)
+    VersionedTable.vacuumCovered(spark, dataRoot)
+    v
+  }
+
+  /** Reset the tombstone log to empty (an empty checkpoint covering all
+    * tombstone versions) — LAST step of a purge, after every data root
+    * under `root` has been purged.
+    */
+  def clearTombstones(spark: SparkSession, root: String): Unit = {
+    val tr = tombstonesRoot(root)
+    val vs = VersionedTable.versions(spark, tr)
+    if (vs.nonEmpty) {
+      VersionedTable.writeCheckpoint(spark,
+        VersionedTable.readAllVersions(spark, tr).filter(lit(false)),
+        tr, vs.last)
+      VersionedTable.vacuumCovered(spark, tr)
+    }
+  }
+
+  /** Purge a MinHash dedup index: checkpoint the surviving signature
+    * rows, re-derive the `bucketstats` sidecar EXACTLY from them (one
+    * map-only banding pass + a bucket-bounded aggregate — the occupancy
+    * overcount retraction left behind disappears), then clear the
+    * tombstones. Crash-safe in that order: signatures first (tombstones
+    * still filter), stats next (overcounting until then — conservative),
+    * tombstones last.
+    */
+  def purgeDedupIndex(spark: SparkSession, root: String,
+      p: MinHashParams = MinHashParams()): Unit = {
+    purgeLog(spark, root, root)
+    val statsRoot = subRoot(root, "bucketstats")
+    VersionedTable.writeCheckpoint(spark,
+      bucketStats(bandedOf(
+        VersionedTable.readAllVersions(spark, root)
+          .select(col("id"), col("sz"), col("sig")), p.numHashes, p.bands)),
+      statsRoot, VersionedTable.versions(spark, statsRoot).last)
+    VersionedTable.vacuumCovered(spark, statsRoot)
+    clearTombstones(spark, root)
+  }
+
+  /** Purge an SRP embedding index — same shape as [[purgeDedupIndex]]:
+    * surviving signatures checkpointed, `bucketstats` re-derived exactly
+    * from them, tombstones cleared last.
+    */
+  def purgeSrpIndex(spark: SparkSession, root: String): Unit = {
+    purgeLog(spark, root, root)
+    val statsRoot = subRoot(root, "bucketstats")
+    VersionedTable.writeCheckpoint(spark,
+      bucketStats(bandedOfSrp(
+        VersionedTable.readAllVersions(spark, root).select("id", "p", "sig"))),
+      statsRoot, VersionedTable.versions(spark, statsRoot).last)
+    VersionedTable.vacuumCovered(spark, statsRoot)
+    clearTombstones(spark, root)
+  }
+
+  /** Purge a TF-IDF index's weight + norm logs (frozen stats untouched —
+    * the IDF snapshot is corpus metadata, not per-doc state).
+    */
+  def purgeTfidfIndex(spark: SparkSession, root: String): Unit = {
+    purgeLog(spark, root, weightsRoot(root))
+    purgeLog(spark, root, normsRoot(root))
+    clearTombstones(spark, root)
+  }
+
+  /** Purge an IVF index's assignment log (centroids frozen). */
+  def purgeIvfIndex(spark: SparkSession, root: String): Unit = {
+    purgeLog(spark, root, assignRoot(root))
+    clearTombstones(spark, root)
+  }
+
+  /** Purge a PQ index's code log (codebooks frozen). */
+  def purgePqIndex(spark: SparkSession, root: String): Unit = {
+    purgeLog(spark, root, pqCodesRoot(root))
+    clearTombstones(spark, root)
+  }
 
   // ------------------------------------------------------- sparse TF-IDF
 
@@ -682,15 +838,19 @@ object IncrementalIndex {
     } finally tf.unpersist(blocking = false)
   }
 
-  /** All (id, tk, w) weight rows ingested so far. */
+  /** All (id, tk, w) weight rows ingested so far, minus retracted ids. */
   def readTfidfWeights(spark: SparkSession, root: String,
       upTo: Option[Long] = None): DataFrame =
-    VersionedTable.readAllVersions(spark, weightsRoot(root), upTo)
+    applyTombstones(spark, root,
+      VersionedTable.readAllVersions(spark, weightsRoot(root), upTo))
 
-  /** All (id, nrm2) norm rows ingested so far (one per indexed doc). */
+  /** All (id, nrm2) norm rows ingested so far (one per indexed doc),
+    * minus retracted ids.
+    */
   def readTfidfNorms(spark: SparkSession, root: String,
       upTo: Option[Long] = None): DataFrame =
-    VersionedTable.readAllVersions(spark, normsRoot(root), upTo)
+    applyTombstones(spark, root,
+      VersionedTable.readAllVersions(spark, normsRoot(root), upTo))
 
   /** Sparse cosine scores from the PERSISTED weight log: pairs (ia, ib,
     * dot, cos) with ia < ib, `ia` drawn from the probe rows selected by

@@ -391,4 +391,71 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(scores(root) == scores(twin),
       "compaction must be invisible to scoring and later ingests")
   }
+
+  test("retraction: reads exclude tombstoned ids; accumulated pairs equal one-shot over survivors") {
+    val root = tmpDir("incr_retract")
+    val r = pmod(col("doc_id") % 100000, lit(3))
+    val isMut = col("doc_id") >= 100000
+    val b1 = corpus.filter((!isMut && r < 2) || (isMut && r === 0))
+    val b2 = corpus.filter((!isMut && r === 2) || (isMut && r > 0))
+    val retracted = corpus.filter(!isMut && r === 0).select("doc_id")
+    val (_, p1) = IncrementalIndex.ingestMinHash(spark, root, b1, "doc_id", "text")
+    IncrementalIndex.retract(spark, root, retracted, "doc_id")
+    // the index read hides every tombstoned id immediately
+    assert(IncrementalIndex.readMinHashIndex(spark, root)
+      .join(retracted.withColumnRenamed("doc_id", "id"), "id").count() == 0)
+    val (_, p2) = IncrementalIndex.ingestMinHash(spark, root, b2, "doc_id", "text")
+    val filtered = IncrementalIndex.retractPairs(p1, retracted, "doc_id")
+    // positional-union safety: the filter must not reorder columns (a
+    // USING-join fronts its key — this swapped (a, b) once)
+    assert(filtered.columns.toSeq == p1.columns.toSeq, filtered.columns.mkString(","))
+    val accumulated = pairSet(filtered) ++ pairSet(p2)
+    val survivors = corpus.join(retracted, Seq("doc_id"), "left_anti")
+    val oneShot = Dedup.minHashLsh(survivors, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    assert(accumulated == pairSet(oneShot),
+      "retraction-filtered accumulation must equal one-shot over the surviving corpus")
+    assert(accumulated.nonEmpty, "gate must exercise surviving near-dup structure")
+    // p2 never touches a retracted id (candidates probed the filtered index)
+    val rids = retracted.collect().map(_.getLong(0)).toSet
+    assert(pairSet(p2).forall { case (a, b) => !rids.contains(a) && !rids.contains(b) })
+    Seq(p1, p2, oneShot).foreach(_.unpersist())
+  }
+
+  test("purge: physical removal is read-equivalent, stats re-derived, tombstones cleared") {
+    val root = tmpDir("incr_purge")
+    val twin = tmpDir("incr_purge_twin")
+    val r = pmod(col("doc_id") % 100000, lit(3))
+    val b = (0 to 2).map(i => corpus.filter(r === i))
+    val retracted = b(0).filter(col("doc_id") < 100000 && col("doc_id") % 2 === 0)
+      .select("doc_id")
+    // root: ingest b0+b1, retract, purge. twin: same ingests + retract, NO purge.
+    for (rt <- Seq(root, twin)) {
+      IncrementalIndex.ingestMinHash(spark, rt, b(0), "doc_id", "text")._2.unpersist()
+      IncrementalIndex.ingestMinHash(spark, rt, b(1), "doc_id", "text")._2.unpersist()
+      IncrementalIndex.retract(spark, rt, retracted, "doc_id")
+    }
+    IncrementalIndex.purgeDedupIndex(spark, root)
+    // physical state: one signature checkpoint, raw read already excludes
+    // retracted rows, tombstone log reset to empty
+    assert(VersionedTable.versions(spark, root) == Seq(3L))
+    val rids = retracted.collect().map(_.getLong(0)).toSet
+    assert(VersionedTable.readAllVersions(spark, root)
+      .filter(col("id").isin(rids.toSeq: _*)).count() == 0,
+      "purged rows must be physically gone, not just filtered")
+    assert(VersionedTable.readAllVersions(spark, s"$root/tombstones").count() == 0)
+    // behavior: a post-purge ingest equals the unpurged twin's
+    val p3 = IncrementalIndex.ingestMinHash(spark, root, b(2), "doc_id", "text")._2
+    val t3 = IncrementalIndex.ingestMinHash(spark, twin, b(2), "doc_id", "text")._2
+    assert(pairSet(p3) == pairSet(t3), "purge must be invisible to later ingests")
+    // stats sidecar re-derived exactly: one checkpoint version whose sum
+    // equals the banded row count of the survivors
+    val statsSum = VersionedTable.readAllVersions(spark, s"$root/bucketstats")
+      .agg(sum(col("n"))).head().getLong(0)
+    val survivorBanded = VersionedTable.readAllVersions(spark, root)
+      .filter(!col("id").isin(rids.toSeq: _*)).count() * 32
+    assert(statsSum == survivorBanded,
+      s"stats must count exactly the surviving banded rows ($statsSum vs $survivorBanded)")
+    Seq(p3, t3).foreach(_.unpersist())
+  }
 }
