@@ -4167,6 +4167,31 @@ object SparkEntry {
         out
       }.orderBy("a", "b")),
 
+    // Incremental EXACT dedup (d1's persistent twin): fingerprints
+    // persist in a delta log; each ingest fingerprints ONLY its batch
+    // and marks a doc dropped iff its fp is already indexed or a
+    // lower-id batch member shares it. Under append-ordered ids (copies
+    // arrive after originals) the first arrival IS the minimum id, so
+    // accumulated verdicts equal d1's one-shot keep-the-min rule over
+    // the union — the oracle recomputes that rule with the same md5
+    // normalization (exact-value gate). The corpus doubles every doc
+    // with a VERBATIM copy at id+100000 so every fingerprint group has
+    // cross-batch structure.
+    "d57_incremental_exact" -> ((s, dir) =>
+      cachedDf(s, s"increxact|$dir") {
+        import graft.operators.IncrementalIndex
+        val root = tmpdir("graft-incr-exact")
+        val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        val copies = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val (_, v1) = IncrementalIndex.ingestExact(s, root, docs, "doc_id", "text")
+        val (_, v2) = IncrementalIndex.ingestExact(s, root, copies, "doc_id", "text")
+        val out = v1.unionAll(v2).persist()
+        out.count()
+        v1.unpersist(blocking = false)
+        v2.unpersist(blocking = false)
+        out
+      }.orderBy("id")),
+
     // Language-distribution divergence between corpus sources (the
     // distribution-shift monitor a mixture pipeline needs): per-source
     // predicted-language histograms, pairwise Jensen-Shannon divergence.
@@ -4974,6 +4999,17 @@ object SparkEntry {
     // same bound-check shape for the incremental PQ code index
     "e23_incremental_pq" ->
       "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
+
+    // d1's keep-the-min rule over originals ∪ verbatim copies, per doc —
+    // what the incremental fingerprint log must accumulate
+    "d57_incremental_exact" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+        |f AS (SELECT doc_id AS id,
+        |  md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS fp
+        |  FROM corpus)
+        |SELECT id, fp, (id = MIN(id) OVER (PARTITION BY fp)) AS kept
+        |FROM f ORDER BY id""".stripMargin,
 
     // one-shot exact-jaccard pairs over the SURVIVING corpus (the r=0
     // originals retracted) — what the tombstoned index must accumulate

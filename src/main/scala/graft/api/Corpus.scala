@@ -420,6 +420,19 @@ object corpus {
       graft.operators.IncrementalIndex.ingestTfidf(
         df.sparkSession, indexRoot, df, idCol, textCol)
 
+    /** Incremental exact-dedup ingest (d57): fingerprint this batch,
+      * return (id, fp, kept) verdicts against the persisted fingerprint
+      * log (kept=false iff the fp is already indexed or a lower-id batch
+      * member shares it), and append the batch's fingerprints. Requires
+      * append-ordered ids (the bookmark guarantee) — accumulated
+      * verdicts then equal [[dedupExact]]'s keep-the-min rule.
+      */
+    def ingestIntoExactIndex(
+        indexRoot: String, idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame =
+      graft.operators.IncrementalIndex.ingestExact(
+        df.sparkSession, indexRoot, df, idCol, textCol)._2
+
     /** Retract this frame's ids from an incremental index (d56 —
       * takedown / right-to-be-forgotten): one O(ids) tombstone version;
       * every later index read and ingest excludes them. Physical removal

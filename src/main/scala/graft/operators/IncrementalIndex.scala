@@ -287,6 +287,70 @@ object IncrementalIndex {
     } finally batchSigs.unpersist(blocking = false)
   }
 
+  // ------------------------------------------------------------ exact dedup
+
+  private def exactFpRoot(root: String) = subRoot(root, "fingerprints")
+
+  /** Incremental EXACT dedup (d1's persistent twin): each ingest
+    * fingerprints ONLY its batch (the d1 normalization, md5 of
+    * whitespace-collapsed lowercase text), marks a batch doc dropped iff
+    * its fingerprint is already indexed or a LOWER-id batch member
+    * shares it, and appends the batch's (id, fp) rows as the next index
+    * version. Requires APPEND-ORDERED ids (the bookmark guarantee, the
+    * e22 convention): under that order the first arrival of a
+    * fingerprint IS its minimum id, so accumulated verdicts equal d1's
+    * one-shot keep-the-min rule over everything ingested — exactly
+    * (d57's oracle recomputes the rule in SQL). Exchange discipline:
+    * the stored fingerprint log streams map-side through a probe by the
+    * broadcast batch fingerprint set (the index never enters an
+    * exchange; size-gated with the same fallback rule as the candidate
+    * paths). Deliberately NOT retraction-aware, like SemDeDup: verdicts
+    * are order-dependent (B dropped BECAUSE of lower-id A), so
+    * retracting a keeper is a re-bootstrap, not a filter.
+    * Returns (committed version, batch verdicts (id, fp, kept)).
+    */
+  def ingestExact(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): (Long, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = batch.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp")).persist()
+    try {
+      val batchRows = fps.count() // materializes; drives the broadcast gate
+      val hintB: DataFrame => DataFrame =
+        if (batchRows <= broadcastRowLimit) df => broadcast(df) else identity
+      val fpRoot = exactFpRoot(root)
+      // fingerprints already indexed, pruned to this batch's set — the
+      // index side is one streamed scan, the probe side batch-bounded
+      val seen =
+        if (VersionedTable.versions(spark, fpRoot).nonEmpty)
+          VersionedTable.readAllVersions(spark, fpRoot).select("fp")
+            .join(hintB(fps.select("fp").distinct()), "fp").distinct()
+            .withColumn("indexed", lit(true))
+        else fps.select("fp").limit(0).withColumn("indexed", lit(true))
+      val w = Window.partitionBy("fp").orderBy("id")
+      val verdicts = fps
+        .withColumn("first_in_batch", row_number().over(w) === 1)
+        .join(hintB(seen), Seq("fp"), "left")
+        .select(col("id"), col("fp"),
+          (col("first_in_batch") && col("indexed").isNull).as("kept"))
+        .persist()
+      verdicts.count()
+      val v = VersionedTable.write(spark, fps, fpRoot)
+      (v, verdicts)
+    } finally fps.unpersist(blocking = false)
+  }
+
+  /** All (id, fp) fingerprint rows ingested so far. */
+  def readExactIndex(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame =
+    VersionedTable.readAllVersions(spark, exactFpRoot(root), upTo)
+
+  /** Compact an exact-dedup index's fingerprint log. */
+  def compactExactIndex(spark: SparkSession, root: String,
+      vacuum: Boolean = true): Unit =
+    compactLog(spark, exactFpRoot(root), vacuum = vacuum)
+
   // ----------------------------------------------------- embedding near-dup
 
   /** SRP index geometry, FROZEN at bootstrap: signatures stored by one
@@ -829,11 +893,19 @@ object IncrementalIndex {
         // norms first: the crash-conservative ordering (a norm row whose
         // weight rows are lost scores nothing — the doc has no weight
         // rows to dot against; the reverse order could score a doc with
-        // a missing norm as an error)
+        // a missing norm as an error). Both logs are CLUSTERED by id
+        // within partitions before the write (no extra shuffle): each
+        // parquet row group then covers a narrow id range, so a probe
+        // predicate prunes to a handful of row groups via min/max stats
+        // instead of scanning the full log — measured 1.8× on the 100×
+        // scoring pass, 52.1→28.9 s (the hash-shuffled layout spread
+        // every id range across every row group, defeating pushdown)
         VersionedTable.write(spark,
-          weighted.groupBy("id").agg(sum(col("w") * col("w")).as("nrm2")),
+          weighted.groupBy("id").agg(sum(col("w") * col("w")).as("nrm2"))
+            .sortWithinPartitions("id"),
           normsRoot(root))
-        VersionedTable.write(spark, weighted, weightsRoot(root))
+        VersionedTable.write(spark,
+          weighted.sortWithinPartitions("id"), weightsRoot(root))
       } finally weighted.unpersist(blocking = false)
     } finally tf.unpersist(blocking = false)
   }

@@ -391,6 +391,51 @@ object ScaleRehearsal {
     s""""many_ingests":{"batches":$batches,"compact_every":$every,${rows.mkString(",")}}"""
   }
 
+  /** Incremental TF-IDF probe (d55): bootstrap an index over `indexDir`'s
+    * documents (timed), score probes from the PERSISTED weight log
+    * (timed) against the one-shot d41 pipeline over the same corpus
+    * (timed — it re-tokenizes and re-weighs everything; the delta is the
+    * amortized weigh pass), then TIME ingesting one fixed sf0.01-sized
+    * batch. Ingest must be FLAT across index decades: unlike MinHash/SRP
+    * there is NO index-proportional term at all (frozen stats are
+    * vocabulary-sized; nothing indexed is re-read).
+    * Returns (bootstrapSec, scoreIndexedSec, scoreOneShotSec, ingestSec).
+    */
+  private def timedTfidf(spark: SparkSession, base: String,
+      indexDir: String, batchDir: String, tag: String): (Double, Double, Double, Double) = {
+    import graft.operators.IncrementalIndex
+    import org.apache.hadoop.fs.Path
+    val root = s"$base/graft-tfidf-$tag"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    try {
+      val docs = spark.read.parquet(s"$indexDir/documents.parquet")
+        .select("doc_id", "text")
+      var t0 = System.nanoTime()
+      IncrementalIndex.bootstrapTfidf(spark, root, docs, "doc_id", "text")
+      val bootSec = (System.nanoTime() - t0) / 1e9
+      SparkEntry.resetSessionCache(spark)
+      t0 = System.nanoTime()
+      IncrementalIndex.sparseCosineIndexed(spark, root, col("id") < 50, 0.2)
+        .write.format("noop").mode("overwrite").save()
+      val scoreIdxSec = (System.nanoTime() - t0) / 1e9
+      SparkEntry.resetSessionCache(spark)
+      t0 = System.nanoTime()
+      SparkEntry.queries("d41_sparse_cosine")(spark, indexDir)
+        .write.format("noop").mode("overwrite").save()
+      val scoreOneSec = (System.nanoTime() - t0) / 1e9
+      val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+        .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+      SparkEntry.resetSessionCache(spark)
+      t0 = System.nanoTime()
+      IncrementalIndex.ingestTfidf(spark, root, batch, "doc_id", "text")
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE tfidf[$tag] bootstrap $bootSec%.2fs scoreIdx $scoreIdxSec%.2fs " +
+        f"scoreOneShot $scoreOneSec%.2fs ingest $ingestSec%.2fs")
+      (bootSec, scoreIdxSec, scoreOneSec, ingestSec)
+    } finally fs.delete(new Path(root), true)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF1_BASE", "/tmp")
@@ -487,6 +532,30 @@ object ScaleRehearsal {
           s""""times":[${times.map("%.2f".format(_)).mkString(",")}],""" +
           s""""min":${"%.2f".format(times.min)},"max":${"%.2f".format(times.max)},""" +
           s""""spread":${"%.2f".format(times.max / times.min)}}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "tfidf") {
+      // incremental TF-IDF probes (d55) across three index decades; the
+      // 100× corpus is the sf10 real-mode replica set
+      val batchDir = new java.io.File(srcDir).getParent + "/sf0.01"
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val sf10Dir = s"$base/graft-sf10-real"
+      ensureDir(spark, srcDir, sf10Dir, "real", replicas = 100,
+        only = Some(Set("documents", "embeddings")))
+      val rows = Seq(("1x", srcDir), ("10x", cliqueDir0), ("100x", sf10Dir))
+        .map { case (tag, dir) =>
+          val (b, si, so, i) = timedTfidf(spark, base, dir, batchDir, tag)
+          s""""$tag":{"bootstrap":${"%.2f".format(b)},""" +
+            s""""score_indexed":${"%.2f".format(si)},""" +
+            s""""score_oneshot":${"%.2f".format(so)},""" +
+            s""""ingest":${"%.2f".format(i)}}"""
+        }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"tfidf":{${rows.mkString(",")}}}""" + "\n")
       println(s"[scale] wrote $outJson")
       spark.stop()
       return

@@ -392,6 +392,34 @@ class IncrementalIndexSpec extends SparkSpec {
       "compaction must be invisible to scoring and later ingests")
   }
 
+  test("incremental exact dedup: accumulated verdicts equal keep-the-min; compaction blind") {
+    val root = tmpDir("incr_exact")
+    val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+    // three append-ordered batches: originals, verbatim copies, more copies
+    val b = Seq(docs,
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")),
+      docs.select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val v1 = IncrementalIndex.ingestExact(spark, root, b(0), "doc_id", "text")._2
+    val v2 = IncrementalIndex.ingestExact(spark, root, b(1), "doc_id", "text")._2
+    IncrementalIndex.compactExactIndex(spark, root)
+    assert(VersionedTable.versions(spark, s"$root/fingerprints") == Seq(3L))
+    val v3 = IncrementalIndex.ingestExact(spark, root, b(2), "doc_id", "text")._2
+    val acc = v1.unionAll(v2).unionAll(v3)
+    // closed-form expectation: kept iff id is the minimum of its fp group
+    import org.apache.spark.sql.expressions.Window
+    val expected = b.reduce(_ union _)
+      .select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .withColumn("kept1", col("id") === min(col("id")).over(Window.partitionBy("fp")))
+    assert(acc.count() == expected.count())
+    assert(acc.join(expected, Seq("id", "fp"))
+      .filter(col("kept") =!= col("kept1")).count() == 0,
+      "accumulated verdicts must equal d1's one-shot keep-the-min rule")
+    // every copy batch is fully dropped (its fps all arrived earlier)
+    assert(v2.filter(col("kept")).count() == 0 && v3.filter(col("kept")).count() == 0)
+    Seq(v1, v2, v3).foreach(_.unpersist())
+  }
+
   test("retraction: reads exclude tombstoned ids; accumulated pairs equal one-shot over survivors") {
     val root = tmpDir("incr_retract")
     val r = pmod(col("doc_id") % 100000, lit(3))
