@@ -537,6 +537,66 @@ object ScaleRehearsal {
       return
     }
 
+    if (scope == "semk") {
+      // e22's 0.10 utilization at sf1 is the DEMO geometry (8 frozen
+      // bootstrap cells = an 8-task parallelism floor on 32 cores), not
+      // the engine: production provisions k ∝ √N cells (SemDeDup's own
+      // rule). Run the same incremental pipeline at both geometries and
+      // report the executor-busy fraction.
+      import java.util.concurrent.atomic.AtomicLong
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      import graft.operators.IncrementalIndex
+      import org.apache.hadoop.fs.Path
+      val dir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, dir0, "clique")
+      val taskMs = new AtomicLong(0)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+      })
+      val emb = spark.read.parquet(s"$dir0/embeddings.parquet")
+      val bse = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val mut = bse.select((col("vec_id") + 100000000L).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+      val corpus = bse.union(mut).persist()
+      val n = corpus.count()
+      val splitId = n / 4 // lower originals first (append-ordered)
+      val b1 = corpus.filter(col("vec_id") < splitId)
+      val b2 = corpus.filter(col("vec_id") >= splitId)
+      val rows = Seq("demo" -> 8, "sqrtN" -> math.sqrt(n.toDouble).toInt)
+        .map { case (tag, k) =>
+          val root = s"$base/graft-semk-$tag"
+          val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new Path(root), true)
+          try {
+            val cents = bse.filter(col("vec_id") < k)
+              .select(col("vec_id").as("cid"), col("v").as("cvec"))
+            SparkEntry.resetSessionCache(spark)
+            taskMs.set(0)
+            val t0 = System.nanoTime()
+            val r1 = IncrementalIndex.bootstrapSemDedup(
+              spark, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 2048)
+            r1.verdicts.unpersist(blocking = false)
+            val r2 = IncrementalIndex.ingestSemDedup(
+              spark, root, b2, "vec_id", "v", threshold = 0.99, cap = 2048)
+            r2.verdicts.unpersist(blocking = false)
+            val totalS = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(500) // drain the listener bus
+            val cpuS = taskMs.get() / 1e3
+            val util = cpuS / (totalS * cpus.toInt)
+            println(f"SCALE semk[$tag] k=$k%d total $totalS%.2fs cpu $cpuS%.1fs util $util%.2f")
+            f""""$tag":{"k":$k%d,"total":$totalS%.2f,"cpu":$cpuS%.1f,"util":$util%.2f}"""
+          } finally fs.delete(new Path(root), true)
+        }
+      corpus.unpersist(blocking = false)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"semk":{"n":$n,${rows.mkString(",")}}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
     if (scope == "tfidf") {
       // incremental TF-IDF probes (d55) across three index decades; the
       // 100× corpus is the sf10 real-mode replica set
