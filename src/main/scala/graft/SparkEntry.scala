@@ -4192,6 +4192,33 @@ object SparkEntry {
         out
       }.orderBy("id")),
 
+    // Incremental SimHash index (d3's persistent twin, closing the last
+    // near-dup family without one): 60-bit portable signatures persist
+    // in a delta log; each ingest signs ONLY its batch, block-collision
+    // candidates come from the shared incremental machinery (index
+    // streams, batch broadcasts, pigeonhole banding lossless for
+    // hamming ≤ 3), and exact popcount verifies over stored signatures
+    // pruned to candidate ids. Accumulated pairs equal d3's one-shot
+    // all-banded-pairs oracle verbatim (order-invariant disjoint union,
+    // the d54 theorem). Same two-batch placement split as d54.
+    "d58_incremental_simhash" -> ((s, dir) =>
+      cachedDf(s, s"incrsim|$dir") {
+        import graft.operators.IncrementalIndex
+        val root = tmpdir("graft-incr-sim")
+        val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+        val r = pmod(col("doc_id") % 100000, lit(3))
+        val isMut = col("doc_id") >= 100000
+        val b1 = corpus.filter((!isMut && r < 2) || (isMut && r === 0))
+        val b2 = corpus.filter((!isMut && r === 2) || (isMut && r > 0))
+        val (_, p1) = IncrementalIndex.ingestSimHash(s, root, b1, "doc_id", "text")
+        val (_, p2) = IncrementalIndex.ingestSimHash(s, root, b2, "doc_id", "text")
+        val out = p1.unionAll(p2).persist()
+        out.count()
+        p1.unpersist(blocking = false)
+        p2.unpersist(blocking = false)
+        out
+      }.orderBy("a", "b")),
+
     // Language-distribution divergence between corpus sources (the
     // distribution-shift monitor a mixture pipeline needs): per-source
     // predicted-language histograms, pairwise Jensen-Shannon divergence.
@@ -4793,6 +4820,31 @@ object SparkEntry {
       |       ELSE text END AS text
       |FROM documents""".stripMargin
 
+  /** d3's SimHash oracle (portable md5-60bit signatures, pigeonhole
+    * blocks, hamming ≤ 3) — shared verbatim with the incremental twin
+    * d58, whose accumulated pair list must be identical.
+    */
+  private val duckSimHashPairsSql: String = {
+    val bitSums = (0 until 60)
+      .map(i => s"SUM(CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val pack = (0 until 60)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    s"""WITH corpus AS ($duckMutantCorpus),
+       |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
+       |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS x FROM sh),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $pack AS sig FROM bits),
+       |blocks AS (SELECT doc_id, sig, unnest([0,1,2,3]) AS blk FROM sig),
+       |b2 AS (SELECT doc_id, sig, blk, (sig >> (blk * 16)) & 65535 AS blkval FROM blocks),
+       |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |  CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+       |  FROM b2 l JOIN b2 r ON l.blk = r.blk AND l.blkval = r.blkval AND l.doc_id < r.doc_id)
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+  }
+
   /** One brute-force cosine top-5 oracle shared by e1 and every exact
     * full-probe ANN gate (e5 IVF, e6 LSH, e7 PQ, e9 IVF-PQ) — a tweak to
     * the tie-break or query set cannot desynchronize the gates.
@@ -5084,26 +5136,11 @@ object SparkEntry {
         |SELECT a, b, round(c, 6) AS cos6 FROM pairs WHERE c >= 0.99
         |ORDER BY a, b""".stripMargin,
 
-    "d3_dedup_simhash" -> {
-      val bitSums = (0 until 60)
-        .map(i => s"SUM(CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
-        .mkString(", ")
-      val pack = (0 until 60)
-        .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
-        .mkString(" | ")
-      s"""WITH corpus AS ($duckMutantCorpus),
-         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
-         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS x FROM sh),
-         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
-         |sig AS (SELECT doc_id, $pack AS sig FROM bits),
-         |blocks AS (SELECT doc_id, sig, unnest([0,1,2,3]) AS blk FROM sig),
-         |b2 AS (SELECT doc_id, sig, blk, (sig >> (blk * 16)) & 65535 AS blkval FROM blocks),
-         |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-         |  CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
-         |  FROM b2 l JOIN b2 r ON l.blk = r.blk AND l.blkval = r.blkval AND l.doc_id < r.doc_id)
-         |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
-    },
+    "d3_dedup_simhash" -> duckSimHashPairsSql,
+
+    // d3's oracle VERBATIM: the incremental SimHash index must
+    // accumulate the identical pair list across its two ingests
+    "d58_incremental_simhash" -> duckSimHashPairsSql,
 
     "d9_dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS ($duckMutantCorpus),

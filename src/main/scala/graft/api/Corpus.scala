@@ -420,6 +420,19 @@ object corpus {
       graft.operators.IncrementalIndex.ingestTfidf(
         df.sparkSession, indexRoot, df, idCol, textCol)
 
+    /** Incremental SimHash ingest (d58): sign ONLY this batch (portable
+      * 60-bit signatures), return the verified near-dup pairs it adds
+      * (hamming ≤ `maxHamming`, batch-internal + batch×index), and
+      * append the batch's signatures. Accumulated pairs across ingests
+      * equal a one-shot [[graft.operators.Dedup.simHashPairsPortable]]
+      * run over everything ingested. An empty/absent root bootstraps.
+      */
+    def ingestIntoSimHashIndex(
+        indexRoot: String, idCol: String = "doc_id",
+        textCol: String = "text", maxHamming: Int = 3): DataFrame =
+      graft.operators.IncrementalIndex.ingestSimHash(
+        df.sparkSession, indexRoot, df, idCol, textCol, maxHamming)._2
+
     /** Incremental exact-dedup ingest (d57): fingerprint this batch,
       * return (id, fp, kept) verdicts against the persisted fingerprint
       * log (kept=false iff the fp is already indexed or a lower-id batch

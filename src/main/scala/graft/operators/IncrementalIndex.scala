@@ -351,6 +351,123 @@ object IncrementalIndex {
       vacuum: Boolean = true): Unit =
     compactLog(spark, exactFpRoot(root), vacuum = vacuum)
 
+  // -------------------------------------------------------------- SimHash
+
+  /** Stored SimHash signature rows (id, sig): the PORTABLE md5-60bit
+    * signature (what makes the d3/d58 oracles SQL-expressible), one
+    * long per doc — row-local, no shuffle.
+    */
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashed = ColumnBridge.column(graft.functions.ShingleHashesMd5(
+      ColumnBridge.expression(col(textCol)), shingleN))
+    docs.select(col(idCol).as("id"), ColumnBridge.column(
+      graft.functions.SimHashSignature(ColumnBridge.expression(hashed))).as("sig"))
+  }
+
+  /** Pigeonhole banding of stored signatures as (doc, rk, band, bucket):
+    * 4×16-bit blocks (hamming ≤ 3 ⇒ at least one block equal, so the
+    * banding is LOSSLESS for the ≤3 verify) — map-only per side, the
+    * shared candidate machinery's input shape.
+    */
+  private def bandedOfSimHash(sigs: DataFrame): DataFrame = {
+    val blockCols = (0 until 4).map(b =>
+      shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF))
+    sigs.select(col("id").as("doc"), col("id").as("rk"),
+        posexplode(array(blockCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** All SimHash signature rows indexed so far, minus retracted ids
+    * (SimHash pairs, like MinHash pairs, are order-independent — a pair
+    * exists regardless of arrival order — so the index is
+    * retraction-safe).
+    */
+  def readSimHashIndex(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame =
+    applyTombstones(spark, root,
+      VersionedTable.readAllVersions(spark, root, upTo))
+
+  /** Ingest one batch into a SimHash near-dup index: sign ONLY the
+    * batch (one 60-bit signature per doc), generate block-collision
+    * candidates restricted to pairs touching the batch through the
+    * shared [[incrementalBucketCandidates]] (index streams, batch
+    * broadcasts under the size gate, over-cap blocks rank-chunk), and
+    * verify with exact popcount over the STORED signatures — pruned to
+    * candidate ids by a broadcast semi-join first, so the index never
+    * shuffles for verification either. Accumulated pairs across ingests
+    * equal the one-shot [[Dedup.simHashPairsPortable]] pair list over
+    * the union (the d58 gate; order-invariant by the disjoint-union
+    * theorem). Returns (committed version, new pairs (a, b, hamming)).
+    */
+  def ingestSimHash(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3, shingleN: Int = 3,
+      bucketCap: Int = 4096,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): (Long, DataFrame) = {
+    val batchSigs = simHashSignatures(batch, idCol, textCol, shingleN).persist()
+    try {
+      val haveIndex = VersionedTable.versions(spark, root).nonEmpty
+      val prior = if (haveIndex) Some(readSimHashIndex(spark, root)) else None
+      val bandedB = bandedOfSimHash(batchSigs).persist()
+      val batchRows = bandedB.count() // materializes; drives the broadcast gate
+      val batchStats = bucketStats(bandedB)
+      val statsRoot = subRoot(root, "bucketstats")
+      val over = overCapBuckets(spark, statsRoot, batchStats, bucketCap)
+      val cands = (prior match {
+        case Some(ix) => incrementalBucketCandidates(
+          bandedOfSimHash(ix), bandedB, bucketCap, over,
+          batchRows, broadcastRowLimit)
+        case None => incrementalBucketCandidates(
+          bandedB.filter(lit(false)), bandedB, bucketCap, over,
+          batchRows, broadcastRowLimit)
+      }).persist()
+      try {
+        val sigs = prior.map(_.unionAll(batchSigs)).getOrElse(batchSigs)
+        val candIds = broadcast(cands.select(col("a").as("id"))
+          .unionAll(cands.select(col("b").as("id"))).distinct())
+        val pruned = sigs.join(candIds, "id") // index streams map-side
+        val verified = cands
+          .join(broadcast(pruned.select(col("id").as("a"), col("sig").as("siga"))), "a")
+          .join(broadcast(pruned.select(col("id").as("b"), col("sig").as("sigb"))), "b")
+          .select(col("a"), col("b"),
+            bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("int").as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+          .persist()
+        verified.count()
+        VersionedTable.write(spark, batchStats, statsRoot) // stats first (see ingestMinHash)
+        val v = VersionedTable.write(spark, batchSigs, root)
+        (v, verified)
+      } finally {
+        cands.unpersist(blocking = false)
+        bandedB.unpersist(blocking = false)
+      }
+    } finally batchSigs.unpersist(blocking = false)
+  }
+
+  /** Compact a SimHash index (signature log + stats sidecar). */
+  def compactSimHashIndex(spark: SparkSession, root: String,
+      vacuum: Boolean = true): Unit = {
+    compactLog(spark, root, vacuum = vacuum)
+    compactLog(spark, subRoot(root, "bucketstats"),
+      _.groupBy("band", "bucket").agg(sum(col("n")).as("n")), vacuum)
+  }
+
+  /** Purge a SimHash index — the [[purgeDedupIndex]] shape: surviving
+    * signatures checkpointed, stats re-derived exactly, tombstones
+    * cleared last.
+    */
+  def purgeSimHashIndex(spark: SparkSession, root: String): Unit = {
+    purgeLog(spark, root, root)
+    val statsRoot = subRoot(root, "bucketstats")
+    VersionedTable.writeCheckpoint(spark,
+      bucketStats(bandedOfSimHash(
+        VersionedTable.readAllVersions(spark, root))),
+      statsRoot, VersionedTable.versions(spark, statsRoot).last)
+    VersionedTable.vacuumCovered(spark, statsRoot)
+    clearTombstones(spark, root)
+  }
+
   // ----------------------------------------------------- embedding near-dup
 
   /** SRP index geometry, FROZEN at bootstrap: signatures stored by one

@@ -392,6 +392,25 @@ class IncrementalIndexSpec extends SparkSpec {
       "compaction must be invisible to scoring and later ingests")
   }
 
+  test("incremental simhash ingest equals one-shot portable pairs; batch sets disjoint") {
+    val root = tmpDir("incr_simhash")
+    val r = pmod(col("doc_id") % 100000, lit(3))
+    val isMut = col("doc_id") >= 100000
+    val b1 = corpus.filter((!isMut && r < 2) || (isMut && r === 0))
+    val b2 = corpus.filter((!isMut && r === 2) || (isMut && r > 0))
+    val (v1, p1) = IncrementalIndex.ingestSimHash(spark, root, b1, "doc_id", "text")
+    val (v2, p2) = IncrementalIndex.ingestSimHash(spark, root, b2, "doc_id", "text")
+    assert(v1 == 1L && v2 == 2L)
+    val oneShot = Dedup.simHashPairsPortable(corpus, "doc_id", "text",
+      maxHamming = 3, shingleN = 3)
+    assert(pairSet(p1).intersect(pairSet(p2)).isEmpty,
+      "per-ingest pair sets must be disjoint (no index×index recompute)")
+    assert(pairSet(p1) ++ pairSet(p2) == pairSet(oneShot),
+      "accumulated pairs must equal the one-shot portable SimHash pair list")
+    assert(pairSet(oneShot).nonEmpty)
+    Seq(p1, p2).foreach(_.unpersist())
+  }
+
   test("incremental exact dedup: accumulated verdicts equal keep-the-min; compaction blind") {
     val root = tmpDir("incr_exact")
     val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
