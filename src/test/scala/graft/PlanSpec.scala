@@ -413,6 +413,32 @@ class PlanSpec extends SparkSpec {
       cacheScans.mkString("\n"))
   }
 
+  test("d55: indexed scoring — probe pushdown reaches the log scan, no token-row shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("d55_incremental_tfidf")(spark, "/root/testdata/sf0.001")
+    val nodes = graft.tools.PlanNodes.collect(df.queryExecution.executedPlan)
+    // the probe side broadcasts into the shared-token join
+    assert(nodes.exists(_.toString.startsWith("BroadcastHashJoin")),
+      df.queryExecution.executedPlan.toString)
+    // the probe branch's id predicate is PUSHED into the weight-log
+    // parquet scan — with the id-clustered layout (ingest sorts within
+    // partitions) this prunes row groups via min/max stats at scale
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    assert(scans.exists(s => s.toString.contains("PushedFilters") &&
+      s.toString.contains("LessThan(id,50)")),
+      scans.map(_.toString.take(300)).mkString("\n"))
+    // weight rows (id, tk, w) never shuffle BY TOKEN ALONE — the
+    // stopword-skew magnet the broadcast-probe shape exists to avoid
+    val tokenRowShuffles = nodes.collect {
+      case e: ShuffleExchangeLike
+          if e.outputPartitioning.toString.contains("tk#") &&
+            !e.outputPartitioning.toString.contains("id#") &&
+            e.output.exists(_.name == "id") => e
+    }
+    assert(tokenRowShuffles.isEmpty, tokenRowShuffles.mkString("\n"))
+  }
+
   test("q90: the injected rule turns instr(...)>0 into a pushed StringContains") {
     val p = plan("q90_pushdown_rewrite")
     assert(p.contains("StringContains(text,window)"), p)
