@@ -3928,10 +3928,15 @@ object SparkEntry {
     // (one micro-batch per file, the streaming face of the bookmark
     // spine), foreachBatch ingests each micro-batch into the persisted
     // MinHash index and appends its verified pairs to a versioned pair
-    // log. Accumulated pairs equal d2's exact-jaccard oracle verbatim
-    // under ANY batch split or arrival order (per-ingest pair sets are
-    // disjoint and union-complete — the d54 theorem), so the gate is
-    // robust to micro-batch nondeterminism by construction.
+    // log. foreachBatch is AT-LEAST-once (a crashed tail micro-batch
+    // replays), so the ingest is the EPOCH-GUARDED exactly-once variant:
+    // `_epoch-<id>` markers ride the atomic version commits and a
+    // replayed epoch drops instead of double-appending (spec-pinned at
+    // every crash window in IncrementalIndexSpec). Accumulated pairs
+    // equal d2's exact-jaccard oracle verbatim under ANY batch split or
+    // arrival order (per-ingest pair sets are disjoint and
+    // union-complete — the d54 theorem), so the gate is also robust to
+    // micro-batch nondeterminism by construction.
     "st20_stream_dedup_index" -> ((s, dir) => {
       import graft.operators.IncrementalIndex
       import graft.sinks.VersionedTable
@@ -3950,11 +3955,10 @@ object SparkEntry {
       val stream = sess.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val (_, p) = IncrementalIndex.ingestMinHash(
-            sess, root, batch, "doc_id", "text")
-          VersionedTable.write(sess, p, pairsRoot)
-          p.unpersist(blocking = false)
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          IncrementalIndex.ingestMinHashEpoch(
+              sess, root, pairsRoot, batch, "doc_id", "text", epochId)
+            .foreach(_.unpersist(blocking = false))
           ()
         }
         .option("checkpointLocation", tmpdir("graft-st20-ckpt"))
@@ -4218,6 +4222,42 @@ object SparkEntry {
         p2.unpersist(blocking = false)
         out
       }.orderBy("a", "b")),
+
+    // Incremental prefix-filter set-similarity index (d40's persistent
+    // twin — the last dedup family without one, and the only EXACT one):
+    // global element frequencies FREEZE at bootstrap, fixing the element
+    // total order forever. Sound because the prefix-filter lemma holds
+    // under ANY shared total order (ascending-df is a pruning heuristic,
+    // not a correctness input), so every ingest's prefixes stay
+    // consistent with every other's across unlimited vocabulary drift —
+    // batch 2 here carries shingles unseen at freeze time (df = 0,
+    // sorted rarest-first) and the answer is still exact. Accumulated
+    // pairs equal d40's unfiltered shared-shingle oracle VERBATIM
+    // including the (inter, un) integer witnesses, even though the
+    // one-shot sorts under a different (corpus-wide) df: both are exact
+    // all-pairs answers, and exactness is order-independent.
+    "d59_incremental_prefix_join" -> ((s, dir) =>
+      cachedDf(s, s"incrprefix|$dir") {
+        import graft.operators.IncrementalIndex
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        val root = tmpdir("graft-incr-prefix")
+        def sh(c: Column) = ColumnBridge.column(
+          graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+        val sets = nearDupCorpus(tbl(s, dir, "documents"))
+          .select(col("doc_id").as("id"), explode(sh(col("text"))).as("elem"))
+          .distinct()
+        val r = pmod(col("id") % 100000, lit(3))
+        val isMut = col("id") >= 100000
+        val b1 = sets.filter((!isMut && r < 2) || (isMut && r === 0))
+        val b2 = sets.filter((!isMut && r === 2) || (isMut && r > 0))
+        val (_, p1) = IncrementalIndex.bootstrapPrefixJaccard(s, root, b1)
+        val (_, p2) = IncrementalIndex.ingestPrefixJaccard(s, root, b2)
+        val out = p1.unionAll(p2).persist()
+        out.count()
+        p1.unpersist(blocking = false)
+        p2.unpersist(blocking = false)
+        out
+      }.orderBy("ia", "ib")),
 
     // Language-distribution divergence between corpus sources (the
     // distribution-shift monitor a mixture pipeline needs): per-source
@@ -4901,6 +4941,26 @@ object SparkEntry {
     """CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
       |ELSE list_distinct(list_transform(range(1, len(toks) - 3),
       |  i -> array_to_string(toks[i:i+4], ' '))) END""".stripMargin
+
+  /** Exact all-pairs shingle-set Jaccard ≥ 4/5 with integer witnesses —
+    * shared by d40 (one-shot prefix join) and d59 (incremental prefix
+    * index): both are EXACT, so one unfiltered shared-shingle oracle
+    * gates them identically.
+    */
+  private lazy val duckPrefixJoinSql: String =
+    s"""WITH corpus AS ($duckMutantCorpus),
+       |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
+       |shl AS (SELECT doc_id, $duckShingles5 AS sh FROM tok),
+       |g AS (SELECT DISTINCT doc_id AS id,
+       |  ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS e FROM shl),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM g GROUP BY 1),
+       |inter AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS i
+       |  FROM g a JOIN g b ON a.e = b.e AND a.id < b.id GROUP BY 1, 2)
+       |SELECT ia, ib, CAST(i AS BIGINT) AS inter,
+       |  CAST(sa.n + sb.n - i AS BIGINT) AS un
+       |FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+       |WHERE 5 * i >= 4 * (sa.n + sb.n - i)
+       |ORDER BY ia, ib""".stripMargin
 
   /** DuckDB signal columns feeding the quality score (mirrors
     * TextFunctions.qualityScore's inputs) — shared by the d15 and d26
@@ -6606,20 +6666,12 @@ object SparkEntry {
         |round(CAST(SUM(strlen(t)) AS DOUBLE) / SUM(length(t)), 6) AS premium
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "d40_prefix_join" ->
-      s"""WITH corpus AS ($duckMutantCorpus),
-         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
-         |shl AS (SELECT doc_id, $duckShingles5 AS sh FROM tok),
-         |g AS (SELECT DISTINCT doc_id AS id,
-         |  ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS e FROM shl),
-         |sizes AS (SELECT id, COUNT(*) AS n FROM g GROUP BY 1),
-         |inter AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS i
-         |  FROM g a JOIN g b ON a.e = b.e AND a.id < b.id GROUP BY 1, 2)
-         |SELECT ia, ib, CAST(i AS BIGINT) AS inter,
-         |  CAST(sa.n + sb.n - i AS BIGINT) AS un
-         |FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
-         |WHERE 5 * i >= 4 * (sa.n + sb.n - i)
-         |ORDER BY ia, ib""".stripMargin,
+    "d40_prefix_join" -> duckPrefixJoinSql,
+
+    // d40's oracle VERBATIM: the incremental prefix-filter index must
+    // accumulate the identical exact pair list (witnesses included)
+    // across its two ingests, despite freezing element order at batch 1
+    "d59_incremental_prefix_join" -> duckPrefixJoinSql,
 
     "q77_winsorize" ->
       """WITH e AS (SELECT o_orderpriority,

@@ -446,6 +446,33 @@ object corpus {
       graft.operators.IncrementalIndex.ingestExact(
         df.sparkSession, indexRoot, df, idCol, textCol)._2
 
+    /** Incremental EXACT set-similarity ingest (d59): shingle this
+      * batch (word `shingleN`-grams, md5-hashed elements), find the
+      * exact Jaccard ≥ `num`/`den` pairs it adds against the persisted
+      * prefix-filter index (element order FROZEN at bootstrap — sound
+      * because the prefix-filter lemma holds under any shared total
+      * order), and append the batch's sorted token rows. Accumulated
+      * pairs across ingests equal a one-shot
+      * [[graft.operators.Dedup.prefixJaccardJoin]] over everything
+      * ingested, integer (inter, un) witnesses included. An
+      * empty/absent root bootstraps (freezing element df from this
+      * batch).
+      */
+    def ingestIntoPrefixIndex(
+        indexRoot: String, idCol: String = "doc_id",
+        textCol: String = "text", num: Int = 4, den: Int = 5,
+        shingleN: Int = 5): DataFrame = {
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), shingleN))
+      val sets = df
+        .select(col(idCol).as("id"), explode(sh(col(textCol))).as("elem"))
+        .distinct()
+      graft.operators.IncrementalIndex.ingestPrefixJaccard(
+        df.sparkSession, indexRoot, sets,
+        graft.operators.IncrementalIndex.PrefixJaccardParams(
+          num = num, den = den))._2
+    }
+
     /** Retract this frame's ids from an incremental index (d56 —
       * takedown / right-to-be-forgotten): one O(ids) tombstone version;
       * every later index read and ingest excludes them. Physical removal

@@ -230,9 +230,18 @@ object IncrementalIndex {
     * the caller owns the unpersist. An empty index root bootstraps
     * naturally (the first ingest's pairs are its internal ones).
     */
-  def ingestMinHash(spark: SparkSession, root: String, batch: DataFrame,
-      idCol: String, textCol: String,
-      p: MinHashParams = MinHashParams()): (Long, DataFrame) = {
+  /** The compute half of a MinHash ingest: (persisted batch signatures,
+    * batch stats delta, persisted verified pairs) with nothing written.
+    * The caller commits and then calls `release()` (the verified frame
+    * stays persisted for the caller to consume and unpersist).
+    */
+  private final case class MinHashArtifacts(
+      batchSigs: DataFrame, batchStats: DataFrame, verified: DataFrame,
+      release: () => Unit)
+
+  private def minHashBatchArtifacts(spark: SparkSession, root: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams): MinHashArtifacts = {
     val batchSigs = minHashSignatures(batch, idCol, textCol, p).persist()
     try {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
@@ -273,18 +282,129 @@ object IncrementalIndex {
         val verified = Dedup.verifyJaccard(cands, shingled, "id", "hs")
           .filter(col("jaccard") >= p.threshold).persist()
         verified.count() // materialize while the caches are hot
-        // stats commit FIRST: a crash between the two writes then leaves
-        // occupancy OVERCOUNTING the lost batch (conservative — at worst
-        // extra buckets take the capped path) instead of undercounting
-        // (a missed cap engagement)
-        VersionedTable.write(spark, batchStats, statsRoot)
-        val v = VersionedTable.write(spark, batchSigs, root)
-        (v, verified)
-      } finally {
-        cands.unpersist(blocking = false)
-        bandedB.unpersist(blocking = false)
+        MinHashArtifacts(batchSigs, batchStats, verified, () => {
+          bandedB.unpersist(blocking = false)
+          batchSigs.unpersist(blocking = false)
+        })
+      } finally cands.unpersist(blocking = false)
+    } catch {
+      case t: Throwable => batchSigs.unpersist(blocking = false); throw t
+    }
+  }
+
+  def ingestMinHash(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): (Long, DataFrame) = {
+    val a = minHashBatchArtifacts(spark, root, batch, idCol, textCol, p)
+    try {
+      // stats commit FIRST: a crash between the two writes then leaves
+      // occupancy OVERCOUNTING the lost batch (conservative — at worst
+      // extra buckets take the capped path) instead of undercounting
+      // (a missed cap engagement)
+      VersionedTable.write(spark, a.batchStats, subRoot(root, "bucketstats"))
+      val v = VersionedTable.write(spark, a.batchSigs, root)
+      (v, a.verified)
+    } finally a.release()
+  }
+
+  /** Exactly-once streaming ingest keyed by a MONOTONE epoch (the
+    * structured-streaming batchId). `foreachBatch` delivers
+    * AT-LEAST-once — after a crash the tail micro-batch replays — so a
+    * plain ingest would double-commit the batch's signatures and pairs.
+    * This is the rowlog's two-witness architecture applied to the
+    * index: an `_epoch-<id>` marker rides each data version's ATOMIC
+    * staging rename (authoritative; transient under compaction/vacuum),
+    * and a root-level `_epoch-hwm` file written AFTER visibility
+    * survives log compaction. An epoch ≤ max(newest marker, hwm) in the
+    * SIGNATURE root is a replay and is dropped (returns None — the
+    * caller must not re-append pairs).
+    *
+    * Crash windows, replaying epoch E: before any write → clean re-run;
+    * after the stats write → stats double-commit, which only OVERCOUNTS
+    * occupancy (caps engage early — conservative); after the pairs
+    * write, before signatures → the replay recomputes IDENTICAL
+    * artifacts (signatures are pure per-row functions and the index is
+    * unchanged — E's signatures never committed), sees the pairs root
+    * already committed at E and skips its write, then commits
+    * signatures; after the signature commit → the whole replay drops.
+    * No window double-appends pairs or signatures.
+    *
+    * Lineage note (the rowlog convention): the hwm belongs to the
+    * index's CURRENT streaming lineage. Pointing a NEW query (fresh
+    * checkpoint, epochs restarting at 0) at a root a previous query
+    * populated requires removing `_epoch-hwm` (and any surviving
+    * `_epoch-*` marker versions) first, or the old high-water silently
+    * drops the new query's early batches as replays.
+    */
+  def ingestMinHashEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, batch: DataFrame, idCol: String, textCol: String,
+      epochId: Long, p: MinHashParams = MinHashParams()): Option[DataFrame] = {
+    if (epochCommittedIn(spark, root, epochId)) return None
+    val a = minHashBatchArtifacts(spark, root, batch, idCol, textCol, p)
+    try {
+      VersionedTable.write(spark, a.batchStats, subRoot(root, "bucketstats"))
+      if (!epochCommittedIn(spark, pairsRoot, epochId)) {
+        VersionedTable.write(spark, a.verified, pairsRoot,
+          markers = Seq(s"_epoch-$epochId"))
+        recordEpochHwm(spark, pairsRoot, epochId)
       }
-    } finally batchSigs.unpersist(blocking = false)
+      VersionedTable.write(spark, a.batchSigs, root,
+        markers = Seq(s"_epoch-$epochId"))
+      recordEpochHwm(spark, root, epochId)
+      Some(a.verified)
+    } catch {
+      case t: Throwable => a.verified.unpersist(blocking = false); throw t
+    } finally a.release()
+  }
+
+  /** Replay detection for one root: epoch ≤ max(newest `_epoch-*`
+    * version marker, `_epoch-hwm` file). Marker scan stops at the first
+    * (newest) marker-carrying version — epochs are monotone. An
+    * unreadable hwm file fails the commit rather than silently
+    * degrading to the marker scan (the rowlog IO-error lesson); a torn
+    * write (non-numeric content) reads as absent.
+    */
+  private def epochCommittedIn(spark: SparkSession, root: String,
+      epoch: Long): Boolean = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(rootPath)) return false
+    val scanHwm = VersionedTable.entriesOf(f, rootPath).reverseIterator
+      .map { e =>
+        f.listStatus(new org.apache.hadoop.fs.Path(rootPath, VersionedTable.nameOf(e)))
+          .map(_.getPath.getName).collectFirst {
+            case n if n.startsWith("_epoch-") && n != "_epoch-hwm" =>
+              n.stripPrefix("_epoch-").toLong
+          }
+      }
+      .collectFirst { case Some(hwm) => hwm }
+      .getOrElse(-1L)
+    epoch <= math.max(scanHwm, readEpochHwmFile(f, rootPath))
+  }
+
+  private def readEpochHwmFile(f: org.apache.hadoop.fs.FileSystem,
+      rootPath: org.apache.hadoop.fs.Path): Long = {
+    val p = new org.apache.hadoop.fs.Path(rootPath, "_epoch-hwm")
+    if (!f.exists(p)) return -1L
+    val in = f.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    try s.toLong catch { case _: NumberFormatException => -1L } // torn write
+  }
+
+  /** Record the epoch high-water AFTER the version is visible (a crash
+    * between the two leaves the marker scan authoritative — never a
+    * false replay drop) so replay detection survives compaction/vacuum
+    * deleting the marker-carrying versions.
+    */
+  private def recordEpochHwm(spark: SparkSession, root: String,
+      epoch: Long): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (readEpochHwmFile(f, rootPath) < epoch) {
+      val out = f.create(new org.apache.hadoop.fs.Path(rootPath, "_epoch-hwm"), true)
+      try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   // ------------------------------------------------------------ exact dedup
@@ -463,6 +583,195 @@ object IncrementalIndex {
     VersionedTable.writeCheckpoint(spark,
       bucketStats(bandedOfSimHash(
         VersionedTable.readAllVersions(spark, root))),
+      statsRoot, VersionedTable.versions(spark, statsRoot).last)
+    VersionedTable.vacuumCovered(spark, statsRoot)
+    clearTombstones(spark, root)
+  }
+
+  // ------------------------------------------- prefix-filter set similarity
+
+  private def prefixDfRoot(root: String) = subRoot(root, "dfstats")
+  private def prefixTokRoot(root: String) = subRoot(root, "tokens")
+  private def prefixStatsRoot(root: String) = subRoot(root, "prefixstats")
+
+  /** Incremental twin of [[Dedup.prefixJaccardJoin]] (the EXACT PPJoin
+    * path, d40). Thresholds are the exact rational num/den; defaults
+    * match the d40 gated pipeline.
+    */
+  final case class PrefixJaccardParams(
+      num: Int = 4, den: Int = 5, bucketCap: Int = 1024,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit)
+
+  /** Bootstrap a prefix-filter set-similarity index: compute global
+    * element frequencies over the FIRST batch and FREEZE them (snapshot
+    * convention — the TF-IDF/IVF/SRP pattern). WHY freezing is sound
+    * here: the prefix-filter lemma ("a pair at Jaccard ≥ t shares an
+    * element within each side's first |s| − ⌈t·|s|⌉ + 1 elements") holds
+    * under ANY total order on elements shared by both sides — the
+    * ascending-df sort is purely a pruning heuristic (rare elements
+    * make short, selective prefixes), never a correctness input. So the
+    * index fixes the order (df at bootstrap, elements unseen then take
+    * df = 0, ties by element value — total and stable forever) and every
+    * ingest's prefixes stay mutually consistent with every other's; the
+    * candidate superset property survives unlimited corpus drift, and
+    * exact verification does the rest. What drift DOES erode is
+    * pruning selectivity: an element rare at bootstrap that turns
+    * ubiquitous later sits at the front of every new prefix, growing
+    * its candidate bucket until the cap engages. Re-freezing on
+    * vocabulary drift is a new bootstrap, exactly like IVF re-training.
+    */
+  def bootstrapPrefixJaccard(spark: SparkSession, root: String,
+      sets: DataFrame, p: PrefixJaccardParams = PrefixJaccardParams()): (Long, DataFrame) =
+    ingestPrefixJaccard(spark, root, sets, p) // empty root freezes df from this batch
+
+  /** A batch's stored token rows (id, toks, n, p) under the FROZEN
+    * element order: per-set elements sorted ascending by (frozen df,
+    * element) — unseen elements coalesce to df = 0 — with prefix length
+    * p = n − ⌈t·n⌉ + 1. Exchange discipline is [[ingestTfidf]]'s: the
+    * vocabulary-sized frozen stats table is pruned map-side by a
+    * broadcast of the batch's distinct elements, and the pruned
+    * (batch-bounded) slice broadcasts back into the sort join — the
+    * frozen stats never enter an exchange while the batch is under the
+    * row limit; past it (bootstrap/backfill) both joins fall back to
+    * plain shuffles.
+    */
+  private def prefixSortedSets(spark: SparkSession, root: String,
+      sets: DataFrame, p: PrefixJaccardParams, batchSetRows: Long): DataFrame = {
+    val hintB: DataFrame => DataFrame =
+      if (batchSetRows <= p.broadcastRowLimit) df => broadcast(df) else identity
+    val dfPruned = VersionedTable.read(spark, prefixDfRoot(root))
+      .join(hintB(sets.select("elem").distinct()), "elem")
+    sets.join(hintB(dfPruned), Seq("elem"), "left")
+      .groupBy("id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(coalesce(df, 0L) AS df, elem))), x -> x.elem)")
+        .as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("p",
+        col("n") - expr(s"CAST((${p.num} * n + ${p.den} - 1) DIV ${p.den} AS INT)") + 1)
+  }
+
+  /** Stored token rows as (doc, rk, band, bucket) banded frames for the
+    * shared candidate machinery: one pseudo-band, prefix elements as
+    * buckets, set size as the cap-chunk rank (the one-shot orders its
+    * rank chunks by (n, id) — a true pair at t has size ratio within
+    * [t, 1/t], so adjacent-size chunking preserves it). Map-only.
+    */
+  private def bandedOfPrefix(tok: DataFrame): DataFrame =
+    tok.select(col("id").as("doc"), col("n").cast("long").as("rk"),
+      lit(0).as("band"), explode(expr("slice(toks, 1, p)")).as("bucket"))
+
+  /** All (id, toks, n, p) token rows indexed so far, minus retracted ids
+    * (prefix-join pairs, like MinHash pairs, are order-independent, so
+    * the index is retraction-safe — filter pair logs with
+    * [[retractPairs]]).
+    */
+  def readPrefixIndex(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame =
+    applyTombstones(spark, root,
+      VersionedTable.readAllVersions(spark, prefixTokRoot(root), upTo))
+
+  /** Ingest one batch of distinct (id, elem) set rows: sort ONLY the
+    * batch under the frozen element order, find the exact
+    * Jaccard ≥ num/den pairs the batch adds (batch-internal +
+    * batch×index through [[incrementalBucketCandidates]] — the index
+    * streams map-side, the batch broadcasts under the size gate, only
+    * over-cap prefix elements rank-chunk-shuffle), verify with the
+    * STORED sorted-element arrays (pure integer arithmetic,
+    * den·|A∩B| ≥ num·|A∪B| — no FP), and append the batch's token rows
+    * as the next index version (id-clustered within partitions — the
+    * TF-IDF zone-map lesson — so candidate-bounded probes prune row
+    * groups). Accumulated pairs across ingests equal the one-shot
+    * [[Dedup.prefixJaccardJoin]] pair list over the union EXACTLY, even
+    * though the one-shot sorts under its own corpus-wide df: both sides
+    * are exact all-pairs answers, and exactness is order-independent
+    * (the d59 gate; per-ingest pair sets are disjoint — a pair is
+    * emitted by exactly the ingest that indexes its later-arriving
+    * member — so the equality is split/order invariant, the d54
+    * theorem). Returns (committed version, new pairs (ia, ib, inter,
+    * un) with ia < ib), pairs persisted + materialized, caller
+    * unpersists.
+    */
+  def ingestPrefixJaccard(spark: SparkSession, root: String, sets: DataFrame,
+      p: PrefixJaccardParams = PrefixJaccardParams()): (Long, DataFrame) = {
+    val s0 = sets.persist()
+    try {
+      // an empty/absent root bootstraps naturally: the FIRST batch's
+      // element frequencies become the frozen order (see the freeze
+      // soundness argument above)
+      if (VersionedTable.versions(spark, prefixDfRoot(root)).isEmpty)
+        VersionedTable.write(spark,
+          s0.groupBy("elem").agg(count(lit(1)).as("df")), prefixDfRoot(root))
+      val batchTok =
+        prefixSortedSets(spark, root, s0, p, s0.count()).persist()
+      try {
+        val haveIndex = VersionedTable.versions(spark, prefixTokRoot(root)).nonEmpty
+        val prior = if (haveIndex) Some(readPrefixIndex(spark, root)) else None
+        val bandedB = bandedOfPrefix(batchTok).persist()
+        val batchRows = bandedB.count() // materializes; drives the broadcast gate
+        val batchStats = bucketStats(bandedB)
+        val over = overCapBuckets(spark, prefixStatsRoot(root), batchStats, p.bucketCap)
+        val cands = (prior match {
+          case Some(ix) => incrementalBucketCandidates(
+            bandedOfPrefix(ix), bandedB, p.bucketCap, over,
+            batchRows, p.broadcastRowLimit)
+          case None => incrementalBucketCandidates(
+            bandedB.filter(lit(false)), bandedB, p.bucketCap, over,
+            batchRows, p.broadcastRowLimit)
+        }).persist()
+        try {
+          // verification with the prefixJaccardJoin exchange discipline:
+          // the (wide) sorted-element arrays reach the candidate-bounded
+          // pair list via map-side prune + broadcast, never a
+          // hash-partition shuffle of the index
+          val toks = prior.map(_.unionAll(batchTok)).getOrElse(batchTok)
+          val ta = toks.select(col("id").as("a"), col("toks").as("ta"), col("n").as("na"))
+            .join(broadcast(cands.select("a").distinct()), "a")
+          val tb = toks.select(col("id").as("b"), col("toks").as("tb"), col("n").as("nb"))
+            .join(broadcast(cands.select("b").distinct()), "b")
+          val verified = cands
+            .join(broadcast(ta), "a")
+            .join(broadcast(tb), "b")
+            .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+            .withColumn("un", col("na") + col("nb") - col("inter"))
+            .filter(lit(p.den) * col("inter") >= lit(p.num) * col("un"))
+            .select(col("a").as("ia"), col("b").as("ib"),
+              col("inter").cast("long").as("inter"), col("un").cast("long").as("un"))
+            .persist()
+          verified.count() // materialize while the caches are hot
+          VersionedTable.write(spark, batchStats, prefixStatsRoot(root)) // stats first (see ingestMinHash)
+          val v = VersionedTable.write(spark,
+            batchTok.sortWithinPartitions("id"), prefixTokRoot(root))
+          (v, verified)
+        } finally {
+          cands.unpersist(blocking = false)
+          bandedB.unpersist(blocking = false)
+        }
+      } finally batchTok.unpersist(blocking = false)
+    } finally s0.unpersist(blocking = false)
+  }
+
+  /** Compact a prefix-filter index: token rows verbatim, `prefixstats`
+    * pre-aggregated (the frozen df snapshot has nothing to compact).
+    */
+  def compactPrefixIndex(spark: SparkSession, root: String,
+      vacuum: Boolean = true): Unit = {
+    compactLog(spark, prefixTokRoot(root), vacuum = vacuum)
+    compactLog(spark, prefixStatsRoot(root),
+      _.groupBy("band", "bucket").agg(sum(col("n")).as("n")), vacuum)
+  }
+
+  /** Purge a prefix-filter index — the [[purgeDedupIndex]] shape:
+    * surviving token rows checkpointed, `prefixstats` re-derived exactly
+    * from them, tombstones cleared last (frozen df stays — corpus
+    * metadata, not per-doc state).
+    */
+  def purgePrefixIndex(spark: SparkSession, root: String): Unit = {
+    purgeLog(spark, root, prefixTokRoot(root))
+    val statsRoot = prefixStatsRoot(root)
+    VersionedTable.writeCheckpoint(spark,
+      bucketStats(bandedOfPrefix(
+        VersionedTable.readAllVersions(spark, prefixTokRoot(root)))),
       statsRoot, VersionedTable.versions(spark, statsRoot).last)
     VersionedTable.vacuumCovered(spark, statsRoot)
     clearTombstones(spark, root)
@@ -830,10 +1139,10 @@ object IncrementalIndex {
     * which would silently swap (a, b) under a later positional union).
     */
   def retractPairs(pairs: DataFrame, ids: DataFrame,
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id", aCol: String = "a", bCol: String = "b"): DataFrame = {
     val t = ids.select(col(idCol).as("id")).distinct()
-    pairs.join(broadcast(t.select(col("id").as("a"))), Seq("a"), "left_anti")
-      .join(broadcast(t.select(col("id").as("b"))), Seq("b"), "left_anti")
+    pairs.join(broadcast(t.select(col("id").as(aCol))), Seq(aCol), "left_anti")
+      .join(broadcast(t.select(col("id").as(bCol))), Seq(bCol), "left_anti")
       .select(pairs.columns.map(col).toSeq: _*)
   }
 

@@ -65,7 +65,7 @@ object VersionedTable {
     }.flatten.sortBy(_._1)
   }
 
-  private def nameOf(e: (Long, Option[Long])): String = e match {
+  private[graft] def nameOf(e: (Long, Option[Long])): String = e match {
     case (v, Some(u)) => checkpointDirName(v, u)
     case (v, None)    => dirName(v)
   }
@@ -124,11 +124,15 @@ object VersionedTable {
   /** Write `df` as the next version; returns the committed version number.
     * The data is staged ONCE; only the visibility rename retries under
     * writer races, so the race window is a metadata operation, not a
-    * dataset rewrite.
+    * dataset rewrite. `markers` are empty underscore-prefixed files
+    * committed ATOMICALLY with the version (they ride the staging
+    * rename) — the exactly-once witness the streaming ingest paths key
+    * on; parquet readers ignore them.
     */
   def write(spark: SparkSession, df: DataFrame, root: String,
-      maxAttempts: Int = 20, orphanTtlMs: Long = 15 * 60 * 1000L): Long =
-    stageAndCommit(spark, df, root, maxAttempts, orphanTtlMs, None)
+      maxAttempts: Int = 20, orphanTtlMs: Long = 15 * 60 * 1000L,
+      markers: Seq[String] = Nil): Long =
+    stageAndCommit(spark, df, root, maxAttempts, orphanTtlMs, None, markers)
 
   /** Write `df` as a CHECKPOINT version claiming to supersede every
     * version ≤ `upTo`: union reads ([[readAllVersions]]) then plan the
@@ -148,7 +152,10 @@ object VersionedTable {
     stageAndCommit(spark, df, root, maxAttempts, orphanTtlMs, Some(upTo))
 
   private def stageAndCommit(spark: SparkSession, df: DataFrame, root: String,
-      maxAttempts: Int, orphanTtlMs: Long, checkpointUpTo: Option[Long]): Long = {
+      maxAttempts: Int, orphanTtlMs: Long, checkpointUpTo: Option[Long],
+      markers: Seq[String] = Nil): Long = {
+    markers.foreach(m => require(m.startsWith("_"),
+      s"version markers must be underscore-prefixed (parquet-invisible): $m"))
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     f.mkdirs(rootPath)
@@ -159,6 +166,7 @@ object VersionedTable {
     // Underscore-prefixed nonce marker: invisible to parquet readers,
     // proves in commitStaged that the committed dir is OURS.
     f.create(new Path(staging, s"_commit-$nonce"), false).close()
+    markers.foreach(m => f.create(new Path(staging, m), false).close())
     commitStaged(f, rootPath, staging, nonce, maxAttempts, checkpointUpTo)
   }
 

@@ -239,6 +239,23 @@ class CorpusApiSpec extends SparkSpec {
       df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ps(p1).union(ps(p2)) == ps(oneShot))
     oneShot.unpersist(); p1.unpersist(); p2.unpersist()
+    // prefix-filter side (d59): the EXACT index through the API — two
+    // batches accumulate the one-shot prefixJaccardJoin pairs verbatim
+    val prefRoot = tmpDir("corpus_incr_prefix")
+    val q1 = docs.filter(col("doc_id") < 250).ingestIntoPrefixIndex(prefRoot)
+    val q2 = docs.filter(col("doc_id") >= 250).ingestIntoPrefixIndex(prefRoot)
+    def sh5(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), 5))
+    val sets = docs
+      .select(col("doc_id").as("id"), explode(sh5(col("text"))).as("elem"))
+      .distinct()
+    val oneShotP = Dedup.prefixJaccardJoin(sets, 4, 5)
+    def pp(df: org.apache.spark.sql.DataFrame) =
+      df.select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp(q1).union(pp(q2)) == pp(oneShotP))
+    oneShotP.unpersist(); q1.unpersist(); q2.unpersist()
     // SemDeDup side: bootstrap + API ingest covers every vector once
     val embs = spark.read.parquet(sf("embeddings"))
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))

@@ -392,6 +392,93 @@ class IncrementalIndexSpec extends SparkSpec {
       "compaction must be invisible to scoring and later ingests")
   }
 
+  test("exactly-once epoch ingest: replays drop at every crash window, surviving vacuum") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpDir("incr_epoch")
+    val pairsRoot = tmpDir("incr_epoch_pairs")
+    val r = pmod(col("doc_id") % 100000, lit(3))
+    val b = Seq(corpus.filter(r === 0), corpus.filter(r === 1), corpus.filter(r === 2))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // epoch 0 commits
+    val p0 = IncrementalIndex.ingestMinHashEpoch(
+      spark, root, pairsRoot, b(0), "doc_id", "text", 0L)
+    assert(p0.nonEmpty); p0.foreach(_.unpersist(blocking = false))
+    // a full replay of epoch 0 drops: no new versions anywhere
+    assert(IncrementalIndex.ingestMinHashEpoch(
+      spark, root, pairsRoot, b(0), "doc_id", "text", 0L).isEmpty)
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    assert(VersionedTable.versions(spark, pairsRoot) == Seq(1L))
+    // crash window "pairs committed, signatures not": run epoch 1, then
+    // erase the signature version + its hwm record as the crash would
+    // have left them — the replay must skip the pairs write (no
+    // double-append) and commit only the signatures
+    val p1 = IncrementalIndex.ingestMinHashEpoch(
+      spark, root, pairsRoot, b(1), "doc_id", "text", 1L)
+    assert(p1.nonEmpty); p1.foreach(_.unpersist(blocking = false))
+    fs.delete(new Path(root, graft.sinks.VersionedTable.dirName(2L)), true)
+    val out = fs.create(new Path(root, "_epoch-hwm"), true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    val p1r = IncrementalIndex.ingestMinHashEpoch(
+      spark, root, pairsRoot, b(1), "doc_id", "text", 1L)
+    assert(p1r.nonEmpty, "signature half must be recommitted")
+    p1r.foreach(_.unpersist(blocking = false))
+    assert(VersionedTable.versions(spark, pairsRoot) == Seq(1L, 2L),
+      "the replay must not double-append pairs")
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    // compaction deletes the marker-carrying versions — the hwm file
+    // keeps replay detection alive
+    IncrementalIndex.compactDedupIndex(spark, root)
+    IncrementalIndex.compactLog(spark, pairsRoot)
+    assert(IncrementalIndex.ingestMinHashEpoch(
+      spark, root, pairsRoot, b(1), "doc_id", "text", 1L).isEmpty,
+      "post-vacuum replay must still drop (hwm witness)")
+    // a genuinely new epoch still ingests, and the accumulated state
+    // equals the clean one-shot over everything
+    val p2 = IncrementalIndex.ingestMinHashEpoch(
+      spark, root, pairsRoot, b(2), "doc_id", "text", 2L)
+    assert(p2.nonEmpty); p2.foreach(_.unpersist(blocking = false))
+    val union = b.reduce(_ union _)
+    assert(IncrementalIndex.readMinHashIndex(spark, root).count() == union.count(),
+      "every doc signed exactly once across commits, replays and compaction")
+    val oneShot = Dedup.minHashLsh(union, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    assert(pairSet(VersionedTable.readAllVersions(spark, pairsRoot)) == pairSet(oneShot))
+    oneShot.unpersist()
+  }
+
+  test("incremental prefix join: accumulated exact pairs equal one-shot under frozen df; compaction invisible") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val root = tmpDir("incr_prefix")
+    def sh(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+    val sets = corpus
+      .select(col("doc_id").as("id"), explode(sh(col("text"))).as("elem"))
+      .distinct().persist()
+    val r = pmod(col("id") % 100000, lit(3))
+    val isMut = col("id") >= 100000
+    // batch 2 carries mutant docs whose dropped-first-token shingles are
+    // unseen at freeze time — the vocabulary-drift case (df = 0 order)
+    val b1 = sets.filter((!isMut && r < 2) || (isMut && r === 0))
+    val b2 = sets.filter((!isMut && r === 2) || (isMut && r > 0))
+    val (v1, p1) = IncrementalIndex.ingestPrefixJaccard(spark, root, b1) // self-bootstrap
+    // compaction between ingests must be invisible to the accumulation
+    IncrementalIndex.compactPrefixIndex(spark, root)
+    val (v2, p2) = IncrementalIndex.ingestPrefixJaccard(spark, root, b2)
+    assert(v1 == 1L && v2 > v1)
+    def rows(df: DataFrame): Set[(Long, Long, Long, Long)] =
+      df.select(col("ia").cast("long"), col("ib").cast("long"),
+          col("inter").cast("long"), col("un").cast("long"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    val oneShot = Dedup.prefixJaccardJoin(sets, 4, 5)
+    val s1 = rows(p1); val s2 = rows(p2)
+    assert(s1.intersect(s2).isEmpty, "per-ingest pair sets must be disjoint")
+    // equality INCLUDING integer witnesses, despite the one-shot sorting
+    // under its own corpus-wide df — exactness is order-independent
+    assert(s1.union(s2) == rows(oneShot))
+    assert(s2.nonEmpty && s1.nonEmpty)
+    oneShot.unpersist(); p1.unpersist(); p2.unpersist(); sets.unpersist()
+  }
+
   test("incremental simhash ingest equals one-shot portable pairs; batch sets disjoint") {
     val root = tmpDir("incr_simhash")
     val r = pmod(col("doc_id") % 100000, lit(3))
