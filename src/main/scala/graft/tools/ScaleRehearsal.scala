@@ -436,6 +436,110 @@ object ScaleRehearsal {
     } finally fs.delete(new Path(root), true)
   }
 
+  /** (id, elem) shingle-set rows for the prefix-filter probes — the d59
+    * registry shape (5-gram md5 shingles), ids offset to avoid replica
+    * collisions.
+    */
+  private def prefixSets(spark: SparkSession, dir: String,
+      offset: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def sh(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select((col("doc_id") + offset).as("id"), explode(sh(col("text"))).as("elem"))
+      .distinct()
+  }
+
+  /** Incremental prefix-filter probe (d59): bootstrap over `indexDir`
+    * (freezing element df), TIME one fixed sf0.01-sized ingest against
+    * the index, and time the one-shot [[graft.operators.Dedup.prefixJaccardJoin]]
+    * rebuild over the union it replaces. Unlike TF-IDF the ingest has a
+    * real index term (the map-only banded scan of stored token rows
+    * feeding the candidate probe) — the claim to verify is that the
+    * term is the FLAT-ish O(index scan) one, not the rebuild's
+    * O(index²-candidates) one.
+    */
+  private def timedPrefix(spark: SparkSession, base: String,
+      indexDir: String, batchDir: String, tag: String): (Double, Double, Double) = {
+    import graft.operators.{Dedup, IncrementalIndex}
+    import org.apache.hadoop.fs.Path
+    val root = s"$base/graft-prefix-$tag"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    try {
+      val idx = prefixSets(spark, indexDir)
+      var t0 = System.nanoTime()
+      val (_, p0) = IncrementalIndex.ingestPrefixJaccard(spark, root, idx)
+      val bootSec = (System.nanoTime() - t0) / 1e9
+      p0.unpersist(blocking = false)
+      val batch = prefixSets(spark, batchDir, 50000000L)
+      SparkEntry.resetSessionCache(spark)
+      t0 = System.nanoTime()
+      val (_, p1) = IncrementalIndex.ingestPrefixJaccard(spark, root, batch)
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      p1.unpersist(blocking = false)
+      SparkEntry.resetSessionCache(spark)
+      t0 = System.nanoTime()
+      val rebuilt = Dedup.prefixJaccardJoin(idx.unionAll(batch), 4, 5)
+      val rebuildSec = (System.nanoTime() - t0) / 1e9
+      rebuilt.unpersist(blocking = false)
+      println(f"SCALE prefix[$tag] bootstrap $bootSec%.2fs ingest $ingestSec%.2fs " +
+        f"vs one-shot rebuild $rebuildSec%.2fs")
+      (bootSec, ingestSec, rebuildSec)
+    } finally fs.delete(new Path(root), true)
+  }
+
+  /** Retraction/purge probe (d56) at rehearsal scale: bootstrap a
+    * MinHash index over `indexDir`, retract 5% of its ids (must be
+    * O(ids) — one tombstone version, nothing rewritten), TIME an ingest
+    * against the retracted index (tombstone anti-join rides the banded
+    * scan), then TIME the physical purge (O(index) checkpoint rewrite —
+    * the amortized takedown compaction) and check the survivor count.
+    */
+  private def timedRetract(spark: SparkSession, base: String,
+      indexDir: String, batchDir: String, tag: String): String = {
+    import graft.operators.IncrementalIndex
+    import org.apache.hadoop.fs.Path
+    val root = s"$base/graft-retract-$tag"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    try {
+      val docs = spark.read.parquet(s"$indexDir/documents.parquet")
+        .select("doc_id", "text")
+      val n = docs.count()
+      val (_, p0) = IncrementalIndex.ingestMinHash(spark, root, docs, "doc_id", "text")
+      p0.unpersist(blocking = false)
+      val ids = docs.filter(pmod(col("doc_id"), lit(20)) === 0).select("doc_id")
+      val nr = ids.count()
+      SparkEntry.resetSessionCache(spark)
+      var t0 = System.nanoTime()
+      IncrementalIndex.retract(spark, root, ids, "doc_id")
+      val retractSec = (System.nanoTime() - t0) / 1e9
+      val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+        .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+      val nb = batch.count()
+      SparkEntry.resetSessionCache(spark)
+      t0 = System.nanoTime()
+      val (_, p1) = IncrementalIndex.ingestMinHash(spark, root, batch, "doc_id", "text")
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      p1.unpersist(blocking = false)
+      SparkEntry.resetSessionCache(spark)
+      t0 = System.nanoTime()
+      IncrementalIndex.purgeDedupIndex(spark, root)
+      val purgeSec = (System.nanoTime() - t0) / 1e9
+      val remaining = IncrementalIndex.readMinHashIndex(spark, root).count()
+      val ok = remaining == n - nr + nb
+      println(f"SCALE retract[$tag] index=$n retract($nr) $retractSec%.2fs " +
+        f"ingest-after $ingestSec%.2fs purge $purgeSec%.2fs " +
+        f"survivors=$remaining ok=$ok")
+      s""""$tag":{"index_docs":$n,"retracted":$nr,""" +
+        s""""retract_s":${"%.2f".format(retractSec)},""" +
+        s""""ingest_after_s":${"%.2f".format(ingestSec)},""" +
+        s""""purge_s":${"%.2f".format(purgeSec)},""" +
+        s""""survivors_ok":$ok}"""
+    } finally fs.delete(new Path(root), true)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF1_BASE", "/tmp")
@@ -616,6 +720,46 @@ object ScaleRehearsal {
         }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
         s"""{"tfidf":{${rows.mkString(",")}}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "prefix") {
+      // incremental prefix-filter (d59) across two index decades: fixed
+      // sf0.01 ingest vs one-shot rebuild over the union
+      val batchDir = new java.io.File(srcDir).getParent + "/sf0.01"
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val sf10Dir = s"$base/graft-sf10-real"
+      ensureDir(spark, srcDir, sf10Dir, "real", replicas = 100,
+        only = Some(Set("documents", "embeddings")))
+      // discard one tiny pass first: codegen/JIT warm-up otherwise lands
+      // entirely on the first timed number (measured 16→53 s swings)
+      timedPrefix(spark, base, warmDir, warmDir, "warm")
+      val rows = Seq(("1x", srcDir), ("10x", cliqueDir0), ("100x", sf10Dir))
+        .map { case (tag, dir) =>
+        val (b, i, r) = timedPrefix(spark, base, dir, batchDir, tag)
+        s""""$tag":{"bootstrap":${"%.2f".format(b)},""" +
+          s""""ingest":${"%.2f".format(i)},"rebuild":${"%.2f".format(r)}}"""
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"prefix":{${rows.mkString(",")}}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "retract") {
+      // retraction/purge (d56) cost at two index decades: tombstone
+      // append must be O(ids), purge O(index), post-retract ingest flat
+      val batchDir = new java.io.File(srcDir).getParent + "/sf0.01"
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val rows = Seq(("1x", srcDir), ("10x", cliqueDir0))
+        .map { case (tag, dir) => timedRetract(spark, base, dir, batchDir, tag) }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"retract":{${rows.mkString(",")}}}""" + "\n")
       println(s"[scale] wrote $outJson")
       spark.stop()
       return
