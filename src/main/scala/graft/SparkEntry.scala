@@ -4259,6 +4259,80 @@ object SparkEntry {
         out
       }.orderBy("ia", "ib")),
 
+    // Temperature-based source mixture (the data-mixing step of a
+    // pretraining pipeline): per-source keep rates DERIVED from corpus
+    // counts — effective counts ∝ n^α with α = 1/2 (unigram temperature
+    // sampling), i.e. keep rate r_s = sqrt(n_min/n_s), rarest source
+    // kept whole. The rate is applied with the salted portable md5
+    // hash, and the sqrt never materializes: keep ⇔ h < 10⁴·√(n_min/n_s)
+    // ⇔ h²·n_s < 10⁸·n_min — EXACT integer arithmetic on both engines
+    // (no FP boundary can flip a doc; safe while n_s < 9.2×10¹⁰, far
+    // past 100 TB doc counts). Plan: one tiny count aggregate broadcasts
+    // back over the scan — the corpus itself is touched once, map-only.
+    "d60_temperature_mixture" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      // n_min rides the counts frame through a single-partition window —
+      // the frame is strata-sized (|languages|), so the one-partition
+      // sort is O(strata), and the corpus is scanned exactly twice
+      // (counts, then the filtered re-aggregation) instead of three times
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_str"))
+        .withColumn("n_min", min(col("n_str")).over(Window.partitionBy()))
+      val h = conv(substring(md5(
+        concat(lit("temp1:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 10000
+      docs.join(broadcast(counts), "lang")
+        .withColumn("keep", h * h * col("n_str") < lit(100000000L) * col("n_min"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("keep"), 1)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // Per-source token/char budgeting: keep each source's prefix in
+    // salted-hash order (a uniform random subset, reproducible on any
+    // cluster/retry) until a character budget is hit — the "cap every
+    // source at B tokens" step of corpus assembly. The running total is
+    // a per-source window sum: shuffle by source, sort within — sources
+    // parallelize, and nothing global sorts. Exact integer cumsum; the
+    // cutoff is the same row on any engine because (hash, doc_id) is a
+    // total order.
+    "d61_source_budget" -> ((s, dir) => {
+      val h = conv(substring(md5(
+        concat(lit("bud1:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      tbl(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"), h.as("h"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .filter(col("cum") <= 5000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        .orderBy("source")
+    }),
+
+    // Canonical-document selection per near-dup cluster (the keep-the-
+    // best half of dedup): d9's min-label clusters joined with d7's
+    // quality score; each cluster's representative is its highest-
+    // quality member, ties to the lowest doc_id. Per-cluster work is a
+    // window over cluster-partitioned rows — clusters are small by
+    // construction (bucket caps bound them), so the shuffle is by
+    // cluster id and nothing global sorts.
+    "d62_cluster_canonical" -> ((s, dir) => {
+      val clusters = cachedDf(s, s"clusters|$dir")(
+        Dedup.clusters(minHashPairs(s, dir), iters = 4))
+      val q = nearDupCorpus(tbl(s, dir, "documents"))
+        .select(col("doc_id").as("doc"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+      val w = Window.partitionBy("cluster").orderBy(col("q").desc, col("doc"))
+      clusters.join(q, "doc")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc").as("rep_doc"),
+          col("q").as("rep_q"), col("n_members"))
+        .orderBy("cluster")
+    }),
+
     // Language-distribution divergence between corpus sources (the
     // distribution-shift monitor a mixture pipeline needs): per-source
     // predicted-language histograms, pairwise Jensen-Shannon divergence.
@@ -6672,6 +6746,50 @@ object SparkEntry {
     // accumulate the identical exact pair list (witnesses included)
     // across its two ingests, despite freezing element order at batch 1
     "d59_incremental_prefix_join" -> duckPrefixJoinSql,
+
+    "d60_temperature_mixture" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_str FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n_str) AS n_min FROM c),
+        |d AS (SELECT d.lang,
+        |  (('0x' || substr(md5('temp1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) AS h,
+        |  c.n_str, m.n_min
+        |  FROM documents d JOIN c USING(lang) CROSS JOIN m)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN h * h * n_str < 100000000 * n_min THEN 1 END) AS n_kept
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "d61_source_budget" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |  ('0x' || substr(md5('bud1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (SELECT source, n_chars,
+        |  SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM d)
+        |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        |FROM c WHERE cum <= 5000 GROUP BY source ORDER BY source""".stripMargin,
+
+    // d9's recursive-CTE clusters + d7's quality formula: the cluster
+    // representative is the (max quality, min doc_id) member
+    "d62_cluster_canonical" ->
+      s"""WITH RECURSIVE corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+         |prs AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sh l, sh r WHERE l.doc_id < r.doc_id
+         |  AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) >= 0.8),
+         |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a WHERE e.b != r.src),
+         |cl AS (SELECT src AS doc, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src),
+         |base AS (SELECT doc_id, $duckQualitySignals FROM corpus),
+         |qq AS (SELECT doc_id AS doc, $duckQualityExpr AS q FROM base),
+         |j AS (SELECT cl.cluster, cl.doc, qq.q,
+         |  ROW_NUMBER() OVER (PARTITION BY cl.cluster ORDER BY qq.q DESC, cl.doc) AS rn,
+         |  COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members
+         |  FROM cl JOIN qq USING(doc))
+         |SELECT cluster, doc AS rep_doc, q AS rep_q, n_members
+         |FROM j WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
     "q77_winsorize" ->
       """WITH e AS (SELECT o_orderpriority,
