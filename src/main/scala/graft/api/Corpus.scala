@@ -119,6 +119,78 @@ object corpus {
       df.filter(h < rate)
     }
 
+    /** Temperature-based mixture sampling (d60): per-stratum keep rates
+      * DERIVED from corpus counts — effective counts ∝ n^`alpha`, the
+      * rarest stratum kept whole — applied with the salted portable
+      * hash (reproducible under any partitioning, retry, or engine).
+      * The default α = 0.5 runs in EXACT integer arithmetic (the sqrt
+      * eliminates: keep ⇔ h²·n_s < 10⁸·n_min, safe while a stratum
+      * holds < 9.2×10¹⁰ docs); other α apply the double rate (still
+      * deterministic — same IEEE pow of the same inputs everywhere).
+      * Two corpus scans: the strata-sized count frame takes n_min from
+      * a single-partition window and broadcasts back. Returns the kept
+      * rows with the original columns.
+      */
+    def sampleTemperature(
+        stratCol: String = "lang", alpha: Double = 0.5,
+        idCol: String = "doc_id", salt: String = "temp1"): DataFrame = {
+      val counts = df.groupBy(stratCol).agg(count(lit(1)).as("__n"))
+        .withColumn("__nmin", min(col("__n")).over(Window.partitionBy()))
+      val h = conv(substring(md5(
+        concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 10000
+      val joined = df.join(broadcast(counts), stratCol)
+      val kept =
+        if (alpha == 0.5)
+          joined.filter(h * h * col("__n") < lit(100000000L) * col("__nmin"))
+        else
+          joined.filter(h.cast("double") < lit(10000.0) *
+            pow(col("__nmin").cast("double") / col("__n").cast("double"),
+              1.0 - alpha))
+      kept.drop("__n", "__nmin")
+    }
+
+    /** Character-budget source cap (d61): keep each source's prefix in
+      * salted-hash order — a uniform, reproducible subset — until the
+      * running `charsCol` total exceeds `budget`; the budgeted twin of
+      * [[capPerDomain]]'s count cap. One shuffle by `domainCol`, exact
+      * per-source window cumsum, sources parallelize.
+      */
+    def capPerDomainChars(
+        budget: Long, domainCol: String = "source",
+        charsCol: String = "n_chars", idCol: String = "doc_id",
+        salt: String = "bud1"): DataFrame = {
+      val h = conv(substring(md5(
+        concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy(domainCol).orderBy(h, col(idCol))
+      df.withColumn("__cum", sum(col(charsCol)).over(w))
+        .filter(col("__cum") <= budget).drop("__cum")
+    }
+
+    /** Canonical representative per near-dup cluster (d62): given
+      * (doc, cluster) labels (e.g. [[dedupNearClusters]] /
+      * [[graft.operators.Dedup.clusters]] output), score THIS corpus
+      * with the shared quality formula and keep one row per cluster —
+      * the highest-quality member, ties to the lowest doc id. Returns
+      * (cluster, rep_doc, rep_q, n_members); cluster sizes are bounded
+      * by the dedup bucket caps upstream, so no window partition can be
+      * pathological.
+      */
+    def canonicalPerCluster(
+        clusters: DataFrame, idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame = {
+      val q = df.select(col(idCol).as("doc"),
+        round(TextFunctions.qualityScore(col(textCol)), 6).as("q"))
+      val w = Window.partitionBy("cluster").orderBy(col("q").desc, col("doc"))
+      clusters.join(q, "doc")
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+        .filter(col("__rn") === 1)
+        .select(col("cluster"), col("doc").as("rep_doc"),
+          col("q").as("rep_q"), col("n_members"))
+    }
+
     /** Shard-local sequence packing: concatenate each group's documents
       * in id order and assign 2048-token (by default) training chunks —
       * a document's chunk is its exclusive running token offset div

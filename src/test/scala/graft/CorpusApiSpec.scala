@@ -226,6 +226,35 @@ class CorpusApiSpec extends SparkSpec {
     assert(api.values.exists(!_._2)) // the mutant corpus guarantees drops
   }
 
+  test("corpus-assembly wrappers match their gated query twins (d60-d62)") {
+    // d60: kept-row counts per stratum == the gated aggregate
+    val kept60 = docs.sampleTemperature()
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q60 = SparkEntry.queries("d60_temperature_mixture")(spark, sfDir)
+      .select("lang", "n_kept")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept60 == q60.filter(_._2 > 0) && kept60.nonEmpty)
+    // the temperature actually engages: some stratum is subsampled
+    val tot = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept60.exists { case (l, k) => k < tot(l) })
+    // d61: kept docs + chars per source == the gated aggregate
+    val kept61 = docs.capPerDomainChars(5000L)
+      .groupBy("source").agg(count(lit(1)).as("n"), sum("n_chars").as("ch"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val q61 = SparkEntry.queries("d61_source_budget")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(kept61 == q61.filter { case (_, (n, _)) => n > 0 } && kept61.nonEmpty)
+    // d62: representative rows == the gated query verbatim
+    val clusters = SparkEntry.queries("d9_dedup_clusters")(spark, sfDir)
+    val api62 = mutantCorpus.canonicalPerCluster(clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val q62 = SparkEntry.queries("d62_cluster_canonical")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(api62 == q62 && api62.nonEmpty)
+  }
+
   test("incremental ingest APIs accumulate the one-shot results across two batches") {
     import graft.operators.{Dedup, IncrementalIndex}
     // MinHash side: two bookmark batches through the API == one-shot pairs
