@@ -342,19 +342,35 @@ object IncrementalIndex {
     if (epochCommittedIn(spark, root, epochId)) return None
     val a = minHashBatchArtifacts(spark, root, batch, idCol, textCol, p)
     try {
-      VersionedTable.write(spark, a.batchStats, subRoot(root, "bucketstats"))
-      if (!epochCommittedIn(spark, pairsRoot, epochId)) {
-        VersionedTable.write(spark, a.verified, pairsRoot,
-          markers = Seq(s"_epoch-$epochId"))
-        recordEpochHwm(spark, pairsRoot, epochId)
-      }
-      VersionedTable.write(spark, a.batchSigs, root,
-        markers = Seq(s"_epoch-$epochId"))
-      recordEpochHwm(spark, root, epochId)
+      commitEpoch(spark, root, pairsRoot, epochId,
+        a.batchStats, subRoot(root, "bucketstats"), a.batchSigs, a.verified)
       Some(a.verified)
     } catch {
       case t: Throwable => a.verified.unpersist(blocking = false); throw t
     } finally a.release()
+  }
+
+  /** The exactly-once commit protocol shared by every `*Epoch` ingest
+    * (crash-window analysis at [[ingestMinHashEpoch]]): stats first
+    * WITHOUT a marker (a stats double-commit only overcounts occupancy —
+    * conservative), then pairs and the batch's index rows each under an
+    * `_epoch-<id>` marker riding the atomic staging rename, hwm recorded
+    * after each visibility. The index-row write goes LAST: a replay
+    * keys on the INDEX root, so "index committed" implies everything
+    * before it committed too.
+    */
+  private def commitEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, epochId: Long, batchStats: DataFrame,
+      statsRoot: String, batchRows: DataFrame, pairs: DataFrame): Unit = {
+    VersionedTable.write(spark, batchStats, statsRoot)
+    if (!epochCommittedIn(spark, pairsRoot, epochId)) {
+      VersionedTable.write(spark, pairs, pairsRoot,
+        markers = Seq(s"_epoch-$epochId"))
+      recordEpochHwm(spark, pairsRoot, epochId)
+    }
+    VersionedTable.write(spark, batchRows, root,
+      markers = Seq(s"_epoch-$epochId"))
+    recordEpochHwm(spark, root, epochId)
   }
 
   /** Replay detection for one root: epoch ≤ max(newest `_epoch-*`
@@ -521,10 +537,14 @@ object IncrementalIndex {
     * the union (the d58 gate; order-invariant by the disjoint-union
     * theorem). Returns (committed version, new pairs (a, b, hamming)).
     */
-  def ingestSimHash(spark: SparkSession, root: String, batch: DataFrame,
-      idCol: String, textCol: String, maxHamming: Int = 3, shingleN: Int = 3,
-      bucketCap: Int = 4096,
-      broadcastRowLimit: Long = DefaultBroadcastRowLimit): (Long, DataFrame) = {
+  private final case class SimHashArtifacts(
+      batchSigs: DataFrame, batchStats: DataFrame, verified: DataFrame,
+      release: () => Unit)
+
+  private def simHashBatchArtifacts(spark: SparkSession, root: String,
+      batch: DataFrame, idCol: String, textCol: String, maxHamming: Int,
+      shingleN: Int, bucketCap: Int,
+      broadcastRowLimit: Long): SimHashArtifacts = {
     val batchSigs = simHashSignatures(batch, idCol, textCol, shingleN).persist()
     try {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
@@ -555,14 +575,50 @@ object IncrementalIndex {
           .filter(col("hamming") <= maxHamming)
           .persist()
         verified.count()
-        VersionedTable.write(spark, batchStats, statsRoot) // stats first (see ingestMinHash)
-        val v = VersionedTable.write(spark, batchSigs, root)
-        (v, verified)
-      } finally {
-        cands.unpersist(blocking = false)
-        bandedB.unpersist(blocking = false)
-      }
-    } finally batchSigs.unpersist(blocking = false)
+        SimHashArtifacts(batchSigs, batchStats, verified, () => {
+          bandedB.unpersist(blocking = false)
+          batchSigs.unpersist(blocking = false)
+        })
+      } finally cands.unpersist(blocking = false)
+    } catch {
+      case t: Throwable => batchSigs.unpersist(blocking = false); throw t
+    }
+  }
+
+  def ingestSimHash(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3, shingleN: Int = 3,
+      bucketCap: Int = 4096,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): (Long, DataFrame) = {
+    val a = simHashBatchArtifacts(spark, root, batch, idCol, textCol,
+      maxHamming, shingleN, bucketCap, broadcastRowLimit)
+    try {
+      VersionedTable.write(spark, a.batchStats, subRoot(root, "bucketstats")) // stats first (see ingestMinHash)
+      val v = VersionedTable.write(spark, a.batchSigs, root)
+      (v, a.verified)
+    } finally a.release()
+  }
+
+  /** Exactly-once streaming SimHash ingest — [[ingestMinHashEpoch]]'s
+    * protocol (same crash-window analysis, same two-witness replay
+    * detection) over the SimHash artifacts. Returns None on a replayed
+    * epoch; the pattern extends to any family whose ingest decomposes
+    * into (batch rows, stats delta, pairs).
+    */
+  def ingestSimHashEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, batch: DataFrame, idCol: String, textCol: String,
+      epochId: Long, maxHamming: Int = 3, shingleN: Int = 3,
+      bucketCap: Int = 4096,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[DataFrame] = {
+    if (epochCommittedIn(spark, root, epochId)) return None
+    val a = simHashBatchArtifacts(spark, root, batch, idCol, textCol,
+      maxHamming, shingleN, bucketCap, broadcastRowLimit)
+    try {
+      commitEpoch(spark, root, pairsRoot, epochId,
+        a.batchStats, subRoot(root, "bucketstats"), a.batchSigs, a.verified)
+      Some(a.verified)
+    } catch {
+      case t: Throwable => a.verified.unpersist(blocking = false); throw t
+    } finally a.release()
   }
 
   /** Compact a SimHash index (signature log + stats sidecar). */

@@ -498,6 +498,40 @@ class IncrementalIndexSpec extends SparkSpec {
     Seq(p1, p2).foreach(_.unpersist())
   }
 
+  test("simhash epoch ingest: replays drop, pairs never double-append, accumulation exact") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpDir("incr_simhash_epoch")
+    val pairsRoot = tmpDir("incr_simhash_epoch_pairs")
+    val r = pmod(col("doc_id") % 100000, lit(2))
+    val b = Seq(corpus.filter(r === 0), corpus.filter(r === 1))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p0 = IncrementalIndex.ingestSimHashEpoch(
+      spark, root, pairsRoot, b(0), "doc_id", "text", 0L)
+    assert(p0.nonEmpty); p0.foreach(_.unpersist(blocking = false))
+    assert(IncrementalIndex.ingestSimHashEpoch(
+      spark, root, pairsRoot, b(0), "doc_id", "text", 0L).isEmpty,
+      "full replay must drop")
+    // the pairs-committed-signatures-not crash window: erase the epoch-1
+    // signature version + hwm; the replay must recommit signatures only
+    val p1 = IncrementalIndex.ingestSimHashEpoch(
+      spark, root, pairsRoot, b(1), "doc_id", "text", 1L)
+    assert(p1.nonEmpty); p1.foreach(_.unpersist(blocking = false))
+    fs.delete(new Path(root, graft.sinks.VersionedTable.dirName(2L)), true)
+    val out = fs.create(new Path(root, "_epoch-hwm"), true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    val p1r = IncrementalIndex.ingestSimHashEpoch(
+      spark, root, pairsRoot, b(1), "doc_id", "text", 1L)
+    assert(p1r.nonEmpty); p1r.foreach(_.unpersist(blocking = false))
+    assert(VersionedTable.versions(spark, pairsRoot) == Seq(1L, 2L),
+      "the replay must not double-append pairs")
+    val oneShot = Dedup.simHashPairsPortable(corpus, "doc_id", "text",
+      maxHamming = 3, shingleN = 3)
+    assert(pairSet(VersionedTable.readAllVersions(spark, pairsRoot)) == pairSet(oneShot))
+    assert(IncrementalIndex.readSimHashIndex(spark, root).count() == corpus.count(),
+      "every doc signed exactly once across commits and replays")
+    oneShot.unpersist()
+  }
+
   test("incremental exact dedup: accumulated verdicts equal keep-the-min; compaction blind") {
     val root = tmpDir("incr_exact")
     val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
