@@ -351,44 +351,92 @@ object ScaleRehearsal {
   private def manyIngests(spark: SparkSession, base: String, srcDir: String,
       batches: Int, every: Int, window: Int = 8): String = {
     import graft.operators.IncrementalIndex
-    import org.apache.hadoop.fs.Path
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
       .select("doc_id", "text").persist()
     docs.count()
+    val out = manyIngestsGeneric(spark, base, "many_ingests", "graft-incr-many",
+      batches, every, window,
+      idCol = "doc_id", rows = docs,
+      ingest = (root, b) => {
+        val (_, p) = IncrementalIndex.ingestMinHash(spark, root, b, "doc_id", "text")
+        p.unpersist(blocking = false)
+      },
+      compact = root => IncrementalIndex.compactDedupIndex(spark, root))
+    docs.unpersist(blocking = false)
+    out
+  }
+
+  /** The d59 analogue of [[manyIngests]]: many small ingests into one
+    * prefix-filter index, with and without periodic
+    * [[graft.operators.IncrementalIndex.compactPrefixIndex]].
+    */
+  private def manyPrefixIngests(spark: SparkSession, base: String,
+      srcDir: String, batches: Int, every: Int, window: Int = 8): String = {
+    import graft.operators.IncrementalIndex
+    val sets = prefixSets(spark, srcDir).persist()
+    sets.count()
+    val out = manyIngestsGeneric(spark, base, "prefix_many", "graft-prefix-many",
+      batches, every, window,
+      idCol = "id", rows = sets,
+      ingest = (root, b) => {
+        val (_, p) = IncrementalIndex.ingestPrefixJaccard(spark, root, b)
+        p.unpersist(blocking = false)
+      },
+      compact = root => IncrementalIndex.compactPrefixIndex(spark, root),
+      versionRootOf = root => s"$root/tokens")
+    sets.unpersist(blocking = false)
+    out
+  }
+
+  /** Log-growth probe (VERDICT r7 task 3 "done" criterion): many small
+    * ingests into one index root, with and without periodic compaction.
+    * Without compaction every ingest union-reads one more parquet
+    * version and re-aggregates one more stats delta — per-ingest cost
+    * grows with ingest COUNT even at constant index size. With
+    * compaction every `every` ingests, the version count is bounded and
+    * per-ingest cost must stay flat. Reports mean per-ingest seconds
+    * over the first and last `window` ingests of each arm, plus the
+    * final version counts.
+    */
+  private def manyIngestsGeneric(spark: SparkSession, base: String,
+      jsonKey: String, rootPrefix: String, batches: Int, every: Int,
+      window: Int, idCol: String, rows: DataFrame,
+      ingest: (String, DataFrame) => Unit,
+      compact: String => Unit,
+      versionRootOf: String => String = identity): String = {
+    import org.apache.hadoop.fs.Path
     val arms = Seq("nocompact" -> 0, "compact" -> every)
-    val rows = arms.map { case (arm, k) =>
-      val root = s"$base/graft-incr-many-$arm"
+    val armRows = arms.map { case (arm, k) =>
+      val root = s"$base/$rootPrefix-$arm"
       val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new Path(root), true)
       try {
         var compactSec = 0.0
         val times = (0 until batches).map { i =>
-          val b = docs.filter(pmod(col("doc_id"), lit(batches)) === i)
+          val b = rows.filter(pmod(col(idCol), lit(batches)) === i)
           val t0 = System.nanoTime()
-          val (_, p) = IncrementalIndex.ingestMinHash(spark, root, b, "doc_id", "text")
-          p.unpersist(blocking = false)
+          ingest(root, b)
           val ingestSec = (System.nanoTime() - t0) / 1e9
           // maintenance cost accounted separately: the flat-ingest claim
           // is about the PER-BATCH path; compaction is the amortized
           // price paid to keep it flat, reported as its own total
           if (k > 0 && (i + 1) % k == 0) {
             val t1 = System.nanoTime()
-            IncrementalIndex.compactDedupIndex(spark, root)
+            compact(root)
             compactSec += (System.nanoTime() - t1) / 1e9
           }
           ingestSec
         }
         val head = times.take(window).sum / window
         val tail = times.takeRight(window).sum / window
-        val nv = graft.sinks.VersionedTable.versions(spark, root).size
-        println(f"SCALE many[$arm] first$window ${head}%.2fs/ingest " +
+        val nv = graft.sinks.VersionedTable.versions(spark, versionRootOf(root)).size
+        println(f"SCALE many[$rootPrefix:$arm] first$window ${head}%.2fs/ingest " +
           f"last$window ${tail}%.2fs/ingest compaction ${compactSec}%.1fs total versions=$nv")
         s""""$arm":{"first":${"%.2f".format(head)},"last":${"%.2f".format(tail)},""" +
           s""""compact_sec":${"%.1f".format(compactSec)},"versions":$nv}"""
       } finally fs.delete(new Path(root), true)
     }
-    docs.unpersist(blocking = false)
-    s""""many_ingests":{"batches":$batches,"compact_every":$every,${rows.mkString(",")}}"""
+    s""""$jsonKey":{"batches":$batches,"compact_every":$every,${armRows.mkString(",")}}"""
   }
 
   /** Incremental TF-IDF probe (d55): bootstrap an index over `indexDir`'s
@@ -745,6 +793,18 @@ object ScaleRehearsal {
       }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
         s"""{"prefix":{${rows.mkString(",")}}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "prefixmany") {
+      // d59 log-growth probe: 100 small ingests into one prefix index,
+      // compaction contrast (the d54 many_ingests claim for d59)
+      timedPrefix(spark, base, warmDir, warmDir, "warm")
+      val row = manyPrefixIngests(spark, base, srcDir, batches = 100, every = 10)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{$row}""" + "\n")
       println(s"[scale] wrote $outJson")
       spark.stop()
       return
