@@ -883,8 +883,13 @@ object IncrementalIndex {
     * signature rows as the next version. Returns (version, pairs (a, b,
     * cos) with a < b), pairs persisted + materialized, caller unpersists.
     */
-  def ingestEmbeddings(spark: SparkSession, root: String, batch: DataFrame,
-      idCol: String, vecCol: String, p: SrpParams): (Long, DataFrame) = {
+  private final case class SrpArtifacts(
+      batchSigs: DataFrame, batchStats: DataFrame, verified: DataFrame,
+      release: () => Unit)
+
+  private def srpBatchArtifacts(spark: SparkSession, root: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      p: SrpParams): SrpArtifacts = {
     val batchSigs = srpSignatures(batch, idCol, vecCol, p).persist()
     try {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
@@ -910,14 +915,43 @@ object IncrementalIndex {
         }
         val verified = Dedup.verifyCosine(cands, vecs, p.threshold)
         verified.count()
-        VersionedTable.write(spark, batchStats, statsRoot) // stats first (see ingestMinHash)
-        val v = VersionedTable.write(spark, batchSigs, root)
-        (v, verified)
-      } finally {
-        cands.unpersist(blocking = false)
-        bandedB.unpersist(blocking = false)
-      }
-    } finally batchSigs.unpersist(blocking = false)
+        SrpArtifacts(batchSigs, batchStats, verified, () => {
+          bandedB.unpersist(blocking = false)
+          batchSigs.unpersist(blocking = false)
+        })
+      } finally cands.unpersist(blocking = false)
+    } catch {
+      case t: Throwable => batchSigs.unpersist(blocking = false); throw t
+    }
+  }
+
+  def ingestEmbeddings(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, p: SrpParams): (Long, DataFrame) = {
+    val a = srpBatchArtifacts(spark, root, batch, idCol, vecCol, p)
+    try {
+      VersionedTable.write(spark, a.batchStats, subRoot(root, "bucketstats")) // stats first (see ingestMinHash)
+      val v = VersionedTable.write(spark, a.batchSigs, root)
+      (v, a.verified)
+    } finally a.release()
+  }
+
+  /** Exactly-once streaming embedding ingest — [[ingestMinHashEpoch]]'s
+    * protocol over the SRP artifacts (a live embedding feed is the
+    * realistic arrival mode for vectors). Returns None on a replayed
+    * epoch. SRP geometry is frozen at bootstrap as in [[ingestEmbeddings]].
+    */
+  def ingestEmbeddingsEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, batch: DataFrame, idCol: String, vecCol: String,
+      epochId: Long, p: SrpParams): Option[DataFrame] = {
+    if (epochCommittedIn(spark, root, epochId)) return None
+    val a = srpBatchArtifacts(spark, root, batch, idCol, vecCol, p)
+    try {
+      commitEpoch(spark, root, pairsRoot, epochId,
+        a.batchStats, subRoot(root, "bucketstats"), a.batchSigs, a.verified)
+      Some(a.verified)
+    } catch {
+      case t: Throwable => a.verified.unpersist(blocking = false); throw t
+    } finally a.release()
   }
 
   // ------------------------------------------------------------- SemDeDup

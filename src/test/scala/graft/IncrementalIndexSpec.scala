@@ -137,6 +137,45 @@ class IncrementalIndexSpec extends SparkSpec {
     oneShot.unpersist(); p1.unpersist(); p2.unpersist()
   }
 
+  test("SRP epoch ingest: replays drop, pairs never double-append, accumulation exact") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpDir("incr_srp_epoch")
+    val pairsRoot = tmpDir("incr_srp_epoch_pairs")
+    val embs = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val mut = embs.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(v, (x, i) -> IF(i = 0, x + 0.01D, x))").as("v"))
+    val corpus = embs.union(mut)
+    val p = IncrementalIndex.SrpParams(dim = 64, bitsPerTable = 8, bucketCap = 256)
+    val b = Seq(corpus.filter(pmod(col("vec_id") % 100000, lit(2)) === 0),
+      corpus.filter(pmod(col("vec_id") % 100000, lit(2)) === 1))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p0 = IncrementalIndex.ingestEmbeddingsEpoch(
+      spark, root, pairsRoot, b(0), "vec_id", "v", 0L, p)
+    assert(p0.nonEmpty); p0.foreach(_.unpersist(blocking = false))
+    assert(IncrementalIndex.ingestEmbeddingsEpoch(
+      spark, root, pairsRoot, b(0), "vec_id", "v", 0L, p).isEmpty,
+      "full replay must drop")
+    // pairs-committed-signatures-not crash window
+    val p1 = IncrementalIndex.ingestEmbeddingsEpoch(
+      spark, root, pairsRoot, b(1), "vec_id", "v", 1L, p)
+    assert(p1.nonEmpty); p1.foreach(_.unpersist(blocking = false))
+    fs.delete(new Path(root, graft.sinks.VersionedTable.dirName(2L)), true)
+    val out = fs.create(new Path(root, "_epoch-hwm"), true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    val p1r = IncrementalIndex.ingestEmbeddingsEpoch(
+      spark, root, pairsRoot, b(1), "vec_id", "v", 1L, p)
+    assert(p1r.nonEmpty); p1r.foreach(_.unpersist(blocking = false))
+    assert(VersionedTable.versions(spark, pairsRoot) == Seq(1L, 2L),
+      "the replay must not double-append pairs")
+    val oneShot = Dedup.embeddingNearDupLsh(corpus, "vec_id", "v",
+      threshold = 0.99, dim = 64, bitsPerTable = 8, bucketCap = 256)
+    assert(pairSet(VersionedTable.readAllVersions(spark, pairsRoot)) == pairSet(oneShot))
+    assert(IncrementalIndex.readSrpIndex(spark, root).count() == corpus.count(),
+      "every vector signed exactly once across commits and replays")
+    oneShot.unpersist()
+  }
+
   test("incremental SemDeDup verdicts equal the one-shot exact rule; batch-1 verdicts stable") {
     val root = tmpDir("incr_sem")
     val embs = spark.read.parquet(sf("embeddings"))
