@@ -4243,9 +4243,12 @@ object SparkEntry {
         val root = tmpdir("graft-incr-prefix")
         def sh(c: Column) = ColumnBridge.column(
           graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+        // shingle the corpus ONCE: both batch filters (and each ingest's
+        // own persist) read this cache instead of re-running the
+        // tokenize+hash+explode lineage per batch
         val sets = nearDupCorpus(tbl(s, dir, "documents"))
           .select(col("doc_id").as("id"), explode(sh(col("text"))).as("elem"))
-          .distinct()
+          .distinct().persist()
         val r = pmod(col("id") % 100000, lit(3))
         val isMut = col("id") >= 100000
         val b1 = sets.filter((!isMut && r < 2) || (isMut && r === 0))
@@ -4256,6 +4259,7 @@ object SparkEntry {
         out.count()
         p1.unpersist(blocking = false)
         p2.unpersist(blocking = false)
+        sets.unpersist(blocking = false)
         out
       }.orderBy("ia", "ib")),
 
