@@ -343,7 +343,7 @@ object IncrementalIndex {
     val a = minHashBatchArtifacts(spark, root, batch, idCol, textCol, p)
     try {
       commitEpoch(spark, root, pairsRoot, epochId,
-        a.batchStats, subRoot(root, "bucketstats"), a.batchSigs, a.verified)
+        Some((a.batchStats, subRoot(root, "bucketstats"))), a.batchSigs, a.verified)
       Some(a.verified)
     } catch {
       case t: Throwable => a.verified.unpersist(blocking = false); throw t
@@ -360,9 +360,9 @@ object IncrementalIndex {
     * before it committed too.
     */
   private def commitEpoch(spark: SparkSession, root: String,
-      pairsRoot: String, epochId: Long, batchStats: DataFrame,
-      statsRoot: String, batchRows: DataFrame, pairs: DataFrame): Unit = {
-    VersionedTable.write(spark, batchStats, statsRoot)
+      pairsRoot: String, epochId: Long, stats: Option[(DataFrame, String)],
+      batchRows: DataFrame, pairs: DataFrame): Unit = {
+    stats.foreach { case (s, statsRoot) => VersionedTable.write(spark, s, statsRoot) }
     if (!epochCommittedIn(spark, pairsRoot, epochId)) {
       VersionedTable.write(spark, pairs, pairsRoot,
         markers = Seq(s"_epoch-$epochId"))
@@ -445,9 +445,12 @@ object IncrementalIndex {
     * retracting a keeper is a re-bootstrap, not a filter.
     * Returns (committed version, batch verdicts (id, fp, kept)).
     */
-  def ingestExact(spark: SparkSession, root: String, batch: DataFrame,
-      idCol: String, textCol: String,
-      broadcastRowLimit: Long = DefaultBroadcastRowLimit): (Long, DataFrame) = {
+  private final case class ExactArtifacts(
+      fps: DataFrame, verdicts: DataFrame, release: () => Unit)
+
+  private def exactBatchArtifacts(spark: SparkSession, root: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      broadcastRowLimit: Long): ExactArtifacts = {
     import org.apache.spark.sql.expressions.Window
     val fps = batch.select(col(idCol).as("id"),
       graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp")).persist()
@@ -472,9 +475,44 @@ object IncrementalIndex {
           (col("first_in_batch") && col("indexed").isNull).as("kept"))
         .persist()
       verdicts.count()
-      val v = VersionedTable.write(spark, fps, fpRoot)
-      (v, verdicts)
-    } finally fps.unpersist(blocking = false)
+      ExactArtifacts(fps, verdicts, () => fps.unpersist(blocking = false))
+    } catch {
+      case t: Throwable => fps.unpersist(blocking = false); throw t
+    }
+  }
+
+  def ingestExact(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): (Long, DataFrame) = {
+    val a = exactBatchArtifacts(spark, root, batch, idCol, textCol, broadcastRowLimit)
+    try {
+      val v = VersionedTable.write(spark, a.fps, exactFpRoot(root))
+      (v, a.verdicts)
+    } finally a.release()
+  }
+
+  /** Exactly-once streaming exact-dedup ingest: the [[commitEpoch]]
+    * protocol with the per-batch VERDICT log playing the pairs role and
+    * no stats sidecar (exact dedup has none). Replay soundness is the
+    * usual argument: a replayed batch against an unchanged fingerprint
+    * log recomputes IDENTICAL verdicts (they are a pure function of the
+    * batch and the indexed fp set — epoch E's fps never committed), so
+    * the pairs-committed-fps-not window re-commits only the fps, and a
+    * fully-committed epoch drops. Returns None on a replayed epoch.
+    */
+  def ingestExactEpoch(spark: SparkSession, root: String,
+      verdictsRoot: String, batch: DataFrame, idCol: String, textCol: String,
+      epochId: Long,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[DataFrame] = {
+    if (epochCommittedIn(spark, exactFpRoot(root), epochId)) return None
+    val a = exactBatchArtifacts(spark, root, batch, idCol, textCol, broadcastRowLimit)
+    try {
+      commitEpoch(spark, exactFpRoot(root), verdictsRoot, epochId,
+        None, a.fps, a.verdicts)
+      Some(a.verdicts)
+    } catch {
+      case t: Throwable => a.verdicts.unpersist(blocking = false); throw t
+    } finally a.release()
   }
 
   /** All (id, fp) fingerprint rows ingested so far. */
@@ -614,7 +652,7 @@ object IncrementalIndex {
       maxHamming, shingleN, bucketCap, broadcastRowLimit)
     try {
       commitEpoch(spark, root, pairsRoot, epochId,
-        a.batchStats, subRoot(root, "bucketstats"), a.batchSigs, a.verified)
+        Some((a.batchStats, subRoot(root, "bucketstats"))), a.batchSigs, a.verified)
       Some(a.verified)
     } catch {
       case t: Throwable => a.verified.unpersist(blocking = false); throw t
@@ -947,7 +985,7 @@ object IncrementalIndex {
     val a = srpBatchArtifacts(spark, root, batch, idCol, vecCol, p)
     try {
       commitEpoch(spark, root, pairsRoot, epochId,
-        a.batchStats, subRoot(root, "bucketstats"), a.batchSigs, a.verified)
+        Some((a.batchStats, subRoot(root, "bucketstats"))), a.batchSigs, a.verified)
       Some(a.verified)
     } catch {
       case t: Throwable => a.verified.unpersist(blocking = false); throw t

@@ -599,6 +599,42 @@ class IncrementalIndexSpec extends SparkSpec {
     Seq(v1, v2, v3).foreach(_.unpersist())
   }
 
+  test("exact-dedup epoch ingest: replays drop, verdicts never double-append") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpDir("incr_exact_epoch")
+    val verdictsRoot = tmpDir("incr_exact_epoch_verdicts")
+    val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+    // append-ordered: originals, then verbatim copies (all dropped)
+    val b = Seq(docs, docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val fpRoot = s"$root/fingerprints"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val k0 = IncrementalIndex.ingestExactEpoch(
+      spark, root, verdictsRoot, b(0), "doc_id", "text", 0L)
+    assert(k0.nonEmpty); k0.foreach(_.unpersist(blocking = false))
+    assert(IncrementalIndex.ingestExactEpoch(
+      spark, root, verdictsRoot, b(0), "doc_id", "text", 0L).isEmpty,
+      "full replay must drop")
+    // verdicts-committed-fps-not crash window
+    val k1 = IncrementalIndex.ingestExactEpoch(
+      spark, root, verdictsRoot, b(1), "doc_id", "text", 1L)
+    assert(k1.nonEmpty); k1.foreach(_.unpersist(blocking = false))
+    fs.delete(new Path(fpRoot, graft.sinks.VersionedTable.dirName(2L)), true)
+    val out = fs.create(new Path(fpRoot, "_epoch-hwm"), true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    val k1r = IncrementalIndex.ingestExactEpoch(
+      spark, root, verdictsRoot, b(1), "doc_id", "text", 1L)
+    assert(k1r.nonEmpty); k1r.foreach(_.unpersist(blocking = false))
+    assert(VersionedTable.versions(spark, verdictsRoot) == Seq(1L, 2L),
+      "the replay must not double-append verdicts")
+    // accumulated verdict log equals keep-the-min over the union
+    val acc = VersionedTable.readAllVersions(spark, verdictsRoot)
+    assert(acc.count() == b(0).count() + b(1).count())
+    assert(acc.filter(col("kept")).count() == b(0).count(),
+      "originals kept; every verbatim copy dropped exactly once")
+    assert(IncrementalIndex.readExactIndex(spark, root).count() == acc.count(),
+      "every doc fingerprinted exactly once across commits and replays")
+  }
+
   test("retraction: reads exclude tombstoned ids; accumulated pairs equal one-shot over survivors") {
     val root = tmpDir("incr_retract")
     val r = pmod(col("doc_id") % 100000, lit(3))
