@@ -816,7 +816,10 @@ object ScaleRehearsal {
       val batchDir = new java.io.File(srcDir).getParent + "/sf0.01"
       val cliqueDir0 = s"$base/graft-sf1-clique"
       ensureDir(spark, srcDir, cliqueDir0, "clique")
-      val rows = Seq(("1x", srcDir), ("10x", cliqueDir0))
+      val sf10Dir = s"$base/graft-sf10-real"
+      ensureDir(spark, srcDir, sf10Dir, "real", replicas = 100,
+        only = Some(Set("documents", "embeddings")))
+      val rows = Seq(("1x", srcDir), ("10x", cliqueDir0), ("100x", sf10Dir))
         .map { case (tag, dir) => timedRetract(spark, base, dir, batchDir, tag) }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
         s"""{"retract":{${rows.mkString(",")}}}""" + "\n")
