@@ -1,7 +1,9 @@
 package graft.api
 
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, IncrementalIndex}
+import graft.sinks.VersionedTable
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,7 +34,43 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object corpus {
 
+  /** Rows a replayed epoch committed in `root`: the version carrying its
+    * `_epoch-` marker, read back verbatim — what a replayed batch-path
+    * ingest hands its caller instead of re-appending. Fails LOUDLY when
+    * no version carries the marker: either a replay older than the
+    * compaction horizon (markers ride the reclaimed versions — read the
+    * accumulated log instead) or a batch VIOLATING the append-ordered
+    * bookmark contract (a max id at or below the committed high-water
+    * reads as a replay; silent drops would hide the mis-ordered source).
+    */
+  private def replayedEpochRows(spark: SparkSession, root: String,
+      epochId: Long): DataFrame =
+    VersionedTable.read(spark, root, Some(replayedEpochVersion(spark, root, epochId)))
+
+  private def replayedEpochVersion(spark: SparkSession, root: String,
+      epochId: Long): Long =
+    IncrementalIndex.epochVersion(spark, root, epochId).getOrElse(
+      throw new IllegalStateException(
+        s"epoch $epochId at $root reads as committed (at or below the epoch " +
+          "high-water) but no version carries its marker: either a replay older " +
+          "than the compaction horizon — read the accumulated log instead — or a " +
+          "batch violating the append-ordered bookmark contract (each batch's " +
+          "max id must exceed every previously ingested id)"))
+
   implicit class CorpusOps(private val df: DataFrame) {
+
+    /** The epoch id a bookmark batch carries: its max id, cast to long.
+      * Under the bookmark contract batches are DISJOINT ASCENDING id
+      * ranges (the same append-ordered-id guarantee the incremental
+      * ingests already require), so batch max ids strictly increase — a
+      * valid monotone epoch sequence derived from the data itself, no
+      * side-channel sequence number needed. None for an empty batch.
+      * One batch-bounded aggregate job.
+      */
+    private def bookmarkEpoch(idCol: String): Option[Long] = {
+      val r = df.agg(max(col(idCol).cast("long"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
 
     /** Row-local quality signals: token count, quality score, predicted
       * language, normalized fingerprint. One projection, zero shuffle.
@@ -441,12 +479,34 @@ object corpus {
       * accumulated pairs across ingests equal a one-shot
       * [[dedupNearMinHash]]-style run over everything ingested
       * (oracle-gated, d54). An empty/absent `indexRoot` bootstraps.
+      *
+      * EXACTLY-ONCE by default: the ingest runs under the epoch guard
+      * ([[graft.operators.IncrementalIndex.ingestMinHashEpoch]]) keyed
+      * by the BOOKMARK BOUNDARY — the batch's max id, a monotone
+      * sequence under the append-ordered-id contract — with the pair
+      * log persisted under `indexRoot/pairs`. A crash between the index
+      * commit and the caller's bookmark commit (or any at-least-once
+      * re-delivery) replays the batch; the replay drops instead of
+      * double-appending and returns the epoch's ALREADY-COMMITTED
+      * pairs, so the caller sees identical results either way. Pass
+      * `epochId` to key on an external sequence instead (non-numeric
+      * ids); an empty batch is a no-op ingest of zero rows.
       */
     def ingestIntoDedupIndex(
         indexRoot: String, idCol: String = "doc_id",
-        textCol: String = "text"): DataFrame =
-      graft.operators.IncrementalIndex.ingestMinHash(
-        df.sparkSession, indexRoot, df, idCol, textCol)._2
+        textCol: String = "text", epochId: Option[Long] = None): DataFrame = {
+      val s = df.sparkSession
+      val pairsRoot = IncrementalIndex.subRoot(indexRoot, "pairs")
+      epochId.orElse(bookmarkEpoch(idCol)) match {
+        case None => // empty batch: zero rows in every leg — a replay of
+          // it is harmless, the guard adds nothing
+          IncrementalIndex.ingestMinHash(s, indexRoot, df, idCol, textCol)._2
+        case Some(e) =>
+          IncrementalIndex.ingestMinHashEpoch(
+              s, indexRoot, pairsRoot, df, idCol, textCol, e)
+            .getOrElse(replayedEpochRows(s, pairsRoot, e))
+      }
+    }
 
     /** Incremental SemDeDup ingest (e22): assign `df`'s vectors to the
       * index's FROZEN centroids and return (id, cid, kept) verdicts —
@@ -458,9 +518,20 @@ object corpus {
     def ingestIntoSemDedupIndex(
         indexRoot: String, idCol: String = "vec_id",
         vecCol: String = "embedding", threshold: Double = 0.99,
-        cap: Int = 512): DataFrame =
-      graft.operators.IncrementalIndex.ingestSemDedup(
-        df.sparkSession, indexRoot, df, idCol, vecCol, threshold, cap).verdicts
+        cap: Int = 512, epochId: Option[Long] = None): DataFrame = {
+      val s = df.sparkSession
+      val verdictsRoot = IncrementalIndex.subRoot(indexRoot, "verdicts")
+      epochId.orElse(bookmarkEpoch(idCol)) match {
+        case None =>
+          IncrementalIndex.ingestSemDedup(
+            s, indexRoot, df, idCol, vecCol, threshold, cap).verdicts
+        case Some(e) =>
+          IncrementalIndex.ingestSemDedupEpoch(
+              s, indexRoot, verdictsRoot, df, idCol, vecCol, threshold, e, cap)
+            .map(_.verdicts)
+            .getOrElse(replayedEpochRows(s, verdictsRoot, e))
+      }
+    }
 
     /** Incremental PQ-code ingest (e23): encode this batch with the
       * index's FROZEN codebooks and append the (id, codes) rows as the
@@ -473,9 +544,16 @@ object corpus {
       */
     def ingestIntoPqIndex(
         indexRoot: String, idCol: String = "vec_id",
-        vecCol: String = "embedding"): Long =
-      graft.operators.IncrementalIndex.ingestPq(
-        df.sparkSession, indexRoot, df, idCol, vecCol)
+        vecCol: String = "embedding", epochId: Option[Long] = None): Long = {
+      val s = df.sparkSession
+      epochId.orElse(bookmarkEpoch(idCol)) match {
+        case None => IncrementalIndex.ingestPq(s, indexRoot, df, idCol, vecCol)
+        case Some(e) =>
+          IncrementalIndex.ingestPqEpoch(s, indexRoot, df, idCol, vecCol, e)
+            .getOrElse(replayedEpochVersion(
+              s, IncrementalIndex.subRoot(indexRoot, "codes"), e))
+      }
+    }
 
     /** Incremental sparse TF-IDF ingest (d55): tokenize and weigh `df`
       * under the index's FROZEN (df, N) stats and append its weight +
@@ -488,9 +566,16 @@ object corpus {
       */
     def ingestIntoTfidfIndex(
         indexRoot: String, idCol: String = "doc_id",
-        textCol: String = "text"): Long =
-      graft.operators.IncrementalIndex.ingestTfidf(
-        df.sparkSession, indexRoot, df, idCol, textCol)
+        textCol: String = "text", epochId: Option[Long] = None): Long = {
+      val s = df.sparkSession
+      epochId.orElse(bookmarkEpoch(idCol)) match {
+        case None => IncrementalIndex.ingestTfidf(s, indexRoot, df, idCol, textCol)
+        case Some(e) =>
+          IncrementalIndex.ingestTfidfEpoch(s, indexRoot, df, idCol, textCol, e)
+            .getOrElse(replayedEpochVersion(
+              s, IncrementalIndex.subRoot(indexRoot, "weights"), e))
+      }
+    }
 
     /** Incremental SimHash ingest (d58): sign ONLY this batch (portable
       * 60-bit signatures), return the verified near-dup pairs it adds
@@ -501,9 +586,19 @@ object corpus {
       */
     def ingestIntoSimHashIndex(
         indexRoot: String, idCol: String = "doc_id",
-        textCol: String = "text", maxHamming: Int = 3): DataFrame =
-      graft.operators.IncrementalIndex.ingestSimHash(
-        df.sparkSession, indexRoot, df, idCol, textCol, maxHamming)._2
+        textCol: String = "text", maxHamming: Int = 3,
+        epochId: Option[Long] = None): DataFrame = {
+      val s = df.sparkSession
+      val pairsRoot = IncrementalIndex.subRoot(indexRoot, "pairs")
+      epochId.orElse(bookmarkEpoch(idCol)) match {
+        case None =>
+          IncrementalIndex.ingestSimHash(s, indexRoot, df, idCol, textCol, maxHamming)._2
+        case Some(e) =>
+          IncrementalIndex.ingestSimHashEpoch(
+              s, indexRoot, pairsRoot, df, idCol, textCol, e, maxHamming)
+            .getOrElse(replayedEpochRows(s, pairsRoot, e))
+      }
+    }
 
     /** Incremental exact-dedup ingest (d57): fingerprint this batch,
       * return (id, fp, kept) verdicts against the persisted fingerprint
@@ -514,9 +609,18 @@ object corpus {
       */
     def ingestIntoExactIndex(
         indexRoot: String, idCol: String = "doc_id",
-        textCol: String = "text"): DataFrame =
-      graft.operators.IncrementalIndex.ingestExact(
-        df.sparkSession, indexRoot, df, idCol, textCol)._2
+        textCol: String = "text", epochId: Option[Long] = None): DataFrame = {
+      val s = df.sparkSession
+      val verdictsRoot = IncrementalIndex.subRoot(indexRoot, "verdicts")
+      epochId.orElse(bookmarkEpoch(idCol)) match {
+        case None =>
+          IncrementalIndex.ingestExact(s, indexRoot, df, idCol, textCol)._2
+        case Some(e) =>
+          IncrementalIndex.ingestExactEpoch(
+              s, indexRoot, verdictsRoot, df, idCol, textCol, e)
+            .getOrElse(replayedEpochRows(s, verdictsRoot, e))
+      }
+    }
 
     /** Incremental EXACT set-similarity ingest (d59): shingle this
       * batch (word `shingleN`-grams, md5-hashed elements), find the
@@ -533,16 +637,22 @@ object corpus {
     def ingestIntoPrefixIndex(
         indexRoot: String, idCol: String = "doc_id",
         textCol: String = "text", num: Int = 4, den: Int = 5,
-        shingleN: Int = 5): DataFrame = {
+        shingleN: Int = 5, epochId: Option[Long] = None): DataFrame = {
       def sh(c: Column) = ColumnBridge.column(
         graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), shingleN))
+      val s = df.sparkSession
       val sets = df
         .select(col(idCol).as("id"), explode(sh(col(textCol))).as("elem"))
         .distinct()
-      graft.operators.IncrementalIndex.ingestPrefixJaccard(
-        df.sparkSession, indexRoot, sets,
-        graft.operators.IncrementalIndex.PrefixJaccardParams(
-          num = num, den = den))._2
+      val p = IncrementalIndex.PrefixJaccardParams(num = num, den = den)
+      val pairsRoot = IncrementalIndex.subRoot(indexRoot, "pairs")
+      epochId.orElse(bookmarkEpoch(idCol)) match {
+        case None =>
+          IncrementalIndex.ingestPrefixJaccard(s, indexRoot, sets, p)._2
+        case Some(e) =>
+          IncrementalIndex.ingestPrefixJaccardEpoch(s, indexRoot, pairsRoot, sets, e, p)
+            .getOrElse(replayedEpochRows(s, pairsRoot, e))
+      }
     }
 
     /** Retract this frame's ids from an incremental index (d56 —

@@ -49,7 +49,7 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalIndex {
 
-  private def subRoot(root: String, name: String) =
+  private[graft] def subRoot(root: String, name: String) =
     s"${root.stripSuffix("/")}/$name"
 
   /** Default ceiling (in banded rows: batch docs × bands) below which the
@@ -342,8 +342,9 @@ object IncrementalIndex {
     if (epochCommittedIn(spark, root, epochId)) return None
     val a = minHashBatchArtifacts(spark, root, batch, idCol, textCol, p)
     try {
-      commitEpoch(spark, root, pairsRoot, epochId,
-        Some((a.batchStats, subRoot(root, "bucketstats"))), a.batchSigs, a.verified)
+      commitEpoch(spark, epochId,
+        Some((a.batchStats, subRoot(root, "bucketstats"))),
+        Seq(a.verified -> pairsRoot, a.batchSigs -> root))
       Some(a.verified)
     } catch {
       case t: Throwable => a.verified.unpersist(blocking = false); throw t
@@ -353,24 +354,51 @@ object IncrementalIndex {
   /** The exactly-once commit protocol shared by every `*Epoch` ingest
     * (crash-window analysis at [[ingestMinHashEpoch]]): stats first
     * WITHOUT a marker (a stats double-commit only overcounts occupancy —
-    * conservative), then pairs and the batch's index rows each under an
-    * `_epoch-<id>` marker riding the atomic staging rename, hwm recorded
-    * after each visibility. The index-row write goes LAST: a replay
-    * keys on the INDEX root, so "index committed" implies everything
-    * before it committed too.
+    * conservative), then each data `leg` IN ORDER under an
+    * `_epoch-<id>` marker riding the atomic staging rename, hwm
+    * recorded after each visibility, already-committed legs skipped.
+    * The LAST leg is the caller's replay key: "last leg committed"
+    * implies every earlier leg committed too, and a replay that finds
+    * only a PREFIX of the legs committed recomputes IDENTICAL artifacts
+    * — every family's outputs are pure functions of the batch and the
+    * index state BEFORE the epoch, and the replay-key leg (the one
+    * every read path unions) never committed in that window — then
+    * re-commits exactly the missing suffix. Returns the committed
+    * version of the last leg.
     */
-  private def commitEpoch(spark: SparkSession, root: String,
-      pairsRoot: String, epochId: Long, stats: Option[(DataFrame, String)],
-      batchRows: DataFrame, pairs: DataFrame): Unit = {
+  private def commitEpoch(spark: SparkSession, epochId: Long,
+      stats: Option[(DataFrame, String)],
+      legs: Seq[(DataFrame, String)]): Long = {
+    require(legs.nonEmpty, "commitEpoch needs at least one data leg")
     stats.foreach { case (s, statsRoot) => VersionedTable.write(spark, s, statsRoot) }
-    if (!epochCommittedIn(spark, pairsRoot, epochId)) {
-      VersionedTable.write(spark, pairs, pairsRoot,
-        markers = Seq(s"_epoch-$epochId"))
-      recordEpochHwm(spark, pairsRoot, epochId)
+    var last = -1L
+    legs.foreach { case (df, legRoot) =>
+      if (!epochCommittedIn(spark, legRoot, epochId)) {
+        last = VersionedTable.write(spark, df, legRoot,
+          markers = Seq(s"_epoch-$epochId"))
+        recordEpochHwm(spark, legRoot, epochId)
+      } else last = VersionedTable.versions(spark, legRoot).last
     }
-    VersionedTable.write(spark, batchRows, root,
-      markers = Seq(s"_epoch-$epochId"))
-    recordEpochHwm(spark, root, epochId)
+    last
+  }
+
+  /** The committed version carrying epoch `epochId`'s `_epoch-` marker
+    * in `root`, if one survives (compaction/vacuum reclaim
+    * marker-carrying versions; the `_epoch-hwm` witness keeps REPLAY
+    * DETECTION alive past that, but the version itself is gone). The
+    * batch-path wrappers use this to hand a replayed caller back the
+    * epoch's already-committed rows instead of re-appending them.
+    */
+  def epochVersion(spark: SparkSession, root: String,
+      epochId: Long): Option[Long] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(rootPath)) return None
+    VersionedTable.entriesOf(f, rootPath).find { e =>
+      f.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(rootPath, VersionedTable.nameOf(e)),
+        s"_epoch-$epochId"))
+    }.map(_._1)
   }
 
   /** Replay detection for one root: epoch ≤ max(newest `_epoch-*`
@@ -507,8 +535,8 @@ object IncrementalIndex {
     if (epochCommittedIn(spark, exactFpRoot(root), epochId)) return None
     val a = exactBatchArtifacts(spark, root, batch, idCol, textCol, broadcastRowLimit)
     try {
-      commitEpoch(spark, exactFpRoot(root), verdictsRoot, epochId,
-        None, a.fps, a.verdicts)
+      commitEpoch(spark, epochId, None,
+        Seq(a.verdicts -> verdictsRoot, a.fps -> exactFpRoot(root)))
       Some(a.verdicts)
     } catch {
       case t: Throwable => a.verdicts.unpersist(blocking = false); throw t
@@ -651,8 +679,9 @@ object IncrementalIndex {
     val a = simHashBatchArtifacts(spark, root, batch, idCol, textCol,
       maxHamming, shingleN, bucketCap, broadcastRowLimit)
     try {
-      commitEpoch(spark, root, pairsRoot, epochId,
-        Some((a.batchStats, subRoot(root, "bucketstats"))), a.batchSigs, a.verified)
+      commitEpoch(spark, epochId,
+        Some((a.batchStats, subRoot(root, "bucketstats"))),
+        Seq(a.verified -> pairsRoot, a.batchSigs -> root))
       Some(a.verified)
     } catch {
       case t: Throwable => a.verified.unpersist(blocking = false); throw t
@@ -786,13 +815,19 @@ object IncrementalIndex {
     * un) with ia < ib), pairs persisted + materialized, caller
     * unpersists.
     */
-  def ingestPrefixJaccard(spark: SparkSession, root: String, sets: DataFrame,
-      p: PrefixJaccardParams = PrefixJaccardParams()): (Long, DataFrame) = {
+  private final case class PrefixArtifacts(
+      batchTok: DataFrame, batchStats: DataFrame, verified: DataFrame,
+      release: () => Unit)
+
+  private def prefixBatchArtifacts(spark: SparkSession, root: String,
+      sets: DataFrame, p: PrefixJaccardParams): PrefixArtifacts = {
     val s0 = sets.persist()
     try {
       // an empty/absent root bootstraps naturally: the FIRST batch's
       // element frequencies become the frozen order (see the freeze
-      // soundness argument above)
+      // soundness argument above). The write is bootstrap-idempotent —
+      // a replay that crashed after it skips it and reads the committed
+      // (identical — deterministic aggregate of the same batch) snapshot
       if (VersionedTable.versions(spark, prefixDfRoot(root)).isEmpty)
         VersionedTable.write(spark,
           s0.groupBy("elem").agg(count(lit(1)).as("df")), prefixDfRoot(root))
@@ -833,16 +868,50 @@ object IncrementalIndex {
               col("inter").cast("long").as("inter"), col("un").cast("long").as("un"))
             .persist()
           verified.count() // materialize while the caches are hot
-          VersionedTable.write(spark, batchStats, prefixStatsRoot(root)) // stats first (see ingestMinHash)
-          val v = VersionedTable.write(spark,
-            batchTok.sortWithinPartitions("id"), prefixTokRoot(root))
-          (v, verified)
-        } finally {
-          cands.unpersist(blocking = false)
-          bandedB.unpersist(blocking = false)
-        }
-      } finally batchTok.unpersist(blocking = false)
-    } finally s0.unpersist(blocking = false)
+          PrefixArtifacts(batchTok.sortWithinPartitions("id"), batchStats,
+            verified, () => {
+              bandedB.unpersist(blocking = false)
+              batchTok.unpersist(blocking = false)
+              s0.unpersist(blocking = false)
+            })
+        } finally cands.unpersist(blocking = false)
+      } catch {
+        case t: Throwable => batchTok.unpersist(blocking = false); throw t
+      }
+    } catch {
+      case t: Throwable => s0.unpersist(blocking = false); throw t
+    }
+  }
+
+  def ingestPrefixJaccard(spark: SparkSession, root: String, sets: DataFrame,
+      p: PrefixJaccardParams = PrefixJaccardParams()): (Long, DataFrame) = {
+    val a = prefixBatchArtifacts(spark, root, sets, p)
+    try {
+      VersionedTable.write(spark, a.batchStats, prefixStatsRoot(root)) // stats first (see ingestMinHash)
+      val v = VersionedTable.write(spark, a.batchTok, prefixTokRoot(root))
+      (v, a.verified)
+    } finally a.release()
+  }
+
+  /** Exactly-once prefix-filter ingest — [[ingestMinHashEpoch]]'s
+    * protocol over the prefix artifacts (pairs leg then token leg,
+    * replay keyed on the token root; frozen-df bootstrap write is
+    * idempotent — see [[prefixBatchArtifacts]]). Returns None on a
+    * replayed epoch.
+    */
+  def ingestPrefixJaccardEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, sets: DataFrame, epochId: Long,
+      p: PrefixJaccardParams = PrefixJaccardParams()): Option[DataFrame] = {
+    if (epochCommittedIn(spark, prefixTokRoot(root), epochId)) return None
+    val a = prefixBatchArtifacts(spark, root, sets, p)
+    try {
+      commitEpoch(spark, epochId,
+        Some((a.batchStats, prefixStatsRoot(root))),
+        Seq(a.verified -> pairsRoot, a.batchTok -> prefixTokRoot(root)))
+      Some(a.verified)
+    } catch {
+      case t: Throwable => a.verified.unpersist(blocking = false); throw t
+    } finally a.release()
   }
 
   /** Compact a prefix-filter index: token rows verbatim, `prefixstats`
@@ -984,8 +1053,9 @@ object IncrementalIndex {
     if (epochCommittedIn(spark, root, epochId)) return None
     val a = srpBatchArtifacts(spark, root, batch, idCol, vecCol, p)
     try {
-      commitEpoch(spark, root, pairsRoot, epochId,
-        Some((a.batchStats, subRoot(root, "bucketstats"))), a.batchSigs, a.verified)
+      commitEpoch(spark, epochId,
+        Some((a.batchStats, subRoot(root, "bucketstats"))),
+        Seq(a.verified -> pairsRoot, a.batchSigs -> root))
       Some(a.verified)
     } catch {
       case t: Throwable => a.verified.unpersist(blocking = false); throw t
@@ -1037,10 +1107,13 @@ object IncrementalIndex {
     * one-shot run's. Same exchange discipline as the other ingests: the
     * batch broadcasts, members stream, only over-cap cells shuffle.
     */
-  def ingestSemDedup(spark: SparkSession, root: String, batch: DataFrame,
-      idCol: String, vecCol: String,
-      threshold: Double, cap: Int = 512,
-      broadcastRowLimit: Long = DefaultBroadcastRowLimit): SemDedupIngest = {
+  private final case class SemArtifacts(
+      members: DataFrame, batchStats: DataFrame, verdicts: DataFrame,
+      outOfOrder: Long, release: () => Unit)
+
+  private def semDedupBatchArtifacts(spark: SparkSession, root: String,
+      batch: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      cap: Int, broadcastRowLimit: Long): SemArtifacts = {
     val cents = VersionedTable.read(spark, semCentroidsRoot(root))
     val assigned = Dedup.assignCells(batch, idCol, vecCol, cents)
       .join(batch.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
@@ -1058,8 +1131,7 @@ object IncrementalIndex {
       val bandedB = banded(assigned).persist()
       val batchRows = bandedB.count() // materializes; drives the broadcast gate
       val batchStats = bucketStats(bandedB)
-      val statsRoot = subRoot(root, "cellstats")
-      val over = overCapBuckets(spark, statsRoot, batchStats, cap)
+      val over = overCapBuckets(spark, subRoot(root, "cellstats"), batchStats, cap)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           banded(ix), bandedB, cap, over, batchRows, broadcastRowLimit)
@@ -1092,15 +1164,56 @@ object IncrementalIndex {
           .join(assigned.select(col("id").as("b")), Seq("b"), "left_anti")
           .count()
         verified.unpersist(blocking = false)
-        VersionedTable.write(spark, batchStats, statsRoot) // stats first (see ingestMinHash)
-        val v = VersionedTable.write(spark,
-          assigned.select("id", "cid", "rk", "v"), membersRoot)
-        SemDedupIngest(v, verdicts, outOfOrder)
-      } finally {
-        cands.unpersist(blocking = false)
-        bandedB.unpersist(blocking = false)
-      }
-    } finally assigned.unpersist(blocking = false)
+        SemArtifacts(assigned.select("id", "cid", "rk", "v"), batchStats,
+          verdicts, outOfOrder, () => {
+            bandedB.unpersist(blocking = false)
+            assigned.unpersist(blocking = false)
+          })
+      } finally cands.unpersist(blocking = false)
+    } catch {
+      case t: Throwable => assigned.unpersist(blocking = false); throw t
+    }
+  }
+
+  def ingestSemDedup(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double, cap: Int = 512,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): SemDedupIngest = {
+    val a = semDedupBatchArtifacts(spark, root, batch, idCol, vecCol,
+      threshold, cap, broadcastRowLimit)
+    try {
+      VersionedTable.write(spark, a.batchStats, subRoot(root, "cellstats")) // stats first (see ingestMinHash)
+      val v = VersionedTable.write(spark, a.members, semMembersRoot(root))
+      SemDedupIngest(v, a.verdicts, a.outOfOrder)
+    } finally a.release()
+  }
+
+  /** Exactly-once SemDeDup ingest — [[commitEpoch]] with the batch's
+    * VERDICT log playing the pairs role (the [[ingestExactEpoch]]
+    * pattern: verdicts are what the caller accumulates). Replay
+    * soundness: verdicts, stats and member rows are pure functions of
+    * the batch, the FROZEN centroids and the member log BEFORE the
+    * epoch — the member leg is the replay key and never committed in
+    * any partial window — so a replay recomputes identical artifacts,
+    * skips committed legs and commits the missing suffix; stats
+    * double-commits only overcount occupancy (caps engage early —
+    * conservative). Returns None on a replayed epoch.
+    */
+  def ingestSemDedupEpoch(spark: SparkSession, root: String,
+      verdictsRoot: String, batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, epochId: Long, cap: Int = 512,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[SemDedupIngest] = {
+    if (epochCommittedIn(spark, semMembersRoot(root), epochId)) return None
+    val a = semDedupBatchArtifacts(spark, root, batch, idCol, vecCol,
+      threshold, cap, broadcastRowLimit)
+    try {
+      val v = commitEpoch(spark, epochId,
+        Some((a.batchStats, subRoot(root, "cellstats"))),
+        Seq(a.verdicts -> verdictsRoot, a.members -> semMembersRoot(root)))
+      Some(SemDedupIngest(v, a.verdicts, a.outOfOrder))
+    } catch {
+      case t: Throwable => a.verdicts.unpersist(blocking = false); throw t
+    } finally a.release()
   }
 
   // ------------------------------------------------------------------ IVF
@@ -1137,6 +1250,23 @@ object IncrementalIndex {
     val assigned = batch.select(col(idCol).as("id"),
       Ivf.cellId(col(vecCol), cents).as("cid"))
     VersionedTable.write(spark, assigned, assignRoot(root))
+  }
+
+  /** Exactly-once IVF ingest — [[commitEpoch]] with a SINGLE leg (the
+    * assignment log; no pair log, no stats sidecar). Replay soundness
+    * is immediate: assignment is a pure per-row function of the batch
+    * and the FROZEN centroids, so a replay recomputes identical rows
+    * and either drops whole (leg committed) or commits them for the
+    * first time — there is no partial window at all. Returns the
+    * committed assignments version, None on a replayed epoch.
+    */
+  def ingestIvfEpoch(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, epochId: Long): Option[Long] = {
+    if (epochCommittedIn(spark, assignRoot(root), epochId)) return None
+    val cents = readIvfCentroids(spark, root)
+    val assigned = batch.select(col(idCol).as("id"),
+      Ivf.cellId(col(vecCol), cents).as("cid"))
+    Some(commitEpoch(spark, epochId, None, Seq(assigned -> assignRoot(root))))
   }
 
   /** All (id, cid) assignments ingested so far, minus retracted ids. */
@@ -1187,6 +1317,22 @@ object IncrementalIndex {
       batch.select(col(idCol).as("id"),
         Pq.encode(col(vecCol), books, m, ksub, dim / m).as("codes")),
       pqCodesRoot(root))
+  }
+
+  /** Exactly-once PQ ingest — [[commitEpoch]] with a SINGLE leg (the
+    * code log). The [[ingestIvfEpoch]] argument verbatim: encoding is a
+    * deterministic per-row kernel under the FROZEN codebooks (the e23
+    * bit-equality gate), so a replay recomputes identical codes — no
+    * partial window exists. Returns the committed codes version, None
+    * on a replayed epoch.
+    */
+  def ingestPqEpoch(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, epochId: Long): Option[Long] = {
+    if (epochCommittedIn(spark, pqCodesRoot(root), epochId)) return None
+    val (dim, m, ksub, books) = readPqCodebooks(spark, root)
+    val codes = batch.select(col(idCol).as("id"),
+      Pq.encode(col(vecCol), books, m, ksub, dim / m).as("codes"))
+    Some(commitEpoch(spark, epochId, None, Seq(codes -> pqCodesRoot(root))))
   }
 
   /** All (id, codes) rows ingested so far, minus retracted ids. */
@@ -1428,9 +1574,12 @@ object IncrementalIndex {
     * IDF stays defined and deterministic). O(batch text) kernel work +
     * O(batch) writes; indexed docs are never re-tokenized.
     */
-  def ingestTfidf(spark: SparkSession, root: String, batch: DataFrame,
-      idCol: String, textCol: String,
-      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Long = {
+  private final case class TfidfArtifacts(
+      norms: DataFrame, weights: DataFrame, release: () => Unit)
+
+  private def tfidfBatchArtifacts(spark: SparkSession, root: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      broadcastRowLimit: Long): TfidfArtifacts = {
     val nn = readTfidfCorpusCount(spark, root)
     val tf = termFreqs(batch, idCol, textCol).persist()
     try {
@@ -1443,25 +1592,69 @@ object IncrementalIndex {
         .select(col("id"), col("tk"), tfidfWeight(nn).as("w"))
         .persist()
       weighted.count()
-      try {
-        // norms first: the crash-conservative ordering (a norm row whose
-        // weight rows are lost scores nothing — the doc has no weight
-        // rows to dot against; the reverse order could score a doc with
-        // a missing norm as an error). Both logs are CLUSTERED by id
-        // within partitions before the write (no extra shuffle): each
-        // parquet row group then covers a narrow id range, so a probe
-        // predicate prunes to a handful of row groups via min/max stats
-        // instead of scanning the full log — measured 1.8× on the 100×
-        // scoring pass, 52.1→28.9 s (the hash-shuffled layout spread
-        // every id range across every row group, defeating pushdown)
-        VersionedTable.write(spark,
-          weighted.groupBy("id").agg(sum(col("w") * col("w")).as("nrm2"))
-            .sortWithinPartitions("id"),
-          normsRoot(root))
-        VersionedTable.write(spark,
-          weighted.sortWithinPartitions("id"), weightsRoot(root))
-      } finally weighted.unpersist(blocking = false)
-    } finally tf.unpersist(blocking = false)
+      // Both logs are CLUSTERED by id within partitions before the
+      // write (no extra shuffle): each parquet row group then covers a
+      // narrow id range, so a probe predicate prunes to a handful of
+      // row groups via min/max stats instead of scanning the full log —
+      // measured 1.8× on the 100× scoring pass, 52.1→28.9 s (the
+      // hash-shuffled layout spread every id range across every row
+      // group, defeating pushdown)
+      TfidfArtifacts(
+        weighted.groupBy("id").agg(sum(col("w") * col("w")).as("nrm2"))
+          .sortWithinPartitions("id"),
+        weighted.sortWithinPartitions("id"),
+        () => {
+          weighted.unpersist(blocking = false)
+          tf.unpersist(blocking = false)
+        })
+    } catch {
+      case t: Throwable => tf.unpersist(blocking = false); throw t
+    }
+  }
+
+  def ingestTfidf(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Long = {
+    val a = tfidfBatchArtifacts(spark, root, batch, idCol, textCol,
+      broadcastRowLimit)
+    try {
+      // norms first: the crash-conservative ordering (a norm row whose
+      // weight rows are lost scores nothing — the doc has no weight
+      // rows to dot against; the reverse order could score a doc with
+      // a missing norm as an error)
+      VersionedTable.write(spark, a.norms, normsRoot(root))
+      VersionedTable.write(spark, a.weights, weightsRoot(root))
+    } finally a.release()
+  }
+
+  /** Exactly-once TF-IDF ingest — the [[commitEpoch]] protocol with TWO
+    * ordered data legs, norms then weights, replay keyed on the WEIGHTS
+    * root. Why TF-IDF needed a guard most urgently: the scorer unions
+    * ALL weight versions, so a replayed at-least-once batch is a
+    * CORRECTNESS bug, not hygiene — doubled (id, tk, w) rows double
+    * dot-products and duplicate (id, nrm2) rows fan out the norms join;
+    * scores CHANGE. Crash windows, replaying epoch E: before any write
+    * → clean re-run; after the norms leg, before weights → the
+    * partially-indexed docs score NOTHING (no weight rows to dot
+    * against — the same conservative direction as the batch path's
+    * norms-first ordering), and the replay recomputes IDENTICAL
+    * artifacts (weights are a pure function of the batch and the FROZEN
+    * (df, N) snapshot — nothing the crashed run committed feeds the
+    * recompute), skips the committed norms leg, commits weights; after
+    * the weights leg → the whole replay drops. No window double-appends
+    * either log. Returns the committed weights version, None on a
+    * replayed epoch.
+    */
+  def ingestTfidfEpoch(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String, epochId: Long,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[Long] = {
+    if (epochCommittedIn(spark, weightsRoot(root), epochId)) return None
+    val a = tfidfBatchArtifacts(spark, root, batch, idCol, textCol,
+      broadcastRowLimit)
+    try {
+      Some(commitEpoch(spark, epochId, None,
+        Seq(a.norms -> normsRoot(root), a.weights -> weightsRoot(root))))
+    } finally a.release()
   }
 
   /** All (id, tk, w) weight rows ingested so far, minus retracted ids. */
