@@ -3967,6 +3967,68 @@ object SparkEntry {
       VersionedTable.readAllVersions(s, pairsRoot).orderBy("a", "b")
     }),
 
+    // The epoch guard proven under an ACTUAL RESTART REPLAY, for a
+    // second family (SimHash — st20 left the generalization spec-pinned
+    // but undriven): the corpus streams in two files; after the first
+    // micro-batch the query stops and its CHECKPOINT COMMIT is erased —
+    // exactly the crash window where foreachBatch ran (index committed)
+    // but the offset commit was lost, the at-least-once re-delivery
+    // every structured-streaming sink must survive. The restarted query
+    // re-executes micro-batch 0 under the SAME epoch id; the guard
+    // drops the replay instead of double-appending, then ingests the
+    // second file as epoch 1. The accumulated pair log must equal d3's
+    // one-shot portable-SimHash oracle VERBATIM — an undropped replay
+    // doubles the pair rows and fails the hash gate, and the version
+    // counts are asserted so a silently-skipped replay can't pass.
+    "st21_stream_simhash_restart" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      import graft.sinks.VersionedTable
+      val work = tmpdir("graft-st21")
+      val root = tmpdir("graft-st21-index")
+      val pairsRoot = tmpdir("graft-st21-pairs")
+      val ckpt = tmpdir("graft-st21-ckpt")
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      val r = pmod(col("doc_id") % 100000, lit(3))
+      val isMut = col("doc_id") >= 100000
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, corpus.filter((!isMut && r < 2) || (isMut && r === 0)),
+        "b1", Some(t0 - 30000))
+      val sess = s.newSession()
+      // a REAL restart is a fresh JVM; this in-JVM emulation must drop
+      // the same-JVM metadata-log cache or the re-written commit file
+      // trips the concurrent-writer guard
+      sess.conf.set("spark.sql.streaming.metadataCache.enabled", "false")
+      def runStream(): Unit = {
+        val q = sess.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            IncrementalIndex.ingestSimHashEpoch(
+                sess, root, pairsRoot, batch, "doc_id", "text", epochId)
+              .foreach(_.unpersist(blocking = false))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runStream() // micro-batch 0 ingests b1
+      // crash simulation: epoch 0's offset range is logged but its
+      // checkpoint commit is lost — the restart MUST replay epoch 0
+      // (the local checksum FS keeps a .crc sidecar; erase it too or the
+      // replayed commit's rename trips over it)
+      require(new java.io.File(s"$ckpt/commits/0").delete(),
+        "restart simulation requires erasing the batch-0 checkpoint commit")
+      new java.io.File(s"$ckpt/commits/.0.crc").delete()
+      arriveFile(work, corpus.filter((!isMut && r === 2) || (isMut && r > 0)),
+        "b2", Some(t0))
+      runStream() // replays epoch 0 (dropped), ingests b2 as epoch 1
+      require(VersionedTable.versions(s, root).size == 2 &&
+        VersionedTable.versions(s, pairsRoot).size == 2,
+        "exactly one committed version per epoch across the restart replay")
+      VersionedTable.readAllVersions(s, pairsRoot).orderBy("a", "b")
+    }),
+
     // Attribute-filtered ANN (the vector-DB staple): the metadata
     // predicate applies BEFORE ranking — post-filtering a plain top-k
     // returns fewer than k (or misses qualifying neighbors entirely)
@@ -4090,6 +4152,44 @@ object SparkEntry {
       }.select(col("id").as("vec_id"), col("cid"), col("kept"))
         .orderBy("vec_id")),
 
+    // SemDeDup at the PRODUCTION geometry: e22 keeps its 8-cell demo
+    // shape (historical comparability), but the sf1 semk probe measured
+    // that k = √N cells is the shape production runs — util 0.56 vs
+    // 0.10, 16.4 s vs 193 s — so the gate must exercise THAT plan too.
+    // Same exact verdict rule and bootstrap-freeze as e22 with
+    // k = ⌈√corpus⌉ first-k centroids (the frozen-centroid rule both
+    // sides can state: vec_id < k), so the DuckDB oracle recomputes the
+    // identical assignment. Cells hold ~√N members each — the pairwise
+    // verify term is N^1.5-bounded and spreads across k cells instead
+    // of 8, fixing the parallelism floor the plan census flagged on
+    // e22's gated shape.
+    "e24_semdedup_prod_geometry" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      val root = tmpdir("graft-sem-prod")
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+      val corpus = base.union(mut)
+      val nBase = base.count()
+      val k = math.ceil(math.sqrt((nBase * 2).toDouble)).toLong
+      val cents = base.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("v").as("cvec"))
+      val splitId = nBase / 2 // lower half of originals first
+      val b1 = corpus.filter(col("vec_id") < splitId)
+      val b2 = corpus.filter(col("vec_id") >= splitId)
+      val k1 = IncrementalIndex.bootstrapSemDedup(
+        s, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 2048).verdicts
+      val k2 = IncrementalIndex.ingestSemDedup(
+        s, root, b2, "vec_id", "v", threshold = 0.99, cap = 2048).verdicts
+      val out = k1.unionAll(k2).persist()
+      out.count()
+      k1.unpersist(blocking = false)
+      k2.unpersist(blocking = false)
+      out.select(col("id").as("vec_id"), col("cid"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
     // Incremental PQ index: codebooks train on batch 1 and FREEZE (the
     // IVF-centroid pattern — codes from every ingest must decode against
     // the same books); each ingest encodes ONLY its batch and appends
@@ -4195,6 +4295,40 @@ object SparkEntry {
         v2.unpersist(blocking = false)
         out
       }.orderBy("id")),
+
+    // Survivor-recompute retraction for the exact index (the takedown
+    // path d56 deliberately excluded): exact verdicts are recomputable
+    // from the fingerprint log alone — kept ⇔ id is the minimum
+    // SURVIVING id of its group — so retracting a KEEPER corrects the
+    // index instead of forcing a re-bootstrap. Every fifth original (a
+    // guaranteed keeper under the verbatim-copy corpus) is retracted
+    // after both ingests; retractExact tombstones them O(ids) and
+    // returns the correction delta for exactly the touched groups, the
+    // accumulated verdict log is overridden by the delta, and the result
+    // must equal d1's one-shot keep-the-min rule over the SURVIVING
+    // corpus — each retracted keeper's verbatim copy is promoted to
+    // kept. Only the O(retracted) delta moves; untouched groups are
+    // never recomputed.
+    "d63_exact_retraction" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      val root = tmpdir("graft-exact-retract")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val retracted = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+      val (_, v1) = IncrementalIndex.ingestExact(s, root, docs, "doc_id", "text")
+      val (_, v2) = IncrementalIndex.ingestExact(s, root, copies, "doc_id", "text")
+      val delta = IncrementalIndex.retractExact(s, root, retracted, "doc_id")
+      val out = v1.unionAll(v2)
+        .join(broadcast(retracted.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
+        .join(delta.select(col("id"), col("kept").as("kept2")), Seq("id"), "left")
+        .select(col("id"), col("fp"),
+          coalesce(col("kept2"), col("kept")).as("kept"))
+        .persist()
+      out.count()
+      v1.unpersist(blocking = false)
+      v2.unpersist(blocking = false)
+      out
+    }.orderBy("id")),
 
     // Incremental SimHash index (d3's persistent twin, closing the last
     // near-dup family without one): 60-bit portable signatures persist
@@ -5201,6 +5335,19 @@ object SparkEntry {
         |SELECT id, fp, (id = MIN(id) OVER (PARTITION BY fp)) AS kept
         |FROM f ORDER BY id""".stripMargin,
 
+    // d1's keep-the-min rule over the SURVIVING corpus (every fifth
+    // original retracted) — what the delta-corrected verdict log must
+    // equal: each retracted keeper's verbatim copy promotes to kept
+    "d63_exact_retraction" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+        |surv AS (SELECT * FROM corpus WHERE NOT (doc_id < 100000 AND doc_id % 5 = 0)),
+        |f AS (SELECT doc_id AS id,
+        |  md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS fp
+        |  FROM surv)
+        |SELECT id, fp, (id = MIN(id) OVER (PARTITION BY fp)) AS kept
+        |FROM f ORDER BY id""".stripMargin,
+
     // one-shot exact-jaccard pairs over the SURVIVING corpus (the r=0
     // originals retracted) — what the tombstoned index must accumulate
     "d56_index_retraction" ->
@@ -5261,6 +5408,29 @@ object SparkEntry {
         |FROM m LEFT JOIN drp ON m.vec_id = drp.vec_id
         |ORDER BY m.vec_id""".stripMargin,
 
+    // e22's exact rule at the PRODUCTION geometry: k = ⌈√corpus⌉
+    // first-k centroids, recomputed by the oracle from the same
+    // vec_id < k freeze rule
+    "e24_semdedup_prod_geometry" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mut AS (SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |c AS (SELECT vec_id AS cid, v AS cvec FROM base
+        |  WHERE vec_id < (SELECT CAST(ceil(sqrt(2.0 * COUNT(*))) AS BIGINT) FROM base)),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  round(list_cosine_similarity(e.v, c.cvec), 6) AS sim FROM corpus e, c),
+        |a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s)
+        |  WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cid, e.v FROM a JOIN corpus e USING (vec_id)),
+        |drp AS (SELECT DISTINCT r.vec_id FROM m l JOIN m r
+        |  ON l.cid = r.cid AND l.vec_id < r.vec_id
+        |  AND list_cosine_similarity(l.v, r.v) >= 0.99)
+        |SELECT m.vec_id, m.cid, (drp.vec_id IS NULL) AS kept
+        |FROM m LEFT JOIN drp ON m.vec_id = drp.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
+
     // e3's exact all-pairs oracle VERBATIM: incremental SRP-index ingest
     // must accumulate the identical verified near-dup pair list
     "e21_incremental_embedding_neardup" ->
@@ -5279,6 +5449,11 @@ object SparkEntry {
     // d3's oracle VERBATIM: the incremental SimHash index must
     // accumulate the identical pair list across its two ingests
     "d58_incremental_simhash" -> duckSimHashPairsSql,
+
+    // d3's oracle VERBATIM again: the streamed, restart-replayed SimHash
+    // ingest must accumulate the identical pair list — a replay that
+    // double-appended would duplicate rows and fail this hash gate
+    "st21_stream_simhash_restart" -> duckSimHashPairsSql,
 
     "d9_dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS ($duckMutantCorpus),

@@ -64,11 +64,15 @@ object IncrementalIndex {
     */
   val DefaultBroadcastRowLimit: Long = 8L * 1000 * 1000
 
-  /** Tuning knobs, defaults matching the d2 gated pipeline. */
+  /** Tuning knobs, defaults matching the d2 gated pipeline.
+    * `autoCompactEvery` ≥ 2 turns on the version-count compaction
+    * trigger ([[autoCompactAt]]); 0 (default) leaves compaction manual.
+    */
   final case class MinHashParams(
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
       threshold: Double = 0.8, bucketCap: Int = 1024, seed: Long = 42L,
-      broadcastRowLimit: Long = DefaultBroadcastRowLimit)
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit,
+      autoCompactEvery: Int = 0)
 
   /** Candidate pairs for an incremental ingest, from banded frames
     * (doc, rk, band, bucket) — `bandedI` the persisted index, `bandedB`
@@ -303,6 +307,8 @@ object IncrementalIndex {
       // (a missed cap engagement)
       VersionedTable.write(spark, a.batchStats, subRoot(root, "bucketstats"))
       val v = VersionedTable.write(spark, a.batchSigs, root)
+      autoCompactAt(spark, root, p.autoCompactEvery)(
+        compactDedupIndex(spark, root))
       (v, a.verified)
     } finally a.release()
   }
@@ -345,6 +351,8 @@ object IncrementalIndex {
       commitEpoch(spark, epochId,
         Some((a.batchStats, subRoot(root, "bucketstats"))),
         Seq(a.verified -> pairsRoot, a.batchSigs -> root))
+      autoCompactAt(spark, root, p.autoCompactEvery)(
+        compactDedupIndex(spark, root))
       Some(a.verified)
     } catch {
       case t: Throwable => a.verified.unpersist(blocking = false); throw t
@@ -468,9 +476,12 @@ object IncrementalIndex {
     * the stored fingerprint log streams map-side through a probe by the
     * broadcast batch fingerprint set (the index never enters an
     * exchange; size-gated with the same fallback rule as the candidate
-    * paths). Deliberately NOT retraction-aware, like SemDeDup: verdicts
-    * are order-dependent (B dropped BECAUSE of lower-id A), so
-    * retracting a keeper is a re-bootstrap, not a filter.
+    * paths). Retraction-aware the EXACT way ([[retractExact]]): the
+    * seen-probe reads the tombstone-filtered log, so a document
+    * re-arriving after a full group takedown is kept as its group's new
+    * first arrival, and a retracted keeper's group recomputes from the
+    * fingerprint log alone — no re-bootstrap (unlike SemDeDup, whose
+    * order-dependent geometry genuinely can't replay a verdict).
     * Returns (committed version, batch verdicts (id, fp, kept)).
     */
   private final case class ExactArtifacts(
@@ -491,7 +502,7 @@ object IncrementalIndex {
       // index side is one streamed scan, the probe side batch-bounded
       val seen =
         if (VersionedTable.versions(spark, fpRoot).nonEmpty)
-          VersionedTable.readAllVersions(spark, fpRoot).select("fp")
+          readExactIndex(spark, root).select("fp")
             .join(hintB(fps.select("fp").distinct()), "fp").distinct()
             .withColumn("indexed", lit(true))
         else fps.select("fp").limit(0).withColumn("indexed", lit(true))
@@ -543,15 +554,59 @@ object IncrementalIndex {
     } finally a.release()
   }
 
-  /** All (id, fp) fingerprint rows ingested so far. */
+  /** All (id, fp) fingerprint rows ingested so far, minus retracted ids. */
   def readExactIndex(spark: SparkSession, root: String,
       upTo: Option[Long] = None): DataFrame =
-    VersionedTable.readAllVersions(spark, exactFpRoot(root), upTo)
+    applyTombstones(spark, root,
+      VersionedTable.readAllVersions(spark, exactFpRoot(root), upTo))
+
+  /** Survivor-recompute retraction for the EXACT index — the takedown
+    * path the near-dup verdict families can't have: exact verdicts are
+    * recomputable from the fingerprint log alone (kept ⇔ id is the
+    * minimum SURVIVING id of its fingerprint group), so retracting a
+    * keeper CORRECTS the index instead of forcing a re-bootstrap.
+    * Commits the O(ids) tombstone version, then recomputes verdicts for
+    * the surviving members of every group a retracted id touched — the
+    * only verdicts a retraction can change, because groups are
+    * fingerprint-local and untouched groups keep their minimum. Returns
+    * the (id, fp, kept) correction delta; the caller overrides those
+    * ids in its accumulated verdict log. Later ingests probe the
+    * tombstone-filtered log ([[exactBatchArtifacts]]), so a document
+    * re-arriving after a FULL group takedown is kept as the group's new
+    * first arrival. Exchange discipline: the retracted-id and
+    * affected-fingerprint sets are O(ids) and broadcast; the fingerprint
+    * log streams map-side through both probes, and only the (small)
+    * affected-group slice enters the recompute window.
+    */
+  def retractExact(spark: SparkSession, root: String, ids: DataFrame,
+      idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = ids.select(col(idCol).as("id")).distinct()
+    // fingerprints the retracted ids carried — read RAW, pre-tombstone
+    // (the tombstone hides exactly the rows that name the groups)
+    val affected = VersionedTable.readAllVersions(spark, exactFpRoot(root))
+      .join(broadcast(t), "id").select("fp").distinct()
+    retract(spark, root, t)
+    val w = Window.partitionBy("fp").orderBy("id")
+    readExactIndex(spark, root)
+      .join(broadcast(affected), "fp")
+      .withColumn("kept", row_number().over(w) === 1)
+      .select("id", "fp", "kept")
+  }
 
   /** Compact an exact-dedup index's fingerprint log. */
   def compactExactIndex(spark: SparkSession, root: String,
       vacuum: Boolean = true): Unit =
     compactLog(spark, exactFpRoot(root), vacuum = vacuum)
+
+  /** Purge an exact-dedup index — the [[purgeDedupIndex]] shape:
+    * surviving fingerprints checkpointed, tombstones cleared LAST (no
+    * stats sidecar to re-derive).
+    */
+  def purgeExactIndex(spark: SparkSession, root: String): Unit = {
+    purgeLog(spark, root, exactFpRoot(root))
+    clearTombstones(spark, root)
+  }
 
   // -------------------------------------------------------------- SimHash
 
@@ -1711,6 +1766,32 @@ object IncrementalIndex {
   }
 
   // ---------------------------------------------------------- compaction
+
+  /** Auto-compaction trigger — the rowlog `retain` lesson applied to the
+    * index logs: fire the family's compactor when the PRIMARY log holds
+    * `every` committed versions (compaction resets the count to one
+    * checkpoint), so N daily ingests keep a BOUNDED version count
+    * without an operator remembering to call `compact*Index` — the
+    * "many_ingests" measurement (per-ingest 1.37→2.52 s compacted vs
+    * 1.66→3.89 s not) stops depending on operational discipline.
+    * `every = 0` disables (the default everywhere); otherwise ≥ 2.
+    * Wired into the MinHash ingests via
+    * [[MinHashParams.autoCompactEvery]]; every other family composes it
+    * directly: `autoCompactAt(spark, subRoot(root, "tokens"), 10)(
+    * compactPrefixIndex(spark, root))`. Returns whether a compaction
+    * fired. Epoch-guarded roots stay replay-safe across the fire — the
+    * `_epoch-hwm` witness survives the vacuumed marker versions
+    * (spec-pinned in IncrementalIndexSpec).
+    */
+  def autoCompactAt(spark: SparkSession, primaryRoot: String, every: Int)(
+      compactor: => Unit): Boolean = {
+    if (every == 0) return false
+    require(every >= 2,
+      s"autoCompactEvery must be >= 2 (or 0 to disable), got $every")
+    if (VersionedTable.versions(spark, primaryRoot).size >= every) {
+      compactor; true
+    } else false
+  }
 
   /** Compact one delta-log root: write a single checkpoint version
     * holding `transform(union of all committed versions)` and reclaim

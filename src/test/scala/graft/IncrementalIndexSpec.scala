@@ -346,6 +346,42 @@ class IncrementalIndexSpec extends SparkSpec {
     Seq(p1, p2, p3, t1, t2, t3, oneShot).foreach(_.unpersist())
   }
 
+  test("auto-compact policy bounds the version log; accumulation and epoch replays unaffected") {
+    val root = tmpDir("incr_autocompact")
+    val pairsRoot = tmpDir("incr_autocompact_pairs")
+    val p = IncrementalIndex.MinHashParams(autoCompactEvery = 4)
+    val r = pmod(col("doc_id") % 100000, lit(6))
+    val pairs = (0 to 5).map { i =>
+      val out = IncrementalIndex.ingestMinHashEpoch(spark, root, pairsRoot,
+        corpus.filter(r === i), "doc_id", "text", i.toLong, p)
+      assert(out.nonEmpty)
+      // the trigger keeps the version count bounded by the threshold
+      assert(VersionedTable.versions(spark, root).size <= 4,
+        s"after ingest $i: ${VersionedTable.versions(spark, root)}")
+      out.get
+    }
+    // the policy fired at least once (6 ingests, threshold 4) and the
+    // epoch guard survives it: a replay of the LAST epoch still drops
+    // even though its marker version may have been compacted away
+    assert(VersionedTable.versions(spark, root).size < 6)
+    assert(IncrementalIndex.ingestMinHashEpoch(spark, root, pairsRoot,
+      corpus.filter(r === 5), "doc_id", "text", 5L, p).isEmpty,
+      "post-auto-compact replay must still drop (hwm witness)")
+    // accumulation is invisible to the policy: pairs equal the one-shot
+    val oneShot = Dedup.minHashLsh(corpus, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    assert(pairs.map(pairSet).reduce(_ ++ _) == pairSet(oneShot))
+    assert(IncrementalIndex.readMinHashIndex(spark, root).count() == corpus.count())
+    // disabled policy never fires; a sub-threshold count never fires
+    assert(!IncrementalIndex.autoCompactAt(spark, root, 0)(fail("must not fire")))
+    assert(!IncrementalIndex.autoCompactAt(spark, root, 99)(fail("must not fire")))
+    assertThrows[IllegalArgumentException] {
+      IncrementalIndex.autoCompactAt(spark, root, 1)(())
+    }
+    pairs.foreach(_.unpersist(blocking = false))
+    oneShot.unpersist()
+  }
+
   test("incremental IVF assignment equals one-shot under the frozen centroids") {
     val root = tmpDir("incr_ivf")
     val embs = spark.read.parquet(sf("embeddings"))
@@ -633,6 +669,35 @@ class IncrementalIndexSpec extends SparkSpec {
       "originals kept; every verbatim copy dropped exactly once")
     assert(IncrementalIndex.readExactIndex(spark, root).count() == acc.count(),
       "every doc fingerprinted exactly once across commits and replays")
+  }
+
+  test("exact retraction: survivor recompute corrects keepers; re-arrival after full takedown kept") {
+    import spark.implicits._
+    val root = tmpDir("incr_exact_retract")
+    val b1 = Seq((1L, "aaa bbb"), (2L, "ccc ddd"), (3L, "eee fff")).toDF("doc_id", "text")
+    val b2 = Seq((11L, "aaa bbb"), (12L, "ccc ddd")).toDF("doc_id", "text") // verbatim copies
+    val (_, v1) = IncrementalIndex.ingestExact(spark, root, b1, "doc_id", "text")
+    val (_, v2) = IncrementalIndex.ingestExact(spark, root, b2, "doc_id", "text")
+    // retract keeper 1 and the WHOLE group of "eee fff" (id 3)
+    val delta = IncrementalIndex.retractExact(spark, root, Seq(1L, 3L).toDF("id"))
+    val dm = delta.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(dm == Map(11L -> true),
+      "the surviving copy promotes to keeper; a fully-retracted group has no survivors; " +
+        "untouched groups (ccc ddd) are never recomputed")
+    // a re-arrival of the fully-taken-down text is its group's new first
+    // arrival (the seen-probe reads the tombstone-filtered log); a text
+    // whose group still has a survivor stays a duplicate
+    val b3 = Seq((21L, "eee fff"), (22L, "aaa bbb")).toDF("doc_id", "text")
+    val (_, v3) = IncrementalIndex.ingestExact(spark, root, b3, "doc_id", "text")
+    val km = v3.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(km == Map(21L -> true, 22L -> false))
+    // physical purge stays read-equivalent and clears the tombstones
+    IncrementalIndex.purgeExactIndex(spark, root)
+    val ids = IncrementalIndex.readExactIndex(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 11L, 12L, 21L, 22L), "purged index holds exactly the survivors")
+    assert(VersionedTable.readAllVersions(spark, s"$root/tombstones").count() == 0)
+    Seq(v1, v2, v3).foreach(_.unpersist())
   }
 
   test("retraction: reads exclude tombstoned ids; accumulated pairs equal one-shot over survivors") {
