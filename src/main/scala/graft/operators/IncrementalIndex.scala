@@ -191,7 +191,7 @@ object IncrementalIndex {
     * — a map-only derivation from the signature table (re-deriving ~32
     * longs per row beats persisting an exploded 32×-row banded table).
     */
-  private def bandedOf(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandedOf(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
     val bandHashes = (0 until bands).map { j =>
       xxhash64((j * r until (j + 1) * r).map(i => element_at(col("sig"), i + 1)): _*)

@@ -749,6 +749,208 @@ object ScaleRehearsal {
       return
     }
 
+    if (scope == "layout") {
+      // VERDICT r8 task 2: can the d55 row-group-clustering trick attack
+      // the O(index) per-ingest banded-scan term? The candidate probe is
+      // "index rows whose (band, bucket) appears in the batch's bucket
+      // set" — for zone maps to prune, a sorted layout must leave row
+      // groups whose (band, bucket) min/max ranges MISS every probe
+      // bucket. Buckets are 64-bit hashes, so the batch's ~row×bands
+      // probe set is uniform over the key space, and a row group
+      // covering fraction f of a band's bucket range is missed with
+      // probability (1-f)^|B| ≈ 0. This scope makes that analytic
+      // argument a measured number: build the 100× index, write the
+      // MOST FAVORABLE layout (banded sidecar, globally range-clustered
+      // by (band, bucket)), read the real parquet footers, and report
+      // the fraction of row groups a real sf0.01 bookmark batch's probe
+      // set touches — plus the scan-side wall-clock of probing the
+      // sidecar vs re-deriving bands from the signature log (the status
+      // quo, which the code chose because the exploded sidecar is ~32×
+      // the rows).
+      import graft.operators.IncrementalIndex
+      import org.apache.hadoop.fs.Path
+      val batchDir = new java.io.File(srcDir).getParent + "/sf0.01"
+      val sf10Dir = s"$base/graft-sf10-real"
+      ensureDir(spark, srcDir, sf10Dir, "real", replicas = 100,
+        only = Some(Set("documents", "embeddings")))
+      val root = s"$base/graft-layout-index"
+      val sidecar = s"$base/graft-layout-sidecar"
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true); fs.delete(new Path(sidecar), true)
+      try {
+        val docs = spark.read.parquet(s"$sf10Dir/documents.parquet")
+          .select("doc_id", "text")
+        val (_, p0) = IncrementalIndex.ingestMinHash(spark, root, docs, "doc_id", "text")
+        p0.unpersist(blocking = false)
+        val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+          .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+        // the probe set a real bookmark batch carries: (band, bucket)
+        // pairs of its banded signature rows
+        val batchBuckets = IncrementalIndex.bandedOf(
+            IncrementalIndex.minHashSignatures(batch, "doc_id", "text")
+              .select("id", "sz", "sig"), 128, 32)
+          .select("band", "bucket").distinct().persist()
+        val nProbe = batchBuckets.count()
+        // status quo: bands re-derived from the signature log at read
+        val stockBanded = IncrementalIndex.bandedOf(
+          IncrementalIndex.readMinHashIndex(spark, root)
+            .select(col("id"), col("sz"), col("sig")), 128, 32)
+        var t0 = System.nanoTime()
+        val stockHits = stockBanded
+          .join(broadcast(batchBuckets), Seq("band", "bucket")).count()
+        val stockSec = (System.nanoTime() - t0) / 1e9
+        // most favorable layout for zone maps: globally range-clustered
+        t0 = System.nanoTime()
+        stockBanded.repartitionByRange(64, col("band"), col("bucket"))
+          .sortWithinPartitions("band", "bucket")
+          .write.parquet(sidecar)
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val sideHits = spark.read.parquet(sidecar)
+          .join(broadcast(batchBuckets), Seq("band", "bucket")).count()
+        val sideSec = (System.nanoTime() - t0) / 1e9
+        // zone-map census over the REAL footers: a row group is prunable
+        // iff no probe (band, bucket) can fall inside its min/max box
+        val probes = batchBuckets.collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sorted
+        val probesByBand = probes.groupBy(_._1).map { case (b, xs) =>
+          b -> xs.map(_._2).sorted }
+        def anyIn(sorted: Array[Long], lo: Long, hi: Long): Boolean = {
+          val i = java.util.Arrays.binarySearch(sorted, lo)
+          val at = if (i >= 0) i else -i - 1
+          at < sorted.length && sorted(at) <= hi
+        }
+        val conf = spark.sparkContext.hadoopConfiguration
+        var total = 0L; var hit = 0L
+        fs.listStatus(new Path(sidecar)).filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+            try rd.getFooter.getBlocks.forEach { blk =>
+              total += 1
+              var bandMin = Int.MaxValue; var bandMax = Int.MinValue
+              var bMin = Long.MaxValue; var bMax = Long.MinValue
+              blk.getColumns.forEach { c =>
+                c.getPath.toDotString match {
+                  case "band" =>
+                    bandMin = c.getStatistics.genericGetMin.asInstanceOf[Number].intValue()
+                    bandMax = c.getStatistics.genericGetMax.asInstanceOf[Number].intValue()
+                  case "bucket" =>
+                    bMin = c.getStatistics.genericGetMin.asInstanceOf[Number].longValue()
+                    bMax = c.getStatistics.genericGetMax.asInstanceOf[Number].longValue()
+                  case _ =>
+                }
+              }
+              val touched = (bandMin to bandMax).exists(bd =>
+                probesByBand.get(bd).exists(anyIn(_, bMin, bMax)))
+              if (touched) hit += 1
+            } finally rd.close()
+          }
+        val frac = hit.toDouble / math.max(total, 1L)
+        println(f"SCALE layout probes=$nProbe stockScan=$stockSec%.2fs " +
+          f"sidecarScan=$sideSec%.2fs build=$buildSec%.2fs " +
+          f"rowgroups=$total hit=$hit frac=$frac%.4f " +
+          f"hits(stock=$stockHits,side=$sideHits)")
+        batchBuckets.unpersist(blocking = false)
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+          s"""{"layout":{"probe_buckets":$nProbe,""" +
+            s""""stock_scan_sec":${"%.2f".format(stockSec)},""" +
+            s""""sidecar_scan_sec":${"%.2f".format(sideSec)},""" +
+            s""""sidecar_build_sec":${"%.2f".format(buildSec)},""" +
+            s""""rowgroups":$total,"rowgroups_hit":$hit,""" +
+            s""""hit_frac":${"%.4f".format(frac)}}}""" + "\n")
+        println(s"[scale] wrote $outJson")
+      } finally {
+        fs.delete(new Path(root), true)
+        fs.delete(new Path(sidecar), true)
+      }
+      spark.stop()
+      return
+    }
+
+    if (scope == "semreboot") {
+      // VERDICT r8 task 5: price the re-bootstrap takedown path for the
+      // order-dependent SemDeDup family (retraction there is a rebuild
+      // over survivors BY DESIGN — verdicts can't replay). Time a full
+      // production-geometry (k = √N) bootstrap at three corpus decades
+      // so the takedown SLA is a number.
+      import graft.operators.IncrementalIndex
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val sf10Dir = s"$base/graft-sf10-real"
+      ensureDir(spark, srcDir, sf10Dir, "real", replicas = 100,
+        only = Some(Set("documents", "embeddings")))
+      val rows = Seq("1x" -> srcDir, "10x" -> cliqueDir0, "100x" -> sf10Dir)
+        .map { case (tag, dir) =>
+          val root = s"$base/graft-semreboot-$tag"
+          val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new Path(root), true)
+          try {
+            val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+              .select(col("vec_id"),
+                transform(col("embedding"), x => x.cast("double")).as("v"))
+            val n = emb.count()
+            val k = math.ceil(math.sqrt(n.toDouble)).toInt
+            val cents = emb.orderBy("vec_id").limit(k)
+              .select(col("vec_id").as("cid"), col("v").as("cvec"))
+            SparkEntry.resetSessionCache(spark)
+            val t0 = System.nanoTime()
+            val r = IncrementalIndex.bootstrapSemDedup(
+              spark, root, emb, "vec_id", "v", cents, threshold = 0.99, cap = 2048)
+            r.verdicts.unpersist(blocking = false)
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"SCALE semreboot[$tag] n=$n k=$k rebootstrap $sec%.2fs")
+            s""""$tag":{"n":$n,"k":$k,"sec":${"%.2f".format(sec)}}"""
+          } finally fs.delete(new Path(root), true)
+        }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"semreboot":{${rows.mkString(",")}}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "autocompact") {
+      // VERDICT r8 task 8: the version-count trigger
+      // (MinHashParams.autoCompactEvery) replayed over the many-ingests
+      // shape — per-ingest cost must stay flat and the version count
+      // bounded WITHOUT any manual compactLog call.
+      import graft.operators.IncrementalIndex
+      import org.apache.hadoop.fs.Path
+      val root = s"$base/graft-autocompact"
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      try {
+        val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+          .select("doc_id", "text").persist()
+        docs.count()
+        val p = graft.operators.IncrementalIndex.MinHashParams(autoCompactEvery = 10)
+        val batches = 100
+        val window = 8
+        val times = (0 until batches).map { i =>
+          val b = docs.filter(pmod(col("doc_id"), lit(batches)) === i)
+          val t0 = System.nanoTime()
+          val (_, pr) = IncrementalIndex.ingestMinHash(spark, root, b, "doc_id", "text", p)
+          pr.unpersist(blocking = false)
+          (System.nanoTime() - t0) / 1e9
+        }
+        docs.unpersist(blocking = false)
+        val head = times.take(window).sum / window
+        val tail = times.takeRight(window).sum / window
+        val nv = graft.sinks.VersionedTable.versions(spark, root).size
+        println(f"SCALE autocompact first$window $head%.2fs/ingest " +
+          f"last$window $tail%.2fs/ingest versions=$nv (policy every=10, no manual call)")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+          s"""{"autocompact":{"batches":$batches,"every":10,""" +
+            s""""first":${"%.2f".format(head)},"last":${"%.2f".format(tail)},""" +
+            s""""versions":$nv}}""" + "\n")
+        println(s"[scale] wrote $outJson")
+      } finally fs.delete(new Path(root), true)
+      spark.stop()
+      return
+    }
+
     if (scope == "tfidf") {
       // incremental TF-IDF probes (d55) across three index decades; the
       // 100× corpus is the sf10 real-mode replica set
