@@ -1145,6 +1145,23 @@ object IncrementalIndex {
       broadcastRowLimit)
   }
 
+  /** Exactly-once SemDeDup bootstrap: the centroid snapshot is written
+    * only when ABSENT (caller-provided, so a replay re-presents the
+    * identical frame), verdict/member legs ride [[ingestSemDedupEpoch]].
+    * Returns None on a fully-replayed epoch.
+    */
+  def bootstrapSemDedupEpoch(spark: SparkSession, root: String,
+      verdictsRoot: String, batch: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double, epochId: Long, cap: Int = 512,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[SemDedupIngest] = {
+    if (epochCommittedIn(spark, semMembersRoot(root), epochId)) return None
+    if (VersionedTable.versions(spark, semCentroidsRoot(root)).isEmpty)
+      VersionedTable.write(spark,
+        centroids.select(col("cid"), col("cvec")), semCentroidsRoot(root))
+    ingestSemDedupEpoch(spark, root, verdictsRoot, batch, idCol, vecCol,
+      threshold, epochId, cap, broadcastRowLimit)
+  }
+
   /** Incremental SemDeDup ingest: assign ONLY the batch to the frozen
     * centroids, mark each batch member dropped iff a LOWER-id member of
     * the same cell (indexed or in-batch) sits within `threshold`, and
@@ -1289,6 +1306,27 @@ object IncrementalIndex {
     ingestIvf(spark, root, batch, idCol, vecCol)
   }
 
+  /** Exactly-once IVF bootstrap: the centroid snapshot is written only
+    * when ABSENT (a replay that crashed after training skips the
+    * retrain entirely and assigns under the COMMITTED centroids — so
+    * consistency holds even if the trainer were nondeterministic), and
+    * the assignment leg rides [[ingestIvfEpoch]]. A replayed unguarded
+    * [[bootstrapIvf]] would append duplicate assignment rows; this
+    * returns None instead.
+    */
+  def bootstrapIvfEpoch(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, k: Int, epochId: Long): Option[Long] = {
+    if (epochCommittedIn(spark, assignRoot(root), epochId)) return None
+    if (VersionedTable.versions(spark, centroidsRoot(root)).isEmpty) {
+      val cents = Ivf.train(batch, vecCol, k)
+      import spark.implicits._
+      VersionedTable.write(spark, cents.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cid", "cvec"),
+        centroidsRoot(root))
+    }
+    ingestIvfEpoch(spark, root, batch, idCol, vecCol, epochId)
+  }
+
   /** Frozen centroids of a bootstrapped index, cid-ordered. */
   def readIvfCentroids(spark: SparkSession, root: String): Array[Array[Double]] =
     VersionedTable.read(spark, centroidsRoot(root))
@@ -1350,6 +1388,24 @@ object IncrementalIndex {
       Seq((dim, m, ksub, books)).toDF("dim", "m", "ksub", "books"),
       pqBooksRoot(root))
     ingestPq(spark, root, batch, idCol, vecCol)
+  }
+
+  /** Exactly-once PQ bootstrap — the [[bootstrapIvfEpoch]] shape:
+    * codebooks written only when ABSENT, codes ride [[ingestPqEpoch]].
+    * Returns None on a fully-replayed epoch.
+    */
+  def bootstrapPqEpoch(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, dim: Int, epochId: Long, m: Int = 8,
+      ksub: Int = 16): Option[Long] = {
+    if (epochCommittedIn(spark, pqCodesRoot(root), epochId)) return None
+    if (VersionedTable.versions(spark, pqBooksRoot(root)).isEmpty) {
+      val books = Pq.train(batch, vecCol, dim, m, ksub)
+      import spark.implicits._
+      VersionedTable.write(spark,
+        Seq((dim, m, ksub, books)).toDF("dim", "m", "ksub", "books"),
+        pqBooksRoot(root))
+    }
+    ingestPqEpoch(spark, root, batch, idCol, vecCol, epochId)
   }
 
   /** Frozen geometry + codebooks of a bootstrapped PQ index. */
@@ -1609,6 +1665,33 @@ object IncrementalIndex {
     VersionedTable.write(spark,
       Seq(batch.count()).toDF("nn"), idfMetaRoot(root))
     ingestTfidf(spark, root, batch, idCol, textCol)
+  }
+
+  /** Exactly-once TF-IDF bootstrap — closes the last unguarded window:
+    * a replayed [[bootstrapTfidf]] appends a SECOND (identical) stats
+    * snapshot (benign — snapshot reads take the latest) but re-runs the
+    * inner unguarded ingest, DOUBLING batch-1's weight rows and
+    * changing scores. Here the frozen-snapshot legs are
+    * idempotent-at-rest (written only when ABSENT — a replay that
+    * crashed after them skips the write and reads the committed,
+    * deterministic-from-the-same-batch content) and the data legs ride
+    * [[ingestTfidfEpoch]]. Returns None on a fully-replayed epoch.
+    */
+  def bootstrapTfidfEpoch(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String, epochId: Long,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[Long] = {
+    if (epochCommittedIn(spark, weightsRoot(root), epochId)) return None
+    if (VersionedTable.versions(spark, idfStatsRoot(root)).isEmpty)
+      VersionedTable.write(spark,
+        termFreqs(batch, idCol, textCol).groupBy("tk")
+          .agg(count(lit(1)).as("df")), idfStatsRoot(root))
+    if (VersionedTable.versions(spark, idfMetaRoot(root)).isEmpty) {
+      import spark.implicits._
+      VersionedTable.write(spark,
+        Seq(batch.count()).toDF("nn"), idfMetaRoot(root))
+    }
+    ingestTfidfEpoch(spark, root, batch, idCol, textCol, epochId,
+      broadcastRowLimit)
   }
 
   /** Frozen corpus count of a bootstrapped TF-IDF index. */

@@ -238,6 +238,78 @@ class EpochIngestSpec extends SparkSpec {
     sets.unpersist()
   }
 
+  test("bootstrap epoch guards: replayed bootstraps are no-ops; frozen snapshots written once") {
+    val embs = spark.read.parquet(sf("embeddings"))
+    // TF-IDF: the family where an unguarded bootstrap replay DOUBLES
+    // batch-1 weights and changes scores
+    val tr = tmpDir("boot_tfidf")
+    val b0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    assert(IncrementalIndex.bootstrapTfidfEpoch(
+      spark, tr, b0, "doc_id", "text", 0L).nonEmpty)
+    assert(IncrementalIndex.bootstrapTfidfEpoch(
+      spark, tr, b0, "doc_id", "text", 0L).isEmpty, "bootstrap replay must drop")
+    assert(VersionedTable.versions(spark, s"$tr/idfstats") == Seq(1L),
+      "frozen stats written exactly once across replays")
+    assert(VersionedTable.versions(spark, s"$tr/weights") == Seq(1L))
+    // crash window "snapshots committed, weights not": the replay skips
+    // the snapshot writes and re-commits only the data legs
+    dropVersion(s"$tr/weights", 1L)
+    resetHwm(s"$tr/weights", "-1")
+    assert(IncrementalIndex.bootstrapTfidfEpoch(
+      spark, tr, b0, "doc_id", "text", 0L).nonEmpty,
+      "the weights half must be recommitted")
+    assert(VersionedTable.versions(spark, s"$tr/idfstats") == Seq(1L))
+    assert(VersionedTable.versions(spark, s"$tr/norms") == Seq(1L),
+      "the replay must not double-append norms")
+    // a later guarded ingest composes with the guarded bootstrap
+    assert(IncrementalIndex.ingestTfidfEpoch(spark, tr,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", 1L).nonEmpty)
+    assert(IncrementalIndex.readTfidfWeights(spark, tr)
+      .groupBy("id", "tk").count().filter(col("count") > 1).count() == 0,
+      "no (doc, token) weighed twice across bootstrap replays and ingests")
+    // IVF: centroids trained once; assignments never double
+    val ir = tmpDir("boot_ivf")
+    assert(IncrementalIndex.bootstrapIvfEpoch(
+      spark, ir, embs, "vec_id", "embedding", k = 8, 0L).contains(1L))
+    assert(IncrementalIndex.bootstrapIvfEpoch(
+      spark, ir, embs, "vec_id", "embedding", k = 8, 0L).isEmpty)
+    assert(VersionedTable.versions(spark, s"$ir/centroids") == Seq(1L))
+    assert(IncrementalIndex.readIvfAssignments(spark, ir).count() == embs.count())
+    // crash window: assignments lost after centroid commit — the replay
+    // must NOT retrain (it assigns under the committed centroids)
+    val cents0 = IncrementalIndex.readIvfCentroids(spark, ir)
+    dropVersion(s"$ir/assignments", 1L)
+    resetHwm(s"$ir/assignments", "-1")
+    assert(IncrementalIndex.bootstrapIvfEpoch(
+      spark, ir, embs, "vec_id", "embedding", k = 8, 0L).nonEmpty)
+    assert(VersionedTable.versions(spark, s"$ir/centroids") == Seq(1L))
+    assert(IncrementalIndex.readIvfCentroids(spark, ir).map(_.toSeq).toSeq ==
+      cents0.map(_.toSeq).toSeq, "replay must keep the committed centroids")
+    // PQ: books trained once; codes never double
+    val pr = tmpDir("boot_pq")
+    assert(IncrementalIndex.bootstrapPqEpoch(
+      spark, pr, embs, "vec_id", "embedding", dim = 64, 0L).contains(1L))
+    assert(IncrementalIndex.bootstrapPqEpoch(
+      spark, pr, embs, "vec_id", "embedding", dim = 64, 0L).isEmpty)
+    assert(VersionedTable.versions(spark, s"$pr/codebooks") == Seq(1L))
+    assert(IncrementalIndex.readPqCodes(spark, pr).count() == embs.count())
+    // SemDeDup: centroid snapshot once; verdicts/members ride the guard
+    val sr = tmpDir("boot_sem")
+    val vr = tmpDir("boot_sem_verdicts")
+    val ev = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cents = ev.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val r0 = IncrementalIndex.bootstrapSemDedupEpoch(
+      spark, sr, vr, ev, "vec_id", "v", cents, 0.99, 0L, cap = 2048)
+    assert(r0.nonEmpty)
+    r0.foreach(_.verdicts.unpersist(blocking = false))
+    assert(IncrementalIndex.bootstrapSemDedupEpoch(
+      spark, sr, vr, ev, "vec_id", "v", cents, 0.99, 0L, cap = 2048).isEmpty)
+    assert(VersionedTable.versions(spark, s"$sr/centroids") == Seq(1L))
+    assert(VersionedTable.versions(spark, vr) == Seq(1L))
+  }
+
   test("batch wrappers default to the epoch guard keyed by the bookmark boundary") {
     import graft.api.corpus._
     val b1 = corpus.filter(col("doc_id") < 100000)  // originals
