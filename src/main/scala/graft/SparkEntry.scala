@@ -4029,6 +4029,61 @@ object SparkEntry {
       VersionedTable.readAllVersions(s, pairsRoot).orderBy("a", "b")
     }),
 
+    // Streaming TF-IDF index maintenance under a restart replay — the
+    // family where exactly-once is a SCORING-correctness property, not
+    // hygiene: the scorer unions all weight versions, so an unguarded
+    // replay of the bootstrap micro-batch would double batch-1's weight
+    // rows and CHANGE every cosine this query emits (the hash gate
+    // would fail). The corpus streams as two files (even doc_ids first
+    // — the frozen-stats batch — then odd); micro-batch 0 bootstraps
+    // through the epoch-guarded bootstrap (frozen df/N written
+    // idempotent-at-rest, weights/norms under the epoch marker), the
+    // batch-0 checkpoint commit is erased (the st21 crash window), and
+    // the restarted query replays epoch 0 — dropped — then ingests the
+    // odd file as epoch 1. Scores from the persisted log must equal
+    // d55's one-shot frozen-stats oracle verbatim.
+    "st22_stream_tfidf_restart" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      import graft.sinks.VersionedTable
+      val work = tmpdir("graft-st22")
+      val root = tmpdir("graft-st22-index")
+      val ckpt = tmpdir("graft-st22-ckpt")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, docs.filter(col("doc_id") % 2 === 0), "even", Some(t0 - 30000))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.streaming.metadataCache.enabled", "false") // see st21
+      def runStream(): Unit = {
+        val q = sess.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            // one idempotent entry: the guarded bootstrap freezes stats
+            // only when ABSENT and rides the guarded ingest for the data
+            // legs, so it IS the correct per-micro-batch call for every
+            // epoch — bootstrap, ingest, and replay alike
+            IncrementalIndex.bootstrapTfidfEpoch(
+              sess, root, batch, "doc_id", "text", epochId)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runStream() // micro-batch 0 bootstraps on the even docs
+      require(new java.io.File(s"$ckpt/commits/0").delete(),
+        "restart simulation requires erasing the batch-0 checkpoint commit")
+      new java.io.File(s"$ckpt/commits/.0.crc").delete()
+      arriveFile(work, docs.filter(col("doc_id") % 2 === 1), "odd", Some(t0))
+      runStream() // replays epoch 0 (dropped), ingests odds as epoch 1
+      require(VersionedTable.versions(s, s"$root/weights").size == 2 &&
+        VersionedTable.versions(s, s"$root/norms").size == 2 &&
+        VersionedTable.versions(s, s"$root/idfstats").size == 1,
+        "exactly one committed version per epoch, one frozen-stats snapshot")
+      IncrementalIndex.sparseCosineIndexed(s, root, col("id") < 50, 0.2)
+        .orderBy("ia", "ib")
+    }),
+
     // Attribute-filtered ANN (the vector-DB staple): the metadata
     // predicate applies BEFORE ranking — post-filtering a plain top-k
     // returns fewer than k (or misses qualifying neighbors entirely)
@@ -5367,6 +5422,28 @@ object SparkEntry {
     // tokens take df=0 through the +1 smoothing — the exact rule the
     // incremental index must reproduce from its persisted weight log
     "d55_incremental_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tk
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT tk, COUNT(*) AS df FROM tf WHERE doc_id % 2 = 0 GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM documents WHERE doc_id % 2 = 0),
+        |wts AS (SELECT tf.doc_id, tf.tk,
+        |  tf.tf * CAST(round((ln(CAST(n.nn + 1 AS DOUBLE) / (COALESCE(dfq.df, 0) + 1)) + 1) * 1000000) AS BIGINT) AS w
+        |  FROM tf LEFT JOIN dfq USING (tk) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, SUM(w * w) AS nrm2 FROM wts GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS ia, b.doc_id AS ib, SUM(a.w * b.w) AS dot
+        |  FROM wts a JOIN wts b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 50 GROUP BY 1, 2),
+        |sc AS (SELECT ia, ib, CAST(dot AS BIGINT) AS dot,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6) AS cos
+        |  FROM dots JOIN nrm na ON ia = na.doc_id JOIN nrm nb ON ib = nb.doc_id)
+        |SELECT ia, ib, dot, cos FROM sc WHERE cos >= 0.2 ORDER BY ia, ib""".stripMargin,
+
+    // d55's frozen-stats oracle VERBATIM: the streamed,
+    // restart-replayed TF-IDF index must score identically — a
+    // double-appended bootstrap batch changes every cosine
+    "st22_stream_tfidf_restart" ->
       """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tk
         |  FROM documents),
         |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM t GROUP BY 1, 2),
