@@ -4084,6 +4084,114 @@ object SparkEntry {
         .orderBy("ia", "ib")
     }),
 
+    // Restart-replay for the EXACT-dedup family (completing the streamed
+    // epoch coverage beyond MinHash/SimHash/TF-IDF): the originals
+    // stream first, their verbatim copies second; the batch-0 checkpoint
+    // commit is erased (the st21 crash window) so the restarted query
+    // re-delivers epoch 0 — dropped by the guard. The accumulated
+    // VERDICT log must equal d57/d1's one-shot keep-the-min rule
+    // verbatim: an undropped replay duplicates verdict rows (id stops
+    // being unique) and fails the hash gate, and the version counts
+    // assert a silently-skipped replay can't pass either.
+    "st23_stream_exact_restart" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      import graft.sinks.VersionedTable
+      val work = tmpdir("graft-st23")
+      val root = tmpdir("graft-st23-index")
+      val verdictsRoot = tmpdir("graft-st23-verdicts")
+      val ckpt = tmpdir("graft-st23-ckpt")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, docs, "b1", Some(t0 - 30000))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.streaming.metadataCache.enabled", "false") // see st21
+      def runStream(): Unit = {
+        val q = sess.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            IncrementalIndex.ingestExactEpoch(
+                sess, root, verdictsRoot, batch, "doc_id", "text", epochId)
+              .foreach(_.unpersist(blocking = false))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runStream() // micro-batch 0 ingests the originals
+      require(new java.io.File(s"$ckpt/commits/0").delete(),
+        "restart simulation requires erasing the batch-0 checkpoint commit")
+      new java.io.File(s"$ckpt/commits/.0.crc").delete()
+      arriveFile(work,
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")),
+        "b2", Some(t0))
+      runStream() // replays epoch 0 (dropped), ingests the copies as epoch 1
+      require(VersionedTable.versions(s, s"$root/fingerprints").size == 2 &&
+        VersionedTable.versions(s, verdictsRoot).size == 2,
+        "exactly one committed version per epoch across the restart replay")
+      VersionedTable.readAllVersions(s, verdictsRoot).orderBy("id")
+    }),
+
+    // Restart-replay for the SRP embedding family — a live embedding
+    // feed is the realistic arrival mode for vectors, so the epoch guard
+    // is driven by a real file stream here too: perturbed-twin corpus
+    // (e21's), two micro-batches, batch-0 commit erased, replay dropped.
+    // Accumulated pairs must equal the one-shot exact-cosine oracle
+    // verbatim (pair sets are disjoint per ingest and union-complete
+    // under any split — the d54 theorem applied to SRP).
+    "st24_stream_embedding_restart" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      import graft.sinks.VersionedTable
+      val work = tmpdir("graft-st24")
+      val root = tmpdir("graft-st24-index")
+      val pairsRoot = tmpdir("graft-st24-pairs")
+      val ckpt = tmpdir("graft-st24-ckpt")
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+      val corpus = base.union(mut)
+      // the SAME frozen geometry both runs (bootstrap freezes it; the
+      // restart constructs identical params — deterministic in N)
+      val p = IncrementalIndex.SrpParams(dim = 64,
+        bitsPerTable = Similarity.srpBitsFor(base.count() * 2), bucketCap = 256)
+      val r = pmod(col("vec_id") % 100000, lit(3))
+      val isMut = col("vec_id") >= 100000
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, corpus.filter((!isMut && r < 2) || (isMut && r === 0)),
+        "b1", Some(t0 - 30000))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.streaming.metadataCache.enabled", "false") // see st21
+      def runStream(): Unit = {
+        val q = sess.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            IncrementalIndex.ingestEmbeddingsEpoch(
+                sess, root, pairsRoot, batch, "vec_id", "v", epochId, p)
+              .foreach(_.unpersist(blocking = false))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runStream() // micro-batch 0 ingests b1
+      require(new java.io.File(s"$ckpt/commits/0").delete(),
+        "restart simulation requires erasing the batch-0 checkpoint commit")
+      new java.io.File(s"$ckpt/commits/.0.crc").delete()
+      arriveFile(work, corpus.filter((!isMut && r === 2) || (isMut && r > 0)),
+        "b2", Some(t0))
+      runStream() // replays epoch 0 (dropped), ingests b2 as epoch 1
+      require(VersionedTable.versions(s, root).size == 2 &&
+        VersionedTable.versions(s, pairsRoot).size == 2,
+        "exactly one committed version per epoch across the restart replay")
+      VersionedTable.readAllVersions(s, pairsRoot)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos6"))
+        .orderBy("a", "b")
+    }),
+
     // Attribute-filtered ANN (the vector-DB staple): the metadata
     // predicate applies BEFORE ranking — post-filtering a plain top-k
     // returns fewer than k (or misses qualifying neighbors entirely)
@@ -5152,6 +5260,36 @@ object SparkEntry {
        |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
   }
 
+  /** d1/d57's exact keep-the-min rule over the verbatim-copy corpus —
+    * shared verbatim with the restart-replayed stream st23, whose
+    * accumulated verdict log must be identical (a replay that
+    * double-appended duplicates verdict rows and fails the hash gate).
+    */
+  private val duckExactVerdictsSql =
+    """WITH corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+      |f AS (SELECT doc_id AS id,
+      |  md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS fp
+      |  FROM corpus)
+      |SELECT id, fp, (id = MIN(id) OVER (PARTITION BY fp)) AS kept
+      |FROM f ORDER BY id""".stripMargin
+
+  /** Exact cosine ≥ 0.99 pairs over the perturbed-embedding corpus —
+    * e21's oracle, shared verbatim with the restart-replayed stream
+    * st24 (accumulated pair log across micro-batches and a replay must
+    * equal the one-shot answer).
+    */
+  private val duckSrpNearDupSql =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |mut AS (SELECT vec_id + 100000 AS vec_id,
+      |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+      |pairs AS (SELECT l.vec_id AS a, r.vec_id AS b,
+      |  list_cosine_similarity(l.v, r.v) AS c
+      |  FROM corpus l, corpus r WHERE l.vec_id < r.vec_id)
+      |SELECT a, b, round(c, 6) AS cos6 FROM pairs WHERE c >= 0.99
+      |ORDER BY a, b""".stripMargin
+
   /** One brute-force cosine top-5 oracle shared by e1 and every exact
     * full-probe ANN gate (e5 IVF, e6 LSH, e7 PQ, e9 IVF-PQ) — a tweak to
     * the tie-break or query set cannot desynchronize the gates.
@@ -5381,14 +5519,11 @@ object SparkEntry {
 
     // d1's keep-the-min rule over originals ∪ verbatim copies, per doc —
     // what the incremental fingerprint log must accumulate
-    "d57_incremental_exact" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
-        |f AS (SELECT doc_id AS id,
-        |  md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS fp
-        |  FROM corpus)
-        |SELECT id, fp, (id = MIN(id) OVER (PARTITION BY fp)) AS kept
-        |FROM f ORDER BY id""".stripMargin,
+    "d57_incremental_exact" -> duckExactVerdictsSql,
+
+    // d57's oracle VERBATIM: the streamed, restart-replayed exact ingest
+    // must accumulate the identical verdict log
+    "st23_stream_exact_restart" -> duckExactVerdictsSql,
 
     // d1's keep-the-min rule over the SURVIVING corpus (every fifth
     // original retracted) — what the delta-corrected verdict log must
@@ -5510,16 +5645,11 @@ object SparkEntry {
 
     // e3's exact all-pairs oracle VERBATIM: incremental SRP-index ingest
     // must accumulate the identical verified near-dup pair list
-    "e21_incremental_embedding_neardup" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |mut AS (SELECT vec_id + 100000 AS vec_id,
-        |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
-        |pairs AS (SELECT l.vec_id AS a, r.vec_id AS b,
-        |  list_cosine_similarity(l.v, r.v) AS c
-        |  FROM corpus l, corpus r WHERE l.vec_id < r.vec_id)
-        |SELECT a, b, round(c, 6) AS cos6 FROM pairs WHERE c >= 0.99
-        |ORDER BY a, b""".stripMargin,
+    "e21_incremental_embedding_neardup" -> duckSrpNearDupSql,
+
+    // e21's oracle VERBATIM: the streamed, restart-replayed SRP ingest
+    // must accumulate the identical pair log
+    "st24_stream_embedding_restart" -> duckSrpNearDupSql,
 
     "d3_dedup_simhash" -> duckSimHashPairsSql,
 

@@ -64,13 +64,53 @@ object corpus {
       * ranges (the same append-ordered-id guarantee the incremental
       * ingests already require), so batch max ids strictly increase — a
       * valid monotone epoch sequence derived from the data itself, no
-      * side-channel sequence number needed. None for an empty batch.
-      * One batch-bounded aggregate job.
+      * side-channel sequence number needed. None for an empty batch
+      * (the wrappers turn that into a PURE no-op — no version written,
+      * no epoch consumed — so repeated empty polls, routine in
+      * cron/stream ingestion, never grow the version logs). Ids that
+      * don't cast to long fail LOUDLY: silently falling back to an
+      * unguarded at-least-once ingest would reopen the replay
+      * double-append the guard exists to close — a string-id source
+      * must pass `epochId` explicitly. One batch-bounded aggregate job
+      * per non-empty call (the derivation's price; callers with an
+      * external monotone sequence can pass `epochId` and skip it).
       */
     private def bookmarkEpoch(idCol: String): Option[Long] = {
-      val r = df.agg(max(col(idCol).cast("long"))).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
+      // try_cast, not cast: under ANSI a malformed id would throw a bare
+      // NumberFormatException from deep inside the aggregate — the guard
+      // below turns it into an actionable "pass epochId" message instead
+      val r = df.agg(max(col(idCol).try_cast("long")), count(lit(1))).head()
+      if (r.getLong(1) == 0L) None
+      else if (r.isNullAt(0)) throw new IllegalArgumentException(
+        s"cannot derive a bookmark epoch: '$idCol' ids do not cast to " +
+          "long — pass epochId explicitly (any monotone per-batch sequence)")
+      else Some(r.getLong(0))
     }
+
+    /** Epoch resolution shared by the incremental-ingest wrappers:
+      * explicit `epochId` wins (still a no-op on an empty batch — an
+      * empty poll must not consume an epoch or write empty versions),
+      * otherwise derived from the bookmark boundary.
+      */
+    private def resolvedEpoch(idCol: String, explicit: Option[Long]): Option[Long] =
+      explicit match {
+        case Some(e) => if (df.isEmpty) None else Some(e)
+        case None => bookmarkEpoch(idCol)
+      }
+
+    /** Zero-row frame with an ingest wrapper's exact result shape — what
+      * an empty batch hands back without touching the index (schema
+      * equality with the non-empty path is spec-pinned, so accumulating
+      * callers can union across empty polls).
+      */
+    private def emptyResult(fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame = {
+      val s = df.sparkSession
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, t) }))
+    }
+
+    private def idType(idCol: String) = df.schema(idCol).dataType
 
     /** Row-local quality signals: token count, quality score, predicted
       * language, normalized fingerprint. One projection, zero shuffle.
@@ -490,17 +530,17 @@ object corpus {
       * double-appending and returns the epoch's ALREADY-COMMITTED
       * pairs, so the caller sees identical results either way. Pass
       * `epochId` to key on an external sequence instead (non-numeric
-      * ids); an empty batch is a no-op ingest of zero rows.
+      * ids); an empty batch is a PURE no-op — no version written, no
+      * epoch consumed, an empty pair frame back.
       */
     def ingestIntoDedupIndex(
         indexRoot: String, idCol: String = "doc_id",
         textCol: String = "text", epochId: Option[Long] = None): DataFrame = {
       val s = df.sparkSession
-      val pairsRoot = IncrementalIndex.subRoot(indexRoot, "pairs")
-      epochId.orElse(bookmarkEpoch(idCol)) match {
-        case None => // empty batch: zero rows in every leg — a replay of
-          // it is harmless, the guard adds nothing
-          IncrementalIndex.ingestMinHash(s, indexRoot, df, idCol, textCol)._2
+      val pairsRoot = IncrementalIndex.pairsRootOf(indexRoot)
+      resolvedEpoch(idCol, epochId) match {
+        case None => emptyResult("a" -> idType(idCol), "b" -> idType(idCol),
+          "jaccard" -> org.apache.spark.sql.types.DoubleType)
         case Some(e) =>
           IncrementalIndex.ingestMinHashEpoch(
               s, indexRoot, pairsRoot, df, idCol, textCol, e)
@@ -520,11 +560,15 @@ object corpus {
         vecCol: String = "embedding", threshold: Double = 0.99,
         cap: Int = 512, epochId: Option[Long] = None): DataFrame = {
       val s = df.sparkSession
-      val verdictsRoot = IncrementalIndex.subRoot(indexRoot, "verdicts")
-      epochId.orElse(bookmarkEpoch(idCol)) match {
-        case None =>
-          IncrementalIndex.ingestSemDedup(
-            s, indexRoot, df, idCol, vecCol, threshold, cap).verdicts
+      val verdictsRoot = IncrementalIndex.verdictsRootOf(indexRoot)
+      resolvedEpoch(idCol, epochId) match {
+        case None => emptyResult("id" -> idType(idCol),
+          // cid's type comes from the index's own frozen centroid
+          // snapshot (bootstrapping first is already this method's
+          // contract), so the empty shape can't drift from the real one
+          "cid" -> VersionedTable.read(
+            s, IncrementalIndex.semCentroidsRoot(indexRoot)).schema("cid").dataType,
+          "kept" -> org.apache.spark.sql.types.BooleanType)
         case Some(e) =>
           IncrementalIndex.ingestSemDedupEpoch(
               s, indexRoot, verdictsRoot, df, idCol, vecCol, threshold, e, cap)
@@ -546,12 +590,14 @@ object corpus {
         indexRoot: String, idCol: String = "vec_id",
         vecCol: String = "embedding", epochId: Option[Long] = None): Long = {
       val s = df.sparkSession
-      epochId.orElse(bookmarkEpoch(idCol)) match {
-        case None => IncrementalIndex.ingestPq(s, indexRoot, df, idCol, vecCol)
+      val codesRoot = IncrementalIndex.pqCodesRoot(indexRoot)
+      resolvedEpoch(idCol, epochId) match {
+        case None => // empty batch: no-op — the latest committed codes
+          // version (-1 before any commit), nothing written
+          VersionedTable.versions(s, codesRoot).lastOption.getOrElse(-1L)
         case Some(e) =>
           IncrementalIndex.ingestPqEpoch(s, indexRoot, df, idCol, vecCol, e)
-            .getOrElse(replayedEpochVersion(
-              s, IncrementalIndex.subRoot(indexRoot, "codes"), e))
+            .getOrElse(replayedEpochVersion(s, codesRoot, e))
       }
     }
 
@@ -568,12 +614,14 @@ object corpus {
         indexRoot: String, idCol: String = "doc_id",
         textCol: String = "text", epochId: Option[Long] = None): Long = {
       val s = df.sparkSession
-      epochId.orElse(bookmarkEpoch(idCol)) match {
-        case None => IncrementalIndex.ingestTfidf(s, indexRoot, df, idCol, textCol)
+      val wRoot = IncrementalIndex.weightsRoot(indexRoot)
+      resolvedEpoch(idCol, epochId) match {
+        case None => // empty batch: no-op — the latest committed weights
+          // version (-1 before any commit), nothing written
+          VersionedTable.versions(s, wRoot).lastOption.getOrElse(-1L)
         case Some(e) =>
           IncrementalIndex.ingestTfidfEpoch(s, indexRoot, df, idCol, textCol, e)
-            .getOrElse(replayedEpochVersion(
-              s, IncrementalIndex.subRoot(indexRoot, "weights"), e))
+            .getOrElse(replayedEpochVersion(s, wRoot, e))
       }
     }
 
@@ -589,10 +637,10 @@ object corpus {
         textCol: String = "text", maxHamming: Int = 3,
         epochId: Option[Long] = None): DataFrame = {
       val s = df.sparkSession
-      val pairsRoot = IncrementalIndex.subRoot(indexRoot, "pairs")
-      epochId.orElse(bookmarkEpoch(idCol)) match {
-        case None =>
-          IncrementalIndex.ingestSimHash(s, indexRoot, df, idCol, textCol, maxHamming)._2
+      val pairsRoot = IncrementalIndex.pairsRootOf(indexRoot)
+      resolvedEpoch(idCol, epochId) match {
+        case None => emptyResult("a" -> idType(idCol), "b" -> idType(idCol),
+          "hamming" -> org.apache.spark.sql.types.IntegerType)
         case Some(e) =>
           IncrementalIndex.ingestSimHashEpoch(
               s, indexRoot, pairsRoot, df, idCol, textCol, e, maxHamming)
@@ -611,10 +659,11 @@ object corpus {
         indexRoot: String, idCol: String = "doc_id",
         textCol: String = "text", epochId: Option[Long] = None): DataFrame = {
       val s = df.sparkSession
-      val verdictsRoot = IncrementalIndex.subRoot(indexRoot, "verdicts")
-      epochId.orElse(bookmarkEpoch(idCol)) match {
-        case None =>
-          IncrementalIndex.ingestExact(s, indexRoot, df, idCol, textCol)._2
+      val verdictsRoot = IncrementalIndex.verdictsRootOf(indexRoot)
+      resolvedEpoch(idCol, epochId) match {
+        case None => emptyResult("id" -> idType(idCol),
+          "fp" -> org.apache.spark.sql.types.StringType,
+          "kept" -> org.apache.spark.sql.types.BooleanType)
         case Some(e) =>
           IncrementalIndex.ingestExactEpoch(
               s, indexRoot, verdictsRoot, df, idCol, textCol, e)
@@ -645,10 +694,11 @@ object corpus {
         .select(col(idCol).as("id"), explode(sh(col(textCol))).as("elem"))
         .distinct()
       val p = IncrementalIndex.PrefixJaccardParams(num = num, den = den)
-      val pairsRoot = IncrementalIndex.subRoot(indexRoot, "pairs")
-      epochId.orElse(bookmarkEpoch(idCol)) match {
-        case None =>
-          IncrementalIndex.ingestPrefixJaccard(s, indexRoot, sets, p)._2
+      val pairsRoot = IncrementalIndex.pairsRootOf(indexRoot)
+      resolvedEpoch(idCol, epochId) match {
+        case None => emptyResult("ia" -> idType(idCol), "ib" -> idType(idCol),
+          "inter" -> org.apache.spark.sql.types.LongType,
+          "un" -> org.apache.spark.sql.types.LongType)
         case Some(e) =>
           IncrementalIndex.ingestPrefixJaccardEpoch(s, indexRoot, pairsRoot, sets, e, p)
             .getOrElse(replayedEpochRows(s, pairsRoot, e))

@@ -52,6 +52,14 @@ object IncrementalIndex {
   private[graft] def subRoot(root: String, name: String) =
     s"${root.stripSuffix("/")}/$name"
 
+  /** Canonical caller-side log roots under an index root — the Corpus
+    * wrappers persist pair/verdict logs here and read replayed epochs
+    * back from the same place; single definitions so a rename can't
+    * silently split the write and replay-read paths.
+    */
+  private[graft] def pairsRootOf(root: String) = subRoot(root, "pairs")
+  private[graft] def verdictsRootOf(root: String) = subRoot(root, "verdicts")
+
   /** Default ceiling (in banded rows: batch docs × bands) below which the
     * batch side of candidate generation broadcasts. 8M scalar rows hash
     * to well under 1 GB — comfortably inside Spark's broadcast limits
@@ -174,17 +182,54 @@ object IncrementalIndex {
   private def bucketStats(banded: DataFrame): DataFrame =
     banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
 
-  /** Over-cap (band, bucket) list from maintained stats + this batch. */
+  /** Over-cap (band, bucket) list from maintained stats + this batch.
+    * `excludeEpoch` (the `*Epoch` ingests pass their epoch id) pins the
+    * maintained side to the PRE-epoch version set: a replay whose first
+    * attempt crashed after the stats leg would otherwise read its own
+    * batch's delta from the log AND add `batchStats` again. The double
+    * count spuriously engages caps (occupancy inflated by one batch
+    * delta) — bounded-lossless for the replay itself (a spuriously
+    * engaged bucket holds ≤ cap actual rows, one rank-chunk, all pairs
+    * still emitted) but PERMANENT without the guard: an unguarded
+    * re-commit would leave the inflated delta in the log forever, every
+    * future probe of the lineage over-engages, and compaction bakes the
+    * inflation into the checkpoint. The guarded stats leg
+    * ([[commitEpoch]]) plus this pin make the replay's artifacts AND the
+    * accumulated stats log identical to a no-crash run.
+    */
   private def overCapBuckets(spark: SparkSession, statsRoot: String,
-      batchStats: DataFrame, bucketCap: Int): DataFrame = {
-    val prior =
-      if (VersionedTable.versions(spark, statsRoot).nonEmpty)
-        Some(VersionedTable.readAllVersions(spark, statsRoot))
-      else None
-    prior.map(_.unionAll(batchStats)).getOrElse(batchStats)
+      batchStats: DataFrame, bucketCap: Int,
+      excludeEpoch: Option[Long] = None): DataFrame = {
+    statsBeforeEpoch(spark, statsRoot, excludeEpoch)
+      .map(_.unionAll(batchStats)).getOrElse(batchStats)
       .groupBy("band", "bucket").agg(sum(col("n")).as("occ"))
       .filter(col("occ") > bucketCap)
       .select("band", "bucket")
+  }
+
+  /** The maintained stats log, EXCLUDING the version `excludeEpoch`'s
+    * own stats leg committed (None when nothing is committed below it).
+    * The excluded version is necessarily the NEWEST: the only path to a
+    * marker-carrying stats version with its epoch not yet fully
+    * committed is a crash inside [[commitEpoch]], and nothing else
+    * writes the lineage between that crash and the replay
+    * (single-writer-per-lineage — enforced loud by the duplicate-marker
+    * check in [[commitEpoch]]).
+    */
+  private def statsBeforeEpoch(spark: SparkSession, statsRoot: String,
+      excludeEpoch: Option[Long]): Option[DataFrame] = {
+    val vs = VersionedTable.versions(spark, statsRoot)
+    if (vs.isEmpty) return None
+    excludeEpoch.flatMap(e => epochVersion(spark, statsRoot, e)) match {
+      case None => Some(VersionedTable.readAllVersions(spark, statsRoot))
+      case Some(v) =>
+        require(vs.last == v,
+          s"epoch stats version $v at $statsRoot is not the newest " +
+            s"(have $vs) — a second writer raced this lineage")
+        val below = vs.filter(_ < v)
+        if (below.isEmpty) None
+        else Some(VersionedTable.readAllVersions(spark, statsRoot, Some(below.last)))
+    }
   }
 
   /** Band hashes of stored MinHash signatures as (doc, rk, band, bucket)
@@ -245,7 +290,7 @@ object IncrementalIndex {
 
   private def minHashBatchArtifacts(spark: SparkSession, root: String,
       batch: DataFrame, idCol: String, textCol: String,
-      p: MinHashParams): MinHashArtifacts = {
+      p: MinHashParams, excludeEpoch: Option[Long] = None): MinHashArtifacts = {
     val batchSigs = minHashSignatures(batch, idCol, textCol, p).persist()
     try {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
@@ -261,7 +306,8 @@ object IncrementalIndex {
       val batchRows = bandedB.count()
       val batchStats = bucketStats(bandedB)
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap)
+      val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap,
+        excludeEpoch)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           bandedOf(ix.select(col("id"), col("sz"), col("sig")), p.numHashes, p.bands),
@@ -307,9 +353,12 @@ object IncrementalIndex {
       // (a missed cap engagement)
       VersionedTable.write(spark, a.batchStats, subRoot(root, "bucketstats"))
       val v = VersionedTable.write(spark, a.batchSigs, root)
-      autoCompactAt(spark, root, p.autoCompactEvery)(
+      // if auto-compaction fires it checkpoints UP TO v and vacuums it —
+      // hand back the checkpoint instead so the returned version is
+      // always pin-readable (VersionedTable.read(root, Some(_)))
+      val fired = autoCompactAt(spark, root, p.autoCompactEvery)(
         compactDedupIndex(spark, root))
-      (v, a.verified)
+      (if (fired) VersionedTable.versions(spark, root).last else v, a.verified)
     } finally a.release()
   }
 
@@ -326,14 +375,18 @@ object IncrementalIndex {
     * caller must not re-append pairs).
     *
     * Crash windows, replaying epoch E: before any write → clean re-run;
-    * after the stats write → stats double-commit, which only OVERCOUNTS
-    * occupancy (caps engage early — conservative); after the pairs
-    * write, before signatures → the replay recomputes IDENTICAL
-    * artifacts (signatures are pure per-row functions and the index is
-    * unchanged — E's signatures never committed), sees the pairs root
-    * already committed at E and skips its write, then commits
-    * signatures; after the signature commit → the whole replay drops.
-    * No window double-appends pairs or signatures.
+    * after the stats leg → the replay SKIPS the stats re-commit (the
+    * sidecar is guarded leg 0 — marker + hwm like a data leg) and pins
+    * its over-cap probe BELOW E's stats version
+    * ([[statsBeforeEpoch]]), so cap engagement — and therefore the
+    * candidate set — is identical to a no-crash run, not perturbed by
+    * reading its own delta twice; after the pairs write, before
+    * signatures → the replay recomputes IDENTICAL artifacts
+    * (signatures are pure per-row functions and the index is unchanged
+    * — E's signatures never committed), sees the pairs root already
+    * committed at E and skips its write, then commits signatures; after
+    * the signature commit → the whole replay drops. No window
+    * double-appends stats, pairs or signatures.
     *
     * Lineage note (the rowlog convention): the hwm belongs to the
     * index's CURRENT streaming lineage. Pointing a NEW query (fresh
@@ -346,7 +399,8 @@ object IncrementalIndex {
       pairsRoot: String, batch: DataFrame, idCol: String, textCol: String,
       epochId: Long, p: MinHashParams = MinHashParams()): Option[DataFrame] = {
     if (epochCommittedIn(spark, root, epochId)) return None
-    val a = minHashBatchArtifacts(spark, root, batch, idCol, textCol, p)
+    val a = minHashBatchArtifacts(spark, root, batch, idCol, textCol, p,
+      excludeEpoch = Some(epochId))
     try {
       commitEpoch(spark, epochId,
         Some((a.batchStats, subRoot(root, "bucketstats"))),
@@ -360,32 +414,57 @@ object IncrementalIndex {
   }
 
   /** The exactly-once commit protocol shared by every `*Epoch` ingest
-    * (crash-window analysis at [[ingestMinHashEpoch]]): stats first
-    * WITHOUT a marker (a stats double-commit only overcounts occupancy —
-    * conservative), then each data `leg` IN ORDER under an
-    * `_epoch-<id>` marker riding the atomic staging rename, hwm
-    * recorded after each visibility, already-committed legs skipped.
-    * The LAST leg is the caller's replay key: "last leg committed"
-    * implies every earlier leg committed too, and a replay that finds
-    * only a PREFIX of the legs committed recomputes IDENTICAL artifacts
-    * — every family's outputs are pure functions of the batch and the
-    * index state BEFORE the epoch, and the replay-key leg (the one
-    * every read path unions) never committed in that window — then
-    * re-commits exactly the missing suffix. Returns the committed
-    * version of the last leg.
+    * (crash-window analysis at [[ingestMinHashEpoch]]): the stats
+    * sidecar first as GUARDED LEG 0 — marker + hwm like a data leg, so
+    * a replay never double-commits the occupancy delta, and the
+    * artifact recompute pins its stats read BELOW the marker
+    * ([[statsBeforeEpoch]]) so cap engagement is identical either way —
+    * then each data `leg` IN ORDER under an `_epoch-<id>` marker riding
+    * the atomic staging rename, hwm recorded after each visibility,
+    * already-committed legs skipped. The LAST leg is the caller's
+    * replay key: "last leg committed" implies every earlier leg
+    * committed too, and a replay that finds only a PREFIX of the legs
+    * committed recomputes IDENTICAL artifacts — every family's outputs
+    * are pure functions of the batch and the index state BEFORE the
+    * epoch, and the replay-key leg (the one every read path unions)
+    * never committed in that window — then re-commits exactly the
+    * missing suffix. Returns the committed version of the last leg.
+    *
+    * Single-writer-per-lineage is ENFORCED loud, not just documented:
+    * after every leg write the root is checked for a second version
+    * carrying the same epoch marker (two writers racing the same epoch
+    * both pass the pre-write committed check, then both rename — the
+    * only silent-double-data window) and the loser throws with the
+    * duplicate versions named instead of leaving them to double reads.
     */
   private def commitEpoch(spark: SparkSession, epochId: Long,
       stats: Option[(DataFrame, String)],
       legs: Seq[(DataFrame, String)]): Long = {
     require(legs.nonEmpty, "commitEpoch needs at least one data leg")
-    stats.foreach { case (s, statsRoot) => VersionedTable.write(spark, s, statsRoot) }
+    require(!epochCommittedIn(spark, legs.last._2, epochId),
+      s"epoch $epochId already committed in the final leg " +
+        s"${legs.last._2} — callers must key replay detection on the " +
+        "final leg's root and drop before commitEpoch")
+    def writeLeg(df: DataFrame, legRoot: String): Long = {
+      val v = VersionedTable.write(spark, df, legRoot,
+        markers = Seq(s"_epoch-$epochId"))
+      assertSingleEpochWriter(spark, legRoot, epochId)
+      recordEpochHwm(spark, legRoot, epochId)
+      v
+    }
+    stats.foreach { case (s, statsRoot) =>
+      if (!epochCommittedIn(spark, statsRoot, epochId)) writeLeg(s, statsRoot)
+    }
     var last = -1L
     legs.foreach { case (df, legRoot) =>
-      if (!epochCommittedIn(spark, legRoot, epochId)) {
-        last = VersionedTable.write(spark, df, legRoot,
-          markers = Seq(s"_epoch-$epochId"))
-        recordEpochHwm(spark, legRoot, epochId)
-      } else last = VersionedTable.versions(spark, legRoot).last
+      last =
+        if (!epochCommittedIn(spark, legRoot, epochId)) writeLeg(df, legRoot)
+        // a skipped (non-final — see the require above) leg reports the
+        // version carrying ITS epoch marker, not whatever the root's
+        // newest happens to be, so a future caller with a different leg
+        // order can't silently read a wrong version
+        else epochVersion(spark, legRoot, epochId).getOrElse(
+          VersionedTable.versions(spark, legRoot).last)
     }
     last
   }
@@ -398,15 +477,35 @@ object IncrementalIndex {
     * epoch's already-committed rows instead of re-appending them.
     */
   def epochVersion(spark: SparkSession, root: String,
-      epochId: Long): Option[Long] = {
+      epochId: Long): Option[Long] =
+    epochMarkerVersions(spark, root, epochId).headOption
+
+  /** Every committed version in `root` carrying epoch `epochId`'s
+    * marker. Exactly one under the single-writer contract; two means
+    * two writers raced the same epoch past each other's pre-write
+    * committed check — [[commitEpoch]] turns that into a loud failure.
+    */
+  private def epochMarkerVersions(spark: SparkSession, root: String,
+      epochId: Long): Seq[Long] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(rootPath)) return None
-    VersionedTable.entriesOf(f, rootPath).find { e =>
+    if (!f.exists(rootPath)) return Seq.empty
+    VersionedTable.entriesOf(f, rootPath).filter { e =>
       f.exists(new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(rootPath, VersionedTable.nameOf(e)),
         s"_epoch-$epochId"))
     }.map(_._1)
+  }
+
+  private[graft] def assertSingleEpochWriter(spark: SparkSession, root: String,
+      epochId: Long): Unit = {
+    val vs = epochMarkerVersions(spark, root, epochId)
+    if (vs.size > 1) throw new java.util.ConcurrentModificationException(
+      s"epoch $epochId committed ${vs.size} times at $root (versions " +
+        s"${vs.mkString(", ")}): a second writer raced the " +
+        "single-writer-per-lineage contract; union reads of this root " +
+        "now double the epoch's rows — vacuum the duplicate version(s) " +
+        "before reading")
   }
 
   /** Replay detection for one root: epoch ≤ max(newest `_epoch-*`
@@ -664,8 +763,8 @@ object IncrementalIndex {
 
   private def simHashBatchArtifacts(spark: SparkSession, root: String,
       batch: DataFrame, idCol: String, textCol: String, maxHamming: Int,
-      shingleN: Int, bucketCap: Int,
-      broadcastRowLimit: Long): SimHashArtifacts = {
+      shingleN: Int, bucketCap: Int, broadcastRowLimit: Long,
+      excludeEpoch: Option[Long] = None): SimHashArtifacts = {
     val batchSigs = simHashSignatures(batch, idCol, textCol, shingleN).persist()
     try {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
@@ -674,7 +773,8 @@ object IncrementalIndex {
       val batchRows = bandedB.count() // materializes; drives the broadcast gate
       val batchStats = bucketStats(bandedB)
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, batchStats, bucketCap)
+      val over = overCapBuckets(spark, statsRoot, batchStats, bucketCap,
+        excludeEpoch)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           bandedOfSimHash(ix), bandedB, bucketCap, over,
@@ -732,7 +832,8 @@ object IncrementalIndex {
       broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[DataFrame] = {
     if (epochCommittedIn(spark, root, epochId)) return None
     val a = simHashBatchArtifacts(spark, root, batch, idCol, textCol,
-      maxHamming, shingleN, bucketCap, broadcastRowLimit)
+      maxHamming, shingleN, bucketCap, broadcastRowLimit,
+      excludeEpoch = Some(epochId))
     try {
       commitEpoch(spark, epochId,
         Some((a.batchStats, subRoot(root, "bucketstats"))),
@@ -875,7 +976,8 @@ object IncrementalIndex {
       release: () => Unit)
 
   private def prefixBatchArtifacts(spark: SparkSession, root: String,
-      sets: DataFrame, p: PrefixJaccardParams): PrefixArtifacts = {
+      sets: DataFrame, p: PrefixJaccardParams,
+      excludeEpoch: Option[Long] = None): PrefixArtifacts = {
     val s0 = sets.persist()
     try {
       // an empty/absent root bootstraps naturally: the FIRST batch's
@@ -894,7 +996,8 @@ object IncrementalIndex {
         val bandedB = bandedOfPrefix(batchTok).persist()
         val batchRows = bandedB.count() // materializes; drives the broadcast gate
         val batchStats = bucketStats(bandedB)
-        val over = overCapBuckets(spark, prefixStatsRoot(root), batchStats, p.bucketCap)
+        val over = overCapBuckets(spark, prefixStatsRoot(root), batchStats,
+          p.bucketCap, excludeEpoch)
         val cands = (prior match {
           case Some(ix) => incrementalBucketCandidates(
             bandedOfPrefix(ix), bandedB, p.bucketCap, over,
@@ -958,7 +1061,8 @@ object IncrementalIndex {
       pairsRoot: String, sets: DataFrame, epochId: Long,
       p: PrefixJaccardParams = PrefixJaccardParams()): Option[DataFrame] = {
     if (epochCommittedIn(spark, prefixTokRoot(root), epochId)) return None
-    val a = prefixBatchArtifacts(spark, root, sets, p)
+    val a = prefixBatchArtifacts(spark, root, sets, p,
+      excludeEpoch = Some(epochId))
     try {
       commitEpoch(spark, epochId,
         Some((a.batchStats, prefixStatsRoot(root))),
@@ -1051,7 +1155,7 @@ object IncrementalIndex {
 
   private def srpBatchArtifacts(spark: SparkSession, root: String,
       batch: DataFrame, idCol: String, vecCol: String,
-      p: SrpParams): SrpArtifacts = {
+      p: SrpParams, excludeEpoch: Option[Long] = None): SrpArtifacts = {
     val batchSigs = srpSignatures(batch, idCol, vecCol, p).persist()
     try {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
@@ -1060,7 +1164,8 @@ object IncrementalIndex {
       val batchRows = bandedB.count() // materializes; drives the broadcast gate
       val batchStats = bucketStats(bandedB)
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap)
+      val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap,
+        excludeEpoch)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           bandedOfSrp(ix.select(col("id"), col("p"), col("sig"))),
@@ -1106,7 +1211,8 @@ object IncrementalIndex {
       pairsRoot: String, batch: DataFrame, idCol: String, vecCol: String,
       epochId: Long, p: SrpParams): Option[DataFrame] = {
     if (epochCommittedIn(spark, root, epochId)) return None
-    val a = srpBatchArtifacts(spark, root, batch, idCol, vecCol, p)
+    val a = srpBatchArtifacts(spark, root, batch, idCol, vecCol, p,
+      excludeEpoch = Some(epochId))
     try {
       commitEpoch(spark, epochId,
         Some((a.batchStats, subRoot(root, "bucketstats"))),
@@ -1119,7 +1225,7 @@ object IncrementalIndex {
 
   // ------------------------------------------------------------- SemDeDup
 
-  private def semCentroidsRoot(root: String) = subRoot(root, "centroids")
+  private[graft] def semCentroidsRoot(root: String) = subRoot(root, "centroids")
   private def semMembersRoot(root: String) = subRoot(root, "members")
 
   /** Result of one SemDeDup ingest: the committed members version, the
@@ -1185,7 +1291,8 @@ object IncrementalIndex {
 
   private def semDedupBatchArtifacts(spark: SparkSession, root: String,
       batch: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      cap: Int, broadcastRowLimit: Long): SemArtifacts = {
+      cap: Int, broadcastRowLimit: Long,
+      excludeEpoch: Option[Long] = None): SemArtifacts = {
     val cents = VersionedTable.read(spark, semCentroidsRoot(root))
     val assigned = Dedup.assignCells(batch, idCol, vecCol, cents)
       .join(batch.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
@@ -1203,7 +1310,8 @@ object IncrementalIndex {
       val bandedB = banded(assigned).persist()
       val batchRows = bandedB.count() // materializes; drives the broadcast gate
       val batchStats = bucketStats(bandedB)
-      val over = overCapBuckets(spark, subRoot(root, "cellstats"), batchStats, cap)
+      val over = overCapBuckets(spark, subRoot(root, "cellstats"), batchStats,
+        cap, excludeEpoch)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           banded(ix), bandedB, cap, over, batchRows, broadcastRowLimit)
@@ -1266,10 +1374,10 @@ object IncrementalIndex {
     * soundness: verdicts, stats and member rows are pure functions of
     * the batch, the FROZEN centroids and the member log BEFORE the
     * epoch — the member leg is the replay key and never committed in
-    * any partial window — so a replay recomputes identical artifacts,
-    * skips committed legs and commits the missing suffix; stats
-    * double-commits only overcount occupancy (caps engage early —
-    * conservative). Returns None on a replayed epoch.
+    * any partial window — so a replay recomputes identical artifacts
+    * (its over-cap probe pins BELOW its own committed stats leg, see
+    * [[commitEpoch]]), skips committed legs and commits the missing
+    * suffix. Returns None on a replayed epoch.
     */
   def ingestSemDedupEpoch(spark: SparkSession, root: String,
       verdictsRoot: String, batch: DataFrame, idCol: String, vecCol: String,
@@ -1277,7 +1385,7 @@ object IncrementalIndex {
       broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[SemDedupIngest] = {
     if (epochCommittedIn(spark, semMembersRoot(root), epochId)) return None
     val a = semDedupBatchArtifacts(spark, root, batch, idCol, vecCol,
-      threshold, cap, broadcastRowLimit)
+      threshold, cap, broadcastRowLimit, excludeEpoch = Some(epochId))
     try {
       val v = commitEpoch(spark, epochId,
         Some((a.batchStats, subRoot(root, "cellstats"))),
@@ -1371,7 +1479,7 @@ object IncrementalIndex {
   // ------------------------------------------------------------------- PQ
 
   private def pqBooksRoot(root: String) = subRoot(root, "codebooks")
-  private def pqCodesRoot(root: String) = subRoot(root, "codes")
+  private[graft] def pqCodesRoot(root: String) = subRoot(root, "codes")
 
   /** Train PQ codebooks on the first batch and FREEZE them (snapshot
     * convention, exactly the IVF-centroid pattern: codes stored by one
@@ -1624,7 +1732,7 @@ object IncrementalIndex {
 
   private def idfStatsRoot(root: String) = subRoot(root, "idfstats")
   private def idfMetaRoot(root: String) = subRoot(root, "idfmeta")
-  private def weightsRoot(root: String) = subRoot(root, "weights")
+  private[graft] def weightsRoot(root: String) = subRoot(root, "weights")
   private def normsRoot(root: String) = subRoot(root, "norms")
 
   /** Whitespace tokenization → (id, tk, tf): the d41 kernel, row-local

@@ -375,4 +375,163 @@ class EpochIngestSpec extends SparkSpec {
     k1.unpersist(blocking = false); k1r.unpersist(blocking = false)
     p2r.unpersist(blocking = false)
   }
+
+  test("stats sidecar is epoch-guarded: a stats-leg crash replays to the clean-twin state") {
+    val root = tmpDir("epoch_statsleg")
+    val twin = tmpDir("epoch_statsleg_twin")
+    val pairsRoot = s"$root/pairs"; val twinPairs = s"$twin/pairs"
+    val statsRoot = s"$root/bucketstats"
+    val b1 = corpus.filter(col("doc_id") < 100000)
+    val b2 = corpus.filter(col("doc_id") >= 100000)
+    def statsSum(rt: String) = VersionedTable.readAllVersions(spark, rt)
+      .groupBy("band", "bucket").agg(sum(col("n")).as("n"))
+      .collect().map(_.toSeq).toSet
+    // twin: the clean no-crash run
+    IncrementalIndex.ingestMinHashEpoch(spark, twin, twinPairs, b1,
+      "doc_id", "text", 0L).foreach(_.unpersist(blocking = false))
+    val twinP2 = IncrementalIndex.ingestMinHashEpoch(spark, twin, twinPairs, b2,
+      "doc_id", "text", 1L).get
+    // guarded run, epoch 1 "crashes" after its stats leg: commit fully,
+    // then erase the pairs + signature legs as the crash would have left
+    // them — ONLY the stats delta survives
+    IncrementalIndex.ingestMinHashEpoch(spark, root, pairsRoot, b1,
+      "doc_id", "text", 0L).foreach(_.unpersist(blocking = false))
+    IncrementalIndex.ingestMinHashEpoch(spark, root, pairsRoot, b2,
+      "doc_id", "text", 1L).foreach(_.unpersist(blocking = false))
+    dropVersion(pairsRoot, 2L); resetHwm(pairsRoot, "0")
+    dropVersion(root, 2L); resetHwm(root, "0")
+    assert(VersionedTable.versions(spark, statsRoot) == Seq(1L, 2L),
+      "crash simulation must leave the stats leg committed")
+    // the replay must SKIP the stats re-commit (guarded leg 0), pin its
+    // over-cap probe BELOW its own stats version, and re-commit exactly
+    // the missing legs
+    val replayed = IncrementalIndex.ingestMinHashEpoch(
+      spark, root, pairsRoot, b2, "doc_id", "text", 1L)
+    assert(replayed.nonEmpty,
+      "a prefix-committed epoch must recommit the missing legs")
+    assert(VersionedTable.versions(spark, statsRoot) == Seq(1L, 2L),
+      "the replay must not double-commit the stats delta")
+    assert(statsSum(statsRoot) == statsSum(s"$twin/bucketstats"),
+      "accumulated occupancy must equal the no-crash twin's exactly")
+    assert(pairSet(replayed.get) == pairSet(twinP2) && pairSet(twinP2).nonEmpty)
+    assert(pairSet(VersionedTable.readAllVersions(spark, pairsRoot)) ==
+      pairSet(VersionedTable.readAllVersions(spark, twinPairs)))
+    // the lineage stays healthy past the crash: a later epoch (exact
+    // copies of the originals — guaranteed near-dup pairs) matches the
+    // twin's
+    val b3 = docs.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    val t3 = IncrementalIndex.ingestMinHashEpoch(spark, twin, twinPairs, b3,
+      "doc_id", "text", 2L).get
+    val r3 = IncrementalIndex.ingestMinHashEpoch(spark, root, pairsRoot, b3,
+      "doc_id", "text", 2L).get
+    assert(pairSet(r3) == pairSet(t3) && pairSet(t3).nonEmpty)
+    assert(statsSum(statsRoot) == statsSum(s"$twin/bucketstats"),
+      "no permanent occupancy inflation after the crash-and-replay")
+    Seq(twinP2, replayed.get, t3, r3).foreach(_.unpersist(blocking = false))
+  }
+
+  test("single-writer-per-lineage is enforced loud: duplicate epoch markers throw") {
+    import spark.implicits._
+    val r = tmpDir("epoch_dupwriter")
+    VersionedTable.write(spark, Seq((1L, "a")).toDF("id", "v"), r,
+      markers = Seq("_epoch-3"))
+    IncrementalIndex.assertSingleEpochWriter(spark, r, 3L) // one writer: fine
+    // a second writer that raced past the pre-write committed check and
+    // renamed its own staging for the SAME epoch — the only window where
+    // two writers silently double an epoch's rows
+    VersionedTable.write(spark, Seq((2L, "b")).toDF("id", "v"), r,
+      markers = Seq("_epoch-3"))
+    assertThrows[java.util.ConcurrentModificationException] {
+      IncrementalIndex.assertSingleEpochWriter(spark, r, 3L)
+    }
+  }
+
+  test("wrapper empty batches are pure no-ops with the real result shapes; non-numeric ids fail loud") {
+    import graft.api.corpus._
+    def shape(df: DataFrame) = df.schema.map(f => (f.name, f.dataType))
+    val b1 = corpus.filter(col("doc_id") < 100000)
+    val empty = corpus.filter(lit(false))
+    // MinHash: nothing written, schema matches the real pair frame
+    val dr = tmpDir("noop_dedup")
+    val p1 = b1.ingestIntoDedupIndex(dr)
+    def allVersions(roots: String*) =
+      roots.map(VersionedTable.versions(spark, _))
+    val drRoots = Seq(dr, s"$dr/pairs", s"$dr/bucketstats")
+    val before = allVersions(drRoots: _*)
+    val pe = empty.ingestIntoDedupIndex(dr)
+    assert(pe.isEmpty && shape(pe) == shape(p1))
+    assert(p1.unionByName(pe).count() == p1.count(), "accumulators can union across empty polls")
+    assert(allVersions(drRoots: _*) == before,
+      "an empty poll must write nothing — not even empty versions")
+    // SimHash + exact + prefix: same contract
+    val hr = tmpDir("noop_simhash")
+    val h1 = b1.ingestIntoSimHashIndex(hr)
+    val he = empty.ingestIntoSimHashIndex(hr)
+    assert(he.isEmpty && shape(he) == shape(h1))
+    val er = tmpDir("noop_exact")
+    val k1 = b1.ingestIntoExactIndex(er)
+    val ke = empty.ingestIntoExactIndex(er)
+    assert(ke.isEmpty && shape(ke) == shape(k1))
+    assert(VersionedTable.versions(spark, s"$er/fingerprints") == Seq(1L))
+    val qr = tmpDir("noop_prefix")
+    val q1 = b1.ingestIntoPrefixIndex(qr)
+    val qe = empty.ingestIntoPrefixIndex(qr)
+    assert(qe.isEmpty && shape(qe) == shape(q1))
+    assert(VersionedTable.versions(spark, s"$qr/dfstats") == Seq(1L),
+      "an empty poll must not bootstrap a frozen-df snapshot")
+    // SemDeDup: cid's type comes from the frozen centroid snapshot
+    val embs = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val sr = tmpDir("noop_sem")
+    val cents = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val s1 = IncrementalIndex.bootstrapSemDedup(
+      spark, sr, embs, "vec_id", "v", cents, 0.99, cap = 2048).verdicts
+    val se = empty.select(col("doc_id").as("vec_id"), lit(null).cast("array<double>").as("v"))
+      .ingestIntoSemDedupIndex(sr, idCol = "vec_id", vecCol = "v")
+    assert(se.isEmpty && shape(se) == shape(s1))
+    // version-returning wrappers hand back the latest committed version
+    val tr = tmpDir("noop_tfidf")
+    IncrementalIndex.bootstrapTfidf(spark, tr, b1, "doc_id", "text")
+    val tWeights = VersionedTable.versions(spark, s"$tr/weights")
+    assert(empty.ingestIntoTfidfIndex(tr) == tWeights.last)
+    assert(VersionedTable.versions(spark, s"$tr/weights") == tWeights)
+    val pr = tmpDir("noop_pq")
+    IncrementalIndex.bootstrapPq(spark, pr, embs.select(col("vec_id"),
+      col("v").as("embedding")), "vec_id", "embedding", dim = 64)
+    val pCodes = VersionedTable.versions(spark, s"$pr/codes")
+    assert(empty.select(col("doc_id").as("vec_id"),
+        lit(null).cast("array<double>").as("embedding"))
+      .ingestIntoPqIndex(pr) == pCodes.last)
+    assert(VersionedTable.versions(spark, s"$pr/codes") == pCodes)
+    // an explicit epochId on an empty batch is still a no-op (an empty
+    // poll must not consume an epoch)
+    assert(empty.ingestIntoDedupIndex(dr, epochId = Some(999L)).isEmpty)
+    assert(allVersions(drRoots: _*) == before)
+    // non-castable ids: loud, not a silent unguarded fallback
+    assertThrows[IllegalArgumentException] {
+      b1.select(concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+        .ingestIntoDedupIndex(tmpDir("noop_strid"))
+    }
+    Seq(p1, h1, k1, q1, s1).foreach(_.unpersist(blocking = false))
+  }
+
+  test("ingest hands back a pin-readable version when auto-compaction fires") {
+    val root = tmpDir("autocompact_version")
+    val p = IncrementalIndex.MinHashParams(autoCompactEvery = 2)
+    val b1 = corpus.filter(col("doc_id") < 100000)
+    val b2 = corpus.filter(col("doc_id") >= 100000)
+    val (v1, pr1) = IncrementalIndex.ingestMinHash(spark, root, b1, "doc_id", "text", p)
+    assert(VersionedTable.read(spark, root, Some(v1)).count() > 0)
+    // the second ingest trips the every=2 trigger, which checkpoints up
+    // to the delta it just wrote and vacuums it — the version handed
+    // back must be the CHECKPOINT, never a just-vacuumed number
+    val (v2, pr2) = IncrementalIndex.ingestMinHash(spark, root, b2, "doc_id", "text", p)
+    assert(VersionedTable.versions(spark, root) == Seq(v2),
+      "auto-compaction leaves exactly the checkpoint version")
+    assert(VersionedTable.read(spark, root, Some(v2)).count() ==
+      b1.count() + b2.count())
+    pr1.unpersist(blocking = false); pr2.unpersist(blocking = false)
+  }
 }
