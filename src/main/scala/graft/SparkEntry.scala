@@ -4493,6 +4493,60 @@ object SparkEntry {
       out
     }.orderBy("id")),
 
+    // Shard-parallel bootstrap + log merge — how a 100 TB index is
+    // actually BUILT: hash-split shards bootstrap independently (zero
+    // cross-shard traffic; wall-clock = the slowest shard, not the
+    // corpus), then mergeMinHashIndexes completes the pair set from the
+    // two signature LOGS alone — no text re-read, no re-signing. The
+    // shards here split by id parity (deliberately NOT append-ordered:
+    // pair completeness is order-free, only verdict families need the
+    // bookmark order), and shard pairs ∪ cross pairs must equal d2's
+    // one-shot all-pairs oracle verbatim.
+    "d64_index_merge" -> ((s, dir) =>
+      cachedDf(s, s"mergeidx|$dir") {
+        import graft.operators.IncrementalIndex
+        val rootA = tmpdir("graft-merge-a")
+        val rootB = tmpdir("graft-merge-b")
+        val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+        val (_, pA) = IncrementalIndex.ingestMinHash(
+          s, rootA, corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        val (_, pB) = IncrementalIndex.ingestMinHash(
+          s, rootB, corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        val (_, cross) = IncrementalIndex.mergeMinHashIndexes(s, rootA, rootB)
+        val out = pA.unionAll(pB).unionAll(cross).persist()
+        out.count()
+        Seq(pA, pB, cross).foreach(_.unpersist(blocking = false))
+        out
+      }.orderBy("a", "b")),
+
+    // The verdict-family face of shard merge: exact-dedup shards ran
+    // keep-the-min LOCALLY (the copies shard never saw the originals, so
+    // every copy is kept within it); mergeExactIndexes appends the donor
+    // fingerprints and returns the correction delta for exactly the
+    // fingerprint groups spanning both shards. Shard verdicts overridden
+    // by the delta must equal d1's one-shot global rule — d57's oracle
+    // verbatim.
+    "d65_exact_index_merge" -> ((s, dir) =>
+      cachedDf(s, s"xmerge|$dir") {
+        import graft.operators.IncrementalIndex
+        val rootA = tmpdir("graft-xmerge-a")
+        val rootB = tmpdir("graft-xmerge-b")
+        val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        val copies = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val (_, vA) = IncrementalIndex.ingestExact(s, rootA, docs, "doc_id", "text")
+        val (_, vB) = IncrementalIndex.ingestExact(s, rootB, copies, "doc_id", "text")
+        val (_, delta) = IncrementalIndex.mergeExactIndexes(s, rootA, rootB)
+        val out = vA.unionAll(vB)
+          .join(delta.select(col("id"), col("kept").as("k2")), Seq("id"), "left")
+          .select(col("id"), col("fp"), coalesce(col("k2"), col("kept")).as("kept"))
+          .persist()
+        // materialize BEFORE releasing the inputs: the shard verdicts'
+        // lineage reads the fingerprint log the merge just mutated
+        out.count()
+        Seq(vA, vB, delta).foreach(_.unpersist(blocking = false))
+        out
+      }.orderBy("id")),
+
     // Incremental SimHash index (d3's persistent twin, closing the last
     // near-dup family without one): 60-bit portable signatures persist
     // in a delta log; each ingest signs ONLY its batch, block-collision
@@ -5260,6 +5314,21 @@ object SparkEntry {
        |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
   }
 
+  /** d2's exact all-pairs Jaccard ≥ 0.8 oracle over the mutant corpus —
+    * shared verbatim by every surface that must reproduce the one-shot
+    * near-dup pair list: the incremental twin d54, the streamed st20,
+    * and the shard-merge d64.
+    */
+  private val duckMinHashPairsSql =
+    s"""WITH corpus AS ($duckMutantCorpus),
+       |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
+       |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+       |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
+       |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
+       |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
+       |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin
+
   /** d1/d57's exact keep-the-min rule over the verbatim-copy corpus —
     * shared verbatim with the restart-replayed stream st23, whose
     * accumulated verdict log must be identical (a replay that
@@ -5473,40 +5542,26 @@ object SparkEntry {
         |MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "d2_dedup_minhash" ->
-      s"""WITH corpus AS ($duckMutantCorpus),
-         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
-         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
-         |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
-         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
-         |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
-         |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
-         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+    "d2_dedup_minhash" -> duckMinHashPairsSql,
 
     // d2's exact all-pairs oracle VERBATIM: two-batch incremental index
     // maintenance must accumulate the identical verified pair list the
     // one-shot pipeline produces over the same corpus.
-    "d54_incremental_minhash" ->
-      s"""WITH corpus AS ($duckMutantCorpus),
-         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
-         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
-         |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
-         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
-         |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
-         |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
-         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+    "d54_incremental_minhash" -> duckMinHashPairsSql,
 
     // the streaming-ingest composition accumulates the same exact pair
     // list (d54's oracle verbatim — split/order-invariant by theorem)
-    "st20_stream_dedup_index" ->
-      s"""WITH corpus AS ($duckMutantCorpus),
-         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
-         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
-         |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
-         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
-         |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
-         |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
-         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+    "st20_stream_dedup_index" -> duckMinHashPairsSql,
+
+    // d2's oracle VERBATIM once more: two shards bootstrapped
+    // independently, then log-merged, must union to the identical pair
+    // list — lost cross pairs or double-emitted shard-internal pairs
+    // both fail the hash gate
+    "d64_index_merge" -> duckMinHashPairsSql,
+
+    // d1/d57's keep-the-min rule VERBATIM: shard-local verdicts plus the
+    // merge's correction delta must equal the one-shot global rule
+    "d65_exact_index_merge" -> duckExactVerdictsSql,
 
     // bound-check row: the oracle recomputes the corpus size and expects
     // the incremental-vs-one-shot assignment comparison to hold

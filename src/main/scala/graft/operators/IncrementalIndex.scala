@@ -413,6 +413,83 @@ object IncrementalIndex {
     } finally a.release()
   }
 
+  /** Merge an INDEPENDENTLY-BOOTSTRAPPED MinHash index (`donorRoot`)
+    * into `root` — the shard-parallel bootstrap path at corpus scale:
+    * one index over the full corpus serializes everything through a
+    * single banded self-join, but N shards over disjoint id ranges
+    * (hash-split) bootstrap in parallel with ZERO cross-shard traffic,
+    * and this merge completes the pair set afterwards from the LOGS
+    * alone — signatures and shingle-hash sets read from both indexes'
+    * versioned tables, no document text ever re-read or re-signed.
+    *
+    * Returns (committed version, verified CROSS pairs) — pairs with one
+    * side in `root` and one in `donorRoot`; each shard's internal pairs
+    * are already in its own pair log, so emitting them again would
+    * double the union. Appends the donor's LIVE signature rows as
+    * `root`'s next version and their banded occupancy as the next stats
+    * delta (re-derived from the live rows, so donor tombstones don't
+    * leak into `root`'s occupancy). Accumulated pairs (root log ∪ donor
+    * log ∪ cross) equal the one-shot pipeline over the union — the d54
+    * disjoint-union theorem with the donor playing the batch role, and
+    * banding collisions are identical either way because signatures are
+    * pure per-row functions of text under the SHARED params (both
+    * shards MUST be built with the same `p`; ids must be disjoint).
+    * Exchange discipline is the ingest path's: the root side streams
+    * map-only, the donor side takes the size-gated broadcast with the
+    * (band, bucket) shuffle fallback, and the cross filter +
+    * verification broadcast only candidate-bounded frames over map-side
+    * donor scans. The d64 gate pins the equality; the merged index
+    * ingests onward exactly like a one-shot-built one
+    * (IncrementalIndexSpec).
+    */
+  def mergeMinHashIndexes(spark: SparkSession, root: String,
+      donorRoot: String,
+      p: MinHashParams = MinHashParams()): (Long, DataFrame) = {
+    val donor = readMinHashIndex(spark, donorRoot).persist()
+    try {
+      val index = readMinHashIndex(spark, root)
+      val bandedD = bandedOf(
+        donor.select("id", "sz", "sig"), p.numHashes, p.bands).persist()
+      try {
+        val donorRows = bandedD.count() // materializes; drives the gate
+        val donorStats = bucketStats(bandedD)
+        val statsRoot = subRoot(root, "bucketstats")
+        val over = overCapBuckets(spark, statsRoot, donorStats, p.bucketCap)
+        val cands = incrementalBucketCandidates(
+          bandedOf(index.select("id", "sz", "sig"), p.numHashes, p.bands),
+          bandedD, p.bucketCap, over, donorRows, p.broadcastRowLimit).persist()
+        try {
+          // cross pairs only: membership probes are candidate-bounded
+          // broadcasts over one map-side donor scan (the verifyJaccard
+          // prune pattern) — donor-internal candidates drop here, before
+          // any wide shingle array moves
+          val candIds = cands.select(col("a").as("id"))
+            .unionAll(cands.select(col("b").as("id"))).distinct()
+          val inDonor = broadcast(
+            donor.select("id").join(broadcast(candIds), "id")
+              .withColumn("dn", lit(true)))
+          val cross = cands
+            .join(inDonor.select(col("id").as("a"), col("dn").as("da")),
+              Seq("a"), "left")
+            .join(inDonor.select(col("id").as("b"), col("dn").as("db")),
+              Seq("b"), "left")
+            .filter(coalesce(col("da"), lit(false)) =!=
+              coalesce(col("db"), lit(false)))
+            .select("a", "b")
+          val shingled = index.select(col("id"), col("hs"))
+            .unionAll(donor.select(col("id"), col("hs")))
+          val verified = Dedup.verifyJaccard(cross, shingled, "id", "hs")
+            .filter(col("jaccard") >= p.threshold).persist()
+          verified.count() // materialize while the caches are hot
+          VersionedTable.write(spark, donorStats, statsRoot)
+          val v = VersionedTable.write(spark,
+            donor.select("id", "sz", "sig", "hs"), root)
+          (v, verified)
+        } finally cands.unpersist(blocking = false)
+      } finally bandedD.unpersist(blocking = false)
+    } finally donor.unpersist(blocking = false)
+  }
+
   /** The exactly-once commit protocol shared by every `*Epoch` ingest
     * (crash-window analysis at [[ingestMinHashEpoch]]): the stats
     * sidecar first as GUARDED LEG 0 — marker + hwm like a data leg, so
@@ -658,6 +735,42 @@ object IncrementalIndex {
       upTo: Option[Long] = None): DataFrame =
     applyTombstones(spark, root,
       VersionedTable.readAllVersions(spark, exactFpRoot(root), upTo))
+
+  /** Merge an independently-built exact-dedup index into `root` — the
+    * verdict-family face of shard-parallel bootstrap
+    * ([[mergeMinHashIndexes]] is the pair-family face): shards over
+    * disjoint id sets each ran keep-the-min LOCALLY, so a fingerprint
+    * present in BOTH shards has two "kept" rows and the global rule
+    * keeps only the minimum surviving id. Appends the donor's live
+    * (id, fp) rows as `root`'s next fingerprint version and returns the
+    * verdict CORRECTION delta — (id, fp, kept) recomputed for every
+    * member of a fingerprint group that spans both shards, the only
+    * groups a merge can change (single-shard groups keep their minimum;
+    * the [[retractExact]] delta convention: the caller overrides those
+    * ids in its accumulated verdict log). Delta-corrected verdicts equal
+    * d1's one-shot keep-the-min over the union (the d65 gate). Exchange
+    * discipline: only 32-byte (id, fp) rows shuffle — by fp for the
+    * shared-group detection and the per-group minimum — and the delta is
+    * bounded by the CROSS-SHARD duplicate volume, not the index size.
+    */
+  def mergeExactIndexes(spark: SparkSession, root: String,
+      donorRoot: String): (Long, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val a = readExactIndex(spark, root)
+    val b = readExactIndex(spark, donorRoot).persist()
+    try {
+      val sharedFps = a.select("fp").distinct()
+        .join(b.select("fp").distinct(), "fp")
+      val w = Window.partitionBy("fp").orderBy("id")
+      val delta = a.select("id", "fp").unionAll(b.select("id", "fp"))
+        .join(sharedFps, "fp")
+        .withColumn("kept", row_number().over(w) === 1)
+        .select("id", "fp", "kept").persist()
+      delta.count() // materialize before the commit mutates the log
+      val v = VersionedTable.write(spark, b.select("id", "fp"), exactFpRoot(root))
+      (v, delta)
+    } finally b.unpersist(blocking = false)
+  }
 
   /** Survivor-recompute retraction for the EXACT index — the takedown
     * path the near-dup verdict families can't have: exact verdicts are

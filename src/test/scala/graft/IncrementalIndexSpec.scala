@@ -766,4 +766,75 @@ class IncrementalIndexSpec extends SparkSpec {
       s"stats must count exactly the surviving banded rows ($statsSum vs $survivorBanded)")
     Seq(p3, t3).foreach(_.unpersist())
   }
+
+  test("minhash shard merge: union complete, cross-only, merged index ingests like one-shot") {
+    val rootA = tmpDir("merge_a"); val rootB = tmpDir("merge_b")
+    val twin = tmpDir("merge_twin")
+    val even = corpus.filter(col("doc_id") % 2 === 0)
+    val odd = corpus.filter(col("doc_id") % 2 === 1)
+    val (_, pA) = IncrementalIndex.ingestMinHash(spark, rootA, even, "doc_id", "text")
+    val (_, pB) = IncrementalIndex.ingestMinHash(spark, rootB, odd, "doc_id", "text")
+    val (_, cross) = IncrementalIndex.mergeMinHashIndexes(spark, rootA, rootB)
+    val sA = pairSet(pA); val sB = pairSet(pB); val sX = pairSet(cross)
+    // cross pairs span the shards EXACTLY — a shard-internal pair leaking
+    // through the merge would double the union
+    val inA = even.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sX.nonEmpty && sX.forall(p => inA.contains(p._1) != inA.contains(p._2)))
+    assert(sX.intersect(sA).isEmpty && sX.intersect(sB).isEmpty)
+    val oneShot = Dedup.minHashLsh(corpus, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    assert(sA.union(sB).union(sX) == pairSet(oneShot),
+      "shard pairs plus cross pairs must equal the one-shot pair list")
+    // the merged index is indistinguishable from a one-shot-built one
+    // for everything DOWNSTREAM: same live rows, same occupancy sums,
+    // and a future ingest emits identical pairs
+    IncrementalIndex.ingestMinHash(spark, twin, corpus, "doc_id", "text")
+      ._2.unpersist(blocking = false)
+    assert(IncrementalIndex.readMinHashIndex(spark, rootA).count() ==
+      IncrementalIndex.readMinHashIndex(spark, twin).count())
+    def occ(rt: String) = VersionedTable.readAllVersions(spark, s"$rt/bucketstats")
+      .groupBy("band", "bucket").agg(sum(col("n")).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(occ(rootA) == occ(twin),
+      "merged occupancy must equal the one-shot index's")
+    val b3 = spark.read.parquet(sf("documents"))
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    val p3 = IncrementalIndex.ingestMinHash(spark, rootA, b3, "doc_id", "text")._2
+    val t3 = IncrementalIndex.ingestMinHash(spark, twin, b3, "doc_id", "text")._2
+    assert(pairSet(p3) == pairSet(t3) && pairSet(t3).nonEmpty,
+      "a post-merge ingest must equal the one-shot-built twin's")
+    Seq(pA, pB, cross, oneShot, p3, t3).foreach(_.unpersist(blocking = false))
+  }
+
+  test("exact shard merge: delta covers exactly the spanning groups; merged index ingests onward") {
+    val rootA = tmpDir("xmerge_a"); val rootB = tmpDir("xmerge_b")
+    val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+    // shard B holds verbatim copies of HALF the originals — so half the
+    // fingerprint groups span both shards and half stay single-shard
+    val copies = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val (_, vA) = IncrementalIndex.ingestExact(spark, rootA, docs, "doc_id", "text")
+    val (_, vB) = IncrementalIndex.ingestExact(spark, rootB, copies, "doc_id", "text")
+    val (_, delta) = IncrementalIndex.mergeExactIndexes(spark, rootA, rootB)
+    // the delta touches exactly the spanning groups (bounded by the
+    // cross-shard duplicate volume, never the index size)
+    val deltaIds = delta.select("id").collect().map(_.getLong(0)).toSet
+    val spanning = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .flatMap(i => Seq(i, i + 100000)).toSet
+    assert(deltaIds == spanning)
+    // delta-corrected verdicts = the one-shot global keep-the-min rule
+    val corrected = vA.unionAll(vB)
+      .join(delta.select(col("id"), col("kept").as("k2")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("k2"), col("kept")).as("kept"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(spanning.forall(i => corrected(i) == (i < 100000)),
+      "within a spanning group only the global minimum survives")
+    // a post-merge ingest sees the union: re-arriving copies all drop
+    val again = docs.select((col("doc_id") + 300000).as("doc_id"), col("text"))
+    val (_, v3) = IncrementalIndex.ingestExact(spark, rootA, again, "doc_id", "text")
+    assert(v3.filter(col("kept")).count() == 0,
+      "every re-arrival must be dropped against the merged fingerprint log")
+    Seq(vA, vB, delta, v3).foreach(_.unpersist(blocking = false))
+  }
 }
