@@ -425,22 +425,26 @@ object IncrementalIndex {
     * Returns (committed version, verified CROSS pairs) — pairs with one
     * side in `root` and one in `donorRoot`; each shard's internal pairs
     * are already in its own pair log, so emitting them again would
-    * double the union. Appends the donor's LIVE signature rows as
-    * `root`'s next version and their banded occupancy as the next stats
-    * delta (re-derived from the live rows, so donor tombstones don't
-    * leak into `root`'s occupancy). Accumulated pairs (root log ∪ donor
-    * log ∪ cross) equal the one-shot pipeline over the union — the d54
-    * disjoint-union theorem with the donor playing the batch role, and
-    * banding collisions are identical either way because signatures are
-    * pure per-row functions of text under the SHARED params (both
-    * shards MUST be built with the same `p`; ids must be disjoint).
-    * Exchange discipline is the ingest path's: the root side streams
-    * map-only, the donor side takes the size-gated broadcast with the
-    * (band, bucket) shuffle fallback, and the cross filter +
-    * verification broadcast only candidate-bounded frames over map-side
-    * donor scans. The d64 gate pins the equality; the merged index
-    * ingests onward exactly like a one-shot-built one
-    * (IncrementalIndexSpec).
+    * double the union. The data move is LOG ADOPTION, not a rewrite:
+    * the donor's signature, stats and tombstone version files are
+    * immutable parquet, so they commit into `root`'s logs as BYTE-LEVEL
+    * COPIES (`VersionedTable.adoptFiles` — no decode/re-encode, no
+    * Spark job; at object-store scale a server-side copy). Donor
+    * tombstones travel too, so retracted donor docs stay retracted in
+    * the merged index, and the donor's own stats deltas keep the
+    * occupancy convention (retractions never decrement — conservative).
+    * Accumulated pairs (root log ∪ donor log ∪ cross) equal the
+    * one-shot pipeline over the union — the d54 disjoint-union theorem
+    * with the donor playing the batch role, and banding collisions are
+    * identical either way because signatures are pure per-row functions
+    * of text under the SHARED params (both shards MUST be built with
+    * the same `p`; ids must be disjoint). Exchange discipline is the
+    * ingest path's: the root side streams map-only, the donor side
+    * takes the size-gated broadcast with the (band, bucket) shuffle
+    * fallback, and the cross filter + verification broadcast only
+    * candidate-bounded frames over map-side donor scans. The d64 gate
+    * pins the equality; the merged index ingests onward exactly like a
+    * one-shot-built one (IncrementalIndexSpec).
     */
   def mergeMinHashIndexes(spark: SparkSession, root: String,
       donorRoot: String,
@@ -481,9 +485,22 @@ object IncrementalIndex {
           val verified = Dedup.verifyJaccard(cross, shingled, "id", "hs")
             .filter(col("jaccard") >= p.threshold).persist()
           verified.count() // materialize while the caches are hot
-          VersionedTable.write(spark, donorStats, statsRoot)
-          val v = VersionedTable.write(spark,
-            donor.select("id", "sz", "sig", "hs"), root)
+          // LOG ADOPTION: the donor's version files are immutable parquet
+          // — commit byte-level copies into root's logs (no decode, no
+          // re-encode, no Spark job; the whole data move is file IO).
+          // Raw donor files include any retracted rows, so the donor's
+          // tombstones adopt FIRST (an unmatched tombstone is a harmless
+          // no-op — the conservative crash order), then its stats deltas
+          // (a stats-only crash merely overcounts occupancy), then the
+          // signature files — the visibility point for future candidates.
+          val donorTombs = VersionedTable.liveVersionDirs(
+            spark, subRoot(donorRoot, "tombstones"))
+          if (donorTombs.nonEmpty)
+            VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
+          VersionedTable.adoptFiles(spark, statsRoot,
+            VersionedTable.liveVersionDirs(spark, subRoot(donorRoot, "bucketstats")))
+          val v = VersionedTable.adoptFiles(spark, root,
+            VersionedTable.liveVersionDirs(spark, donorRoot))
           (v, verified)
         } finally cands.unpersist(blocking = false)
       } finally bandedD.unpersist(blocking = false)
@@ -741,8 +758,9 @@ object IncrementalIndex {
     * ([[mergeMinHashIndexes]] is the pair-family face): shards over
     * disjoint id sets each ran keep-the-min LOCALLY, so a fingerprint
     * present in BOTH shards has two "kept" rows and the global rule
-    * keeps only the minimum surviving id. Appends the donor's live
-    * (id, fp) rows as `root`'s next fingerprint version and returns the
+    * keeps only the minimum surviving id. Adopts the donor's
+    * fingerprint and tombstone version files as byte-level copies (the
+    * [[mergeMinHashIndexes]] log-adoption path) and returns the
     * verdict CORRECTION delta — (id, fp, kept) recomputed for every
     * member of a fingerprint group that spans both shards, the only
     * groups a merge can change (single-shard groups keep their minimum;
@@ -767,7 +785,14 @@ object IncrementalIndex {
         .withColumn("kept", row_number().over(w) === 1)
         .select("id", "fp", "kept").persist()
       delta.count() // materialize before the commit mutates the log
-      val v = VersionedTable.write(spark, b.select("id", "fp"), exactFpRoot(root))
+      // log adoption (see mergeMinHashIndexes): donor tombstones first,
+      // then the fingerprint files as byte-level copies
+      val donorTombs = VersionedTable.liveVersionDirs(
+        spark, subRoot(donorRoot, "tombstones"))
+      if (donorTombs.nonEmpty)
+        VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
+      val v = VersionedTable.adoptFiles(spark, exactFpRoot(root),
+        VersionedTable.liveVersionDirs(spark, exactFpRoot(donorRoot)))
       (v, delta)
     } finally b.unpersist(blocking = false)
   }

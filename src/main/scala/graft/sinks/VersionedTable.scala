@@ -121,6 +121,56 @@ object VersionedTable {
     sys.error(s"versioned write lost the commit race $maxAttempts times at $rootPath")
   }
 
+  /** Directory paths of the versions a full union-read would plan (the
+    * latest checkpoint within the log plus every later delta) — the
+    * file-level face of [[readAllVersions]], for log adoption.
+    */
+  private[graft] def liveVersionDirs(spark: SparkSession, root: String): Seq[Path] = {
+    val rootPath = new Path(root)
+    val entries = entriesOf(fs(spark, rootPath), rootPath)
+    val cut = entries.collect { case (_, Some(u)) => u }.maxOption.getOrElse(-1L)
+    entries.filter(_._1 > cut).map(e => new Path(rootPath, nameOf(e)))
+  }
+
+  /** Commit the next version of `root` whose data files are BYTE-LEVEL
+    * COPIES of existing immutable parquet files (log ADOPTION — the
+    * shard-merge fast path): no decode, no re-encode, no Spark job —
+    * just filesystem copies riding the normal staging + atomic-rename
+    * protocol, so readers see either nothing or the whole version. On
+    * an object store the copy is a server-side operation; nothing
+    * streams through the driver's executors either way. File names get
+    * a per-source prefix so same-named part files from different source
+    * versions can't collide; non-parquet entries (markers, _SUCCESS,
+    * checksums) deliberately do NOT travel — a donor's epoch markers
+    * must not leak into the adopter's replay lineage. Returns the
+    * committed version.
+    */
+  private[graft] def adoptFiles(spark: SparkSession, root: String,
+      srcDirs: Seq[Path], maxAttempts: Int = 20,
+      orphanTtlMs: Long = 15 * 60 * 1000L, markers: Seq[String] = Nil): Long = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    f.mkdirs(rootPath)
+    sweepOrphans(f, rootPath, orphanTtlMs)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(rootPath, s"_staging-$nonce")
+    f.mkdirs(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    srcDirs.zipWithIndex.foreach { case (src, i) =>
+      val srcFs = src.getFileSystem(conf)
+      srcFs.listStatus(src).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".parquet") &&
+            !n.startsWith(".") && !n.startsWith("_"))
+          org.apache.hadoop.fs.FileUtil.copy(
+            srcFs, st.getPath, f, new Path(staging, s"adopt$i-$n"), false, conf)
+      }
+    }
+    f.create(new Path(staging, s"_commit-$nonce"), false).close()
+    markers.foreach(m => f.create(new Path(staging, m), false).close())
+    commitStaged(f, rootPath, staging, nonce, maxAttempts, None)
+  }
+
   /** Write `df` as the next version; returns the committed version number.
     * The data is staged ONCE; only the visibility rename retries under
     * writer races, so the race window is a metadata operation, not a

@@ -620,6 +620,109 @@ object ScaleRehearsal {
       return
     }
 
+    if (scope == "merge") {
+      // shard-parallel bootstrap vs one-shot (d64's operator at rehearsal
+      // scale): two parity shards bootstrap independently — on a cluster
+      // they run CONCURRENTLY, so wall-clock is max(shard_a, shard_b) +
+      // merge — then mergeMinHashIndexes completes the cross pairs from
+      // the logs. Reported against the one-shot bootstrap of the union.
+      import graft.operators.IncrementalIndex
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      def run(dir: String, tag: String): String = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val roots = Seq("os", "a", "b").map(x => s"$base/graft-merge-$tag-$x")
+        val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        roots.foreach(r => fs.delete(new Path(r), true))
+        try {
+          def timed(f: => org.apache.spark.sql.DataFrame): Double = {
+            val t0 = System.nanoTime(); val df = f
+            val sec = (System.nanoTime() - t0) / 1e9
+            df.unpersist(blocking = false); sec
+          }
+          val osSec = timed(IncrementalIndex.ingestMinHash(
+            spark, roots(0), docs, "doc_id", "text")._2)
+          val aSec = timed(IncrementalIndex.ingestMinHash(
+            spark, roots(1), docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")._2)
+          val bSec = timed(IncrementalIndex.ingestMinHash(
+            spark, roots(2), docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")._2)
+          val t0 = System.nanoTime()
+          val (_, xp) = IncrementalIndex.mergeMinHashIndexes(spark, roots(1), roots(2))
+          val cross = xp.count()
+          val mSec = (System.nanoTime() - t0) / 1e9
+          xp.unpersist(blocking = false)
+          println(f"SCALE merge[$tag] oneshot $osSec%.2fs shards $aSec%.2f/$bSec%.2f " +
+            f"merge $mSec%.2fs cross_pairs $cross")
+          f""""oneshot_$tag":${"%.2f".format(osSec)},""" +
+            f""""shard_a_$tag":${"%.2f".format(aSec)},""" +
+            f""""shard_b_$tag":${"%.2f".format(bSec)},""" +
+            f""""merge_$tag":${"%.2f".format(mSec)},"cross_$tag":$cross"""
+        } finally roots.foreach(r => fs.delete(new Path(r), true))
+      }
+      // JIT/parquet-reader warm pass on the tiny sf0.01 corpus — without
+      // it the first timed arm absorbs ~25 s of cold-start and the
+      // 1x/10x ratios are meaningless
+      run(new java.io.File(srcDir).getParent + "/sf0.01", "warm")
+      val r1 = run(srcDir, "1x")
+      SparkEntry.resetSessionCache(spark)
+      val r10 = run(cliqueDir0, "10x")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"merge":{$r1,$r10}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "epochcost") {
+      // price the exactly-once guard: identical bootstrap, identical
+      // batch, unguarded vs epoch-guarded ingest (markers + hwm IO +
+      // the duplicate-marker scan + the pre-epoch stats pin). The two
+      // bootstraps warm the shared kernels before either timed arm.
+      import graft.operators.IncrementalIndex
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val batchDir = new java.io.File(srcDir).getParent + "/sf0.01"
+      def run(dir: String, tag: String): String = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+          .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+        val ru = s"$base/graft-epochcost-$tag-u"
+        val rg = s"$base/graft-epochcost-$tag-g"
+        val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq(ru, rg).foreach(r => fs.delete(new Path(r), true))
+        try {
+          IncrementalIndex.ingestMinHash(spark, ru, docs, "doc_id", "text")
+            ._2.unpersist(blocking = false)
+          IncrementalIndex.ingestMinHash(spark, rg, docs, "doc_id", "text")
+            ._2.unpersist(blocking = false)
+          var t0 = System.nanoTime()
+          IncrementalIndex.ingestMinHash(spark, ru, batch, "doc_id", "text")
+            ._2.unpersist(blocking = false)
+          val unguarded = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          IncrementalIndex.ingestMinHashEpoch(
+              spark, rg, s"$rg/pairs", batch, "doc_id", "text", 1L)
+            .foreach(_.unpersist(blocking = false))
+          val guarded = (System.nanoTime() - t0) / 1e9
+          println(f"SCALE epochcost[$tag] unguarded $unguarded%.2fs guarded $guarded%.2fs")
+          f""""unguarded_$tag":${"%.2f".format(unguarded)},""" +
+            f""""guarded_$tag":${"%.2f".format(guarded)}"""
+        } finally Seq(ru, rg).foreach(r => fs.delete(new Path(r), true))
+      }
+      val r1 = run(srcDir, "1x")
+      SparkEntry.resetSessionCache(spark)
+      val r10 = run(cliqueDir0, "10x")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"epochcost":{$r1,$r10}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
     if (scope == "incr") {
       // re-measure ONLY the incremental-index probes (merge into the main
       // artifact by hand). Three index decades (1×/10×/100× — the 100×

@@ -806,6 +806,37 @@ class IncrementalIndexSpec extends SparkSpec {
     Seq(pA, pB, cross, oneShot, p3, t3).foreach(_.unpersist(blocking = false))
   }
 
+  test("shard merge adopts logs: donor tombstones travel; compacted donors merge from the checkpoint") {
+    val rootA = tmpDir("adopt_a"); val rootB = tmpDir("adopt_b")
+    val even = corpus.filter(col("doc_id") % 2 === 0)
+    val odd = corpus.filter(col("doc_id") % 2 === 1)
+    IncrementalIndex.ingestMinHash(spark, rootA, even, "doc_id", "text")
+      ._2.unpersist(blocking = false)
+    // donor built in two ingests then COMPACTED — adoption must resolve
+    // to the checkpoint, not the vacuumed deltas
+    IncrementalIndex.ingestMinHash(spark, rootB,
+      odd.filter(col("doc_id") < 100000), "doc_id", "text")
+      ._2.unpersist(blocking = false)
+    IncrementalIndex.ingestMinHash(spark, rootB,
+      odd.filter(col("doc_id") >= 100000), "doc_id", "text")
+      ._2.unpersist(blocking = false)
+    IncrementalIndex.compactDedupIndex(spark, rootB)
+    val retracted = odd.select("doc_id").limit(20)
+    IncrementalIndex.retract(spark, rootB, retracted, "doc_id")
+    val rids = retracted.collect().map(_.getLong(0)).toSet
+    val (_, cross) = IncrementalIndex.mergeMinHashIndexes(spark, rootA, rootB)
+    cross.unpersist(blocking = false)
+    val merged = IncrementalIndex.readMinHashIndex(spark, rootA)
+    assert(merged.filter(col("id").isin(rids.toSeq: _*)).count() == 0,
+      "donor tombstones must travel with the adopted files")
+    assert(merged.count() == even.count() + odd.count() - rids.size)
+    // adopted raw files carry the retracted rows; occupancy keeps the
+    // conservative never-decrement convention (donor's own stats log)
+    val statsSum = VersionedTable.readAllVersions(spark, s"$rootA/bucketstats")
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(statsSum == (even.count() + odd.count()) * 32)
+  }
+
   test("exact shard merge: delta covers exactly the spanning groups; merged index ingests onward") {
     val rootA = tmpDir("xmerge_a"); val rootB = tmpDir("xmerge_b")
     val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
