@@ -4547,6 +4547,57 @@ object SparkEntry {
         out
       }.orderBy("id")),
 
+    // SimHash shard merge — the easiest merge of the family (portable
+    // md5-60bit signatures have no frozen geometry, so any two SimHash
+    // indexes with the same shingleN are mergeable). Originals and
+    // mutants shard separately, so every orig↔mutant near-dup pair is a
+    // CROSS pair the merge must complete; shard pairs ∪ cross == d3's
+    // one-shot oracle verbatim.
+    "d66_simhash_index_merge" -> ((s, dir) =>
+      cachedDf(s, s"mergesim|$dir") {
+        import graft.operators.IncrementalIndex
+        val rootA = tmpdir("graft-smerge-a")
+        val rootB = tmpdir("graft-smerge-b")
+        val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+        val (_, pA) = IncrementalIndex.ingestSimHash(
+          s, rootA, corpus.filter(col("doc_id") < 100000), "doc_id", "text")
+        val (_, pB) = IncrementalIndex.ingestSimHash(
+          s, rootB, corpus.filter(col("doc_id") >= 100000), "doc_id", "text")
+        val (_, cross) = IncrementalIndex.mergeSimHashIndexes(s, rootA, rootB)
+        val out = pA.unionAll(pB).unionAll(cross).persist()
+        out.count()
+        Seq(pA, pB, cross).foreach(_.unpersist(blocking = false))
+        out
+      }.orderBy("a", "b")),
+
+    // SRP embedding shard merge — sound because both shards froze
+    // IDENTICAL geometry (same SrpParams, deterministic in the params:
+    // how a sharded provisioning constructs them), and possible from
+    // logs alone because the SRP log stores the vectors it verifies
+    // with (IVF/PQ logs keep only assignments/codes — those families
+    // re-ingest instead of merging, documented). Base and perturbed
+    // vectors shard separately: every perturbed-twin pair is cross.
+    "e25_srp_index_merge" -> ((s, dir) =>
+      cachedDf(s, s"mergesrp|$dir") {
+        import graft.operators.IncrementalIndex
+        val rootA = tmpdir("graft-vmerge-a")
+        val rootB = tmpdir("graft-vmerge-b")
+        val base = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+        val p = IncrementalIndex.SrpParams(dim = 64,
+          bitsPerTable = Similarity.srpBitsFor(base.count() * 2), bucketCap = 256)
+        val (_, pA) = IncrementalIndex.ingestEmbeddings(s, rootA, base, "vec_id", "v", p)
+        val (_, pB) = IncrementalIndex.ingestEmbeddings(s, rootB, mut, "vec_id", "v", p)
+        val (_, cross) = IncrementalIndex.mergeSrpIndexes(s, rootA, rootB, p)
+        val out = pA.unionAll(pB).unionAll(cross).persist()
+        out.count()
+        Seq(pA, pB, cross).foreach(_.unpersist(blocking = false))
+        out
+      }.select(col("a"), col("b"), round(col("cos"), 6).as("cos6"))
+        .orderBy("a", "b")),
+
     // Incremental SimHash index (d3's persistent twin, closing the last
     // near-dup family without one): 60-bit portable signatures persist
     // in a delta log; each ingest signs ONLY its batch, block-collision
@@ -5716,6 +5767,14 @@ object SparkEntry {
     // ingest must accumulate the identical pair list — a replay that
     // double-appended would duplicate rows and fail this hash gate
     "st21_stream_simhash_restart" -> duckSimHashPairsSql,
+
+    // d3's oracle once more: SimHash shards merged must union to the
+    // identical pair list
+    "d66_simhash_index_merge" -> duckSimHashPairsSql,
+
+    // e21's oracle once more: SRP shards merged under shared frozen
+    // geometry must union to the identical pair list
+    "e25_srp_index_merge" -> duckSrpNearDupSql,
 
     "d9_dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS ($duckMutantCorpus),

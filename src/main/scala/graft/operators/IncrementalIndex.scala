@@ -982,6 +982,67 @@ object IncrementalIndex {
     } finally a.release()
   }
 
+  /** Merge an independently-built SimHash index into `root` — the
+    * [[mergeMinHashIndexes]] shape over the SimHash machinery (and the
+    * easiest merge of the family: portable md5-60bit signatures have NO
+    * frozen geometry, so any two SimHash indexes with the same
+    * `shingleN` are mergeable). Cross pairs verified by exact popcount
+    * over the stored signatures; the data move is log adoption
+    * (tombstones → stats → signatures). Accumulated pairs equal the
+    * one-shot portable-SimHash run over the union (the d66 gate).
+    */
+  def mergeSimHashIndexes(spark: SparkSession, root: String,
+      donorRoot: String, maxHamming: Int = 3, bucketCap: Int = 4096,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): (Long, DataFrame) = {
+    val donor = readSimHashIndex(spark, donorRoot).persist()
+    try {
+      val index = readSimHashIndex(spark, root)
+      val bandedD = bandedOfSimHash(donor).persist()
+      try {
+        val donorRows = bandedD.count()
+        val statsRoot = subRoot(root, "bucketstats")
+        val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD), bucketCap)
+        val cands = incrementalBucketCandidates(
+          bandedOfSimHash(index), bandedD, bucketCap, over,
+          donorRows, broadcastRowLimit).persist()
+        try {
+          val candIds = cands.select(col("a").as("id"))
+            .unionAll(cands.select(col("b").as("id"))).distinct()
+          val inDonor = broadcast(
+            donor.select("id").join(broadcast(candIds), "id")
+              .withColumn("dn", lit(true)))
+          val cross = cands
+            .join(inDonor.select(col("id").as("a"), col("dn").as("da")),
+              Seq("a"), "left")
+            .join(inDonor.select(col("id").as("b"), col("dn").as("db")),
+              Seq("b"), "left")
+            .filter(coalesce(col("da"), lit(false)) =!=
+              coalesce(col("db"), lit(false)))
+            .select("a", "b")
+          val sigs = index.unionAll(donor)
+          val pruned = sigs.join(broadcast(candIds), "id")
+          val verified = cross
+            .join(broadcast(pruned.select(col("id").as("a"), col("sig").as("siga"))), "a")
+            .join(broadcast(pruned.select(col("id").as("b"), col("sig").as("sigb"))), "b")
+            .select(col("a"), col("b"),
+              bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("int").as("hamming"))
+            .filter(col("hamming") <= maxHamming)
+            .persist()
+          verified.count()
+          val donorTombs = VersionedTable.liveVersionDirs(
+            spark, subRoot(donorRoot, "tombstones"))
+          if (donorTombs.nonEmpty)
+            VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
+          VersionedTable.adoptFiles(spark, statsRoot,
+            VersionedTable.liveVersionDirs(spark, subRoot(donorRoot, "bucketstats")))
+          val v = VersionedTable.adoptFiles(spark, root,
+            VersionedTable.liveVersionDirs(spark, donorRoot))
+          (v, verified)
+        } finally cands.unpersist(blocking = false)
+      } finally bandedD.unpersist(blocking = false)
+    } finally donor.unpersist(blocking = false)
+  }
+
   /** Compact a SimHash index (signature log + stats sidecar). */
   def compactSimHashIndex(spark: SparkSession, root: String,
       vacuum: Boolean = true): Unit = {
@@ -1359,6 +1420,64 @@ object IncrementalIndex {
     } catch {
       case t: Throwable => a.verified.unpersist(blocking = false); throw t
     } finally a.release()
+  }
+
+  /** Merge an independently-built SRP embedding index into `root` —
+    * the [[mergeMinHashIndexes]] shape over the SRP machinery. SOUND
+    * ONLY when both shards froze IDENTICAL geometry (same `SrpParams`
+    * seed/dim/bits — deterministic in the params, which is how a
+    * sharded provisioning constructs them): stored signatures then live
+    * in the same bucket space and banding collisions match a one-shot
+    * build. Cross pairs verified by exact cosine over the STORED
+    * vectors (the SRP log keeps `v` for verification, which is what
+    * makes this merge possible from logs alone — IVF/PQ logs keep only
+    * assignments/codes, so those families re-ingest instead of
+    * merging). Data move is log adoption. Accumulated pairs equal the
+    * one-shot over the union (the e25 gate).
+    */
+  def mergeSrpIndexes(spark: SparkSession, root: String,
+      donorRoot: String, p: SrpParams): (Long, DataFrame) = {
+    val donor = readSrpIndex(spark, donorRoot).persist()
+    try {
+      val index = readSrpIndex(spark, root)
+      val bandedD = bandedOfSrp(donor.select("id", "p", "sig")).persist()
+      try {
+        val donorRows = bandedD.count()
+        val statsRoot = subRoot(root, "bucketstats")
+        val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD), p.bucketCap)
+        val cands = incrementalBucketCandidates(
+          bandedOfSrp(index.select("id", "p", "sig")), bandedD, p.bucketCap,
+          over, donorRows, p.broadcastRowLimit).persist()
+        try {
+          val candIds = cands.select(col("a").as("id"))
+            .unionAll(cands.select(col("b").as("id"))).distinct()
+          val inDonor = broadcast(
+            donor.select("id").join(broadcast(candIds), "id")
+              .withColumn("dn", lit(true)))
+          val cross = cands
+            .join(inDonor.select(col("id").as("a"), col("dn").as("da")),
+              Seq("a"), "left")
+            .join(inDonor.select(col("id").as("b"), col("dn").as("db")),
+              Seq("b"), "left")
+            .filter(coalesce(col("da"), lit(false)) =!=
+              coalesce(col("db"), lit(false)))
+            .select("a", "b")
+          val vecs = index.select(col("id"), col("v"))
+            .unionAll(donor.select(col("id"), col("v")))
+          val verified = Dedup.verifyCosine(cross, vecs, p.threshold)
+          verified.count()
+          val donorTombs = VersionedTable.liveVersionDirs(
+            spark, subRoot(donorRoot, "tombstones"))
+          if (donorTombs.nonEmpty)
+            VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
+          VersionedTable.adoptFiles(spark, statsRoot,
+            VersionedTable.liveVersionDirs(spark, subRoot(donorRoot, "bucketstats")))
+          val v = VersionedTable.adoptFiles(spark, root,
+            VersionedTable.liveVersionDirs(spark, donorRoot))
+          (v, verified)
+        } finally cands.unpersist(blocking = false)
+      } finally bandedD.unpersist(blocking = false)
+    } finally donor.unpersist(blocking = false)
   }
 
   // ------------------------------------------------------------- SemDeDup
