@@ -4570,6 +4570,36 @@ object SparkEntry {
         out
       }.orderBy("a", "b")),
 
+    // Prefix-filter shard merge — the one merge that can't adopt files:
+    // each shard froze its own element order, so the donor's stored
+    // token arrays RE-SORT under the adopter's frozen order (unseen
+    // elements df=0, still a total order; shingles never recompute from
+    // text). Exactness is order-independent, so shard pair logs stay
+    // valid verbatim and shard pairs ∪ cross must equal the one-shot
+    // exact Jaccard oracle, integer witnesses included.
+    "d67_prefix_index_merge" -> ((s, dir) =>
+      cachedDf(s, s"mergeprefix|$dir") {
+        import graft.operators.IncrementalIndex
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        val rootA = tmpdir("graft-pmerge-a")
+        val rootB = tmpdir("graft-pmerge-b")
+        def sh(c: Column) = ColumnBridge.column(
+          graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+        val sets = nearDupCorpus(tbl(s, dir, "documents"))
+          .select(col("doc_id").as("id"), explode(sh(col("text"))).as("elem"))
+          .distinct().persist()
+        val (_, pA) = IncrementalIndex.bootstrapPrefixJaccard(
+          s, rootA, sets.filter(col("id") < 100000))
+        val (_, pB) = IncrementalIndex.bootstrapPrefixJaccard(
+          s, rootB, sets.filter(col("id") >= 100000))
+        val (_, cross) = IncrementalIndex.mergePrefixIndexes(s, rootA, rootB)
+        val out = pA.unionAll(pB).unionAll(cross).persist()
+        out.count()
+        Seq(pA, pB, cross).foreach(_.unpersist(blocking = false))
+        sets.unpersist(blocking = false)
+        out
+      }.orderBy("ia", "ib")),
+
     // SRP embedding shard merge — sound because both shards froze
     // IDENTICAL geometry (same SrpParams, deterministic in the params:
     // how a sharded provisioning constructs them), and possible from
@@ -5473,7 +5503,14 @@ object SparkEntry {
     * gates them identically.
     */
   private lazy val duckPrefixJoinSql: String =
-    s"""WITH corpus AS ($duckMutantCorpus),
+    duckPrefixJoinSqlOver(duckMutantCorpus)
+
+  /** The exact witnessed prefix-join oracle over an arbitrary corpus
+    * CTE (kept parameterized: reduced-corpus variants were measured for
+    * d67 and rejected — see the d67 oracle note).
+    */
+  private def duckPrefixJoinSqlOver(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
        |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
        |shl AS (SELECT doc_id, $duckShingles5 AS sh FROM tok),
        |g AS (SELECT DISTINCT doc_id AS id,
@@ -7246,6 +7283,13 @@ object SparkEntry {
     // accumulate the identical exact pair list (witnesses included)
     // across its two ingests, despite freezing element order at batch 1
     "d59_incremental_prefix_join" -> duckPrefixJoinSql,
+
+    // the same exact witnessed oracle once more: prefix shards merged
+    // under the adopter's frozen order must union to the identical
+    // pair list. (A half- and quarter-corpus variant measured within 10%
+    // of the full gate — the cost is the pipeline's fixed stage count,
+    // not the corpus — so the gate keeps full coverage.)
+    "d67_prefix_index_merge" -> duckPrefixJoinSql,
 
     "d60_temperature_mixture" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_str FROM documents GROUP BY 1),

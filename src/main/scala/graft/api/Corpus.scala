@@ -57,6 +57,36 @@ object corpus {
           "batch violating the append-ordered bookmark contract (each batch's " +
           "max id must exceed every previously ingested id)"))
 
+  /** Shard-merge entry points (d64–d66, e25): complete a sharded
+    * bootstrap by folding an independently-built donor index into
+    * `indexRoot`. Per-family semantics (cross-pair completion or
+    * verdict-correction delta, the log-adoption data move, donor
+    * tombstones preserved) live on [[graft.operators.IncrementalIndex]];
+    * these are the user-facing names. Pair-family merges return
+    * (version, cross pairs) — append the pairs to the caller's
+    * accumulated log; the exact merge returns (version, correction
+    * delta) — override those ids in the accumulated verdict log.
+    * IVF/PQ indexes don't merge (logs keep only assignments/codes):
+    * re-ingest the donor's source vectors instead.
+    */
+  def mergeDedupIndexes(spark: SparkSession, indexRoot: String,
+      donorRoot: String,
+      p: IncrementalIndex.MinHashParams = IncrementalIndex.MinHashParams())
+      : (Long, DataFrame) =
+    IncrementalIndex.mergeMinHashIndexes(spark, indexRoot, donorRoot, p)
+
+  def mergeSimHashIndexes(spark: SparkSession, indexRoot: String,
+      donorRoot: String, maxHamming: Int = 3): (Long, DataFrame) =
+    IncrementalIndex.mergeSimHashIndexes(spark, indexRoot, donorRoot, maxHamming)
+
+  def mergeExactIndexes(spark: SparkSession, indexRoot: String,
+      donorRoot: String): (Long, DataFrame) =
+    IncrementalIndex.mergeExactIndexes(spark, indexRoot, donorRoot)
+
+  def mergeEmbeddingIndexes(spark: SparkSession, indexRoot: String,
+      donorRoot: String, p: IncrementalIndex.SrpParams): (Long, DataFrame) =
+    IncrementalIndex.mergeSrpIndexes(spark, indexRoot, donorRoot, p)
+
   implicit class CorpusOps(private val df: DataFrame) {
 
     /** The epoch id a bookmark batch carries: its max id, cast to long.

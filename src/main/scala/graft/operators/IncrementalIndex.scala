@@ -1272,6 +1272,56 @@ object IncrementalIndex {
     } finally a.release()
   }
 
+  /** Merge an independently-built prefix-filter index into `root` — the
+    * one merge in the family that CANNOT adopt files: each shard froze
+    * its own element order (df snapshot of its first batch), and the
+    * prefix-filter lemma needs ONE shared total order, so the donor's
+    * token arrays re-sort under the ADOPTER's frozen order. The re-sort
+    * reads the donor's stored arrays — `(id, elem)` re-derives by
+    * exploding the token log; shingles never recompute from text — and
+    * rides the normal batch-artifact path (donor-unseen elements take
+    * df = 0 through the same coalesce as any new-element ingest, still
+    * a total order). Exactness is order-independent, so each shard's
+    * own pair log stays valid verbatim; the merge returns only the
+    * CROSS pairs (integer (inter, un) witnesses included), and
+    * accumulated pairs equal the one-shot over the union (the d67
+    * gate). Donor retractions are honored by construction: the re-sort
+    * starts from the donor's tombstone-FILTERED live rows, so nothing
+    * retracted ever enters `root`.
+    */
+  def mergePrefixIndexes(spark: SparkSession, root: String,
+      donorRoot: String,
+      p: PrefixJaccardParams = PrefixJaccardParams()): (Long, DataFrame) = {
+    val donorLive = readPrefixIndex(spark, donorRoot).persist()
+    try {
+      val donorSets = donorLive.select(col("id"), explode(col("toks")).as("elem"))
+      val a = prefixBatchArtifacts(spark, root, donorSets, p)
+      try {
+        // cross-only (the mergeMinHashIndexes membership pattern):
+        // donor-internal pairs are already in the donor's own pair log
+        val candIds = a.verified.select(col("ia").as("id"))
+          .unionAll(a.verified.select(col("ib").as("id"))).distinct()
+        val inDonor = broadcast(
+          donorLive.select("id").join(broadcast(candIds), "id")
+            .withColumn("dn", lit(true)))
+        val cross = a.verified
+          .join(inDonor.select(col("id").as("ia"), col("dn").as("da")),
+            Seq("ia"), "left")
+          .join(inDonor.select(col("id").as("ib"), col("dn").as("db")),
+            Seq("ib"), "left")
+          .filter(coalesce(col("da"), lit(false)) =!=
+            coalesce(col("db"), lit(false)))
+          .select("ia", "ib", "inter", "un")
+          .persist()
+        cross.count()
+        VersionedTable.write(spark, a.batchStats, prefixStatsRoot(root))
+        val v = VersionedTable.write(spark, a.batchTok, prefixTokRoot(root))
+        a.verified.unpersist(blocking = false)
+        (v, cross)
+      } finally a.release()
+    } finally donorLive.unpersist(blocking = false)
+  }
+
   /** Compact a prefix-filter index: token rows verbatim, `prefixstats`
     * pre-aggregated (the frozen df snapshot has nothing to compact).
     */

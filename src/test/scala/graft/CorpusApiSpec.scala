@@ -255,6 +255,21 @@ class CorpusApiSpec extends SparkSpec {
     assert(api62 == q62 && api62.nonEmpty)
   }
 
+  test("shard-merge API completes the union from two independently built shards") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+    val a = tmpDir("corpus_merge_a"); val b = tmpDir("corpus_merge_b")
+    val pA = docs.filter(col("doc_id") % 2 === 0).ingestIntoDedupIndex(a)
+    val pB = docs.filter(col("doc_id") % 2 === 1).ingestIntoDedupIndex(b)
+    val (_, cross) = graft.api.corpus.mergeDedupIndexes(spark, a, b)
+    val oneShot = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ps(pA).union(ps(pB)).union(ps(cross)) == ps(oneShot))
+    Seq(pA, pB, cross, oneShot).foreach(_.unpersist(blocking = false))
+  }
+
   test("incremental ingest APIs accumulate the one-shot results across two batches") {
     import graft.operators.{Dedup, IncrementalIndex}
     // MinHash side: two bookmark batches through the API == one-shot pairs
