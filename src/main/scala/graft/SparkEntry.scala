@@ -4628,6 +4628,103 @@ object SparkEntry {
       }.select(col("a"), col("b"), round(col("cos"), 6).as("cos6"))
         .orderBy("a", "b")),
 
+    // TF-IDF shard merge — the SCORING-family face, and the one merge
+    // that RE-WEIGHTS instead of adopting files: each shard froze its
+    // own (df, N) so stored weights aren't portable, but w = tf·K(tk)
+    // with the frozen integer factor K ≥ 1e6, so exact tf recovers from
+    // the logs by integer division (no text re-read, no re-tokenize);
+    // document frequencies ADD across disjoint shards, and re-weighting
+    // under (df_a+df_b, N_a+N_b) equals a one-shot FULL-corpus bootstrap
+    // exactly — d41's corpus-frozen oracle, integer weights included.
+    "d68_tfidf_index_merge" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      val rootA = tmpdir("graft-tmerge-a")
+      val rootB = tmpdir("graft-tmerge-b")
+      val rootM = tmpdir("graft-tmerge-m")
+      val docs = tbl(s, dir, "documents")
+      IncrementalIndex.bootstrapTfidf(
+        s, rootA, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      IncrementalIndex.bootstrapTfidf(
+        s, rootB, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      IncrementalIndex.mergeTfidfIndexes(s, rootM, Seq(rootA, rootB))
+      IncrementalIndex.sparseCosineIndexed(s, rootM, col("id") < 50, 0.2)
+        .orderBy("ia", "ib")
+    }),
+
+    // N-WAY shard merge: three shards, ONE candidate pass (the union of
+    // donors plays the batch role — the machinery's batch-internal
+    // candidates ARE the donor×donor pairs), cross-shard pairs only. A
+    // fold of binary merges pays N−1 passes over the GROWING adopter —
+    // the quadratic tail a 1000-shard fan-in can't afford. The mod-3 id
+    // split places every orig↔mutant twin in DIFFERENT shards (mutant
+    // id = orig + 100000, 100000 % 3 = 1), so all twin pairs are cross
+    // pairs the single pass must complete; shard logs ∪ cross == d2's
+    // one-shot oracle verbatim.
+    "d69_nway_index_merge" -> ((s, dir) =>
+      cachedDf(s, s"mergenway|$dir") {
+        import graft.operators.IncrementalIndex
+        val roots = (0 to 2).map(i => tmpdir(s"graft-nmerge-$i"))
+        val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+        val parts = (0 to 2).map(i =>
+          IncrementalIndex.ingestMinHash(
+            s, roots(i), corpus.filter(pmod(col("doc_id"), lit(3)) === i),
+            "doc_id", "text")._2)
+        val (_, cross) = IncrementalIndex.mergeManyMinHashIndexes(
+          s, roots(0), Seq(roots(1), roots(2)))
+        val out = parts.reduce(_.unionAll(_)).unionAll(cross).persist()
+        out.count()
+        (parts :+ cross).foreach(_.unpersist(blocking = false))
+        out
+      }.orderBy("a", "b")),
+
+    // Read-only near-dup PROBE (admission control): the index holds
+    // the originals; the mutants are CHECKED against it — exactly what
+    // the ingest would emit (mutant×index + mutant-internal pairs) —
+    // and NOTHING commits: the query asserts the version log unchanged
+    // across the probe. The quarantine-before-write face of the index:
+    // at 100 TB, deciding whether a crawl batch enters the corpus is a
+    // read, not a write. Oracle: the exact-Jaccard pairs touching the
+    // probe side (b ≥ 100000 — a < b puts the mutant second).
+    "d70_probe_neardups" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      val root = tmpdir("graft-probe-idx")
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      IncrementalIndex.ingestMinHash(
+          s, root, corpus.filter(col("doc_id") < 100000), "doc_id", "text")
+        ._2.unpersist(blocking = false)
+      val before = graft.sinks.VersionedTable.versions(s, root)
+      val probed = IncrementalIndex.probeMinHash(
+        s, root, corpus.filter(col("doc_id") >= 100000), "doc_id", "text")
+      require(graft.sinks.VersionedTable.versions(s, root) == before &&
+        graft.sinks.VersionedTable.versions(
+          s, s"$root/bucketstats") == before,
+        "a probe must commit nothing — no signature version, no stats delta")
+      probed.orderBy("a", "b")
+    }),
+
+    // Sharded ANN SERVE — the no-merge families' (IVF/PQ) answer to a
+    // sharded corpus: each shard searches itself under its OWN frozen
+    // centroids (zero cross-shard traffic; queries broadcast), the
+    // global top-k re-ranks the union of per-shard top-k lists —
+    // k·shards rows per query, never corpus-sized. Exhaustive probes
+    // within each shard make the union equal brute force over the full
+    // corpus exactly (any global top-k neighbor survives its shard's
+    // cut) — the e5 equality gate, now spanning two frozen geometries.
+    "e26_sharded_ivf_serve" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val embs = tbl(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") < 8)
+      val shards = Seq(0, 1).map { i =>
+        val part = embs.filter(col("vec_id") % 2 === i)
+        val cells = Ivf.cellsFor(part.count())
+        (part, Ivf.train(part, "embedding", k = cells,
+          sampleSize = math.max(4096, 8 * cells)), cells)
+      }
+      Ivf.shardedTopK(shards, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Incremental SimHash index (d3's persistent twin, closing the last
     // near-dup family without one): 60-bit portable signatures persist
     // in a delta log; each ingest signs ONLY its batch, block-collision
@@ -5647,6 +5744,24 @@ object SparkEntry {
     // both fail the hash gate
     "d64_index_merge" -> duckMinHashPairsSql,
 
+    // one candidate pass over three shards must still complete the
+    // one-shot pair set exactly
+    "d69_nway_index_merge" -> duckMinHashPairsSql,
+
+    // the probe side is the mutants (ids ≥ 100000): a read-only probe
+    // must emit exactly the one-shot pairs touching it — a < b puts
+    // the mutant second in every such pair
+    "d70_probe_neardups" ->
+      s"""WITH corpus AS ($duckMutantCorpus),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $duckShingles AS sh FROM tok),
+         |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE) AS jaccard
+         |  FROM sh l, sh r WHERE l.doc_id < r.doc_id)
+         |SELECT a, b, jaccard FROM pairs
+         |WHERE jaccard >= 0.8 AND b >= 100000 ORDER BY a, b""".stripMargin,
+
     // d1/d57's keep-the-min rule VERBATIM: shard-local verdicts plus the
     // merge's correction delta must equal the one-shot global rule
     "d65_exact_index_merge" -> duckExactVerdictsSql,
@@ -5730,6 +5845,28 @@ object SparkEntry {
         |wts AS (SELECT tf.doc_id, tf.tk,
         |  tf.tf * CAST(round((ln(CAST(n.nn + 1 AS DOUBLE) / (COALESCE(dfq.df, 0) + 1)) + 1) * 1000000) AS BIGINT) AS w
         |  FROM tf LEFT JOIN dfq USING (tk) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, SUM(w * w) AS nrm2 FROM wts GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS ia, b.doc_id AS ib, SUM(a.w * b.w) AS dot
+        |  FROM wts a JOIN wts b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 50 GROUP BY 1, 2),
+        |sc AS (SELECT ia, ib, CAST(dot AS BIGINT) AS dot,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6) AS cos
+        |  FROM dots JOIN nrm na ON ia = na.doc_id JOIN nrm nb ON ib = nb.doc_id)
+        |SELECT ia, ib, dot, cos FROM sc WHERE cos >= 0.2 ORDER BY ia, ib""".stripMargin,
+
+    // d41's FULL-corpus frozen-stats oracle verbatim: two shards merged
+    // with summed (df, N) must score exactly like a one-shot bootstrap
+    // over the whole corpus — the re-weighting is integer-exact
+    "d68_tfidf_index_merge" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tk
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM documents),
+        |wts AS (SELECT tf.doc_id, tf.tk,
+        |  tf.tf * CAST(round((ln(CAST(n.nn + 1 AS DOUBLE) / (dfq.df + 1)) + 1) * 1000000) AS BIGINT) AS w
+        |  FROM tf JOIN dfq USING (tk) CROSS JOIN n),
         |nrm AS (SELECT doc_id, SUM(w * w) AS nrm2 FROM wts GROUP BY 1),
         |dots AS (SELECT a.doc_id AS ia, b.doc_id AS ib, SUM(a.w * b.w) AS dot
         |  FROM wts a JOIN wts b ON a.tk = b.tk AND a.doc_id < b.doc_id
@@ -5887,6 +6024,11 @@ object SparkEntry {
       bruteForceTopKOracle,
 
     "e5_knn_ivf_full" ->
+      bruteForceTopKOracle,
+
+    // per-shard exhaustive search + global re-rank must equal brute
+    // force over the union corpus
+    "e26_sharded_ivf_serve" ->
       bruteForceTopKOracle,
 
     "e9_knn_ivfpq_full" ->

@@ -75,6 +75,16 @@ object corpus {
       : (Long, DataFrame) =
     IncrementalIndex.mergeMinHashIndexes(spark, indexRoot, donorRoot, p)
 
+  /** N-way MinHash merge (d69): one candidate pass over ALL donors —
+    * the wide-fan-in path; a fold of binary merges re-scans the growing
+    * adopter N−1 times.
+    */
+  def mergeManyDedupIndexes(spark: SparkSession, indexRoot: String,
+      donorRoots: Seq[String],
+      p: IncrementalIndex.MinHashParams = IncrementalIndex.MinHashParams())
+      : (Long, DataFrame) =
+    IncrementalIndex.mergeManyMinHashIndexes(spark, indexRoot, donorRoots, p)
+
   def mergeSimHashIndexes(spark: SparkSession, indexRoot: String,
       donorRoot: String, maxHamming: Int = 3): (Long, DataFrame) =
     IncrementalIndex.mergeSimHashIndexes(spark, indexRoot, donorRoot, maxHamming)
@@ -86,6 +96,15 @@ object corpus {
   def mergeEmbeddingIndexes(spark: SparkSession, indexRoot: String,
       donorRoot: String, p: IncrementalIndex.SrpParams): (Long, DataFrame) =
     IncrementalIndex.mergeSrpIndexes(spark, indexRoot, donorRoot, p)
+
+  /** TF-IDF shard merge (d68) — unlike the pair families this writes a
+    * FRESH `mergedRoot` (every row re-weights under the summed frozen
+    * stats, so nothing adopts); shard pair/score caches don't carry
+    * over — re-derive scores from the merged index.
+    */
+  def mergeTfidfIndexes(spark: SparkSession, mergedRoot: String,
+      shardRoots: Seq[String]): Long =
+    IncrementalIndex.mergeTfidfIndexes(spark, mergedRoot, shardRoots)
 
   implicit class CorpusOps(private val df: DataFrame) {
 
@@ -577,6 +596,24 @@ object corpus {
             .getOrElse(replayedEpochRows(s, pairsRoot, e))
       }
     }
+
+    /** Read-only near-dup PROBE (d70): exactly what
+      * [[ingestIntoDedupIndex]] would emit for this frame, with NOTHING
+      * committed — no version, no stats delta, no epoch consumed.
+      * Admission control: check a batch against the corpus before
+      * paying the write, from a pure reader that never contends with
+      * the index's single writer.
+      */
+    def probeDedupIndex(indexRoot: String, idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame =
+      IncrementalIndex.probeMinHash(df.sparkSession, indexRoot, df, idCol, textCol)
+
+    /** Read-only exact-dedup probe: [[ingestIntoExactIndex]]'s verdicts
+      * (id, fp, kept) with no fingerprint version written.
+      */
+    def probeExactIndex(indexRoot: String, idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame =
+      IncrementalIndex.probeExact(df.sparkSession, indexRoot, df, idCol, textCol)
 
     /** Incremental SemDeDup ingest (e22): assign `df`'s vectors to the
       * index's FROZEN centroids and return (id, cid, kept) verdicts —

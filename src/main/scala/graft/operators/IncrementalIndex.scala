@@ -362,6 +362,27 @@ object IncrementalIndex {
     } finally a.release()
   }
 
+  /** Read-only near-dup PROBE: exactly what [[ingestMinHash]] WOULD
+    * emit for this batch — verified batch-internal + batch×index pairs
+    * — with NOTHING committed: no signature version, no stats delta, no
+    * epoch consumed (spec-pinned: a probe followed by the real ingest
+    * is indistinguishable from the ingest alone). The admission-control
+    * face of the index: decide whether a batch enters the corpus BEFORE
+    * paying the write, route near-duplicate docs to a quarantine sink,
+    * or serve "is this a near-dup?" from a pure READER — probes touch
+    * only committed versions, so they never contend with the
+    * single-writer-per-lineage rule the epoch guard enforces. Exchange
+    * discipline is the ingest's own (index map-side under the broadcast
+    * gate). Caller owns the returned persisted frame's unpersist.
+    */
+  def probeMinHash(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val a = minHashBatchArtifacts(spark, root, batch, idCol, textCol, p)
+    a.release()
+    a.verified
+  }
+
   /** Exactly-once streaming ingest keyed by a MONOTONE epoch (the
     * structured-streaming batchId). `foreachBatch` delivers
     * AT-LEAST-once — after a crash the tail micro-batch replays — so a
@@ -505,6 +526,92 @@ object IncrementalIndex {
         } finally cands.unpersist(blocking = false)
       } finally bandedD.unpersist(blocking = false)
     } finally donor.unpersist(blocking = false)
+  }
+
+  /** N-WAY MinHash shard merge — how a 1000-shard bootstrap actually
+    * completes. Folding [[mergeMinHashIndexes]] pairwise costs N−1
+    * candidate passes, each re-scanning the GROWING adopter (the
+    * quadratic tail that kills a wide fan-in); this runs ONE candidate
+    * pass with the union of all donors playing the batch role — the
+    * shared machinery already emits batch-internal candidates, which
+    * here are the donor×donor pairs a fold would only discover across
+    * iterations — and keeps a pair iff its sides live in DIFFERENT
+    * shards (adopter counts as a shard): shard-internal pairs are in
+    * the shards' own logs, so emitting them again would double the
+    * union. Shard membership is resolved the merge's usual way —
+    * candidate-bounded broadcast probes, one map-side scan per shard,
+    * no index-sized shuffle. Cap engagement uses the adopter's
+    * maintained stats plus the union-donor delta: exactly what a
+    * one-shot build over the union would see, so the connectivity
+    * invariant under engaged caps carries over unchanged. Adoption
+    * order across donors preserves the binary merge's conservative
+    * crash ordering GLOBALLY: every donor's tombstones first (an
+    * unmatched tombstone is a no-op), then every stats delta
+    * (overcount-only), then the signature files — no signature is
+    * visible before the tombstones and stats that govern it. Returns
+    * (last committed version, verified cross-shard pairs); accumulated
+    * union (all shard logs ∪ cross) equals the one-shot pipeline over
+    * the union corpus — the d69 gate pins it at three shards. All
+    * shards must share `p`; ids must be disjoint across all of them.
+    */
+  def mergeManyMinHashIndexes(spark: SparkSession, root: String,
+      donorRoots: Seq[String],
+      p: MinHashParams = MinHashParams()): (Long, DataFrame) = {
+    require(donorRoots.nonEmpty, "mergeManyMinHashIndexes needs donors")
+    val donors = donorRoots.map(r => readMinHashIndex(spark, r).persist())
+    try {
+      val donorAll = donors.reduce(_.unionAll(_))
+      val index = readMinHashIndex(spark, root)
+      val bandedD = bandedOf(
+        donorAll.select("id", "sz", "sig"), p.numHashes, p.bands).persist()
+      try {
+        val donorRows = bandedD.count() // materializes; drives the gate
+        val donorStats = bucketStats(bandedD)
+        val statsRoot = subRoot(root, "bucketstats")
+        val over = overCapBuckets(spark, statsRoot, donorStats, p.bucketCap)
+        val cands = incrementalBucketCandidates(
+          bandedOf(index.select("id", "sz", "sig"), p.numHashes, p.bands),
+          bandedD, p.bucketCap, over, donorRows, p.broadcastRowLimit).persist()
+        try {
+          val candIds = cands.select(col("a").as("id"))
+            .unionAll(cands.select(col("b").as("id"))).distinct()
+          // shard tag per candidate id (donor i ⇒ i+1; absent ⇒ adopter
+          // 0): candidate-bounded broadcasts over map-side shard scans
+          val tagged = broadcast(donors.zipWithIndex.map { case (d, i) =>
+            d.select("id").join(broadcast(candIds), "id")
+              .withColumn("sh", lit(i + 1))
+          }.reduce(_.unionAll(_)))
+          val cross = cands
+            .join(tagged.select(col("id").as("a"), col("sh").as("sa")),
+              Seq("a"), "left")
+            .join(tagged.select(col("id").as("b"), col("sh").as("sb")),
+              Seq("b"), "left")
+            .filter(coalesce(col("sa"), lit(0)) =!= coalesce(col("sb"), lit(0)))
+            .select("a", "b")
+          val shingled = index.select(col("id"), col("hs"))
+            .unionAll(donorAll.select(col("id"), col("hs")))
+          val verified = Dedup.verifyJaccard(cross, shingled, "id", "hs")
+            .filter(col("jaccard") >= p.threshold).persist()
+          verified.count() // materialize while the caches are hot
+          donorRoots.foreach { dr =>
+            val t = VersionedTable.liveVersionDirs(
+              spark, subRoot(dr, "tombstones"))
+            if (t.nonEmpty)
+              VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), t)
+          }
+          donorRoots.foreach { dr =>
+            VersionedTable.adoptFiles(spark, statsRoot,
+              VersionedTable.liveVersionDirs(spark, subRoot(dr, "bucketstats")))
+          }
+          var v = -1L
+          donorRoots.foreach { dr =>
+            v = VersionedTable.adoptFiles(spark, root,
+              VersionedTable.liveVersionDirs(spark, dr))
+          }
+          (v, verified)
+        } finally cands.unpersist(blocking = false)
+      } finally bandedD.unpersist(blocking = false)
+    } finally donors.foreach(_.unpersist(blocking = false))
   }
 
   /** The exactly-once commit protocol shared by every `*Epoch` ingest
@@ -721,6 +828,20 @@ object IncrementalIndex {
       val v = VersionedTable.write(spark, a.fps, exactFpRoot(root))
       (v, a.verdicts)
     } finally a.release()
+  }
+
+  /** Read-only exact-dedup PROBE: the verdicts [[ingestExact]] WOULD
+    * return — (id, fp, kept) with kept ⇔ first-in-batch and unindexed —
+    * with no fingerprint version written (the [[probeMinHash]]
+    * admission-control pattern for the exact family). Caller owns the
+    * returned persisted frame's unpersist.
+    */
+  def probeExact(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): DataFrame = {
+    val a = exactBatchArtifacts(spark, root, batch, idCol, textCol, broadcastRowLimit)
+    a.release()
+    a.verdicts
   }
 
   /** Exactly-once streaming exact-dedup ingest: the [[commitEpoch]]
@@ -2052,12 +2173,19 @@ object IncrementalIndex {
           s"filter(split(lower($textCol), '\\\\s+'), x -> x <> '')")).as("tk"))
       .groupBy("id", "tk").agg(count(lit(1)).as("tf"))
 
-  /** d41's integer-exact TF-IDF weight under frozen stats: `df` may be
-    * null (token unseen at bootstrap — smoothing's +1 keeps it defined).
+  /** The frozen integer IDF factor K(tk) under corpus count `nn`: `df`
+    * may be null (token unseen at bootstrap — smoothing's +1 keeps it
+    * defined). K ≥ 1e6 always (df ≤ nn ⇒ the log term ≥ 0), which is
+    * what makes stored weights INVERTIBLE: w = tf·K with K > 0, so
+    * exact tf recovers by integer division ([[mergeTfidfIndexes]]).
     */
-  private def tfidfWeight(nn: Long): org.apache.spark.sql.Column =
-    col("tf") * round((log((lit(nn) + 1).cast("double") /
+  private def idfFactor(nn: Long): org.apache.spark.sql.Column =
+    round((log((lit(nn) + 1).cast("double") /
       (coalesce(col("df"), lit(0L)) + 1)) + 1) * 1e6, 0).cast("long")
+
+  /** d41's integer-exact TF-IDF weight under frozen stats. */
+  private def tfidfWeight(nn: Long): org.apache.spark.sql.Column =
+    col("tf") * idfFactor(nn)
 
   /** Bootstrap a sparse TF-IDF index: compute document frequencies and
     * the corpus count over the FIRST batch and FREEZE them (snapshot
@@ -2261,6 +2389,90 @@ object IncrementalIndex {
       vacuum: Boolean = true): Unit = {
     compactLog(spark, weightsRoot(root), vacuum = vacuum)
     compactLog(spark, normsRoot(root), vacuum = vacuum)
+  }
+
+  /** Merge INDEPENDENTLY-BOOTSTRAPPED TF-IDF shard indexes into a fresh
+    * `mergedRoot` — the SCORING-family face of shard merge, and the one
+    * merge that RE-WEIGHTS instead of adopting files: each shard froze
+    * its own (df, N), so stored weights are not portable across shards
+    * the way signatures are. They are, however, INVERTIBLE: every
+    * stored weight is w = tf · K_s(tk) with the shard's frozen integer
+    * factor K_s ≥ 1e6 ([[idfFactor]]) recomputable from its persisted
+    * stats snapshot, so exact integer term frequencies recover from the
+    * LOGS ALONE by division — no text re-read, no re-tokenize (at
+    * 100 TB the tokenize pass is the dominant cost, measured as d41's
+    * sf10 cost center; the weight log is orders of magnitude smaller
+    * than the text). Shards hold DISJOINT doc sets, so document
+    * frequencies ADD (df_m = Σ df_s over the union vocabulary) and so
+    * do corpus counts (N_m = Σ N_s); re-weighting the recovered tf
+    * under (df_m, N_m) is then EXACTLY what a one-shot bootstrap over
+    * the union of the shards' bootstrap sets would store — integer
+    * arithmetic identical, the d68 gate pins it against d41's
+    * corpus-frozen oracle. More generally (spec-pinned): a merged index
+    * whose shards also ran post-bootstrap ingests equals the one-shot
+    * index bootstrapped on the UNION of the shards' bootstrap sets and
+    * then ingesting the rest in any order — weights are pure functions
+    * of (tf, frozen stats), never of arrival order.
+    *
+    * Scale shape: one shuffle-by-token join of the recovered tf rows
+    * against the merged (vocabulary-sized) stats — a bootstrap-scale
+    * re-weight pass, the honest cost of changing every row's frozen
+    * geometry (this is why the merge writes a FRESH root instead of
+    * adopting: no stored byte survives re-weighting). Norms re-derive
+    * per doc from the merged weights; both logs cluster by id at write
+    * (the row-group-pruning layout the scorer's probe depends on —
+    * measured 1.8× on the 100× scoring pass). Shard tombstones do NOT
+    * travel: recovery reads the tombstone-FILTERED weight logs, so
+    * retracted docs simply never enter the merged index (their
+    * contribution to the shard's frozen df stays, matching the
+    * frozen-snapshot convention on retraction). Returns the committed
+    * weights version of the merged index, which ingests onward exactly
+    * like a one-shot-bootstrapped one.
+    */
+  def mergeTfidfIndexes(spark: SparkSession, mergedRoot: String,
+      shardRoots: Seq[String]): Long = {
+    require(shardRoots.size >= 2,
+      s"mergeTfidfIndexes needs at least two shards, got ${shardRoots.size}")
+    require(VersionedTable.versions(spark, weightsRoot(mergedRoot)).isEmpty &&
+      VersionedTable.versions(spark, idfStatsRoot(mergedRoot)).isEmpty,
+      s"mergedRoot $mergedRoot must be fresh: the merge re-weights every " +
+        "row under new frozen stats, so it cannot append to an existing log")
+    // merged frozen stats: disjoint doc shards ⇒ df and N both ADD
+    val dfM = shardRoots
+      .map(r => VersionedTable.read(spark, idfStatsRoot(r)))
+      .reduce(_.unionAll(_))
+      .groupBy("tk").agg(sum("df").as("df"))
+      .persist()
+    try {
+      val nM = shardRoots.map(r => readTfidfCorpusCount(spark, r)).sum
+      VersionedTable.write(spark, dfM, idfStatsRoot(mergedRoot))
+      import spark.implicits._
+      VersionedTable.write(spark, Seq(nM).toDF("nn"), idfMetaRoot(mergedRoot))
+      // exact tf recovery per shard: w = tf·K_s(tk), K_s ≥ 1e6, so
+      // `w div K_s` is exact integer division (tokens absent from the
+      // shard's frozen stats took df=0 at ingest — the same coalesce
+      // reproduces the same K_s here)
+      val tf = shardRoots.map { r =>
+        val nS = readTfidfCorpusCount(spark, r)
+        readTfidfWeights(spark, r)
+          .join(VersionedTable.read(spark, idfStatsRoot(r)), Seq("tk"), "left")
+          .withColumn("kf", idfFactor(nS))
+          .selectExpr("id", "tk", "w div kf AS tf")
+      }.reduce(_.unionAll(_))
+      val weighted = tf
+        .join(dfM, Seq("tk"), "left")
+        .select(col("id"), col("tk"), tfidfWeight(nM).as("w"))
+        .persist()
+      try {
+        weighted.count()
+        // norms first — the ingest path's crash-conservative ordering
+        VersionedTable.write(spark,
+          weighted.groupBy("id").agg(sum(col("w") * col("w")).as("nrm2"))
+            .sortWithinPartitions("id"), normsRoot(mergedRoot))
+        VersionedTable.write(spark,
+          weighted.sortWithinPartitions("id"), weightsRoot(mergedRoot))
+      } finally weighted.unpersist(blocking = false)
+    } finally dfM.unpersist(blocking = false)
   }
 
   // ---------------------------------------------------------- compaction

@@ -208,4 +208,32 @@ object Ivf {
     val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Sharded ANN serve — the no-merge families' answer to a sharded
+    * corpus (IVF/PQ logs keep only assignments/codes under frozen
+    * per-shard geometry, so two shards can't reconcile into one index
+    * without re-encoding; production systems don't merge them either —
+    * they SERVE sharded). Each shard searches itself under its OWN
+    * centroids — zero cross-shard traffic, the per-query fan-out is a
+    * broadcast of the (tiny) query set to every shard — and the global
+    * answer re-ranks the union of per-shard top-k lists: k·shards rows
+    * per query, never corpus-sized. EXACT relative to the per-shard
+    * searches: any global top-k neighbor ranks ≤ k inside its own
+    * shard (within-shard rank never exceeds global rank), so it
+    * survives the per-shard cut — with exhaustive probes (nprobe =
+    * shard cells) the result equals brute force over the union, which
+    * is what the e26 gate pins. Shards are (corpus, centroids, nprobe)
+    * triples; ids must be disjoint across shards.
+    */
+  def shardedTopK(
+      shards: Seq[(DataFrame, Array[Array[Double]], Int)],
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      qIdCol: String = "query_id"): DataFrame = {
+    require(shards.nonEmpty, "shardedTopK needs at least one shard")
+    val per = shards.map { case (corpus, cents, np) =>
+      topK(corpus, queries, idCol, vecCol, k, cents, np, qIdCol).drop("rank")
+    }.reduce(_.unionAll(_))
+    val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col("neighbor_id"))
+    per.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

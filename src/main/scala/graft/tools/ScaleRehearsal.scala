@@ -684,6 +684,109 @@ object ScaleRehearsal {
       return
     }
 
+    if (scope == "nway") {
+      // N-way fan-in (d69): ONE candidate pass over three shards vs the
+      // fold of two binary merges — the fold re-scans the GROWING
+      // adopter each iteration, the cost term a 1000-shard fan-in
+      // cannot afford. Cross-pair counts must agree (spec-pinned; here
+      // re-asserted on the rehearsal corpus).
+      import graft.operators.IncrementalIndex
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      def run(dir: String, tag: String): String = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val roots = (0 to 2).map(i => s"$base/graft-nway-$tag-$i")
+        val froots = (0 to 2).map(i => s"$base/graft-nwayf-$tag-$i")
+        val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        (roots ++ froots).foreach(r => fs.delete(new Path(r), true))
+        try {
+          (0 to 2).foreach { i =>
+            val shard = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+            IncrementalIndex.ingestMinHash(spark, roots(i), shard, "doc_id", "text")
+              ._2.unpersist(blocking = false)
+            IncrementalIndex.ingestMinHash(spark, froots(i), shard, "doc_id", "text")
+              ._2.unpersist(blocking = false)
+          }
+          val t0 = System.nanoTime()
+          val (_, xp) = IncrementalIndex.mergeManyMinHashIndexes(
+            spark, roots(0), Seq(roots(1), roots(2)))
+          val nCross = xp.count()
+          val oneSec = (System.nanoTime() - t0) / 1e9
+          xp.unpersist(blocking = false)
+          val t1 = System.nanoTime()
+          val (_, x1) = IncrementalIndex.mergeMinHashIndexes(spark, froots(0), froots(1))
+          val (_, x2) = IncrementalIndex.mergeMinHashIndexes(spark, froots(0), froots(2))
+          val nFold = x1.count() + x2.count()
+          val foldSec = (System.nanoTime() - t1) / 1e9
+          Seq(x1, x2).foreach(_.unpersist(blocking = false))
+          require(nCross == nFold, s"one-pass $nCross != fold $nFold cross pairs")
+          println(f"SCALE nway[$tag] one-pass $oneSec%.2fs fold $foldSec%.2fs cross $nCross")
+          f""""onepass_$tag":${"%.2f".format(oneSec)},""" +
+            f""""fold_$tag":${"%.2f".format(foldSec)},"cross_$tag":$nCross"""
+        } finally (roots ++ froots).foreach(r => fs.delete(new Path(r), true))
+      }
+      run(new java.io.File(srcDir).getParent + "/sf0.01", "warm")
+      val r1 = run(srcDir, "1x")
+      SparkEntry.resetSessionCache(spark)
+      val r10 = run(cliqueDir0, "10x")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"nway":{$r1,$r10}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "tfidfmerge") {
+      // TF-IDF shard merge (d68): two half-corpus shard bootstraps (on
+      // a cluster: concurrent, wall-clock = max(shards)) + the
+      // logs-only re-weight merge, vs the one-shot union bootstrap. The
+      // merge never touches text — its cost is the re-weight join over
+      // the weight logs — so the interesting ratio is merge vs the
+      // one-shot's full tokenize+weigh pass as the corpus grows.
+      import graft.operators.IncrementalIndex
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      def run(dir: String, tag: String): String = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val roots = Seq("os", "a", "b", "m").map(x => s"$base/graft-tmerge-$tag-$x")
+        val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        roots.foreach(r => fs.delete(new Path(r), true))
+        try {
+          def timed(f: => Unit): Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          val osSec = timed(IncrementalIndex.bootstrapTfidf(
+            spark, roots(0), docs, "doc_id", "text"))
+          val aSec = timed(IncrementalIndex.bootstrapTfidf(
+            spark, roots(1), docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
+          val bSec = timed(IncrementalIndex.bootstrapTfidf(
+            spark, roots(2), docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+          val mSec = timed(IncrementalIndex.mergeTfidfIndexes(
+            spark, roots(3), Seq(roots(1), roots(2))))
+          val rows = IncrementalIndex.readTfidfWeights(spark, roots(3)).count()
+          println(f"SCALE tfidfmerge[$tag] oneshot $osSec%.2fs shards " +
+            f"$aSec%.2f/$bSec%.2f merge $mSec%.2fs weight_rows $rows")
+          f""""oneshot_$tag":${"%.2f".format(osSec)},""" +
+            f""""shard_a_$tag":${"%.2f".format(aSec)},""" +
+            f""""shard_b_$tag":${"%.2f".format(bSec)},""" +
+            f""""merge_$tag":${"%.2f".format(mSec)},"rows_$tag":$rows"""
+        } finally roots.foreach(r => fs.delete(new Path(r), true))
+      }
+      run(new java.io.File(srcDir).getParent + "/sf0.01", "warm")
+      val r1 = run(srcDir, "1x")
+      SparkEntry.resetSessionCache(spark)
+      val r10 = run(cliqueDir0, "10x")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"tfidfmerge":{$r1,$r10}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
     if (scope == "epochcost") {
       // price the exactly-once guard: identical bootstrap, identical
       // batch, unguarded vs epoch-guarded ingest (markers + hwm IO +

@@ -868,4 +868,124 @@ class IncrementalIndexSpec extends SparkSpec {
       "every re-arrival must be dropped against the merged fingerprint log")
     Seq(vA, vB, delta, v3).foreach(_.unpersist(blocking = false))
   }
+
+  test("tfidf shard merge: re-weighted logs equal a union bootstrap; merged index ingests onward") {
+    val rootA = tmpDir("tmerge_a"); val rootB = tmpDir("tmerge_b")
+    val rootM = tmpDir("tmerge_m"); val twin = tmpDir("tmerge_twin")
+    val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+    val r = pmod(col("doc_id"), lit(4))
+    // the general theorem, not just the all-bootstrap case: shard A
+    // bootstraps r=0 and then INGESTS r=1 (weights stored under A's own
+    // frozen stats), shard B bootstraps r=2, and one shard-A doc is
+    // RETRACTED before the merge. The merged index must equal a twin
+    // bootstrapped on r∈{0,2} — the UNION of the shards' bootstrap sets
+    // — that then ingested r=1 and retracted the same doc: weights are
+    // pure functions of (tf, frozen stats), never of arrival order, and
+    // exact tf recovery inverts A's frozen factor before re-weighting.
+    val retractedIds = docs.filter(r === 0 && col("doc_id") < 20).select("doc_id")
+    IncrementalIndex.bootstrapTfidf(spark, rootA, docs.filter(r === 0), "doc_id", "text")
+    IncrementalIndex.ingestTfidf(spark, rootA, docs.filter(r === 1), "doc_id", "text")
+    IncrementalIndex.retract(spark, rootA, retractedIds, "doc_id")
+    IncrementalIndex.bootstrapTfidf(spark, rootB, docs.filter(r === 2), "doc_id", "text")
+    IncrementalIndex.mergeTfidfIndexes(spark, rootM, Seq(rootA, rootB))
+    IncrementalIndex.bootstrapTfidf(spark, twin,
+      docs.filter(r === 0 || r === 2), "doc_id", "text")
+    IncrementalIndex.ingestTfidf(spark, twin, docs.filter(r === 1), "doc_id", "text")
+    IncrementalIndex.retract(spark, twin, retractedIds, "doc_id")
+    assert(IncrementalIndex.readTfidfCorpusCount(spark, rootM) ==
+      IncrementalIndex.readTfidfCorpusCount(spark, twin),
+      "merged frozen N must be the sum of the shard Ns")
+    def wRows(rt: String) = IncrementalIndex.readTfidfWeights(spark, rt)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    assert(wRows(rootM) == wRows(twin),
+      "re-weighted merged log must be bit-identical to the union-bootstrap twin")
+    def nRows(rt: String) = IncrementalIndex.readTfidfNorms(spark, rt)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nRows(rootM) == nRows(twin),
+      "merged norms sidecar must equal the twin's")
+    // a retracted shard doc never entered the merged log at all
+    val gone = retractedIds.collect().map(_.getLong(0)).toSet
+    assert(VersionedTable.readAllVersions(spark, s"$rootM/weights")
+      .filter(col("id").isin(gone.toSeq: _*)).count() == 0,
+      "retracted shard rows must be absent from the merged log, not just masked")
+    // the merged index ingests onward exactly like the twin
+    IncrementalIndex.ingestTfidf(spark, rootM, docs.filter(r === 3), "doc_id", "text")
+    IncrementalIndex.ingestTfidf(spark, twin, docs.filter(r === 3), "doc_id", "text")
+    def scores(rt: String) = IncrementalIndex
+      .sparseCosineIndexed(spark, rt, col("id") < 50, 0.2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSet
+    assert(scores(rootM) == scores(twin),
+      "post-merge ingest + scoring must be indistinguishable from the twin")
+  }
+
+  test("n-way minhash merge: one pass completes three shards; equals fold-of-binary and one-shot") {
+    val roots = (0 to 2).map(i => tmpDir(s"nmerge_$i"))
+    val foldRoots = (0 to 2).map(i => tmpDir(s"nmerge_fold_$i"))
+    val shard = (0 to 2).map(i => corpus.filter(pmod(col("doc_id"), lit(3)) === i))
+    val parts = (0 to 2).map { i =>
+      // identical shard contents under both adopters
+      IncrementalIndex.ingestMinHash(spark, foldRoots(i), shard(i), "doc_id", "text")
+        ._2.unpersist(blocking = false)
+      IncrementalIndex.ingestMinHash(spark, roots(i), shard(i), "doc_id", "text")._2
+    }
+    val (_, cross) = IncrementalIndex.mergeManyMinHashIndexes(
+      spark, roots(0), Seq(roots(1), roots(2)))
+    // cross pairs span shards exactly: no shard-internal pair re-emitted
+    val shardOf = (0 to 2).flatMap(i =>
+      shard(i).select("doc_id").collect().map(_.getLong(0) -> i)).toMap
+    val sX = pairSet(cross)
+    assert(sX.nonEmpty && sX.forall(p => shardOf(p._1) != shardOf(p._2)))
+    val sParts = parts.map(pairSet)
+    assert(sParts.forall(_.intersect(sX).isEmpty))
+    // union equals one-shot over the full corpus
+    val oneShot = Dedup.minHashLsh(corpus, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    assert(sParts.reduce(_ union _).union(sX) == pairSet(oneShot),
+      "shard logs plus one-pass cross pairs must equal the one-shot list")
+    // and equals a fold of binary merges (N−1 passes) — same cross set
+    val (_, x1) = IncrementalIndex.mergeMinHashIndexes(spark, foldRoots(0), foldRoots(1))
+    val (_, x2) = IncrementalIndex.mergeMinHashIndexes(spark, foldRoots(0), foldRoots(2))
+    assert(sX == pairSet(x1).union(pairSet(x2)),
+      "one pass must find exactly what the pairwise fold finds")
+    // merged index state identical to the fold's: rows and occupancy
+    assert(IncrementalIndex.readMinHashIndex(spark, roots(0)).count() ==
+      IncrementalIndex.readMinHashIndex(spark, foldRoots(0)).count())
+    def occ(rt: String) = VersionedTable.readAllVersions(spark, s"$rt/bucketstats")
+      .groupBy("band", "bucket").agg(sum(col("n")).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(occ(roots(0)) == occ(foldRoots(0)))
+    (parts :+ cross :+ oneShot :+ x1 :+ x2).foreach(_.unpersist(blocking = false))
+  }
+
+  test("read-only probes: emit exactly the would-be ingest result and commit nothing") {
+    val root = tmpDir("probe_mh"); val xroot = tmpDir("probe_x")
+    val b1 = corpus.filter(col("doc_id") < 100000)
+    val b2 = corpus.filter(col("doc_id") >= 100000)
+    IncrementalIndex.ingestMinHash(spark, root, b1, "doc_id", "text")
+      ._2.unpersist(blocking = false)
+    val probed = IncrementalIndex.probeMinHash(spark, root, b2, "doc_id", "text")
+    // nothing committed: version logs unchanged across the probe
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    assert(VersionedTable.versions(spark, s"$root/bucketstats") == Seq(1L))
+    // a probe followed by the real ingest is indistinguishable from the
+    // ingest alone — same pairs, same committed version
+    val (v2, p2) = IncrementalIndex.ingestMinHash(spark, root, b2, "doc_id", "text")
+    assert(v2 == 2L && pairSet(probed) == pairSet(p2),
+      "probe must return exactly what the ingest then emits")
+    assert(pairSet(probed).nonEmpty)
+    // exact family: same contract over verdicts
+    val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+    val copies = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    IncrementalIndex.ingestExact(spark, xroot, docs, "doc_id", "text")
+      ._2.unpersist(blocking = false)
+    val xprobe = IncrementalIndex.probeExact(spark, xroot, copies, "doc_id", "text")
+    assert(VersionedTable.versions(spark, s"$xroot/fingerprints") == Seq(1L))
+    assert(xprobe.filter(col("kept")).count() == 0,
+      "every verbatim copy must probe as a drop")
+    val (_, xv) = IncrementalIndex.ingestExact(spark, xroot, copies, "doc_id", "text")
+    def vset(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(vset(xprobe) == vset(xv))
+    Seq(probed, p2, xprobe, xv).foreach(_.unpersist(blocking = false))
+  }
 }
