@@ -4192,6 +4192,215 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // Restart-replay for the prefix-filter family — the only EXACT
+    // incremental index driven through a real file stream: (id, elem)
+    // set rows arrive in two micro-batches (d59's split; shingling
+    // happens once, at arrival-file creation), the first ingest freezes
+    // the element order, the batch-0 commit is erased, and the
+    // restarted query's replay drops at the epoch guard. Accumulated
+    // pairs == d59/d40's witnessed exact-Jaccard oracle verbatim.
+    "st25_stream_prefix_restart" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      import graft.sinks.VersionedTable
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val work = tmpdir("graft-st25")
+      val root = tmpdir("graft-st25-index")
+      val pairsRoot = tmpdir("graft-st25-pairs")
+      val ckpt = tmpdir("graft-st25-ckpt")
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+      val sets = nearDupCorpus(tbl(s, dir, "documents"))
+        .select(col("doc_id").as("id"), explode(sh(col("text"))).as("elem"))
+        .distinct().persist()
+      val r = pmod(col("id") % 100000, lit(3))
+      val isMut = col("id") >= 100000
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, sets.filter((!isMut && r < 2) || (isMut && r === 0)),
+        "b1", Some(t0 - 30000))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.streaming.metadataCache.enabled", "false") // see st21
+      def runStream(): Unit = {
+        val q = sess.readStream.schema(sets.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            IncrementalIndex.ingestPrefixJaccardEpoch(
+                sess, root, pairsRoot, batch, epochId)
+              .foreach(_.unpersist(blocking = false))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runStream() // micro-batch 0 freezes the element order + ingests b1
+      require(new java.io.File(s"$ckpt/commits/0").delete(),
+        "restart simulation requires erasing the batch-0 checkpoint commit")
+      new java.io.File(s"$ckpt/commits/.0.crc").delete()
+      arriveFile(work, sets.filter((!isMut && r === 2) || (isMut && r > 0)),
+        "b2", Some(t0))
+      runStream() // replays epoch 0 (dropped), ingests b2 as epoch 1
+      sets.unpersist(blocking = false)
+      require(VersionedTable.versions(s, s"$root/tokens").size == 2 &&
+        VersionedTable.versions(s, pairsRoot).size == 2,
+        "exactly one committed version per epoch across the restart replay")
+      VersionedTable.readAllVersions(s, pairsRoot).orderBy("ia", "ib")
+    }),
+
+    // Restart-replay for the IVF family: the bootstrap micro-batch
+    // trains and freezes the centroids, its checkpoint commit is
+    // erased, and the restarted replay NEVER RETRAINS — it finds the
+    // committed centroid snapshot and drops at the epoch guard, so
+    // consistency is independent of trainer determinism. One idempotent
+    // per-micro-batch entry (bootstrapIvfEpoch) serves bootstrap,
+    // ingest and replay alike (the st22 pattern). Accumulated
+    // assignments == one-shot assignment of the union under the frozen
+    // centroids (e20's bound-check shape).
+    "st26_stream_ivf_restart" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      import graft.sinks.VersionedTable
+      val work = tmpdir("graft-st26")
+      val root = tmpdir("graft-st26-index")
+      val ckpt = tmpdir("graft-st26-ckpt")
+      val embs = tbl(s, dir, "embeddings")
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, embs.filter(col("vec_id") % 2 === 0), "b1", Some(t0 - 30000))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.streaming.metadataCache.enabled", "false") // see st21
+      def runStream(): Unit = {
+        val q = sess.readStream.schema(embs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            IncrementalIndex.bootstrapIvfEpoch(
+              sess, root, batch, "vec_id", "embedding", k = 16, epochId)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runStream() // micro-batch 0 trains + freezes centroids, ingests b1
+      require(new java.io.File(s"$ckpt/commits/0").delete(),
+        "restart simulation requires erasing the batch-0 checkpoint commit")
+      new java.io.File(s"$ckpt/commits/.0.crc").delete()
+      arriveFile(work, embs.filter(col("vec_id") % 2 === 1), "b2", Some(t0))
+      runStream() // replays epoch 0 (dropped, no retrain), ingests b2
+      require(VersionedTable.versions(s, s"$root/assignments").size == 2 &&
+        VersionedTable.versions(s, s"$root/centroids").size == 1,
+        "one assignment version per epoch; the replay must not retrain")
+      val cents = IncrementalIndex.readIvfCentroids(s, root)
+      val oneShot = embs.select(col("vec_id").as("id"),
+        graft.operators.Ivf.cellId(col("embedding"), cents).as("cid1"))
+      IncrementalIndex.readIvfAssignments(s, root).join(oneShot, "id")
+        .agg(count(lit(1)).as("n_vecs"),
+          coalesce(min(col("cid") === col("cid1")), lit(false)).as("all_match"))
+    }),
+
+    // Restart-replay for the PQ family: codebooks freeze on the
+    // bootstrap micro-batch, the erased batch-0 commit replays without
+    // retraining, and accumulated codes stay bit-equal to a one-shot
+    // encode under the frozen books (e23's bound-check shape).
+    "st27_stream_pq_restart" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      import graft.sinks.VersionedTable
+      val work = tmpdir("graft-st27")
+      val root = tmpdir("graft-st27-index")
+      val ckpt = tmpdir("graft-st27-ckpt")
+      val embs = tbl(s, dir, "embeddings")
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, embs.filter(col("vec_id") % 2 === 0), "b1", Some(t0 - 30000))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.streaming.metadataCache.enabled", "false") // see st21
+      def runStream(): Unit = {
+        val q = sess.readStream.schema(embs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            IncrementalIndex.bootstrapPqEpoch(
+              sess, root, batch, "vec_id", "embedding", dim = 64, epochId)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runStream() // micro-batch 0 trains + freezes codebooks, encodes b1
+      require(new java.io.File(s"$ckpt/commits/0").delete(),
+        "restart simulation requires erasing the batch-0 checkpoint commit")
+      new java.io.File(s"$ckpt/commits/.0.crc").delete()
+      arriveFile(work, embs.filter(col("vec_id") % 2 === 1), "b2", Some(t0))
+      runStream() // replays epoch 0 (dropped, no retrain), encodes b2
+      require(VersionedTable.versions(s, s"$root/codes").size == 2 &&
+        VersionedTable.versions(s, s"$root/codebooks").size == 1,
+        "one code version per epoch; the replay must not retrain")
+      val (dim, m, ksub, books) = IncrementalIndex.readPqCodebooks(s, root)
+      val oneShot = embs.select(col("vec_id").as("id"),
+        graft.operators.Pq.encode(col("embedding"), books, m, ksub, dim / m)
+          .as("codes1"))
+      IncrementalIndex.readPqCodes(s, root).join(oneShot, "id")
+        .agg(count(lit(1)).as("n_vecs"),
+          coalesce(min(col("codes") === col("codes1")), lit(false)).as("all_match"))
+    }),
+
+    // Restart-replay for the SemDeDup family — the order-DEPENDENT
+    // verdict family, where a double-applied micro-batch would flip no
+    // verdict (append order protects that) but would double-append
+    // member and verdict rows, fanning out every later batch's
+    // neighborhood join and failing the hash gate on duplicate rows.
+    // Batches arrive in append-ordered id ranges (the bookmark
+    // guarantee the operator requires); centroids freeze on micro-batch
+    // 0; the erased batch-0 commit replays as a drop. Accumulated
+    // verdicts == e22's corpus-wide exact rule.
+    "st28_stream_semdedup_restart" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      import graft.sinks.VersionedTable
+      val work = tmpdir("graft-st28")
+      val root = tmpdir("graft-st28-index")
+      val verdictsRoot = tmpdir("graft-st28-verdicts")
+      val ckpt = tmpdir("graft-st28-ckpt")
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+      val corpus = base.union(mut)
+      val cents = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cvec"))
+      val splitId = base.count() / 2 // lower half of originals first
+      val t0 = System.currentTimeMillis()
+      arriveFile(work, corpus.filter(col("vec_id") < splitId), "b1", Some(t0 - 30000))
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.streaming.metadataCache.enabled", "false") // see st21
+      def runStream(): Unit = {
+        val q = sess.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            IncrementalIndex.bootstrapSemDedupEpoch(
+                sess, root, verdictsRoot, batch, "vec_id", "v", cents,
+                threshold = 0.99, epochId, cap = 2048)
+              .foreach(_.verdicts.unpersist(blocking = false))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runStream() // micro-batch 0 freezes centroids, judges the lower half
+      require(new java.io.File(s"$ckpt/commits/0").delete(),
+        "restart simulation requires erasing the batch-0 checkpoint commit")
+      new java.io.File(s"$ckpt/commits/.0.crc").delete()
+      arriveFile(work, corpus.filter(col("vec_id") >= splitId), "b2", Some(t0))
+      runStream() // replays epoch 0 (dropped), judges the upper half
+      require(VersionedTable.versions(s, s"$root/members").size == 2 &&
+        VersionedTable.versions(s, verdictsRoot).size == 2 &&
+        VersionedTable.versions(s, s"$root/centroids").size == 1,
+        "one version per epoch; the replay must not re-freeze centroids")
+      VersionedTable.readAllVersions(s, verdictsRoot)
+        .select(col("id").as("vec_id"), col("cid"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
     // Attribute-filtered ANN (the vector-DB staple): the metadata
     // predicate applies BEFORE ranking — post-filtering a plain top-k
     // returns fewer than k (or misses qualifying neighbors entirely)
@@ -5775,6 +5984,15 @@ object SparkEntry {
     "e23_incremental_pq" ->
       "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
 
+    // the streamed, restart-replayed twins of e20/e23: a replayed
+    // bootstrap micro-batch would double the assignment/code logs and
+    // break the count
+    "st26_stream_ivf_restart" ->
+      "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
+
+    "st27_stream_pq_restart" ->
+      "SELECT COUNT(*) AS n_vecs, TRUE AS all_match FROM embeddings",
+
     // d1's keep-the-min rule over originals ∪ verbatim copies, per doc —
     // what the incremental fingerprint log must accumulate
     "d57_incremental_exact" -> duckExactVerdictsSql,
@@ -5882,6 +6100,29 @@ object SparkEntry {
     // same-cell member within the (unrounded) threshold — incremental
     // verdict accumulation must equal this corpus-wide rule exactly
     "e22_incremental_semdedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mut AS (SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |c AS (SELECT vec_id AS cid, v AS cvec FROM base WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  round(list_cosine_similarity(e.v, c.cvec), 6) AS sim FROM corpus e, c),
+        |a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s)
+        |  WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cid, e.v FROM a JOIN corpus e USING (vec_id)),
+        |drp AS (SELECT DISTINCT r.vec_id FROM m l JOIN m r
+        |  ON l.cid = r.cid AND l.vec_id < r.vec_id
+        |  AND list_cosine_similarity(l.v, r.v) >= 0.99)
+        |SELECT m.vec_id, m.cid, (drp.vec_id IS NULL) AS kept
+        |FROM m LEFT JOIN drp ON m.vec_id = drp.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
+
+    // e22's exact rule VERBATIM: the streamed, restart-replayed
+    // SemDeDup index must accumulate the identical verdict log (a
+    // replayed micro-batch flips no verdict but double-appends rows —
+    // the hash gate catches the duplicates)
+    "st28_stream_semdedup_restart" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |mut AS (SELECT vec_id + 100000 AS vec_id,
         |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
@@ -7432,6 +7673,10 @@ object SparkEntry {
     // of the full gate — the cost is the pipeline's fixed stage count,
     // not the corpus — so the gate keeps full coverage.)
     "d67_prefix_index_merge" -> duckPrefixJoinSql,
+
+    // d59's witnessed exact-Jaccard oracle VERBATIM: the streamed,
+    // restart-replayed prefix index must accumulate the identical pairs
+    "st25_stream_prefix_restart" -> duckPrefixJoinSql,
 
     "d60_temperature_mixture" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_str FROM documents GROUP BY 1),
