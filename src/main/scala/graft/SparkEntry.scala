@@ -4728,6 +4728,40 @@ object SparkEntry {
         out
       }.orderBy("a", "b")),
 
+    // d64 through the exactly-once face with an at-least-once
+    // re-delivery baked in: the SAME merge step (same epoch id) arrives
+    // twice — the replay must be a pure no-op (None back, no version
+    // appended, no donor file re-adopted). The requires turn a silent
+    // double-adoption into a loud gate failure; the emitted union must
+    // still equal the one-shot oracle verbatim.
+    "d71_merge_replay" -> ((s, dir) =>
+      cachedDf(s, s"mergereplay|$dir") {
+        import graft.operators.IncrementalIndex
+        import graft.sinks.VersionedTable
+        val rootA = tmpdir("graft-emerge-a")
+        val rootB = tmpdir("graft-emerge-b")
+        val pairsRoot = tmpdir("graft-emerge-pairs")
+        val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+        val (_, pA) = IncrementalIndex.ingestMinHash(
+          s, rootA, corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        val (_, pB) = IncrementalIndex.ingestMinHash(
+          s, rootB, corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        val Some((_, cross)) = IncrementalIndex.mergeMinHashIndexesEpoch(
+          s, rootA, pairsRoot, rootB, epochId = 1L)
+        val sigVs = VersionedTable.versions(s, rootA)
+        require(IncrementalIndex.mergeMinHashIndexesEpoch(
+          s, rootA, pairsRoot, rootB, epochId = 1L).isEmpty,
+          "a re-delivered merge step must drop at the epoch guard")
+        require(VersionedTable.versions(s, rootA) == sigVs,
+          "replay must not append a version")
+        require(IncrementalIndex.readMinHashIndex(s, rootA).count() ==
+          corpus.count(), "replay double-adopted donor signatures")
+        val out = pA.unionAll(pB).unionAll(cross).persist()
+        out.count()
+        Seq(pA, pB, cross).foreach(_.unpersist(blocking = false))
+        out
+      }.orderBy("a", "b")),
+
     // The verdict-family face of shard merge: exact-dedup shards ran
     // keep-the-min LOCALLY (the copies shard never saw the originals, so
     // every copy is kept within it); mergeExactIndexes appends the donor
@@ -5952,6 +5986,10 @@ object SparkEntry {
     // list — lost cross pairs or double-emitted shard-internal pairs
     // both fail the hash gate
     "d64_index_merge" -> duckMinHashPairsSql,
+
+    // replayed epoch merge: a re-delivered merge must change nothing —
+    // same one-shot pair oracle as d64
+    "d71_merge_replay" -> duckMinHashPairsSql,
 
     // one candidate pass over three shards must still complete the
     // one-shot pair set exactly

@@ -75,6 +75,62 @@ object corpus {
       : (Long, DataFrame) =
     IncrementalIndex.mergeMinHashIndexes(spark, indexRoot, donorRoot, p)
 
+  /** Exactly-once merge faces. Unlike the batch ingest wrappers there
+    * is NO derivable default epoch — a bookmark boundary identifies a
+    * batch, but nothing inside a merge identifies the merge STEP, and
+    * anything derived from current state (hwm+1, donor versions) drifts
+    * under the very replay the guard exists for. The orchestrator owns
+    * `epochId`: monotone per adopter lineage (shared with any ingest
+    * epochs on `indexRoot`), stable across re-deliveries — a DAG step
+    * sequence number is the natural source. Cross pairs / correction
+    * deltas commit into `resultRoot` under the same epoch, so a replay
+    * can recover them with [[IncrementalIndex.epochVersion]].
+    */
+  def mergeDedupIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoot: String, epochId: Long,
+      p: IncrementalIndex.MinHashParams = IncrementalIndex.MinHashParams())
+      : Option[(Long, DataFrame)] =
+    IncrementalIndex.mergeMinHashIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoot, epochId, p)
+
+  def mergeManyDedupIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoots: Seq[String], epochId: Long,
+      p: IncrementalIndex.MinHashParams = IncrementalIndex.MinHashParams())
+      : Option[(Long, DataFrame)] =
+    IncrementalIndex.mergeManyMinHashIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoots, epochId, p)
+
+  def mergeSimHashIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoot: String, epochId: Long,
+      maxHamming: Int = 3): Option[(Long, DataFrame)] =
+    IncrementalIndex.mergeSimHashIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoot, epochId, maxHamming)
+
+  def mergeExactIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoot: String, epochId: Long)
+      : Option[(Long, DataFrame)] =
+    IncrementalIndex.mergeExactIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoot, epochId)
+
+  def mergeEmbeddingIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoot: String, epochId: Long,
+      p: IncrementalIndex.SrpParams): Option[(Long, DataFrame)] =
+    IncrementalIndex.mergeSrpIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoot, epochId, p)
+
+  def mergePrefixIndexes(spark: SparkSession, indexRoot: String,
+      donorRoot: String,
+      p: IncrementalIndex.PrefixJaccardParams =
+        IncrementalIndex.PrefixJaccardParams()): (Long, DataFrame) =
+    IncrementalIndex.mergePrefixIndexes(spark, indexRoot, donorRoot, p)
+
+  def mergePrefixIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoot: String, epochId: Long,
+      p: IncrementalIndex.PrefixJaccardParams =
+        IncrementalIndex.PrefixJaccardParams()): Option[(Long, DataFrame)] =
+    IncrementalIndex.mergePrefixIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoot, epochId, p)
+
   /** N-way MinHash merge (d69): one candidate pass over ALL donors —
     * the wide-fan-in path; a fold of binary merges re-scans the growing
     * adopter N−1 times.

@@ -119,12 +119,29 @@ object IncrementalIndex {
     * d54/e21 oracle equality gates; under ENGAGED caps the preserved
     * invariant is connectivity (IncrementalIndexSpec pins it).
     */
+  /** `crossOnly` (the binary shard merges): emit ONLY index×batch
+    * pairs, skipping the batch self-join outright. When the batch is a
+    * whole donor index, its internal pairs are already in the donor's
+    * own pair log — generating them to drop them later costs a second
+    * index-sized self-join, the dominant term of a merge at scale.
+    *
+    * `batchSharded` (the N-way merge): the batch side carries an `sh`
+    * shard tag (donors 1..k; the index side is implicitly tag 0), and
+    * batch×batch pairs are emitted only ACROSS different tags — the
+    * intra-shard pairs already sit in each shard's own pair log, and
+    * filtering inside the join beats generating them, running them
+    * through the distinct, and probing shard membership afterwards.
+    */
   private def incrementalBucketCandidates(
       bandedI: DataFrame, bandedB: DataFrame, bucketCap: Int,
       over: DataFrame, batchRows: Long,
-      broadcastRowLimit: Long = DefaultBroadcastRowLimit): DataFrame = {
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit,
+      crossOnly: Boolean = false,
+      batchSharded: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
+    require(!(crossOnly && batchSharded),
+      "crossOnly (binary merge) and batchSharded (N-way merge) are exclusive")
     val overList = broadcast(over.select(col("band"), col("bucket"))
       .withColumn("ov", lit(true)))
     val anyOver = !over.isEmpty
@@ -147,27 +164,33 @@ object IncrementalIndex {
           col("i.doc") =!= col("b.doc"))
       .select(least(col("i.doc"), col("b.doc")).as("a"),
         greatest(col("i.doc"), col("b.doc")).as("b"))
-    val bbPairs = normalB.as("l").join(hintB(normalB.as("r")),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("a"), col("r.doc").as("b"))
-    val subCap = biPairs.unionAll(bbPairs)
+    def bbPairs = {
+      val crossShard =
+        if (batchSharded) col("l.sh") =!= col("r.sh") else lit(true)
+      normalB.as("l").join(hintB(normalB.as("r")),
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+            col("l.doc") < col("r.doc") && crossShard)
+        .select(col("l.doc").as("a"), col("r.doc").as("b"))
+    }
+    val subCap = if (crossOnly) biPairs else biPairs.unionAll(bbPairs)
     if (!anyOver) return subCap.distinct()
     // over-cap buckets: rank-chunk over index∪batch members (same scheme
     // as the one-shot caps), only batch-touching pairs emitted
-    val big = bigI.withColumn("nw", lit(false))
-      .unionAll(bigB.withColumn("nw", lit(true)))
+    val bigB1 = if (batchSharded) bigB else bigB.withColumn("sh", lit(1))
+    val big = bigI.withColumn("sh", lit(0))
+      .unionAll(bigB1.select(bigI.columns.map(col) :+ col("sh"): _*))
       .withColumn("chunk", floor(
         (row_number().over(Window.partitionBy("band", "bucket")
           .orderBy("rk", "doc")) - 1) / lit(bucketCap.toLong)))
     def keyed(side: String) = big
-      .select(col("doc").as(s"${side}_doc"), col("nw").as(s"${side}_nw"),
+      .select(col("doc").as(s"${side}_doc"), col("sh").as(s"${side}_sh"),
         col("band"), col("bucket"), col("chunk").as(s"${side}_c"),
         explode(array(col("chunk"), col("chunk") + 1)).as("k"))
     val bigPairs = keyed("l").join(keyed("r"), Seq("band", "bucket", "k"))
       .filter(col("k") === greatest(col("l_c"), col("r_c")) &&
         col("l_doc") < col("r_doc"))
-      .filter(col("l_nw") || col("r_nw"))
+      .filter(if (crossOnly || batchSharded) col("l_sh") =!= col("r_sh")
+        else col("l_sh") =!= lit(0) || col("r_sh") =!= lit(0))
       .select(col("l_doc").as("a"), col("r_doc").as("b"))
     subCap.unionAll(bigPairs).distinct()
   }
@@ -460,72 +483,110 @@ object IncrementalIndex {
     * identical either way because signatures are pure per-row functions
     * of text under the SHARED params (both shards MUST be built with
     * the same `p`; ids must be disjoint). Exchange discipline is the
-    * ingest path's: the root side streams map-only, the donor side
-    * takes the size-gated broadcast with the (band, bucket) shuffle
-    * fallback, and the cross filter + verification broadcast only
-    * candidate-bounded frames over map-side donor scans. The d64 gate
-    * pins the equality; the merged index ingests onward exactly like a
-    * one-shot-built one (IncrementalIndexSpec).
+    * ingest path's with one merge-specific cut: candidate generation
+    * runs `crossOnly` — the donor self-join (a second index-sized join,
+    * the dominant merge term at scale) never executes, every candidate
+    * is index×donor by construction (disjoint ids), and verification
+    * broadcasts only candidate-bounded frames over map-side scans. The
+    * d64 gate pins the equality; the merged index ingests onward
+    * exactly like a one-shot-built one (IncrementalIndexSpec).
     */
   def mergeMinHashIndexes(spark: SparkSession, root: String,
       donorRoot: String,
-      p: MinHashParams = MinHashParams()): (Long, DataFrame) = {
-    val donor = readMinHashIndex(spark, donorRoot).persist()
+      p: MinHashParams = MinHashParams()): (Long, DataFrame) =
+    mergeMinHashImpl(spark, root, donorRoot, p, None).get
+
+  /** Exactly-once shard merge — [[mergeMinHashIndexes]] under the epoch
+    * protocol, for orchestrators that may re-deliver a merge step (a
+    * crash between the merge and its bookmark/DAG commit, at-least-once
+    * schedulers). Legs in the conservative order: donor tombstones
+    * (guarded adoption — re-applying is a no-op, but the guard keeps
+    * version counts honest), donor stats deltas (guarded adoption; the
+    * replay's cap probe pins BELOW the marker via [[statsBeforeEpoch]],
+    * so candidate sets match a no-crash run), cross pairs (write leg
+    * into `pairsRoot` — the caller's accumulated pair log), then the
+    * donor signature adoption as the REPLAY KEY (the visibility point
+    * every read path unions). A replay that finds the key committed
+    * returns None; one that finds a prefix recomputes identical cross
+    * pairs (pure function of both logs — the donor's rows never entered
+    * `root` in that window) and commits exactly the missing suffix. No
+    * window double-adopts donor files — the failure mode that would
+    * DOUBLE every donor signature in the adopter's log.
+    *
+    * `epochId` must be monotone per adopter lineage (shared with any
+    * ingest epochs on `root`) and STABLE across replays — unlike batch
+    * ingests there is no bookmark boundary to derive it from, so the
+    * orchestrator owns it (e.g. the DAG step's sequence number).
+    */
+  def mergeMinHashIndexesEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, donorRoot: String, epochId: Long,
+      p: MinHashParams = MinHashParams()): Option[(Long, DataFrame)] =
+    mergeMinHashImpl(spark, root, donorRoot, p, Some((epochId, pairsRoot)))
+
+  private def mergeMinHashImpl(spark: SparkSession, root: String,
+      donorRoot: String, p: MinHashParams,
+      epoch: Option[(Long, String)]): Option[(Long, DataFrame)] = {
+    if (epoch.exists { case (e, _) => epochCommittedIn(spark, root, e) })
+      return None
+    // never cache the full-width logs: `hs` (the per-doc shingle-hash
+    // set) dominates the row, and every consumer below needs either the
+    // narrow (id, sz, sig) banding slice or a candidate-pruned (id, hs)
+    // slice — column-pruned parquet scans beat materializing the wide
+    // arrays into executor memory at index scale
+    val donor = readMinHashIndex(spark, donorRoot)
+    val index = readMinHashIndex(spark, root)
+    val bandedD = bandedOf(
+      donor.select("id", "sz", "sig"), p.numHashes, p.bands).persist()
     try {
-      val index = readMinHashIndex(spark, root)
-      val bandedD = bandedOf(
-        donor.select("id", "sz", "sig"), p.numHashes, p.bands).persist()
+      val donorRows = bandedD.count() // materializes; drives the gate
+      val donorStats = bucketStats(bandedD)
+      val statsRoot = subRoot(root, "bucketstats")
+      val over = overCapBuckets(spark, statsRoot, donorStats, p.bucketCap,
+        epoch.map(_._1))
+      // crossOnly: donor-internal candidates never generate — the donor
+      // self-join (a second index-sized join, the dominant merge term at
+      // scale) is skipped outright, and because shard ids are disjoint
+      // every emitted candidate is index×donor by construction, so no
+      // membership probe is needed either
+      val cands = incrementalBucketCandidates(
+        bandedOf(index.select("id", "sz", "sig"), p.numHashes, p.bands),
+        bandedD, p.bucketCap, over, donorRows, p.broadcastRowLimit,
+        crossOnly = true).persist()
       try {
-        val donorRows = bandedD.count() // materializes; drives the gate
-        val donorStats = bucketStats(bandedD)
-        val statsRoot = subRoot(root, "bucketstats")
-        val over = overCapBuckets(spark, statsRoot, donorStats, p.bucketCap)
-        val cands = incrementalBucketCandidates(
-          bandedOf(index.select("id", "sz", "sig"), p.numHashes, p.bands),
-          bandedD, p.bucketCap, over, donorRows, p.broadcastRowLimit).persist()
-        try {
-          // cross pairs only: membership probes are candidate-bounded
-          // broadcasts over one map-side donor scan (the verifyJaccard
-          // prune pattern) — donor-internal candidates drop here, before
-          // any wide shingle array moves
-          val candIds = cands.select(col("a").as("id"))
-            .unionAll(cands.select(col("b").as("id"))).distinct()
-          val inDonor = broadcast(
-            donor.select("id").join(broadcast(candIds), "id")
-              .withColumn("dn", lit(true)))
-          val cross = cands
-            .join(inDonor.select(col("id").as("a"), col("dn").as("da")),
-              Seq("a"), "left")
-            .join(inDonor.select(col("id").as("b"), col("dn").as("db")),
-              Seq("b"), "left")
-            .filter(coalesce(col("da"), lit(false)) =!=
-              coalesce(col("db"), lit(false)))
-            .select("a", "b")
-          val shingled = index.select(col("id"), col("hs"))
-            .unionAll(donor.select(col("id"), col("hs")))
-          val verified = Dedup.verifyJaccard(cross, shingled, "id", "hs")
-            .filter(col("jaccard") >= p.threshold).persist()
-          verified.count() // materialize while the caches are hot
-          // LOG ADOPTION: the donor's version files are immutable parquet
-          // — commit byte-level copies into root's logs (no decode, no
-          // re-encode, no Spark job; the whole data move is file IO).
-          // Raw donor files include any retracted rows, so the donor's
-          // tombstones adopt FIRST (an unmatched tombstone is a harmless
-          // no-op — the conservative crash order), then its stats deltas
-          // (a stats-only crash merely overcounts occupancy), then the
-          // signature files — the visibility point for future candidates.
-          val donorTombs = VersionedTable.liveVersionDirs(
-            spark, subRoot(donorRoot, "tombstones"))
-          if (donorTombs.nonEmpty)
-            VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
-          VersionedTable.adoptFiles(spark, statsRoot,
-            VersionedTable.liveVersionDirs(spark, subRoot(donorRoot, "bucketstats")))
-          val v = VersionedTable.adoptFiles(spark, root,
-            VersionedTable.liveVersionDirs(spark, donorRoot))
-          (v, verified)
-        } finally cands.unpersist(blocking = false)
-      } finally bandedD.unpersist(blocking = false)
-    } finally donor.unpersist(blocking = false)
+        val shingled = index.select(col("id"), col("hs"))
+          .unionAll(donor.select(col("id"), col("hs")))
+        val verified = Dedup.verifyJaccard(cands, shingled, "id", "hs")
+          .filter(col("jaccard") >= p.threshold).persist()
+        verified.count() // materialize while the caches are hot
+        // LOG ADOPTION: the donor's version files are immutable parquet
+        // — commit byte-level copies into root's logs (no decode, no
+        // re-encode, no Spark job; the whole data move is file IO).
+        // Raw donor files include any retracted rows, so the donor's
+        // tombstones adopt FIRST (an unmatched tombstone is a harmless
+        // no-op — the conservative crash order), then its stats deltas
+        // (a stats-only crash merely overcounts occupancy), then the
+        // signature files — the visibility point for future candidates.
+        val donorTombs = VersionedTable.liveVersionDirs(
+          spark, subRoot(donorRoot, "tombstones"))
+        val donorStatsDirs = VersionedTable.liveVersionDirs(
+          spark, subRoot(donorRoot, "bucketstats"))
+        val donorSigDirs = VersionedTable.liveVersionDirs(spark, donorRoot)
+        val v = epoch match {
+          case None =>
+            if (donorTombs.nonEmpty)
+              VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
+            VersionedTable.adoptFiles(spark, statsRoot, donorStatsDirs)
+            VersionedTable.adoptFiles(spark, root, donorSigDirs)
+          case Some((e, pairsRoot)) =>
+            if (donorTombs.nonEmpty)
+              adoptEpochLeg(spark, subRoot(root, "tombstones"), donorTombs, e)
+            adoptEpochLeg(spark, statsRoot, donorStatsDirs, e)
+            writeEpochLeg(spark, verified, pairsRoot, e)
+            adoptEpochLeg(spark, root, donorSigDirs, e)
+        }
+        Some((v, verified))
+      } finally cands.unpersist(blocking = false)
+    } finally bandedD.unpersist(blocking = false)
   }
 
   /** N-WAY MinHash shard merge — how a 1000-shard bootstrap actually
@@ -556,62 +617,82 @@ object IncrementalIndex {
     */
   def mergeManyMinHashIndexes(spark: SparkSession, root: String,
       donorRoots: Seq[String],
-      p: MinHashParams = MinHashParams()): (Long, DataFrame) = {
+      p: MinHashParams = MinHashParams()): (Long, DataFrame) =
+    mergeManyMinHashImpl(spark, root, donorRoots, p, None).get
+
+  /** Exactly-once N-way merge — [[mergeManyMinHashIndexes]] under the
+    * epoch protocol (crash-window analysis at
+    * [[mergeMinHashIndexesEpoch]]; the orchestrator owns `epochId`).
+    * Adoption granularity differs from the unguarded path on purpose:
+    * each leg adopts ALL donors' files in ONE guarded version, so a leg
+    * is atomic — there is no "three of eight donors adopted" window to
+    * reason about, the leg either committed for every donor or none.
+    */
+  def mergeManyMinHashIndexesEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, donorRoots: Seq[String], epochId: Long,
+      p: MinHashParams = MinHashParams()): Option[(Long, DataFrame)] =
+    mergeManyMinHashImpl(spark, root, donorRoots, p, Some((epochId, pairsRoot)))
+
+  private def mergeManyMinHashImpl(spark: SparkSession, root: String,
+      donorRoots: Seq[String], p: MinHashParams,
+      epoch: Option[(Long, String)]): Option[(Long, DataFrame)] = {
     require(donorRoots.nonEmpty, "mergeManyMinHashIndexes needs donors")
-    val donors = donorRoots.map(r => readMinHashIndex(spark, r).persist())
+    if (epoch.exists { case (e, _) => epochCommittedIn(spark, root, e) })
+      return None
+    // same discipline as the binary merge: no full-width log caches —
+    // banding reads the narrow (id, sz, sig) slice, verification a
+    // candidate-pruned (id, hs) slice, both column-pruned parquet scans
+    val donors = donorRoots.map(r => readMinHashIndex(spark, r))
+    val donorAll = donors.reduce(_.unionAll(_))
+    val index = readMinHashIndex(spark, root)
+    // each donor's banded rows carry its shard tag (i+1; the adopter is
+    // tag 0 inside the candidate machinery): batchSharded filters
+    // intra-shard pairs INSIDE the candidate join, so they are never
+    // generated, never hit the distinct, and no post-hoc membership
+    // probe per shard is needed — every candidate is cross-shard by
+    // construction (ids are disjoint across shards)
+    val bandedD = donors.zipWithIndex.map { case (d, i) =>
+      bandedOf(d.select("id", "sz", "sig"), p.numHashes, p.bands)
+        .withColumn("sh", lit(i + 1))
+    }.reduce(_.unionAll(_)).persist()
     try {
-      val donorAll = donors.reduce(_.unionAll(_))
-      val index = readMinHashIndex(spark, root)
-      val bandedD = bandedOf(
-        donorAll.select("id", "sz", "sig"), p.numHashes, p.bands).persist()
+      val donorRows = bandedD.count() // materializes; drives the gate
+      val donorStats = bucketStats(bandedD)
+      val statsRoot = subRoot(root, "bucketstats")
+      val over = overCapBuckets(spark, statsRoot, donorStats, p.bucketCap,
+        epoch.map(_._1))
+      val cands = incrementalBucketCandidates(
+        bandedOf(index.select("id", "sz", "sig"), p.numHashes, p.bands),
+        bandedD, p.bucketCap, over, donorRows, p.broadcastRowLimit,
+        batchSharded = true).persist()
       try {
-        val donorRows = bandedD.count() // materializes; drives the gate
-        val donorStats = bucketStats(bandedD)
-        val statsRoot = subRoot(root, "bucketstats")
-        val over = overCapBuckets(spark, statsRoot, donorStats, p.bucketCap)
-        val cands = incrementalBucketCandidates(
-          bandedOf(index.select("id", "sz", "sig"), p.numHashes, p.bands),
-          bandedD, p.bucketCap, over, donorRows, p.broadcastRowLimit).persist()
-        try {
-          val candIds = cands.select(col("a").as("id"))
-            .unionAll(cands.select(col("b").as("id"))).distinct()
-          // shard tag per candidate id (donor i ⇒ i+1; absent ⇒ adopter
-          // 0): candidate-bounded broadcasts over map-side shard scans
-          val tagged = broadcast(donors.zipWithIndex.map { case (d, i) =>
-            d.select("id").join(broadcast(candIds), "id")
-              .withColumn("sh", lit(i + 1))
-          }.reduce(_.unionAll(_)))
-          val cross = cands
-            .join(tagged.select(col("id").as("a"), col("sh").as("sa")),
-              Seq("a"), "left")
-            .join(tagged.select(col("id").as("b"), col("sh").as("sb")),
-              Seq("b"), "left")
-            .filter(coalesce(col("sa"), lit(0)) =!= coalesce(col("sb"), lit(0)))
-            .select("a", "b")
-          val shingled = index.select(col("id"), col("hs"))
-            .unionAll(donorAll.select(col("id"), col("hs")))
-          val verified = Dedup.verifyJaccard(cross, shingled, "id", "hs")
-            .filter(col("jaccard") >= p.threshold).persist()
-          verified.count() // materialize while the caches are hot
-          donorRoots.foreach { dr =>
-            val t = VersionedTable.liveVersionDirs(
-              spark, subRoot(dr, "tombstones"))
-            if (t.nonEmpty)
-              VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), t)
-          }
-          donorRoots.foreach { dr =>
-            VersionedTable.adoptFiles(spark, statsRoot,
-              VersionedTable.liveVersionDirs(spark, subRoot(dr, "bucketstats")))
-          }
-          var v = -1L
-          donorRoots.foreach { dr =>
-            v = VersionedTable.adoptFiles(spark, root,
-              VersionedTable.liveVersionDirs(spark, dr))
-          }
-          (v, verified)
-        } finally cands.unpersist(blocking = false)
-      } finally bandedD.unpersist(blocking = false)
-    } finally donors.foreach(_.unpersist(blocking = false))
+        val shingled = index.select(col("id"), col("hs"))
+          .unionAll(donorAll.select(col("id"), col("hs")))
+        val verified = Dedup.verifyJaccard(cands, shingled, "id", "hs")
+          .filter(col("jaccard") >= p.threshold).persist()
+        verified.count() // materialize while the caches are hot
+        val allTombs = donorRoots.flatMap(dr =>
+          VersionedTable.liveVersionDirs(spark, subRoot(dr, "tombstones")))
+        val allStats = donorRoots.flatMap(dr =>
+          VersionedTable.liveVersionDirs(spark, subRoot(dr, "bucketstats")))
+        val allSigs = donorRoots.flatMap(dr =>
+          VersionedTable.liveVersionDirs(spark, dr))
+        val v = epoch match {
+          case None =>
+            if (allTombs.nonEmpty)
+              VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), allTombs)
+            VersionedTable.adoptFiles(spark, statsRoot, allStats)
+            VersionedTable.adoptFiles(spark, root, allSigs)
+          case Some((e, pairsRoot)) =>
+            if (allTombs.nonEmpty)
+              adoptEpochLeg(spark, subRoot(root, "tombstones"), allTombs, e)
+            adoptEpochLeg(spark, statsRoot, allStats, e)
+            writeEpochLeg(spark, verified, pairsRoot, e)
+            adoptEpochLeg(spark, root, allSigs, e)
+        }
+        Some((v, verified))
+      } finally cands.unpersist(blocking = false)
+    } finally bandedD.unpersist(blocking = false)
   }
 
   /** The exactly-once commit protocol shared by every `*Epoch` ingest
@@ -638,6 +719,43 @@ object IncrementalIndex {
     * only silent-double-data window) and the loser throws with the
     * duplicate versions named instead of leaving them to double reads.
     */
+  /** One guarded WRITE leg outside [[commitEpoch]] (the merge paths
+    * interleave write legs with adoption legs, so they sequence legs
+    * themselves): skip if the epoch already committed here, else write
+    * under the `_epoch-<id>` marker with the single-writer check and
+    * the hwm witness — identical semantics to a commitEpoch leg.
+    */
+  private def writeEpochLeg(spark: SparkSession, df: DataFrame,
+      legRoot: String, epochId: Long): Long = {
+    if (epochCommittedIn(spark, legRoot, epochId))
+      return epochVersion(spark, legRoot, epochId).getOrElse(
+        VersionedTable.versions(spark, legRoot).last)
+    val v = VersionedTable.write(spark, df, legRoot,
+      markers = Seq(s"_epoch-$epochId"))
+    assertSingleEpochWriter(spark, legRoot, epochId)
+    recordEpochHwm(spark, legRoot, epochId)
+    v
+  }
+
+  /** One guarded ADOPTION leg: the log-adoption data move
+    * ([[graft.sinks.VersionedTable.adoptFiles]]) under the same
+    * `_epoch-<id>` marker + hwm protocol as a write leg. The marker
+    * rides the adoption's atomic staging rename, so a replayed merge
+    * can never adopt the same donor files twice — the window that would
+    * otherwise DOUBLE every donor row in the adopter's log.
+    */
+  private def adoptEpochLeg(spark: SparkSession, legRoot: String,
+      srcDirs: Seq[org.apache.hadoop.fs.Path], epochId: Long): Long = {
+    if (epochCommittedIn(spark, legRoot, epochId))
+      return epochVersion(spark, legRoot, epochId).getOrElse(
+        VersionedTable.versions(spark, legRoot).last)
+    val v = VersionedTable.adoptFiles(spark, legRoot, srcDirs,
+      markers = Seq(s"_epoch-$epochId"))
+    assertSingleEpochWriter(spark, legRoot, epochId)
+    recordEpochHwm(spark, legRoot, epochId)
+    v
+  }
+
   private def commitEpoch(spark: SparkSession, epochId: Long,
       stats: Option[(DataFrame, String)],
       legs: Seq[(DataFrame, String)]): Long = {
@@ -893,8 +1011,27 @@ object IncrementalIndex {
     * bounded by the CROSS-SHARD duplicate volume, not the index size.
     */
   def mergeExactIndexes(spark: SparkSession, root: String,
-      donorRoot: String): (Long, DataFrame) = {
+      donorRoot: String): (Long, DataFrame) =
+    mergeExactImpl(spark, root, donorRoot, None).get
+
+  /** Exactly-once exact-dedup shard merge — the
+    * [[mergeMinHashIndexesEpoch]] protocol with the verdict-correction
+    * DELTA playing the pairs role (committed into `deltaRoot`, the
+    * caller's correction log) and the fingerprint adoption as the
+    * replay key. Orchestrator-owned monotone `epochId`.
+    */
+  def mergeExactIndexesEpoch(spark: SparkSession, root: String,
+      deltaRoot: String, donorRoot: String, epochId: Long)
+      : Option[(Long, DataFrame)] =
+    mergeExactImpl(spark, root, donorRoot, Some((epochId, deltaRoot)))
+
+  private def mergeExactImpl(spark: SparkSession, root: String,
+      donorRoot: String,
+      epoch: Option[(Long, String)]): Option[(Long, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
+    if (epoch.exists { case (e, _) =>
+        epochCommittedIn(spark, exactFpRoot(root), e) })
+      return None
     val a = readExactIndex(spark, root)
     val b = readExactIndex(spark, donorRoot).persist()
     try {
@@ -910,11 +1047,20 @@ object IncrementalIndex {
       // then the fingerprint files as byte-level copies
       val donorTombs = VersionedTable.liveVersionDirs(
         spark, subRoot(donorRoot, "tombstones"))
-      if (donorTombs.nonEmpty)
-        VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
-      val v = VersionedTable.adoptFiles(spark, exactFpRoot(root),
-        VersionedTable.liveVersionDirs(spark, exactFpRoot(donorRoot)))
-      (v, delta)
+      val donorFpDirs = VersionedTable.liveVersionDirs(
+        spark, exactFpRoot(donorRoot))
+      val v = epoch match {
+        case None =>
+          if (donorTombs.nonEmpty)
+            VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
+          VersionedTable.adoptFiles(spark, exactFpRoot(root), donorFpDirs)
+        case Some((e, deltaRoot)) =>
+          if (donorTombs.nonEmpty)
+            adoptEpochLeg(spark, subRoot(root, "tombstones"), donorTombs, e)
+          writeEpochLeg(spark, delta, deltaRoot, e)
+          adoptEpochLeg(spark, exactFpRoot(root), donorFpDirs, e)
+      }
+      Some((v, delta))
     } finally b.unpersist(blocking = false)
   }
 
@@ -1114,54 +1260,76 @@ object IncrementalIndex {
     */
   def mergeSimHashIndexes(spark: SparkSession, root: String,
       donorRoot: String, maxHamming: Int = 3, bucketCap: Int = 4096,
-      broadcastRowLimit: Long = DefaultBroadcastRowLimit): (Long, DataFrame) = {
-    val donor = readSimHashIndex(spark, donorRoot).persist()
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): (Long, DataFrame) =
+    mergeSimHashImpl(spark, root, donorRoot, maxHamming, bucketCap,
+      broadcastRowLimit, None).get
+
+  /** Exactly-once SimHash shard merge — the [[mergeMinHashIndexesEpoch]]
+    * protocol (tombstones → stats → pairs → signatures, signatures the
+    * replay key; orchestrator-owned monotone `epochId`).
+    */
+  def mergeSimHashIndexesEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, donorRoot: String, epochId: Long,
+      maxHamming: Int = 3, bucketCap: Int = 4096,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit)
+      : Option[(Long, DataFrame)] =
+    mergeSimHashImpl(spark, root, donorRoot, maxHamming, bucketCap,
+      broadcastRowLimit, Some((epochId, pairsRoot)))
+
+  private def mergeSimHashImpl(spark: SparkSession, root: String,
+      donorRoot: String, maxHamming: Int, bucketCap: Int,
+      broadcastRowLimit: Long,
+      epoch: Option[(Long, String)]): Option[(Long, DataFrame)] = {
+    if (epoch.exists { case (e, _) => epochCommittedIn(spark, root, e) })
+      return None
+    val donor = readSimHashIndex(spark, donorRoot)
+    val index = readSimHashIndex(spark, root)
+    val bandedD = bandedOfSimHash(donor).persist()
     try {
-      val index = readSimHashIndex(spark, root)
-      val bandedD = bandedOfSimHash(donor).persist()
+      val donorRows = bandedD.count()
+      val statsRoot = subRoot(root, "bucketstats")
+      val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD),
+        bucketCap, epoch.map(_._1))
+      // crossOnly (see mergeMinHashIndexes): donor-internal candidates
+      // never generate, and disjoint shard ids make every candidate
+      // index×donor by construction — no membership probe
+      val cands = incrementalBucketCandidates(
+        bandedOfSimHash(index), bandedD, bucketCap, over,
+        donorRows, broadcastRowLimit, crossOnly = true).persist()
       try {
-        val donorRows = bandedD.count()
-        val statsRoot = subRoot(root, "bucketstats")
-        val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD), bucketCap)
-        val cands = incrementalBucketCandidates(
-          bandedOfSimHash(index), bandedD, bucketCap, over,
-          donorRows, broadcastRowLimit).persist()
-        try {
-          val candIds = cands.select(col("a").as("id"))
-            .unionAll(cands.select(col("b").as("id"))).distinct()
-          val inDonor = broadcast(
-            donor.select("id").join(broadcast(candIds), "id")
-              .withColumn("dn", lit(true)))
-          val cross = cands
-            .join(inDonor.select(col("id").as("a"), col("dn").as("da")),
-              Seq("a"), "left")
-            .join(inDonor.select(col("id").as("b"), col("dn").as("db")),
-              Seq("b"), "left")
-            .filter(coalesce(col("da"), lit(false)) =!=
-              coalesce(col("db"), lit(false)))
-            .select("a", "b")
-          val sigs = index.unionAll(donor)
-          val pruned = sigs.join(broadcast(candIds), "id")
-          val verified = cross
-            .join(broadcast(pruned.select(col("id").as("a"), col("sig").as("siga"))), "a")
-            .join(broadcast(pruned.select(col("id").as("b"), col("sig").as("sigb"))), "b")
-            .select(col("a"), col("b"),
-              bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("int").as("hamming"))
-            .filter(col("hamming") <= maxHamming)
-            .persist()
-          verified.count()
-          val donorTombs = VersionedTable.liveVersionDirs(
-            spark, subRoot(donorRoot, "tombstones"))
-          if (donorTombs.nonEmpty)
-            VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
-          VersionedTable.adoptFiles(spark, statsRoot,
-            VersionedTable.liveVersionDirs(spark, subRoot(donorRoot, "bucketstats")))
-          val v = VersionedTable.adoptFiles(spark, root,
-            VersionedTable.liveVersionDirs(spark, donorRoot))
-          (v, verified)
-        } finally cands.unpersist(blocking = false)
-      } finally bandedD.unpersist(blocking = false)
-    } finally donor.unpersist(blocking = false)
+        val candIds = cands.select(col("a").as("id"))
+          .unionAll(cands.select(col("b").as("id"))).distinct()
+        val sigs = index.unionAll(donor)
+        val pruned = sigs.join(broadcast(candIds), "id")
+        val verified = cands
+          .join(broadcast(pruned.select(col("id").as("a"), col("sig").as("siga"))), "a")
+          .join(broadcast(pruned.select(col("id").as("b"), col("sig").as("sigb"))), "b")
+          .select(col("a"), col("b"),
+            bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("int").as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+          .persist()
+        verified.count()
+        val donorTombs = VersionedTable.liveVersionDirs(
+          spark, subRoot(donorRoot, "tombstones"))
+        val donorStatsDirs = VersionedTable.liveVersionDirs(
+          spark, subRoot(donorRoot, "bucketstats"))
+        val donorSigDirs = VersionedTable.liveVersionDirs(spark, donorRoot)
+        val v = epoch match {
+          case None =>
+            if (donorTombs.nonEmpty)
+              VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
+            VersionedTable.adoptFiles(spark, statsRoot, donorStatsDirs)
+            VersionedTable.adoptFiles(spark, root, donorSigDirs)
+          case Some((e, pairsRoot)) =>
+            if (donorTombs.nonEmpty)
+              adoptEpochLeg(spark, subRoot(root, "tombstones"), donorTombs, e)
+            adoptEpochLeg(spark, statsRoot, donorStatsDirs, e)
+            writeEpochLeg(spark, verified, pairsRoot, e)
+            adoptEpochLeg(spark, root, donorSigDirs, e)
+        }
+        Some((v, verified))
+      } finally cands.unpersist(blocking = false)
+    } finally bandedD.unpersist(blocking = false)
   }
 
   /** Compact a SimHash index (signature log + stats sidecar). */
@@ -1297,7 +1465,8 @@ object IncrementalIndex {
 
   private def prefixBatchArtifacts(spark: SparkSession, root: String,
       sets: DataFrame, p: PrefixJaccardParams,
-      excludeEpoch: Option[Long] = None): PrefixArtifacts = {
+      excludeEpoch: Option[Long] = None,
+      crossOnly: Boolean = false): PrefixArtifacts = {
     val s0 = sets.persist()
     try {
       // an empty/absent root bootstraps naturally: the FIRST batch's
@@ -1321,10 +1490,10 @@ object IncrementalIndex {
         val cands = (prior match {
           case Some(ix) => incrementalBucketCandidates(
             bandedOfPrefix(ix), bandedB, p.bucketCap, over,
-            batchRows, p.broadcastRowLimit)
+            batchRows, p.broadcastRowLimit, crossOnly)
           case None => incrementalBucketCandidates(
             bandedB.filter(lit(false)), bandedB, p.bucketCap, over,
-            batchRows, p.broadcastRowLimit)
+            batchRows, p.broadcastRowLimit, crossOnly)
         }).persist()
         try {
           // verification with the prefixJaccardJoin exchange discipline:
@@ -1412,35 +1581,52 @@ object IncrementalIndex {
     */
   def mergePrefixIndexes(spark: SparkSession, root: String,
       donorRoot: String,
-      p: PrefixJaccardParams = PrefixJaccardParams()): (Long, DataFrame) = {
-    val donorLive = readPrefixIndex(spark, donorRoot).persist()
+      p: PrefixJaccardParams = PrefixJaccardParams()): (Long, DataFrame) =
+    mergePrefixImpl(spark, root, donorRoot, p, None).get
+
+  /** Exactly-once prefix-filter shard merge. Unlike the adoption
+    * families the prefix merge RE-WRITES the donor's token rows (they
+    * re-sort under the adopter's frozen df), so every leg is a write
+    * leg and [[commitEpoch]] carries the whole commit: stats as guarded
+    * leg 0, cross pairs into `pairsRoot`, then the token log as the
+    * replay key. Orchestrator-owned monotone `epochId`.
+    */
+  def mergePrefixIndexesEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, donorRoot: String, epochId: Long,
+      p: PrefixJaccardParams = PrefixJaccardParams())
+      : Option[(Long, DataFrame)] =
+    mergePrefixImpl(spark, root, donorRoot, p, Some((epochId, pairsRoot)))
+
+  private def mergePrefixImpl(spark: SparkSession, root: String,
+      donorRoot: String, p: PrefixJaccardParams,
+      epoch: Option[(Long, String)]): Option[(Long, DataFrame)] = {
+    if (epoch.exists { case (e, _) =>
+        epochCommittedIn(spark, prefixTokRoot(root), e) })
+      return None
+    // no full-width log cache: `toks` dominates the row, and the two
+    // consumers need different slices (full (id, toks) for the batch
+    // artifacts, id-only for the membership probe) — column-pruned scans
+    val donorLive = readPrefixIndex(spark, donorRoot)
+    val donorSets = donorLive.select(col("id"), explode(col("toks")).as("elem"))
+    // crossOnly: donor-internal candidates never generate (they are
+    // already in the donor's own pair log) and disjoint shard ids make
+    // every verified pair index×donor by construction
+    val a = prefixBatchArtifacts(spark, root, donorSets, p,
+      excludeEpoch = epoch.map(_._1), crossOnly = true)
     try {
-      val donorSets = donorLive.select(col("id"), explode(col("toks")).as("elem"))
-      val a = prefixBatchArtifacts(spark, root, donorSets, p)
-      try {
-        // cross-only (the mergeMinHashIndexes membership pattern):
-        // donor-internal pairs are already in the donor's own pair log
-        val candIds = a.verified.select(col("ia").as("id"))
-          .unionAll(a.verified.select(col("ib").as("id"))).distinct()
-        val inDonor = broadcast(
-          donorLive.select("id").join(broadcast(candIds), "id")
-            .withColumn("dn", lit(true)))
-        val cross = a.verified
-          .join(inDonor.select(col("id").as("ia"), col("dn").as("da")),
-            Seq("ia"), "left")
-          .join(inDonor.select(col("id").as("ib"), col("dn").as("db")),
-            Seq("ib"), "left")
-          .filter(coalesce(col("da"), lit(false)) =!=
-            coalesce(col("db"), lit(false)))
-          .select("ia", "ib", "inter", "un")
-          .persist()
-        cross.count()
-        VersionedTable.write(spark, a.batchStats, prefixStatsRoot(root))
-        val v = VersionedTable.write(spark, a.batchTok, prefixTokRoot(root))
-        a.verified.unpersist(blocking = false)
-        (v, cross)
-      } finally a.release()
-    } finally donorLive.unpersist(blocking = false)
+      val v = epoch match {
+        case None =>
+          VersionedTable.write(spark, a.batchStats, prefixStatsRoot(root))
+          VersionedTable.write(spark, a.batchTok, prefixTokRoot(root))
+        case Some((e, pairsRoot)) =>
+          commitEpoch(spark, e,
+            Some((a.batchStats, prefixStatsRoot(root))),
+            Seq(a.verified -> pairsRoot, a.batchTok -> prefixTokRoot(root)))
+      }
+      Some((v, a.verified))
+    } catch {
+      case t: Throwable => a.verified.unpersist(blocking = false); throw t
+    } finally a.release()
   }
 
   /** Compact a prefix-filter index: token rows verbatim, `prefixstats`
@@ -1607,48 +1793,66 @@ object IncrementalIndex {
     * one-shot over the union (the e25 gate).
     */
   def mergeSrpIndexes(spark: SparkSession, root: String,
-      donorRoot: String, p: SrpParams): (Long, DataFrame) = {
-    val donor = readSrpIndex(spark, donorRoot).persist()
+      donorRoot: String, p: SrpParams): (Long, DataFrame) =
+    mergeSrpImpl(spark, root, donorRoot, p, None).get
+
+  /** Exactly-once SRP shard merge — the [[mergeMinHashIndexesEpoch]]
+    * protocol (tombstones → stats → pairs → signatures, signatures the
+    * replay key; orchestrator-owned monotone `epochId`).
+    */
+  def mergeSrpIndexesEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, donorRoot: String, epochId: Long,
+      p: SrpParams): Option[(Long, DataFrame)] =
+    mergeSrpImpl(spark, root, donorRoot, p, Some((epochId, pairsRoot)))
+
+  private def mergeSrpImpl(spark: SparkSession, root: String,
+      donorRoot: String, p: SrpParams,
+      epoch: Option[(Long, String)]): Option[(Long, DataFrame)] = {
+    if (epoch.exists { case (e, _) => epochCommittedIn(spark, root, e) })
+      return None
+    // no full-width log cache: `v` (the embedding) dominates the row —
+    // banding reads the narrow (id, p, sig) slice, verification a
+    // candidate-pruned (id, v) slice, both column-pruned parquet scans
+    val donor = readSrpIndex(spark, donorRoot)
+    val index = readSrpIndex(spark, root)
+    val bandedD = bandedOfSrp(donor.select("id", "p", "sig")).persist()
     try {
-      val index = readSrpIndex(spark, root)
-      val bandedD = bandedOfSrp(donor.select("id", "p", "sig")).persist()
+      val donorRows = bandedD.count()
+      val statsRoot = subRoot(root, "bucketstats")
+      val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD),
+        p.bucketCap, epoch.map(_._1))
+      // crossOnly (see mergeMinHashIndexes): donor-internal candidates
+      // never generate, and disjoint shard ids make every candidate
+      // index×donor by construction — no membership probe
+      val cands = incrementalBucketCandidates(
+        bandedOfSrp(index.select("id", "p", "sig")), bandedD, p.bucketCap,
+        over, donorRows, p.broadcastRowLimit, crossOnly = true).persist()
       try {
-        val donorRows = bandedD.count()
-        val statsRoot = subRoot(root, "bucketstats")
-        val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD), p.bucketCap)
-        val cands = incrementalBucketCandidates(
-          bandedOfSrp(index.select("id", "p", "sig")), bandedD, p.bucketCap,
-          over, donorRows, p.broadcastRowLimit).persist()
-        try {
-          val candIds = cands.select(col("a").as("id"))
-            .unionAll(cands.select(col("b").as("id"))).distinct()
-          val inDonor = broadcast(
-            donor.select("id").join(broadcast(candIds), "id")
-              .withColumn("dn", lit(true)))
-          val cross = cands
-            .join(inDonor.select(col("id").as("a"), col("dn").as("da")),
-              Seq("a"), "left")
-            .join(inDonor.select(col("id").as("b"), col("dn").as("db")),
-              Seq("b"), "left")
-            .filter(coalesce(col("da"), lit(false)) =!=
-              coalesce(col("db"), lit(false)))
-            .select("a", "b")
-          val vecs = index.select(col("id"), col("v"))
-            .unionAll(donor.select(col("id"), col("v")))
-          val verified = Dedup.verifyCosine(cross, vecs, p.threshold)
-          verified.count()
-          val donorTombs = VersionedTable.liveVersionDirs(
-            spark, subRoot(donorRoot, "tombstones"))
-          if (donorTombs.nonEmpty)
-            VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
-          VersionedTable.adoptFiles(spark, statsRoot,
-            VersionedTable.liveVersionDirs(spark, subRoot(donorRoot, "bucketstats")))
-          val v = VersionedTable.adoptFiles(spark, root,
-            VersionedTable.liveVersionDirs(spark, donorRoot))
-          (v, verified)
-        } finally cands.unpersist(blocking = false)
-      } finally bandedD.unpersist(blocking = false)
-    } finally donor.unpersist(blocking = false)
+        val vecs = index.select(col("id"), col("v"))
+          .unionAll(donor.select(col("id"), col("v")))
+        val verified = Dedup.verifyCosine(cands, vecs, p.threshold)
+        verified.count()
+        val donorTombs = VersionedTable.liveVersionDirs(
+          spark, subRoot(donorRoot, "tombstones"))
+        val donorStatsDirs = VersionedTable.liveVersionDirs(
+          spark, subRoot(donorRoot, "bucketstats"))
+        val donorSigDirs = VersionedTable.liveVersionDirs(spark, donorRoot)
+        val v = epoch match {
+          case None =>
+            if (donorTombs.nonEmpty)
+              VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), donorTombs)
+            VersionedTable.adoptFiles(spark, statsRoot, donorStatsDirs)
+            VersionedTable.adoptFiles(spark, root, donorSigDirs)
+          case Some((e, pairsRoot)) =>
+            if (donorTombs.nonEmpty)
+              adoptEpochLeg(spark, subRoot(root, "tombstones"), donorTombs, e)
+            adoptEpochLeg(spark, statsRoot, donorStatsDirs, e)
+            writeEpochLeg(spark, verified, pairsRoot, e)
+            adoptEpochLeg(spark, root, donorSigDirs, e)
+        }
+        Some((v, verified))
+      } finally cands.unpersist(blocking = false)
+    } finally bandedD.unpersist(blocking = false)
   }
 
   // ------------------------------------------------------------- SemDeDup
@@ -2428,6 +2632,14 @@ object IncrementalIndex {
     * frozen-snapshot convention on retraction). Returns the committed
     * weights version of the merged index, which ingests onward exactly
     * like a one-shot-bootstrapped one.
+    *
+    * Replay semantics (why there is no `*Epoch` variant): the merge
+    * writes a FRESH root guarded by the emptiness require below, so a
+    * re-delivered merge step fails LOUD on the partial output instead
+    * of double-appending — and because nothing reads `mergedRoot` until
+    * the caller publishes it, delete-and-retry is idempotent. The
+    * adoption families need the epoch protocol precisely because they
+    * mutate a LIVE root.
     */
   def mergeTfidfIndexes(spark: SparkSession, mergedRoot: String,
       shardRoots: Seq[String]): Long = {

@@ -668,15 +668,15 @@ object ScaleRehearsal {
       val r1 = run(srcDir, "1x")
       SparkEntry.resetSessionCache(spark)
       val r10 = run(cliqueDir0, "10x")
-      // third decade when the 100x corpus is provisioned (6M docs, 192M
-      // banded rows — each shard bootstrap routes through the size-gated
-      // shuffle fallback like a genuine backfill)
+      // third decade (6M docs, 192M banded rows — each shard bootstrap
+      // routes through the size-gated shuffle fallback like a genuine
+      // backfill); provisioned here like the incr scope so the
+      // three-decade run is self-contained
       val sf10Dir = s"$base/graft-sf10-real"
-      val r100 =
-        if (new java.io.File(s"$sf10Dir/documents.parquet").exists()) {
-          SparkEntry.resetSessionCache(spark)
-          "," + run(sf10Dir, "100x")
-        } else ""
+      ensureDir(spark, srcDir, sf10Dir, "real", replicas = 100,
+        only = Some(Set("documents", "embeddings")))
+      SparkEntry.resetSessionCache(spark)
+      val r100 = "," + run(sf10Dir, "100x")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
         s"""{"merge":{$r1,$r10$r100}}""" + "\n")
       println(s"[scale] wrote $outJson")
@@ -694,16 +694,16 @@ object ScaleRehearsal {
       import org.apache.hadoop.fs.Path
       val cliqueDir0 = s"$base/graft-sf1-clique"
       ensureDir(spark, srcDir, cliqueDir0, "clique")
-      def run(dir: String, tag: String): String = {
+      def run(dir: String, tag: String, k: Int = 3): String = {
         val docs = spark.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "text")
-        val roots = (0 to 2).map(i => s"$base/graft-nway-$tag-$i")
-        val froots = (0 to 2).map(i => s"$base/graft-nwayf-$tag-$i")
+        val roots = (0 until k).map(i => s"$base/graft-nway-$tag-$i")
+        val froots = (0 until k).map(i => s"$base/graft-nwayf-$tag-$i")
         val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
         (roots ++ froots).foreach(r => fs.delete(new Path(r), true))
         try {
-          (0 to 2).foreach { i =>
-            val shard = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          (0 until k).foreach { i =>
+            val shard = docs.filter(pmod(col("doc_id"), lit(k)) === i)
             IncrementalIndex.ingestMinHash(spark, roots(i), shard, "doc_id", "text")
               ._2.unpersist(blocking = false)
             IncrementalIndex.ingestMinHash(spark, froots(i), shard, "doc_id", "text")
@@ -711,18 +711,20 @@ object ScaleRehearsal {
           }
           val t0 = System.nanoTime()
           val (_, xp) = IncrementalIndex.mergeManyMinHashIndexes(
-            spark, roots(0), Seq(roots(1), roots(2)))
+            spark, roots(0), roots.drop(1))
           val nCross = xp.count()
           val oneSec = (System.nanoTime() - t0) / 1e9
           xp.unpersist(blocking = false)
           val t1 = System.nanoTime()
-          val (_, x1) = IncrementalIndex.mergeMinHashIndexes(spark, froots(0), froots(1))
-          val (_, x2) = IncrementalIndex.mergeMinHashIndexes(spark, froots(0), froots(2))
-          val nFold = x1.count() + x2.count()
+          var nFold = 0L
+          (1 until k).foreach { i =>
+            val (_, x) = IncrementalIndex.mergeMinHashIndexes(spark, froots(0), froots(i))
+            nFold += x.count()
+            x.unpersist(blocking = false)
+          }
           val foldSec = (System.nanoTime() - t1) / 1e9
-          Seq(x1, x2).foreach(_.unpersist(blocking = false))
           require(nCross == nFold, s"one-pass $nCross != fold $nFold cross pairs")
-          println(f"SCALE nway[$tag] one-pass $oneSec%.2fs fold $foldSec%.2fs cross $nCross")
+          println(f"SCALE nway[$tag] k=$k one-pass $oneSec%.2fs fold $foldSec%.2fs cross $nCross")
           f""""onepass_$tag":${"%.2f".format(oneSec)},""" +
             f""""fold_$tag":${"%.2f".format(foldSec)},"cross_$tag":$nCross"""
         } finally (roots ++ froots).foreach(r => fs.delete(new Path(r), true))
@@ -731,8 +733,70 @@ object ScaleRehearsal {
       val r1 = run(srcDir, "1x")
       SparkEntry.resetSessionCache(spark)
       val r10 = run(cliqueDir0, "10x")
+      // wide fan-in: the fold's Θ(k) growing-adopter tail only separates
+      // from the one-pass once k grows past a handful — k=8 at 10×
+      SparkEntry.resetSessionCache(spark)
+      val r10k8 = run(cliqueDir0, "10x_k8", k = 8)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
-        s"""{"nway":{$r1,$r10}}""" + "\n")
+        s"""{"nway":{$r1,$r10,$r10k8}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "mergeepoch") {
+      // exactly-once merge priced: the guarded (epoch) merge vs the
+      // unguarded one on identical shard pairs, plus a full REPLAY (the
+      // at-least-once redelivery a scheduler can hand us) — which must
+      // be guard-check cheap, not merge-shaped.
+      import graft.operators.IncrementalIndex
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      def run(dir: String, tag: String): String = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val roots = Seq("ua", "ub", "ga", "gb", "gp").map(x => s"$base/graft-me-$tag-$x")
+        val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        roots.foreach(r => fs.delete(new Path(r), true))
+        try {
+          val even = docs.filter(col("doc_id") % 2 === 0)
+          val odd = docs.filter(col("doc_id") % 2 === 1)
+          for (r <- Seq(0, 2)) {
+            IncrementalIndex.ingestMinHash(spark, roots(r), even, "doc_id", "text")
+              ._2.unpersist(blocking = false)
+            IncrementalIndex.ingestMinHash(spark, roots(r + 1), odd, "doc_id", "text")
+              ._2.unpersist(blocking = false)
+          }
+          var t0 = System.nanoTime()
+          val (_, xu) = IncrementalIndex.mergeMinHashIndexes(spark, roots(0), roots(1))
+          val nU = xu.count()
+          val unguardedSec = (System.nanoTime() - t0) / 1e9
+          xu.unpersist(blocking = false)
+          t0 = System.nanoTime()
+          val Some((_, xg)) = IncrementalIndex.mergeMinHashIndexesEpoch(
+            spark, roots(2), roots(4), roots(3), epochId = 1L)
+          val nG = xg.count()
+          val guardedSec = (System.nanoTime() - t0) / 1e9
+          xg.unpersist(blocking = false)
+          require(nU == nG, s"guarded $nG != unguarded $nU cross pairs")
+          t0 = System.nanoTime()
+          require(IncrementalIndex.mergeMinHashIndexesEpoch(
+            spark, roots(2), roots(4), roots(3), epochId = 1L).isEmpty)
+          val replaySec = (System.nanoTime() - t0) / 1e9
+          println(f"SCALE mergeepoch[$tag] unguarded $unguardedSec%.2fs " +
+            f"guarded $guardedSec%.2fs replay $replaySec%.3fs cross $nG")
+          f""""unguarded_$tag":${"%.2f".format(unguardedSec)},""" +
+            f""""guarded_$tag":${"%.2f".format(guardedSec)},""" +
+            f""""replay_$tag":${"%.3f".format(replaySec)}"""
+        } finally roots.foreach(r => fs.delete(new Path(r), true))
+      }
+      run(new java.io.File(srcDir).getParent + "/sf0.01", "warm")
+      val r1 = run(srcDir, "1x")
+      SparkEntry.resetSessionCache(spark)
+      val r10 = run(cliqueDir0, "10x")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"mergeepoch":{$r1,$r10}}""" + "\n")
       println(s"[scale] wrote $outJson")
       spark.stop()
       return

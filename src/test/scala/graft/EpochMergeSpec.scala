@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IncrementalIndex}
+import graft.sinks.VersionedTable
+
+/** Exactly-once coverage of the MERGE surface: a re-delivered shard
+  * merge must never adopt the same donor files twice — the failure mode
+  * that DOUBLES every donor row in the adopter's log (the d64–d67/e25
+  * operators mutate a LIVE index, so there is no fresh-root emptiness
+  * require to fail loud on, unlike the TF-IDF merge). Each family's
+  * epoch variant is pinned at its crash windows with the
+  * EpochIngestSpec methodology: run the guarded merge, surgically erase
+  * a suffix of its legs the way the crash would have left them
+  * (version dir + hwm), replay, and require the final state equal a
+  * clean single-delivery twin.
+  */
+class EpochMergeSpec extends SparkSpec {
+
+  private lazy val docs: DataFrame =
+    spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+
+  private lazy val corpus: DataFrame = {
+    val mutant = expr(
+      "CASE WHEN instr(text, ' ') > 0 THEN substring(text, instr(text, ' ') + 1) ELSE text END")
+    docs.union(docs.select((col("doc_id") + 100000).as("doc_id"), mutant.as("text")))
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def resetHwm(root: String, to: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(root, "_epoch-hwm"), true)
+    try out.write(to.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def dropVersion(root: String, v: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, VersionedTable.dirName(v)), true)
+  }
+
+  test("minhash merge epoch: full replay drops; every crash window replays to the clean twin") {
+    val rootA = tmpDir("em_a"); val rootB = tmpDir("em_b")
+    val twinA = tmpDir("em_ta"); val twinB = tmpDir("em_tb")
+    val pairsRoot = tmpDir("em_pairs"); val twinPairs = tmpDir("em_tpairs")
+    val even = corpus.filter(col("doc_id") % 2 === 0)
+    val odd = corpus.filter(col("doc_id") % 2 === 1)
+    for ((ra, rb) <- Seq((rootA, rootB), (twinA, twinB))) {
+      IncrementalIndex.ingestMinHash(spark, ra, even, "doc_id", "text")
+        ._2.unpersist(blocking = false)
+      IncrementalIndex.ingestMinHash(spark, rb, odd, "doc_id", "text")
+        ._2.unpersist(blocking = false)
+    }
+    // clean single-delivery twin
+    val Some((_, twinCross)) = IncrementalIndex.mergeMinHashIndexesEpoch(
+      spark, twinA, twinPairs, twinB, epochId = 7L)
+    val want = pairSet(twinCross)
+    assert(want.nonEmpty, "the gate must exercise real cross structure")
+    // guarded merge, delivered once
+    val Some((_, cross)) = IncrementalIndex.mergeMinHashIndexesEpoch(
+      spark, rootA, pairsRoot, rootB, epochId = 7L)
+    assert(pairSet(cross) == want)
+    val cleanSigVs = VersionedTable.versions(spark, rootA)
+    val cleanRows = IncrementalIndex.readMinHashIndex(spark, rootA).count()
+    // FULL replay drops — the at-least-once redelivery window
+    assert(IncrementalIndex.mergeMinHashIndexesEpoch(
+      spark, rootA, pairsRoot, rootB, epochId = 7L).isEmpty)
+    assert(VersionedTable.versions(spark, rootA) == cleanSigVs,
+      "a replayed merge must not adopt donor signatures twice")
+    assert(IncrementalIndex.readMinHashIndex(spark, rootA).count() == cleanRows)
+    assert(VersionedTable.versions(spark, pairsRoot).size == 1,
+      "a replayed merge must not double the cross-pair log")
+    // crash window "tombstones+stats committed, pairs+signatures not":
+    // erase the two tail legs the way the crash left them, replay —
+    // the suffix re-commits, stats do NOT double, pairs match
+    dropVersion(rootA, cleanSigVs.last)
+    resetHwm(rootA, "-1")
+    dropVersion(pairsRoot, 1L)
+    resetHwm(pairsRoot, "-1")
+    val statsVsBefore = VersionedTable.versions(spark, s"$rootA/bucketstats")
+    val Some((_, cross2)) = IncrementalIndex.mergeMinHashIndexesEpoch(
+      spark, rootA, pairsRoot, rootB, epochId = 7L)
+    assert(pairSet(cross2) == want,
+      "a prefix replay must recompute identical cross pairs")
+    assert(VersionedTable.versions(spark, s"$rootA/bucketstats") == statsVsBefore,
+      "the stats leg must be skipped, not double-committed (occupancy would inflate)")
+    assert(VersionedTable.versions(spark, rootA) == cleanSigVs)
+    assert(IncrementalIndex.readMinHashIndex(spark, rootA).count() == cleanRows)
+    // the replayed-to-completion index is the clean twin, byte-for-byte
+    // in behavior: occupancy sums equal and a future ingest matches
+    def occ(rt: String) = VersionedTable.readAllVersions(spark, s"$rt/bucketstats")
+      .groupBy("band", "bucket").agg(sum(col("n")).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(occ(rootA) == occ(twinA))
+    val b3 = docs.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    val p3 = IncrementalIndex.ingestMinHash(spark, rootA, b3, "doc_id", "text")._2
+    val t3 = IncrementalIndex.ingestMinHash(spark, twinA, b3, "doc_id", "text")._2
+    assert(pairSet(p3) == pairSet(t3),
+      "a post-replay ingest must equal the clean twin's")
+    Seq(twinCross, cross, cross2, p3, t3).foreach(_.unpersist(blocking = false))
+  }
+
+  test("n-way merge epoch: replay drops; each leg adopts all donors atomically") {
+    val roots = (0 to 2).map(i => tmpDir(s"emn_$i"))
+    val pairsRoot = tmpDir("emn_pairs")
+    val shard = (i: Int) => corpus.filter(pmod(col("doc_id"), lit(3)) === i)
+    (0 to 2).foreach { i =>
+      IncrementalIndex.ingestMinHash(spark, roots(i), shard(i), "doc_id", "text")
+        ._2.unpersist(blocking = false)
+    }
+    val Some((_, cross)) = IncrementalIndex.mergeManyMinHashIndexesEpoch(
+      spark, roots(0), pairsRoot, Seq(roots(1), roots(2)), epochId = 3L)
+    val sigVs = VersionedTable.versions(spark, roots(0))
+    // ONE guarded version adopted both donors — a leg has no partially-
+    // adopted window ("two of three donors in") to reason about
+    assert(sigVs == Seq(1L, 2L),
+      s"one atomic adoption version per leg, got $sigVs")
+    val rows = IncrementalIndex.readMinHashIndex(spark, roots(0)).count()
+    assert(rows == corpus.count())
+    assert(IncrementalIndex.mergeManyMinHashIndexesEpoch(
+      spark, roots(0), pairsRoot, Seq(roots(1), roots(2)), epochId = 3L).isEmpty)
+    assert(VersionedTable.versions(spark, roots(0)) == sigVs)
+    assert(IncrementalIndex.readMinHashIndex(spark, roots(0)).count() == rows)
+    // accumulated union still equals the one-shot (the d69 invariant,
+    // through the guard)
+    val oneShot = Dedup.minHashLsh(corpus, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8)
+    val shardPairs = (0 to 2).map { i =>
+      pairSet(Dedup.minHashLsh(shard(i), "doc_id", "text",
+        numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8))
+    }.reduce(_ union _)
+    assert(shardPairs.union(pairSet(cross)) == pairSet(oneShot))
+    cross.unpersist(blocking = false)
+  }
+
+  test("simhash, srp, exact, prefix merge epochs: replays drop; suffix windows recommit") {
+    import IncrementalIndex.{SrpParams, PrefixJaccardParams}
+    // --- simhash ---
+    val shA = tmpDir("ems_a"); val shB = tmpDir("ems_b")
+    val shPairs = tmpDir("ems_pairs")
+    val even = corpus.filter(col("doc_id") % 2 === 0)
+    val odd = corpus.filter(col("doc_id") % 2 === 1)
+    IncrementalIndex.ingestSimHash(spark, shA, even, "doc_id", "text")
+      ._2.unpersist(blocking = false)
+    IncrementalIndex.ingestSimHash(spark, shB, odd, "doc_id", "text")
+      ._2.unpersist(blocking = false)
+    val Some((_, shCross)) = IncrementalIndex.mergeSimHashIndexesEpoch(
+      spark, shA, shPairs, shB, epochId = 2L)
+    val shWant = pairSet(shCross)
+    val shVs = VersionedTable.versions(spark, shA)
+    assert(IncrementalIndex.mergeSimHashIndexesEpoch(
+      spark, shA, shPairs, shB, epochId = 2L).isEmpty)
+    assert(VersionedTable.versions(spark, shA) == shVs)
+    // suffix window: signatures not yet adopted
+    dropVersion(shA, shVs.last); resetHwm(shA, "-1")
+    val Some((_, shCross2)) = IncrementalIndex.mergeSimHashIndexesEpoch(
+      spark, shA, shPairs, shB, epochId = 2L)
+    assert(pairSet(shCross2) == shWant)
+    assert(VersionedTable.versions(spark, shA) == shVs)
+    assert(VersionedTable.versions(spark, shPairs).size == 1)
+    Seq(shCross, shCross2).foreach(_.unpersist(blocking = false))
+
+    // --- srp (embeddings) ---
+    val emb = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val dup = emb.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(v, (x, i) -> IF(i = 0, x + 0.01D, x))").as("v"))
+    val vecs = emb.union(dup)
+    val srpP = SrpParams(dim = 64, bitsPerTable = 8, bucketCap = 256)
+    val evA = tmpDir("eme_a"); val evB = tmpDir("eme_b")
+    val evPairs = tmpDir("eme_pairs")
+    IncrementalIndex.ingestEmbeddings(spark, evA,
+      vecs.filter(col("vec_id") % 2 === 0), "vec_id", "v", srpP)
+      ._2.unpersist(blocking = false)
+    IncrementalIndex.ingestEmbeddings(spark, evB,
+      vecs.filter(col("vec_id") % 2 === 1), "vec_id", "v", srpP)
+      ._2.unpersist(blocking = false)
+    val Some((_, evCross)) = IncrementalIndex.mergeSrpIndexesEpoch(
+      spark, evA, evPairs, evB, 1L, srpP)
+    val evVs = VersionedTable.versions(spark, evA)
+    val evRows = IncrementalIndex.readSrpIndex(spark, evA).count()
+    assert(IncrementalIndex.mergeSrpIndexesEpoch(
+      spark, evA, evPairs, evB, 1L, srpP).isEmpty)
+    assert(VersionedTable.versions(spark, evA) == evVs &&
+      IncrementalIndex.readSrpIndex(spark, evA).count() == evRows)
+    evCross.unpersist(blocking = false)
+
+    // --- exact ---
+    val exA = tmpDir("emx_a"); val exB = tmpDir("emx_b")
+    val exDelta = tmpDir("emx_delta")
+    val copies = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    IncrementalIndex.ingestExact(spark, exA, docs, "doc_id", "text")
+      ._2.unpersist(blocking = false)
+    IncrementalIndex.ingestExact(spark, exB, copies, "doc_id", "text")
+      ._2.unpersist(blocking = false)
+    val Some((_, delta)) = IncrementalIndex.mergeExactIndexesEpoch(
+      spark, exA, exDelta, exB, epochId = 4L)
+    val nDelta = delta.count()
+    assert(nDelta > 0)
+    val fpVs = VersionedTable.versions(spark, s"$exA/fingerprints")
+    assert(IncrementalIndex.mergeExactIndexesEpoch(
+      spark, exA, exDelta, exB, epochId = 4L).isEmpty)
+    assert(VersionedTable.versions(spark, s"$exA/fingerprints") == fpVs,
+      "a replayed exact merge must not double the fingerprint log")
+    assert(VersionedTable.versions(spark, exDelta).size == 1)
+    delta.unpersist(blocking = false)
+
+    // --- prefix (all-write legs through commitEpoch) ---
+    val pfA = tmpDir("emp_a"); val pfB = tmpDir("emp_b")
+    val pfPairs = tmpDir("emp_pairs")
+    val pfP = PrefixJaccardParams()
+    val sets = (d: DataFrame) => d.select(col("doc_id").as("id"),
+      explode(split(col("text"), "\\s+")).as("elem")).distinct()
+    IncrementalIndex.ingestPrefixJaccard(spark, pfA, sets(even), pfP)
+      ._2.unpersist(blocking = false)
+    IncrementalIndex.ingestPrefixJaccard(spark, pfB, sets(odd), pfP)
+      ._2.unpersist(blocking = false)
+    val Some((_, pfCross)) = IncrementalIndex.mergePrefixIndexesEpoch(
+      spark, pfA, pfPairs, pfB, epochId = 2L, pfP)
+    val tokVs = VersionedTable.versions(spark, s"$pfA/tokens")
+    assert(IncrementalIndex.mergePrefixIndexesEpoch(
+      spark, pfA, pfPairs, pfB, epochId = 2L, pfP).isEmpty)
+    assert(VersionedTable.versions(spark, s"$pfA/tokens") == tokVs,
+      "a replayed prefix merge must not re-append donor token rows")
+    assert(VersionedTable.versions(spark, pfPairs).size == 1)
+    pfCross.unpersist(blocking = false)
+  }
+}
