@@ -4562,6 +4562,47 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup SHARD MERGE — the family the merge matrix was missing:
+    // its member log stores each doc's vector, so the donor re-assigns
+    // to the ADOPTER's frozen centroids from logs alone (IVF/PQ stay
+    // non-mergeable: assignments/codes only). Donor verdicts do NOT
+    // carry over (geometry-dependent) — the merge's verdicts replace
+    // them, and adopter(b1) + merge(donor built on b2) must equal e22's
+    // bootstrap+ingest oracle verbatim. Requires id-RANGE sharding
+    // (donor ids above adopter ids — the ingest's append-ordered
+    // contract).
+    "e27_semdedup_merge" -> ((s, dir) =>
+      cachedDf(s, s"semmerge|$dir") {
+        import graft.operators.IncrementalIndex
+        val root = tmpdir("graft-semmerge-a")
+        val donorRoot = tmpdir("graft-semmerge-b")
+        val base = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+        val corpus = base.union(mut)
+        val cents = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cvec"))
+        val splitId = base.count() / 2
+        val b1 = corpus.filter(col("vec_id") < splitId)
+        val b2 = corpus.filter(col("vec_id") >= splitId)
+        val k1 = IncrementalIndex.bootstrapSemDedup(
+          s, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 2048).verdicts
+        // donor: an INDEPENDENT index over the high-id shard (its own
+        // geometry — the merge discards it and re-assigns)
+        IncrementalIndex.bootstrapSemDedup(
+          s, donorRoot, b2, "vec_id", "v", cents, threshold = 0.99, cap = 2048)
+          .verdicts.unpersist(blocking = false)
+        val km = IncrementalIndex.mergeSemDedupIndexes(
+          s, root, donorRoot, threshold = 0.99, cap = 2048).verdicts
+        val out = k1.unionAll(km).persist()
+        out.count()
+        k1.unpersist(blocking = false)
+        km.unpersist(blocking = false)
+        out
+      }.select(col("id").as("vec_id"), col("cid"), col("kept"))
+        .orderBy("vec_id")),
+
     // Incremental PQ index: codebooks train on batch 1 and FREEZE (the
     // IVF-centroid pattern — codes from every ingest must decode against
     // the same books); each ingest encodes ONLY its batch and appends
@@ -6138,6 +6179,30 @@ object SparkEntry {
     // same-cell member within the (unrounded) threshold — incremental
     // verdict accumulation must equal this corpus-wide rule exactly
     "e22_incremental_semdedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mut AS (SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |c AS (SELECT vec_id AS cid, v AS cvec FROM base WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  round(list_cosine_similarity(e.v, c.cvec), 6) AS sim FROM corpus e, c),
+        |a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s)
+        |  WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cid, e.v FROM a JOIN corpus e USING (vec_id)),
+        |drp AS (SELECT DISTINCT r.vec_id FROM m l JOIN m r
+        |  ON l.cid = r.cid AND l.vec_id < r.vec_id
+        |  AND list_cosine_similarity(l.v, r.v) >= 0.99)
+        |SELECT m.vec_id, m.cid, (drp.vec_id IS NULL) AS kept
+        |FROM m LEFT JOIN drp ON m.vec_id = drp.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
+
+    // e22's exact rule VERBATIM: the shard merge re-assigns the donor's
+    // member log under the adopter's frozen geometry, so adopter +
+    // merged-donor verdicts must equal the one-shot bootstrap+ingest
+    // rule — any donor-verdict leakage or double-assignment breaks the
+    // hash
+    "e27_semdedup_merge" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |mut AS (SELECT vec_id + 100000 AS vec_id,
         |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),

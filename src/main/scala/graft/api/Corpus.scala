@@ -65,9 +65,11 @@ object corpus {
     * these are the user-facing names. Pair-family merges return
     * (version, cross pairs) — append the pairs to the caller's
     * accumulated log; the exact merge returns (version, correction
-    * delta) — override those ids in the accumulated verdict log.
-    * IVF/PQ indexes don't merge (logs keep only assignments/codes):
-    * re-ingest the donor's source vectors instead.
+    * delta) — override those ids in the accumulated verdict log;
+    * the SemDeDup merge re-assigns the donor's member log under the
+    * adopter's frozen geometry and its verdicts REPLACE the donor's.
+    * IVF/PQ indexes don't merge (logs keep only assignments/codes,
+    * no vectors): re-ingest the donor's source vectors instead.
     */
   def mergeDedupIndexes(spark: SparkSession, indexRoot: String,
       donorRoot: String,
@@ -111,6 +113,19 @@ object corpus {
       : Option[(Long, DataFrame)] =
     IncrementalIndex.mergeExactIndexesEpoch(
       spark, indexRoot, resultRoot, donorRoot, epochId)
+
+  def mergeSemDedupIndexes(spark: SparkSession, indexRoot: String,
+      donorRoot: String, threshold: Double, cap: Int = 512)
+      : IncrementalIndex.SemDedupIngest =
+    IncrementalIndex.mergeSemDedupIndexes(
+      spark, indexRoot, donorRoot, threshold, cap)
+
+  def mergeSemDedupIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoot: String, threshold: Double,
+      epochId: Long, cap: Int = 512)
+      : Option[IncrementalIndex.SemDedupIngest] =
+    IncrementalIndex.mergeSemDedupIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoot, threshold, epochId, cap)
 
   def mergeEmbeddingIndexesEpoch(spark: SparkSession, indexRoot: String,
       resultRoot: String, donorRoot: String, epochId: Long,

@@ -1900,6 +1900,43 @@ object IncrementalIndex {
       threshold, epochId, cap, broadcastRowLimit)
   }
 
+  /** SemDeDup SHARD MERGE — from the member log alone (it stores each
+    * doc's vector, which is exactly why this family merges while IVF/PQ
+    * cannot: their logs keep only assignments/codes). The donor's
+    * members re-assign to the ADOPTER's frozen centroids as one batch
+    * and verdicts recompute under the adopter's geometry — the donor's
+    * own verdicts do NOT carry over (SemDeDup verdicts are geometry-
+    * and order-dependent; they were computed against a different frozen
+    * centroid set), so the returned verdicts REPLACE the donor's in the
+    * caller's accumulated log. Requires the adopter bootstrapped and
+    * DONOR IDS ABOVE every adopter id (the ingest's append-ordered
+    * contract — id-RANGE sharding, not hash sharding; a violation
+    * surfaces loud in `outOfOrderPairs`). Gate: e27 — adopter(b1) +
+    * merge(donor built on b2) equals e22's bootstrap+ingest oracle
+    * verbatim, because the donor's member log presents exactly b2's
+    * (id, v) rows.
+    */
+  def mergeSemDedupIndexes(spark: SparkSession, root: String,
+      donorRoot: String, threshold: Double, cap: Int = 512,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): SemDedupIngest = {
+    val donor = VersionedTable.readAllVersions(spark, semMembersRoot(donorRoot))
+    ingestSemDedup(spark, root, donor.select("id", "v"), "id", "v",
+      threshold, cap, broadcastRowLimit)
+  }
+
+  /** Exactly-once SemDeDup shard merge — [[ingestSemDedupEpoch]] with
+    * the donor's member log playing the batch role (orchestrator-owned
+    * monotone `epochId`, the merge-epoch convention).
+    */
+  def mergeSemDedupIndexesEpoch(spark: SparkSession, root: String,
+      verdictsRoot: String, donorRoot: String, threshold: Double,
+      epochId: Long, cap: Int = 512,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[SemDedupIngest] = {
+    val donor = VersionedTable.readAllVersions(spark, semMembersRoot(donorRoot))
+    ingestSemDedupEpoch(spark, root, verdictsRoot, donor.select("id", "v"),
+      "id", "v", threshold, epochId, cap, broadcastRowLimit)
+  }
+
   /** Incremental SemDeDup ingest: assign ONLY the batch to the frozen
     * centroids, mark each batch member dropped iff a LOWER-id member of
     * the same cell (indexed or in-batch) sits within `threshold`, and
