@@ -795,8 +795,17 @@ object ScaleRehearsal {
       val r1 = run(srcDir, "1x")
       SparkEntry.resetSessionCache(spark)
       val r10 = run(cliqueDir0, "10x")
+      // third decade when the 100x corpus is already provisioned (the
+      // merge scope generates it); skipped otherwise — the guard cost
+      // argument is O(versions) listings, not data-shaped
+      val sf10Dir = s"$base/graft-sf10-real"
+      val r100 =
+        if (new java.io.File(s"$sf10Dir/documents.parquet").exists()) {
+          SparkEntry.resetSessionCache(spark)
+          "," + run(sf10Dir, "100x")
+        } else ""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
-        s"""{"mergeepoch":{$r1,$r10}}""" + "\n")
+        s"""{"mergeepoch":{$r1,$r10$r100}}""" + "\n")
       println(s"[scale] wrote $outJson")
       spark.stop()
       return

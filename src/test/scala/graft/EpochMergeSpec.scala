@@ -45,6 +45,57 @@ class EpochMergeSpec extends SparkSpec {
     fs.delete(new Path(root, VersionedTable.dirName(v)), true)
   }
 
+  test("engaged bucket caps: binary and n-way merges keep mega-clique connectivity") {
+    import spark.implicits._
+    // a 12-member identical-text mega-clique (every band-bucket over cap
+    // 4) split ACROSS shards, plus unrelated filler — this drives the
+    // merge's over-cap rank-chunk path, where crossOnly/batchSharded
+    // filter by tag difference instead of the ingest's new-flag
+    val boiler = (0L until 12L).map(i =>
+      (i, "terms of service apply to all content provided herein always"))
+    val filler = (100L until 160L).map(i =>
+      (i, s"unique document $i carrying words w${i * 7} w${i * 13} w${i * 29} w${i * 31}"))
+    val all = (boiler ++ filler).toDF("doc_id", "text")
+    val p = IncrementalIndex.MinHashParams(bucketCap = 4)
+    def connected(pairs: Set[(Long, Long)]): Boolean = {
+      val parent = scala.collection.mutable.Map((0L until 12L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.filter { case (a, b) => a < 12 && b < 12 }
+        .foreach { case (a, b) => parent(find(a)) = find(b) }
+      (0L until 12L).map(find).toSet.size == 1
+    }
+    // binary: even/odd shards (clique members on both sides)
+    val bA = tmpDir("capm_a"); val bB = tmpDir("capm_b")
+    val (_, pA) = IncrementalIndex.ingestMinHash(
+      spark, bA, all.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+    val (_, pB) = IncrementalIndex.ingestMinHash(
+      spark, bB, all.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+    val (_, cross) = IncrementalIndex.mergeMinHashIndexes(spark, bA, bB, p)
+    val sX = pairSet(cross)
+    assert(sX.nonEmpty && sX.forall { case (a, b) => (a % 2) != (b % 2) },
+      "over-cap cross candidates must span the shards")
+    assert(connected(pairSet(pA) ++ pairSet(pB) ++ sX),
+      "binary merge under engaged caps must keep the clique one component")
+    Seq(pA, pB, cross).foreach(_.unpersist(blocking = false))
+    // n-way: mod-3 shards through the batchSharded over-cap path
+    val roots = (0 to 2).map(i => tmpDir(s"capn_$i"))
+    val shardPairs = (0 to 2).map { i =>
+      val (_, pp) = IncrementalIndex.ingestMinHash(
+        spark, roots(i), all.filter(pmod(col("doc_id"), lit(3)) === i),
+        "doc_id", "text", p)
+      val ss = pairSet(pp); pp.unpersist(blocking = false); ss
+    }
+    val (_, nx) = IncrementalIndex.mergeManyMinHashIndexes(
+      spark, roots(0), Seq(roots(1), roots(2)), p)
+    val sN = pairSet(nx)
+    assert(sN.nonEmpty && sN.forall { case (a, b) => (a % 3) != (b % 3) },
+      "n-way over-cap candidates must be cross-shard only")
+    assert(connected(shardPairs.reduce(_ ++ _) ++ sN),
+      "n-way merge under engaged caps must keep the clique one component")
+    nx.unpersist(blocking = false)
+  }
+
   test("minhash merge epoch: full replay drops; every crash window replays to the clean twin") {
     val rootA = tmpDir("em_a"); val rootB = tmpDir("em_b")
     val twinA = tmpDir("em_ta"); val twinB = tmpDir("em_tb")
