@@ -744,6 +744,72 @@ object ScaleRehearsal {
       return
     }
 
+    if (scope == "mergewall") {
+      // the merge story's premise is that shards bootstrap CONCURRENTLY
+      // (on a cluster: disjoint executor slices). This scope checks the
+      // pipeline itself has no serialization point — two shard
+      // bootstraps co-scheduled as concurrent jobs in ONE app (FIFO
+      // scheduler, shared 32-core pool) vs the same two run back to
+      // back. Contention means wall > max(shard); a lock or
+      // driver-side bottleneck would mean wall ≈ sum — the number
+      // distinguishes them.
+      import graft.operators.IncrementalIndex
+      import org.apache.hadoop.fs.Path
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val ec = ExecutionContext.fromExecutor(pool)
+      def run(dir: String, tag: String): String = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val roots = Seq("sa", "sb", "pa", "pb").map(x => s"$base/graft-mw-$tag-$x")
+        val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        roots.foreach(r => fs.delete(new Path(r), true))
+        try {
+          val even = docs.filter(col("doc_id") % 2 === 0)
+          val odd = docs.filter(col("doc_id") % 2 === 1)
+          var t0 = System.nanoTime()
+          IncrementalIndex.ingestMinHash(spark, roots(0), even, "doc_id", "text")
+            ._2.unpersist(blocking = false)
+          IncrementalIndex.ingestMinHash(spark, roots(1), odd, "doc_id", "text")
+            ._2.unpersist(blocking = false)
+          val seqSec = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val fs2 = Seq((roots(2), even), (roots(3), odd)).map { case (r, d) =>
+            Future {
+              IncrementalIndex.ingestMinHash(spark, r, d, "doc_id", "text")
+                ._2.unpersist(blocking = false)
+            }(ec)
+          }
+          fs2.foreach(f => Await.result(f, Duration.Inf))
+          val parSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val (_, xp) = IncrementalIndex.mergeMinHashIndexes(spark, roots(2), roots(3))
+          val nX = xp.count()
+          val mSec = (System.nanoTime() - t1) / 1e9
+          xp.unpersist(blocking = false)
+          println(f"SCALE mergewall[$tag] sequential $seqSec%.2fs " +
+            f"concurrent $parSec%.2fs merge $mSec%.2fs cross $nX")
+          f""""seq_$tag":${"%.2f".format(seqSec)},""" +
+            f""""par_$tag":${"%.2f".format(parSec)},""" +
+            f""""merge_$tag":${"%.2f".format(mSec)}"""
+        } finally roots.foreach(r => fs.delete(new Path(r), true))
+      }
+      try {
+        run(new java.io.File(srcDir).getParent + "/sf0.01", "warm")
+        val r1 = run(srcDir, "1x")
+        SparkEntry.resetSessionCache(spark)
+        val r10 = run(cliqueDir0, "10x")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+          s"""{"mergewall":{$r1,$r10}}""" + "\n")
+      } finally pool.shutdown()
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
     if (scope == "mergeepoch") {
       // exactly-once merge priced: the guarded (epoch) merge vs the
       // unguarded one on identical shard pairs, plus a full REPLAY (the
