@@ -87,6 +87,12 @@ object corpus {
     * sequence number is the natural source. Cross pairs / correction
     * deltas commit into `resultRoot` under the same epoch, so a replay
     * can recover them with [[IncrementalIndex.epochVersion]].
+    *
+    * The id IS the step's identity: re-using an id for a DIFFERENT
+    * donor silently no-ops (the guard cannot distinguish a replay from
+    * a mis-assigned id — None back, nothing merged), exactly as a
+    * bookmark-derived ingest epoch would swallow a different batch at
+    * the same boundary. One id per merge step, ever.
     */
   def mergeDedupIndexesEpoch(spark: SparkSession, indexRoot: String,
       resultRoot: String, donorRoot: String, epochId: Long,
