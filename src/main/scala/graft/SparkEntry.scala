@@ -4588,10 +4588,15 @@ object SparkEntry {
         val b2 = corpus.filter(col("vec_id") >= splitId)
         val k1 = IncrementalIndex.bootstrapSemDedup(
           s, root, b1, "vec_id", "v", cents, threshold = 0.99, cap = 2048).verdicts
-        // donor: an INDEPENDENT index over the high-id shard (its own
-        // geometry — the merge discards it and re-assigns)
+        // donor: an INDEPENDENT index over the high-id shard with a
+        // DIFFERENT frozen geometry (centroids 8..15, not the adopter's
+        // 0..7) — so the gate actually pins the re-assignment: a merge
+        // that carried the donor's stored (cid) over instead of
+        // re-assigning under the adopter's centroids would hash-mismatch
+        val donorCents = base.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("v").as("cvec"))
         IncrementalIndex.bootstrapSemDedup(
-          s, donorRoot, b2, "vec_id", "v", cents, threshold = 0.99, cap = 2048)
+          s, donorRoot, b2, "vec_id", "v", donorCents, threshold = 0.99, cap = 2048)
           .verdicts.unpersist(blocking = false)
         val km = IncrementalIndex.mergeSemDedupIndexes(
           s, root, donorRoot, threshold = 0.99, cap = 2048).verdicts

@@ -1932,6 +1932,10 @@ object IncrementalIndex {
       verdictsRoot: String, donorRoot: String, threshold: Double,
       epochId: Long, cap: Int = 512,
       broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[SemDedupIngest] = {
+    // replay guard BEFORE touching the donor (the mergeMinHashImpl
+    // ordering): a redelivery after the donor shard was torn down must
+    // still no-op instead of crashing on the missing member log
+    if (epochCommittedIn(spark, semMembersRoot(root), epochId)) return None
     val donor = VersionedTable.readAllVersions(spark, semMembersRoot(donorRoot))
     ingestSemDedupEpoch(spark, root, verdictsRoot, donor.select("id", "v"),
       "id", "v", threshold, epochId, cap, broadcastRowLimit)

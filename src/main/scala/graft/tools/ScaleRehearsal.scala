@@ -601,6 +601,12 @@ object ScaleRehearsal {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // mergewall measures genuine job concurrency: FIFO runs whole
+      // stages of job 1 before job 2's tasks see a slot (wall ≈ sum for
+      // equal-size jobs regardless of utilization), FAIR interleaves —
+      // the scheduler a multi-tenant cluster would run anyway
+      .config("spark.scheduler.mode",
+        if (scope == "mergewall") "FAIR" else "FIFO")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val warmDir = "/root/testdata/sf0.001"
@@ -746,13 +752,15 @@ object ScaleRehearsal {
 
     if (scope == "mergewall") {
       // the merge story's premise is that shards bootstrap CONCURRENTLY
-      // (on a cluster: disjoint executor slices). This scope checks the
-      // pipeline itself has no serialization point — two shard
-      // bootstraps co-scheduled as concurrent jobs in ONE app (FIFO
-      // scheduler, shared 32-core pool) vs the same two run back to
-      // back. Contention means wall > max(shard); a lock or
-      // driver-side bottleneck would mean wall ≈ sum — the number
-      // distinguishes them.
+      // (on a cluster: disjoint executor slices). Local mode CANNOT
+      // demonstrate that overlap — one bootstrap already saturates the
+      // 32-core pool, so co-scheduling conserves CPU work and wall ≈
+      // sum is the EXPECTED healthy outcome. What this scope does pin:
+      // a lock or driver-side serialization point in the concurrent
+      // ingest path would push par ABOVE seq (serialized work plus
+      // coordination overhead); par ≤ seq clears it. FAIR scheduler so
+      // the jobs genuinely interleave (FIFO runs whole stages of job 1
+      // first and measures the scheduler, not the pipeline).
       import graft.operators.IncrementalIndex
       import org.apache.hadoop.fs.Path
       import scala.concurrent.{Await, ExecutionContext, Future}
@@ -770,21 +778,30 @@ object ScaleRehearsal {
         try {
           val even = docs.filter(col("doc_id") % 2 === 0)
           val odd = docs.filter(col("doc_id") % 2 === 1)
+          // CONCURRENT arm FIRST: any page-cache/codegen warmth it
+          // leaves behind then favors the sequential BASELINE, so the
+          // reported par/seq ratio is an upper bound (the first cut of
+          // this scope ran seq first and measured par below the
+          // max(shard) physical floor — run-order warming, not overlap)
           var t0 = System.nanoTime()
-          IncrementalIndex.ingestMinHash(spark, roots(0), even, "doc_id", "text")
-            ._2.unpersist(blocking = false)
-          IncrementalIndex.ingestMinHash(spark, roots(1), odd, "doc_id", "text")
-            ._2.unpersist(blocking = false)
-          val seqSec = (System.nanoTime() - t0) / 1e9
-          t0 = System.nanoTime()
           val fs2 = Seq((roots(2), even), (roots(3), odd)).map { case (r, d) =>
             Future {
               IncrementalIndex.ingestMinHash(spark, r, d, "doc_id", "text")
                 ._2.unpersist(blocking = false)
             }(ec)
           }
-          fs2.foreach(f => Await.result(f, Duration.Inf))
+          // await BOTH before surfacing a failure: rethrowing while the
+          // sibling still writes would let the finally delete its dirs
+          // mid-job and bury the root cause under FileNotFound noise
+          val outcomes = fs2.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
           val parSec = (System.nanoTime() - t0) / 1e9
+          outcomes.foreach(_.get)
+          t0 = System.nanoTime()
+          IncrementalIndex.ingestMinHash(spark, roots(0), even, "doc_id", "text")
+            ._2.unpersist(blocking = false)
+          IncrementalIndex.ingestMinHash(spark, roots(1), odd, "doc_id", "text")
+            ._2.unpersist(blocking = false)
+          val seqSec = (System.nanoTime() - t0) / 1e9
           val t1 = System.nanoTime()
           val (_, xp) = IncrementalIndex.mergeMinHashIndexes(spark, roots(2), roots(3))
           val nX = xp.count()
@@ -804,7 +821,10 @@ object ScaleRehearsal {
         val r10 = run(cliqueDir0, "10x")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
           s"""{"mergewall":{$r1,$r10}}""" + "\n")
-      } finally pool.shutdown()
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+      }
       println(s"[scale] wrote $outJson")
       spark.stop()
       return

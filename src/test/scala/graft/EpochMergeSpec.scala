@@ -282,5 +282,33 @@ class EpochMergeSpec extends SparkSpec {
       "a replayed prefix merge must not re-append donor token rows")
     assert(VersionedTable.versions(spark, pfPairs).size == 1)
     pfCross.unpersist(blocking = false)
+
+    // --- semdedup: the replay guard must fire BEFORE the donor read,
+    // so a redelivery after the donor shard was torn down still no-ops
+    val smA = tmpDir("emsd_a"); val smB = tmpDir("emsd_b")
+    val smV = tmpDir("emsd_v")
+    val embA = emb.filter(col("vec_id") < 500)
+    val embB = vecs.filter(col("vec_id") >= 500)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val donorCents = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    IncrementalIndex.bootstrapSemDedup(
+      spark, smA, embA, "vec_id", "v", cents, threshold = 0.99)
+      .verdicts.unpersist(blocking = false)
+    IncrementalIndex.bootstrapSemDedup(
+      spark, smB, embB, "vec_id", "v", donorCents, threshold = 0.99)
+      .verdicts.unpersist(blocking = false)
+    val sm = IncrementalIndex.mergeSemDedupIndexesEpoch(
+      spark, smA, smV, smB, threshold = 0.99, epochId = 9L)
+    assert(sm.nonEmpty)
+    sm.get.verdicts.unpersist(blocking = false)
+    // donor torn down (decommissioned shard), then the step re-delivers
+    val fsys = new org.apache.hadoop.fs.Path(smB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(smB), true)
+    assert(IncrementalIndex.mergeSemDedupIndexesEpoch(
+      spark, smA, smV, smB, threshold = 0.99, epochId = 9L).isEmpty,
+      "a replay after donor teardown must no-op at the guard, not crash")
   }
 }
