@@ -121,17 +121,25 @@ object corpus {
       spark, indexRoot, resultRoot, donorRoot, epochId)
 
   def mergeSemDedupIndexes(spark: SparkSession, indexRoot: String,
-      donorRoot: String, threshold: Double, cap: Int = 512)
+      donorRoot: String, threshold: Double, cap: Int = 512,
+      broadcastRowLimit: Long = IncrementalIndex.DefaultBroadcastRowLimit)
       : IncrementalIndex.SemDedupIngest =
     IncrementalIndex.mergeSemDedupIndexes(
-      spark, indexRoot, donorRoot, threshold, cap)
+      spark, indexRoot, donorRoot, threshold, cap, broadcastRowLimit)
 
+  /** Parameter order follows the family convention — epochId
+    * immediately after donorRoot, like every other *Epoch merge
+    * wrapper — so a transposed threshold/epochId call site can no
+    * longer compile silently via numeric widening.
+    */
   def mergeSemDedupIndexesEpoch(spark: SparkSession, indexRoot: String,
-      resultRoot: String, donorRoot: String, threshold: Double,
-      epochId: Long, cap: Int = 512)
+      resultRoot: String, donorRoot: String, epochId: Long,
+      threshold: Double, cap: Int = 512,
+      broadcastRowLimit: Long = IncrementalIndex.DefaultBroadcastRowLimit)
       : Option[IncrementalIndex.SemDedupIngest] =
     IncrementalIndex.mergeSemDedupIndexesEpoch(
-      spark, indexRoot, resultRoot, donorRoot, threshold, epochId, cap)
+      spark, indexRoot, resultRoot, donorRoot, epochId, threshold, cap,
+      broadcastRowLimit)
 
   def mergeEmbeddingIndexesEpoch(spark: SparkSession, indexRoot: String,
       resultRoot: String, donorRoot: String, epochId: Long,

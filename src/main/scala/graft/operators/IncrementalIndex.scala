@@ -728,14 +728,43 @@ object IncrementalIndex {
   private def writeEpochLeg(spark: SparkSession, df: DataFrame,
       legRoot: String, epochId: Long): Long = {
     if (epochCommittedIn(spark, legRoot, epochId))
-      return epochVersion(spark, legRoot, epochId).getOrElse(
-        VersionedTable.versions(spark, legRoot).last)
+      return committedLegVersion(spark, legRoot, epochId)
     val v = VersionedTable.write(spark, df, legRoot,
       markers = Seq(s"_epoch-$epochId"))
     assertSingleEpochWriter(spark, legRoot, epochId)
     recordEpochHwm(spark, legRoot, epochId)
     v
   }
+
+  /** The version a SKIPPED (looks-committed) non-final leg reports — and
+    * the guard that keeps "looks committed" honest. `epochCommittedIn`
+    * is an hwm test (`epoch <= hwm`), which is the right REPLAY key for
+    * the final leg but is fooled on earlier legs by a FOREIGN hwm: a
+    * leg root shared across adopter lineages (or otherwise fed a higher
+    * epoch) reads as committed for every lower epoch, and silently
+    * skipping there loses exactly this merge's output — cross pairs
+    * adopted-around, a partial outcome no documented contract covers.
+    * So a skipped leg must produce the version CARRYING this epoch's
+    * marker; when none exists the skip is not provably a replay and the
+    * commit fails loud instead. (The one legitimate marker-less state —
+    * compaction reclaimed the marker-carrying version between a crash
+    * and this replay; the `_epoch-hwm` witness outlives it by design —
+    * is indistinguishable from the foreign-hwm bug from here, and the
+    * conservative answer to "can't prove this leg holds the epoch's
+    * rows" is the same loud stop: the message names both causes.)
+    */
+  private def committedLegVersion(spark: SparkSession, legRoot: String,
+      epochId: Long): Long =
+    epochVersion(spark, legRoot, epochId).getOrElse(
+      throw new IllegalStateException(
+        s"epoch $epochId reads as committed at $legRoot (hwm witness) but " +
+          "no version carries its _epoch marker: either this root is " +
+          "SHARED across adopter lineages and a different lineage " +
+          "advanced its hwm past this epoch (skipping would silently " +
+          "drop this leg's rows — give each adopter lineage a private " +
+          "result root), or compaction reclaimed the marker-carrying " +
+          "version between a crash and this replay (re-run the step " +
+          "under a fresh epoch id after verifying the leg's rows)"))
 
   /** One guarded ADOPTION leg: the log-adoption data move
     * ([[graft.sinks.VersionedTable.adoptFiles]]) under the same
@@ -747,8 +776,7 @@ object IncrementalIndex {
   private def adoptEpochLeg(spark: SparkSession, legRoot: String,
       srcDirs: Seq[org.apache.hadoop.fs.Path], epochId: Long): Long = {
     if (epochCommittedIn(spark, legRoot, epochId))
-      return epochVersion(spark, legRoot, epochId).getOrElse(
-        VersionedTable.versions(spark, legRoot).last)
+      return committedLegVersion(spark, legRoot, epochId)
     val v = VersionedTable.adoptFiles(spark, legRoot, srcDirs,
       markers = Seq(s"_epoch-$epochId"))
     assertSingleEpochWriter(spark, legRoot, epochId)
@@ -773,17 +801,20 @@ object IncrementalIndex {
     }
     stats.foreach { case (s, statsRoot) =>
       if (!epochCommittedIn(spark, statsRoot, epochId)) writeLeg(s, statsRoot)
+      // a skipped stats leg returns nothing, but must still PROVE the
+      // skip is a replay (marker present) and not a foreign hwm on a
+      // shared root — same contract as the data legs below
+      else committedLegVersion(spark, statsRoot, epochId)
     }
     var last = -1L
     legs.foreach { case (df, legRoot) =>
       last =
         if (!epochCommittedIn(spark, legRoot, epochId)) writeLeg(df, legRoot)
         // a skipped (non-final — see the require above) leg reports the
-        // version carrying ITS epoch marker, not whatever the root's
-        // newest happens to be, so a future caller with a different leg
-        // order can't silently read a wrong version
-        else epochVersion(spark, legRoot, epochId).getOrElse(
-          VersionedTable.versions(spark, legRoot).last)
+        // version carrying ITS epoch marker — and fails loud when no
+        // marker backs the hwm's "committed" claim (shared-root foreign
+        // hwm, or compacted-away marker: see committedLegVersion)
+        else committedLegVersion(spark, legRoot, epochId)
     }
     last
   }
@@ -1910,35 +1941,76 @@ object IncrementalIndex {
     * centroid set), so the returned verdicts REPLACE the donor's in the
     * caller's accumulated log. Requires the adopter bootstrapped and
     * DONOR IDS ABOVE every adopter id (the ingest's append-ordered
-    * contract — id-RANGE sharding, not hash sharding; a violation
-    * surfaces loud in `outOfOrderPairs`). Gate: e27 — adopter(b1) +
-    * merge(donor built on b2) equals e22's bootstrap+ingest oracle
-    * verbatim, because the donor's member log presents exactly b2's
-    * (id, v) rows.
+    * contract — id-RANGE sharding, not hash sharding). The contract is
+    * ENFORCED, not just documented: an interleaved-id donor (hash
+    * sharding's signature) is rejected up front — before any leg
+    * commits — because under interleaved ids the drops-only-against-
+    * lower-ids rule silently ignores every pair whose greater id is
+    * already indexed; `outOfOrderPairs` would count those only when a
+    * near-dup pair actually straddles the violation, so the min/max
+    * precheck is the deterministic gate and the count stays as the
+    * ingest-path telemetry. Gate: e27 — adopter(b1) + merge(donor built
+    * on b2) equals e22's bootstrap+ingest oracle verbatim, because the
+    * donor's member log presents exactly b2's (id, v) rows.
     */
   def mergeSemDedupIndexes(spark: SparkSession, root: String,
       donorRoot: String, threshold: Double, cap: Int = 512,
       broadcastRowLimit: Long = DefaultBroadcastRowLimit): SemDedupIngest = {
     val donor = VersionedTable.readAllVersions(spark, semMembersRoot(donorRoot))
-    ingestSemDedup(spark, root, donor.select("id", "v"), "id", "v",
+      .select("id", "v")
+    requireIdRangeSharded(spark, root, donor)
+    ingestSemDedup(spark, root, donor, "id", "v",
       threshold, cap, broadcastRowLimit)
   }
 
   /** Exactly-once SemDeDup shard merge — [[ingestSemDedupEpoch]] with
     * the donor's member log playing the batch role (orchestrator-owned
-    * monotone `epochId`, the merge-epoch convention).
+    * monotone `epochId`; parameter order follows the family convention,
+    * epochId immediately after donorRoot). Same enforced id-range
+    * contract as [[mergeSemDedupIndexes]], checked after the replay
+    * guard and before any leg commits.
     */
   def mergeSemDedupIndexesEpoch(spark: SparkSession, root: String,
-      verdictsRoot: String, donorRoot: String, threshold: Double,
-      epochId: Long, cap: Int = 512,
+      verdictsRoot: String, donorRoot: String, epochId: Long,
+      threshold: Double, cap: Int = 512,
       broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[SemDedupIngest] = {
     // replay guard BEFORE touching the donor (the mergeMinHashImpl
     // ordering): a redelivery after the donor shard was torn down must
     // still no-op instead of crashing on the missing member log
     if (epochCommittedIn(spark, semMembersRoot(root), epochId)) return None
     val donor = VersionedTable.readAllVersions(spark, semMembersRoot(donorRoot))
-    ingestSemDedupEpoch(spark, root, verdictsRoot, donor.select("id", "v"),
+      .select("id", "v")
+    requireIdRangeSharded(spark, root, donor)
+    ingestSemDedupEpoch(spark, root, verdictsRoot, donor,
       "id", "v", threshold, epochId, cap, broadcastRowLimit)
+  }
+
+  /** The SemDeDup merge's id-RANGE precheck: every donor id must sit
+    * ABOVE every adopter member id (min(donor) > max(adopter)), the
+    * append-ordered contract the verdict semantics rest on. One tiny
+    * job over two column-pruned id scans (both logs are about to be
+    * read in full anyway); comparison happens IN Spark so any orderable
+    * id type works without driver-side type dispatch. Null mins/maxes
+    * (empty sides) read as no-violation — an empty donor is a no-op and
+    * an un-bootstrapped adopter has nothing to order against.
+    */
+  private def requireIdRangeSharded(spark: SparkSession, root: String,
+      donor: DataFrame): Unit = {
+    if (VersionedTable.versions(spark, semMembersRoot(root)).isEmpty) return
+    val adopterIds = VersionedTable.readAllVersions(spark, semMembersRoot(root))
+    val r = donor.agg(min(col("id")).as("dmin"))
+      .crossJoin(adopterIds.agg(max(col("id")).as("amax")))
+      .select(col("dmin"), col("amax"),
+        (col("dmin") <= col("amax")).as("violates"))
+      .head()
+    if (!r.isNullAt(2) && r.getBoolean(2))
+      throw new IllegalArgumentException(
+        s"SemDeDup merge requires id-RANGE sharding (every donor id above " +
+          s"every adopter id): donor min id ${r.get(0)} <= adopter max id " +
+          s"${r.get(1)}. An interleaved-id donor (hash sharding) breaks the " +
+          "append-ordered contract the drop-against-lower-ids verdicts rest " +
+          "on — re-shard by id range, or re-bootstrap the union corpus " +
+          "instead of merging")
   }
 
   /** Incremental SemDeDup ingest: assign ONLY the batch to the frozen

@@ -311,4 +311,65 @@ class EpochMergeSpec extends SparkSpec {
       spark, smA, smV, smB, threshold = 0.99, epochId = 9L).isEmpty,
       "a replay after donor teardown must no-op at the guard, not crash")
   }
+
+  test("foreign hwm on a shared result root fails loud instead of dropping the pairs leg") {
+    // Two adopter lineages sharing ONE pairs root: lineage A2 commits
+    // epoch 100 there, so lineage A1's merge at epoch 5 sees the pairs
+    // leg as "committed" by the hwm witness with no marker of its own.
+    // Silently skipping would adopt donor signatures while losing A1's
+    // cross pairs forever — the guard must stop BEFORE the signature
+    // adoption leg with both causes (shared root / compaction) named.
+    val p = IncrementalIndex.MinHashParams()
+    val even = corpus.filter(col("doc_id") % 2 === 0)
+    val odd = corpus.filter(col("doc_id") % 2 === 1)
+    val a1 = tmpDir("fh_a1"); val b1 = tmpDir("fh_b1")
+    val a2 = tmpDir("fh_a2"); val b2 = tmpDir("fh_b2")
+    val shared = tmpDir("fh_pairs")
+    Seq(a1 -> even, b1 -> odd, a2 -> even, b2 -> odd).foreach {
+      case (r, d) => IncrementalIndex.ingestMinHash(
+        spark, r, d, "doc_id", "text", p)._2.unpersist(blocking = false)
+    }
+    val Some((_, c2)) = IncrementalIndex.mergeMinHashIndexesEpoch(
+      spark, a2, shared, b2, epochId = 100L, p)
+    c2.unpersist(blocking = false)
+    val sigVs = VersionedTable.versions(spark, a1)
+    val ex = intercept[IllegalStateException] {
+      IncrementalIndex.mergeMinHashIndexesEpoch(
+        spark, a1, shared, b1, epochId = 5L, p)
+    }
+    assert(ex.getMessage.contains("no version carries its _epoch marker"))
+    assert(VersionedTable.versions(spark, a1) == sigVs,
+      "the loud stop must fire before donor signatures adopt into a1")
+  }
+
+  test("semdedup merge rejects an interleaved-id (hash-split) donor before any leg commits") {
+    val emb = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val smA = tmpDir("ilv_a"); val smB = tmpDir("ilv_b")
+    val smV = tmpDir("ilv_v")
+    // hash split: even/odd vec_ids interleave — exactly the sharding the
+    // append-ordered verdict semantics cannot absorb
+    IncrementalIndex.bootstrapSemDedup(spark, smA,
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "v", cents,
+      threshold = 0.99).verdicts.unpersist(blocking = false)
+    IncrementalIndex.bootstrapSemDedup(spark, smB,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "v", cents,
+      threshold = 0.99).verdicts.unpersist(blocking = false)
+    val memVs = VersionedTable.versions(spark, s"$smA/members")
+    val exU = intercept[IllegalArgumentException] {
+      IncrementalIndex.mergeSemDedupIndexes(spark, smA, smB, threshold = 0.99)
+    }
+    assert(exU.getMessage.contains("id-RANGE"))
+    val exE = intercept[IllegalArgumentException] {
+      IncrementalIndex.mergeSemDedupIndexesEpoch(
+        spark, smA, smV, smB, epochId = 7L, threshold = 0.99)
+    }
+    assert(exE.getMessage.contains("id-RANGE"))
+    assert(VersionedTable.versions(spark, s"$smA/members") == memVs &&
+      VersionedTable.versions(spark, smV).isEmpty,
+      "the rejection must land before any leg commits")
+  }
 }
