@@ -40,6 +40,15 @@ object Bench {
         System.err.println(s"[bench] warm $name failed: ${e.getMessage}")
       }
     }
+    // Provision the shard fixtures for the timed dir OUTSIDE the timed
+    // runs (the warm pass built only the warm dir's): the merge/probe
+    // gates then time the merge — the operator under test — against
+    // bootstrap-once fixtures, instead of re-paying 2-3 shard builds
+    // per query. Bootstrap cost stays measured by its own gates.
+    try SparkEntry.provisionFixtures(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] fixture provisioning failed: ${e.getMessage}")
+    }
     // Streaming drain cadence: st* query wall-time is micro-batch COUNT
     // (trigger cadence), not data volume — record batches per st query so
     // a future bench delta is attributable to cadence vs real work.

@@ -750,6 +750,325 @@ object ScaleRehearsal {
       return
     }
 
+    if (scope == "mergefam") {
+      // decade rows (1x/10x/100x) for the non-MinHash merge families —
+      // d64 had three measured decades, d66/e25/d67/d68 stopped at 10x
+      // and d67's "fixed pipeline structure, not corpus-bound" census
+      // note was an inference from sub-corpus variants, not a measured
+      // 100x row. Same shape as the `merge` scope: parity shards
+      // bootstrap independently (on a cluster: concurrently — wall =
+      // max(shards) + merge), the merge is timed separately so the
+      // artifact itself names the dominant term per decade.
+      import graft.operators.IncrementalIndex
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val sf10Dir = s"$base/graft-sf10-real"
+      ensureDir(spark, srcDir, sf10Dir, "real", replicas = 100,
+        only = Some(Set("documents", "embeddings")))
+      val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def fresh(names: String*): Seq[String] = {
+        val rs = names.map(n => s"$base/graft-mf-$n")
+        rs.foreach(r => fs.delete(new Path(r), true))
+        rs
+      }
+      def emit(fam: String, tag: String, aSec: Double, bSec: Double,
+          mSec: Double, cross: Long): String = {
+        println(f"SCALE mergefam[$fam/$tag] shards $aSec%.2f/$bSec%.2f " +
+          f"merge $mSec%.2fs cross $cross")
+        f""""${fam}_a_$tag":${"%.2f".format(aSec)},""" +
+          f""""${fam}_b_$tag":${"%.2f".format(bSec)},""" +
+          f""""${fam}_merge_$tag":${"%.2f".format(mSec)},""" +
+          f""""${fam}_cross_$tag":$cross"""
+      }
+
+      def simhashRun(dir: String, tag: String): String = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val Seq(a, b) = fresh(s"sim-$tag-a", s"sim-$tag-b")
+        try {
+          var p: DataFrame = null
+          val aSec = timed { p = IncrementalIndex.ingestSimHash(
+            spark, a, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")._2 }
+          p.unpersist(blocking = false)
+          val bSec = timed { p = IncrementalIndex.ingestSimHash(
+            spark, b, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")._2 }
+          p.unpersist(blocking = false)
+          var cross = 0L
+          val mSec = timed {
+            val (_, xp) = IncrementalIndex.mergeSimHashIndexes(spark, a, b)
+            cross = xp.count(); xp.unpersist(blocking = false)
+          }
+          emit("sim", tag, aSec, bSec, mSec, cross)
+        } finally Seq(a, b).foreach(r => fs.delete(new Path(r), true))
+      }
+
+      def srpRun(dir: String, tag: String): String = {
+        val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val p = IncrementalIndex.SrpParams(dim = 64,
+          bitsPerTable = graft.operators.Similarity.srpBitsFor(vecs.count()),
+          bucketCap = 256)
+        val Seq(a, b) = fresh(s"srp-$tag-a", s"srp-$tag-b")
+        try {
+          var pr: DataFrame = null
+          val aSec = timed { pr = IncrementalIndex.ingestEmbeddings(
+            spark, a, vecs.filter(col("vec_id") % 2 === 0), "vec_id", "v", p)._2 }
+          pr.unpersist(blocking = false)
+          val bSec = timed { pr = IncrementalIndex.ingestEmbeddings(
+            spark, b, vecs.filter(col("vec_id") % 2 === 1), "vec_id", "v", p)._2 }
+          pr.unpersist(blocking = false)
+          var cross = 0L
+          val mSec = timed {
+            val (_, xp) = IncrementalIndex.mergeSrpIndexes(spark, a, b, p)
+            cross = xp.count(); xp.unpersist(blocking = false)
+          }
+          emit("srp", tag, aSec, bSec, mSec, cross)
+        } finally Seq(a, b).foreach(r => fs.delete(new Path(r), true))
+      }
+
+      def prefixRun(dir: String, tag: String): String = {
+        def sh(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+          graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+        val sets = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("id"), explode(sh(col("text"))).as("elem"))
+          .distinct()
+        val Seq(a, b) = fresh(s"pfx-$tag-a", s"pfx-$tag-b")
+        try {
+          var pr: DataFrame = null
+          val aSec = timed { pr = IncrementalIndex.bootstrapPrefixJaccard(
+            spark, a, sets.filter(col("id") % 2 === 0))._2 }
+          pr.unpersist(blocking = false)
+          val bSec = timed { pr = IncrementalIndex.bootstrapPrefixJaccard(
+            spark, b, sets.filter(col("id") % 2 === 1))._2 }
+          pr.unpersist(blocking = false)
+          var cross = 0L
+          val mSec = timed {
+            val (_, xp) = IncrementalIndex.mergePrefixIndexes(spark, a, b)
+            cross = xp.count(); xp.unpersist(blocking = false)
+          }
+          emit("pfx", tag, aSec, bSec, mSec, cross)
+        } finally Seq(a, b).foreach(r => fs.delete(new Path(r), true))
+      }
+
+      def tfidfRun(dir: String, tag: String): String = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val Seq(a, b, m) = fresh(s"tf-$tag-a", s"tf-$tag-b", s"tf-$tag-m")
+        try {
+          val aSec = timed { IncrementalIndex.bootstrapTfidf(
+            spark, a, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text") }
+          val bSec = timed { IncrementalIndex.bootstrapTfidf(
+            spark, b, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text") }
+          var rows = 0L
+          val mSec = timed {
+            IncrementalIndex.mergeTfidfIndexes(spark, m, Seq(a, b))
+            rows = IncrementalIndex.readTfidfWeights(spark, m).count()
+          }
+          emit("tfidf", tag, aSec, bSec, mSec, rows)
+        } finally Seq(a, b, m).foreach(r => fs.delete(new Path(r), true))
+      }
+
+      val fams = Seq(
+        ("sim", simhashRun _), ("srp", srpRun _),
+        ("pfx", prefixRun _), ("tfidf", tfidfRun _))
+      val warmDir0 = new java.io.File(srcDir).getParent + "/sf0.01"
+      val parts = fams.map { case (fam, run) =>
+        run(warmDir0, "warm")
+        val r1 = run(srcDir, "1x")
+        SparkEntry.resetSessionCache(spark)
+        val r10 = run(cliqueDir0, "10x")
+        SparkEntry.resetSessionCache(spark)
+        val r100 = run(sf10Dir, "100x")
+        s"$r1,$r10,$r100"
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"mergefam":{${parts.mkString(",")}}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "nway32") {
+      // the 1000-shard fan-in story rested on k<=8; this pushes the
+      // one-pass-vs-fold separation to k=32 on the 10x corpus and
+      // SEPARATES the two cost terms of the one-pass merge: the single
+      // candidate pass (Spark jobs over the banded union) vs the
+      // adoption term (pure file IO over donor logs — measured
+      // standalone by adopting the same donor dirs into a scratch
+      // root). The fold twin's shards are byte-level COPIES of the
+      // bootstrapped shards (the adoptFiles mechanism), so the
+      // comparison never pays a second signature pass.
+      import graft.operators.IncrementalIndex
+      import graft.sinks.VersionedTable
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def run(dir: String, tag: String, k: Int): String = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val roots = (0 until k).map(i => s"$base/graft-n32-$tag-$i")
+        val froots = (0 until k).map(i => s"$base/graft-n32f-$tag-$i")
+        val scratch = s"$base/graft-n32-$tag-scratch"
+        (roots ++ froots :+ scratch).foreach(r => fs.delete(new Path(r), true))
+        try {
+          val bootT0 = System.nanoTime()
+          (0 until k).foreach { i =>
+            IncrementalIndex.ingestMinHash(spark, roots(i),
+                docs.filter(pmod(col("doc_id"), lit(k)) === i), "doc_id", "text")
+              ._2.unpersist(blocking = false)
+          }
+          val bootSec = (System.nanoTime() - bootT0) / 1e9
+          // fold twin = byte copies, not re-ingests
+          (0 until k).foreach { i =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, new Path(roots(i)),
+              fs, new Path(froots(i)), false,
+              spark.sparkContext.hadoopConfiguration)
+          }
+          // the adoption term alone: the same donor version dirs the
+          // one-pass merge will adopt, moved into a scratch root — file
+          // IO only, no Spark job
+          val donorDirs = roots.drop(1).flatMap(r =>
+            VersionedTable.liveVersionDirs(spark, r))
+          var t0 = System.nanoTime()
+          VersionedTable.adoptFiles(spark, scratch, donorDirs)
+          val adoptSec = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val (_, xp) = IncrementalIndex.mergeManyMinHashIndexes(
+            spark, roots(0), roots.drop(1))
+          val nCross = xp.count()
+          val oneSec = (System.nanoTime() - t0) / 1e9
+          xp.unpersist(blocking = false)
+          t0 = System.nanoTime()
+          var nFold = 0L
+          (1 until k).foreach { i =>
+            val (_, x) = IncrementalIndex.mergeMinHashIndexes(spark, froots(0), froots(i))
+            nFold += x.count()
+            x.unpersist(blocking = false)
+          }
+          val foldSec = (System.nanoTime() - t0) / 1e9
+          require(nCross == nFold, s"one-pass $nCross != fold $nFold cross pairs")
+          println(f"SCALE nway32[$tag] k=$k boot $bootSec%.2fs one-pass $oneSec%.2fs " +
+            f"(adoption-alone $adoptSec%.2fs) fold $foldSec%.2fs cross $nCross")
+          f""""boot_$tag":${"%.2f".format(bootSec)},""" +
+            f""""onepass_$tag":${"%.2f".format(oneSec)},""" +
+            f""""adopt_$tag":${"%.2f".format(adoptSec)},""" +
+            f""""fold_$tag":${"%.2f".format(foldSec)},"cross_$tag":$nCross"""
+        } finally (roots ++ froots :+ scratch).foreach(r => fs.delete(new Path(r), true))
+      }
+      run(new java.io.File(srcDir).getParent + "/sf0.01", "warm", 4)
+      val r10k16 = run(cliqueDir0, "10x_k16", 16)
+      SparkEntry.resetSessionCache(spark)
+      val r10k32 = run(cliqueDir0, "10x_k32", 32)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"nway32":{$r10k16,$r10k32}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "serve") {
+      // e26's sharded ANN serve at admission-pass volume: the BENCH row
+      // is demo-sized (8 queries, util 0.02); here a production-shaped
+      // dedup-admission batch (10k perturbed query vectors) runs over 4
+      // id-range shards at sf1 (20k corpus vectors) and the 100x corpus
+      // (200k), against a single-index serve of the union. The re-rank
+      // input is ASSERTED to be k*shards rows per query — the
+      // never-corpus-sized claim, now counted, not argued — and a
+      // non-exhaustive probe row (nprobe=4) measures the recall the
+      // speedup buys at each geometry.
+      import graft.operators.Ivf
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val sf10Dir = s"$base/graft-sf10-real"
+      ensureDir(spark, srcDir, sf10Dir, "real", replicas = 100,
+        only = Some(Set("documents", "embeddings")))
+      val k = 5
+      def run(dir: String, tag: String, nShards: Int, nQueries: Int): String = {
+        val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding").persist()
+        val n = vecs.count()
+        val queries = vecs.limit(nQueries)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            expr("transform(embedding, (x, i) -> " +
+              "IF(i = 0, CAST(x + 0.01 AS FLOAT), x))").as("embedding"))
+          .persist()
+        val nq = queries.count()
+        // id-range shards, each with its own frozen geometry (replica
+        // ids are offset, so range-partition the OBSERVED id span)
+        val mm = vecs.agg(min(col("vec_id")).cast("long"),
+          max(col("vec_id")).cast("long")).head()
+        val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
+        val bounds = (0 to nShards).map(i =>
+          lo + (hi - lo) * i.toDouble / nShards)
+        val shardDfs = (0 until nShards).map(i => vecs.filter(
+          col("vec_id") >= bounds(i) && col("vec_id") < bounds(i + 1)).persist())
+        val shards = shardDfs.map { part =>
+          val cells = Ivf.cellsFor(part.count())
+          (part, Ivf.train(part, "embedding", k = cells,
+            sampleSize = math.max(4096, 8 * cells)), cells)
+        }
+        val uniCells = Ivf.cellsFor(n)
+        val uniCents = Ivf.train(vecs, "embedding", k = uniCells,
+          sampleSize = math.max(4096, 8 * uniCells))
+        def timedCount(df: DataFrame): (Double, Long) = {
+          val t0 = System.nanoTime(); val c = df.count()
+          ((System.nanoTime() - t0) / 1e9, c)
+        }
+        // the re-rank input: per-shard top-k lists, k*shards per query
+        val per = shards.map { case (corpus, cents, np) =>
+          Ivf.topK(corpus, queries, "vec_id", "embedding", k, cents, np)
+            .drop("rank")
+        }.reduce(_.unionAll(_))
+        val (_, rerankRows) = timedCount(per)
+        require(rerankRows == nq * k * nShards,
+          s"re-rank input $rerankRows != ${nq * k * nShards} (= " +
+            s"$nq queries x $k x $nShards shards)")
+        val (shardedSec, _) = timedCount(Ivf.shardedTopK(
+          shards, queries, "vec_id", "embedding", k))
+        val (singleSec, _) = timedCount(Ivf.topK(
+          vecs, queries, "vec_id", "embedding", k, uniCents, uniCells))
+        // non-exhaustive probes: the scale path a 100 TB serve takes
+        val fastShards = shards.map { case (c, ce, _) => (c, ce, 4) }
+        val fast = Ivf.shardedTopK(
+          fastShards, queries, "vec_id", "embedding", k).persist()
+        val (fastSec, _) = timedCount(fast)
+        val exact = Ivf.shardedTopK(
+          shards, queries, "vec_id", "embedding", k).persist()
+        val hits = fast.select("query_id", "neighbor_id")
+          .intersect(exact.select("query_id", "neighbor_id")).count()
+        val recall = hits.toDouble / exact.count()
+        fast.unpersist(blocking = false)
+        exact.unpersist(blocking = false)
+        println(f"SCALE serve[$tag] corpus $n queries $nq shards $nShards " +
+          f"sharded $shardedSec%.2fs single $singleSec%.2fs " +
+          f"nprobe4 $fastSec%.2fs recall $recall%.4f rerank_rows $rerankRows")
+        (shardDfs :+ vecs :+ queries).foreach(_.unpersist(blocking = false))
+        f""""corpus_$tag":$n,"queries_$tag":$nq,""" +
+          f""""sharded_$tag":${"%.2f".format(shardedSec)},""" +
+          f""""single_$tag":${"%.2f".format(singleSec)},""" +
+          f""""nprobe4_$tag":${"%.2f".format(fastSec)},""" +
+          f""""recall4_$tag":${"%.4f".format(recall)},""" +
+          f""""rerank_rows_$tag":$rerankRows"""
+      }
+      run(new java.io.File(srcDir).getParent + "/sf0.01", "warm", 2, 100)
+      val r1 = run(cliqueDir0, "sf1", 4, 10000)
+      SparkEntry.resetSessionCache(spark)
+      val r100 = run(sf10Dir, "100x", 8, 10000)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"serve":{$r1,$r100}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
     if (scope == "mergewall") {
       // the merge story's premise is that shards bootstrap CONCURRENTLY
       // (on a cluster: disjoint executor slices). Local mode CANNOT
