@@ -257,6 +257,7 @@ object SparkEntry {
   def provisionFixtures(s: SparkSession, dir: String): Unit = {
     minHashEvenOddShards(s, dir); minHashMod3Shards(s, dir)
     minHashOriginalsIndex(s, dir); exactShards(s, dir)
+    exactMod3Shards(s, dir)
     simHashShards(s, dir); prefixShards(s, dir); srpShards(s, dir)
     tfidfShards(s, dir); semDedupShards(s, dir)
   }
@@ -321,6 +322,25 @@ object SparkEntry {
       val (_, vB) = IncrementalIndex.ingestExact(s, s"$r/b", copies, "doc_id", "text")
       vA.unionAll(vB).write.parquet(s"$r/verdicts")
       Seq(vA, vB).foreach(_.unpersist(blocking = false))
+    }
+
+  /** Mod-3 exact-dedup shard fixture (d72's N-way geometry: a copy's id
+    * is its original + 100000, and 100000 % 3 ≠ 0, so EVERY duplicate
+    * group spans two different shards — all of them are the one-pass
+    * correction's to find). Shard roots s0/s1/s2, their local verdicts
+    * at verdicts/.
+    */
+  private def exactMod3Shards(s: SparkSession, dir: String): String =
+    fixtureRoot(s"exact3|$dir") { r =>
+      import graft.operators.IncrementalIndex
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = docs.unionAll(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val parts = (0 to 2).map(i => IncrementalIndex.ingestExact(
+        s, s"$r/s$i", all.filter(pmod(col("doc_id"), lit(3)) === i),
+        "doc_id", "text")._2)
+      parts.reduce(_.unionAll(_)).write.parquet(s"$r/verdicts")
+      parts.foreach(_.unpersist(blocking = false))
     }
 
   /** SimHash shard fixture (d66): originals at a/, mutants at b/,
@@ -5137,6 +5157,31 @@ object SparkEntry {
     // at 100 TB, deciding whether a crawl batch enters the corpus is a
     // read, not a write. Oracle: the exact-Jaccard pairs touching the
     // probe side (b ≥ 100000 — a < b puts the mutant second).
+    // N-WAY shard merge, verdict-family face (the d69 pattern for
+    // EXACT dedup): three fingerprint shards fan in with ONE pass —
+    // one hash-agg marks groups spanning ≥2 distinct shards, one
+    // window recomputes keep-the-min over exactly those groups; a fold
+    // of binary merges re-shuffles the growing adopter N−1 times. The
+    // mod-3 split puts every copy in a different shard than its
+    // original (100000 % 3 ≠ 0), so EVERY duplicate group is spanning:
+    // shard verdicts overridden by the one-pass delta must equal d1's
+    // one-shot global keep-the-min — d57's oracle verbatim.
+    "d72_nway_exact_merge" -> ((s, dir) =>
+      cachedDf(s, s"xnway|$dir") {
+        import graft.operators.IncrementalIndex
+        val fix = exactMod3Shards(s, dir)
+        val root0 = cloneRoot(s, s"$fix/s0") // the fan-in adopts into s0
+        val (_, delta) = IncrementalIndex.mergeManyExactIndexes(
+          s, root0, Seq(s"$fix/s1", s"$fix/s2"))
+        val out = s.read.parquet(s"$fix/verdicts")
+          .join(delta.select(col("id"), col("kept").as("k2")), Seq("id"), "left")
+          .select(col("id"), col("fp"), coalesce(col("k2"), col("kept")).as("kept"))
+          .persist()
+        out.count()
+        delta.unpersist(blocking = false)
+        out
+      }.orderBy("id")),
+
     "d70_probe_neardups" -> ((s, dir) => {
       import graft.operators.IncrementalIndex
       // the probe is READ-ONLY by contract — which is exactly why the
@@ -6222,6 +6267,7 @@ object SparkEntry {
     // d1/d57's keep-the-min rule VERBATIM: shard-local verdicts plus the
     // merge's correction delta must equal the one-shot global rule
     "d65_exact_index_merge" -> duckExactVerdictsSql,
+    "d72_nway_exact_merge" -> duckExactVerdictsSql,
 
     // bound-check row: the oracle recomputes the corpus size and expects
     // the incremental-vs-one-shot assignment comparison to hold

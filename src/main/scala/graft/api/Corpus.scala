@@ -178,6 +178,20 @@ object corpus {
       donorRoot: String): (Long, DataFrame) =
     IncrementalIndex.mergeExactIndexes(spark, indexRoot, donorRoot)
 
+  /** N-way exact-dedup merge (d72): one fingerprint pass over all
+    * donors corrects every spanning group at once — the verdict-family
+    * face of the wide fan-in.
+    */
+  def mergeManyExactIndexes(spark: SparkSession, indexRoot: String,
+      donorRoots: Seq[String]): (Long, DataFrame) =
+    IncrementalIndex.mergeManyExactIndexes(spark, indexRoot, donorRoots)
+
+  def mergeManyExactIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoots: Seq[String], epochId: Long)
+      : Option[(Long, DataFrame)] =
+    IncrementalIndex.mergeManyExactIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoots, epochId)
+
   def mergeEmbeddingIndexes(spark: SparkSession, indexRoot: String,
       donorRoot: String, p: IncrementalIndex.SrpParams): (Long, DataFrame) =
     IncrementalIndex.mergeSrpIndexes(spark, indexRoot, donorRoot, p)

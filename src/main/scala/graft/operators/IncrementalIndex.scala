@@ -1095,6 +1095,81 @@ object IncrementalIndex {
     } finally b.unpersist(blocking = false)
   }
 
+  /** N-WAY exact-dedup shard merge — the verdict-family face of the
+    * d69 fan-in: ONE fingerprint pass over the adopter plus ALL donors
+    * corrects every group spanning ≥2 shards at once. A fold of
+    * [[mergeExactIndexes]] re-shuffles the GROWING adopter's
+    * fingerprints N−1 times and discovers donor×donor spanning groups
+    * only across iterations — the same quadratic tail the MinHash
+    * fan-in avoids. Only 32-byte (id, fp) rows ever shuffle: one
+    * hash-agg marks fingerprints seen in ≥2 DISTINCT shards, one
+    * window recomputes keep-the-min over exactly those groups (agg,
+    * join-back and window all key on `fp`, so the exchange is reused
+    * across all three), and the correction volume is bounded by
+    * cross-shard dup volume, never index size. Data move is byte-level
+    * adoption of every donor's fingerprint log (tombstones first, the
+    * conservative order). Shard verdicts overridden by the returned
+    * delta equal the one-shot global rule — the d72 gate pins this
+    * against d57's oracle verbatim.
+    */
+  def mergeManyExactIndexes(spark: SparkSession, root: String,
+      donorRoots: Seq[String]): (Long, DataFrame) =
+    mergeManyExactImpl(spark, root, donorRoots, None).get
+
+  /** Exactly-once N-way exact merge — [[mergeManyExactIndexesEpoch]]
+    * under the ONE epoch id for the whole fan-in step (the d69
+    * convention: orchestrator-owned, monotone per adopter lineage).
+    */
+  def mergeManyExactIndexesEpoch(spark: SparkSession, root: String,
+      deltaRoot: String, donorRoots: Seq[String], epochId: Long)
+      : Option[(Long, DataFrame)] =
+    mergeManyExactImpl(spark, root, donorRoots, Some((epochId, deltaRoot)))
+
+  private def mergeManyExactImpl(spark: SparkSession, root: String,
+      donorRoots: Seq[String],
+      epoch: Option[(Long, String)]): Option[(Long, DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
+    require(donorRoots.nonEmpty, "mergeManyExactIndexes needs donors")
+    if (epoch.exists { case (e, _) =>
+        epochCommittedIn(spark, exactFpRoot(root), e) })
+      return None
+    // adopter is shard 0; groups internal to ONE shard already carry
+    // correct local verdicts (keep-the-min is shard-local-correct for
+    // them), so only ≥2-distinct-shard groups enter the window
+    val tagged = (readExactIndex(spark, root).select("id", "fp")
+        .withColumn("sh", lit(0)) +:
+      donorRoots.zipWithIndex.map { case (r, i) =>
+        readExactIndex(spark, r).select("id", "fp")
+          .withColumn("sh", lit(i + 1)) })
+      .reduce(_.unionAll(_)).persist()
+    try {
+      val spanning = tagged.groupBy("fp")
+        .agg(countDistinct(col("sh")).as("nsh"))
+        .filter(col("nsh") >= 2).select("fp")
+      val w = Window.partitionBy("fp").orderBy("id")
+      val delta = tagged.join(spanning, "fp")
+        .withColumn("kept", row_number().over(w) === 1)
+        .select("id", "fp", "kept").persist()
+      delta.count() // materialize before the commit mutates the log
+      val allTombs = donorRoots.flatMap(dr =>
+        VersionedTable.liveVersionDirs(spark, subRoot(dr, "tombstones")))
+      val allFps = donorRoots.flatMap(dr =>
+        VersionedTable.liveVersionDirs(spark, exactFpRoot(dr)))
+      val v = epoch match {
+        case None =>
+          if (allTombs.nonEmpty)
+            VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), allTombs)
+          VersionedTable.adoptFiles(spark, exactFpRoot(root), allFps)
+        case Some((e, deltaRoot)) =>
+          if (allTombs.nonEmpty)
+            adoptEpochLeg(spark, subRoot(root, "tombstones"), allTombs, e)
+          writeEpochLeg(spark, delta, deltaRoot, e)
+          adoptEpochLeg(spark, exactFpRoot(root), allFps, e)
+      }
+      Some((v, delta))
+    } finally tagged.unpersist(blocking = false)
+  }
+
   /** Survivor-recompute retraction for the EXACT index — the takedown
     * path the near-dup verdict families can't have: exact verdicts are
     * recomputable from the fingerprint log alone (kept ⇔ id is the

@@ -312,6 +312,51 @@ class EpochMergeSpec extends SparkSpec {
       "a replay after donor teardown must no-op at the guard, not crash")
   }
 
+  test("n-way exact merge: one pass equals the global rule and the fold; replay drops") {
+    import org.apache.spark.sql.expressions.Window
+    // docs + verbatim copies, mod-3 split: every copy lands in a
+    // different shard than its original (100000 % 3 = 2), so every dup
+    // group spans shards and is the one-pass correction's to find
+    val copies = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val all = docs.unionAll(copies)
+    val roots = (0 to 2).map(i => tmpDir(s"xnw_$i"))
+    val froots = (0 to 2).map(i => tmpDir(s"xnwf_$i"))
+    val shardVerdicts = (0 to 2).map { i =>
+      val shard = all.filter(pmod(col("doc_id"), lit(3)) === i)
+      IncrementalIndex.ingestExact(spark, froots(i), shard, "doc_id", "text")
+        ._2.unpersist(blocking = false)
+      IncrementalIndex.ingestExact(spark, roots(i), shard, "doc_id", "text")._2
+    }
+    val deltaRoot = tmpDir("xnw_delta")
+    val Some((_, delta)) = IncrementalIndex.mergeManyExactIndexesEpoch(
+      spark, roots(0), deltaRoot, Seq(roots(1), roots(2)), epochId = 3L)
+    def applied(base: DataFrame, d: DataFrame): DataFrame = base
+      .join(d.select(col("id"), col("kept").as("k2")), Seq("id"), "left")
+      .select(col("id"), col("fp"), coalesce(col("k2"), col("kept")).as("kept"))
+    val union = shardVerdicts.reduce(_.unionAll(_)).persist()
+    val onePass = applied(union, delta)
+    // the global keep-the-min rule, recomputed from the verdict rows
+    val expect = union.select(col("id"), col("fp")).withColumn("kept",
+      row_number().over(Window.partitionBy("fp").orderBy("id")) === 1)
+    assert(onePass.exceptAll(expect).isEmpty && expect.exceptAll(onePass).isEmpty,
+      "one-pass N-way verdicts must equal the one-shot global rule")
+    // fold twin: two binary merges, later delta overrides the earlier
+    val (_, d1) = IncrementalIndex.mergeExactIndexes(spark, froots(0), froots(1))
+    val (_, d2) = IncrementalIndex.mergeExactIndexes(spark, froots(0), froots(2))
+    val fold = applied(applied(union, d1), d2)
+    assert(onePass.exceptAll(fold).isEmpty && fold.exceptAll(onePass).isEmpty,
+      "one-pass must equal the fold of binary merges")
+    // replay: pure no-op — no new fp version, no second delta version
+    val fpVs = VersionedTable.versions(spark, s"${roots(0)}/fingerprints")
+    assert(IncrementalIndex.mergeManyExactIndexesEpoch(
+      spark, roots(0), deltaRoot, Seq(roots(1), roots(2)), epochId = 3L).isEmpty)
+    assert(VersionedTable.versions(spark, s"${roots(0)}/fingerprints") == fpVs &&
+      VersionedTable.versions(spark, deltaRoot).size == 1,
+      "a replayed N-way exact merge must not re-adopt or re-append")
+    union.unpersist(blocking = false)
+    (shardVerdicts :+ delta :+ d1 :+ d2).foreach(_.unpersist(blocking = false))
+  }
+
   test("foreign hwm on a shared result root fails loud instead of dropping the pairs leg") {
     // Two adopter lineages sharing ONE pairs root: lineage A2 commits
     // epoch 100 there, so lineage A1's merge at epoch 5 sees the pairs
