@@ -257,7 +257,7 @@ object SparkEntry {
   def provisionFixtures(s: SparkSession, dir: String): Unit = {
     minHashEvenOddShards(s, dir); minHashMod3Shards(s, dir)
     minHashOriginalsIndex(s, dir); exactShards(s, dir)
-    exactMod3Shards(s, dir)
+    exactMod3Shards(s, dir); simHashMod3Shards(s, dir); srpMod3Shards(s, dir)
     simHashShards(s, dir); prefixShards(s, dir); srpShards(s, dir)
     tfidfShards(s, dir); semDedupShards(s, dir)
   }
@@ -379,6 +379,41 @@ object SparkEntry {
       pA.unionAll(pB).write.parquet(s"$r/pairs")
       Seq(pA, pB).foreach(_.unpersist(blocking = false))
       sets.unpersist(blocking = false)
+    }
+
+  /** Mod-3 SimHash shard fixture (d73's fan-in geometry: mutant id =
+    * orig + 100000, 100000 % 3 ≠ 0, so every twin pair is cross-shard).
+    */
+  private def simHashMod3Shards(s: SparkSession, dir: String): String =
+    fixtureRoot(s"simhash3|$dir") { r =>
+      import graft.operators.IncrementalIndex
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      val parts = (0 to 2).map(i => IncrementalIndex.ingestSimHash(
+        s, s"$r/s$i", corpus.filter(pmod(col("doc_id"), lit(3)) === i),
+        "doc_id", "text")._2)
+      parts.reduce(_.unionAll(_)).write.parquet(s"$r/pairs")
+      parts.foreach(_.unpersist(blocking = false))
+    }
+
+  /** Mod-3 SRP shard fixture (d74): three shards frozen under ONE
+    * SrpParams (the N-way soundness contract); twin pairs cross-shard
+    * by the +100000 offset.
+    */
+  private def srpMod3Shards(s: SparkSession, dir: String): String =
+    fixtureRoot(s"srp3|$dir") { r =>
+      import graft.operators.IncrementalIndex
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+      val corpus = base.union(mut)
+      val p = IncrementalIndex.SrpParams(dim = 64,
+        bitsPerTable = Similarity.srpBitsFor(base.count() * 2), bucketCap = 256)
+      val parts = (0 to 2).map(i => IncrementalIndex.ingestEmbeddings(
+        s, s"$r/s$i", corpus.filter(pmod(col("vec_id"), lit(3)) === i),
+        "vec_id", "v", p)._2)
+      parts.reduce(_.unionAll(_)).write.parquet(s"$r/pairs")
+      parts.foreach(_.unpersist(blocking = false))
     }
 
   /** SRP shard fixture (e25): base vectors at a/, perturbed twins at
@@ -5157,6 +5192,44 @@ object SparkEntry {
     // at 100 TB, deciding whether a crawl batch enters the corpus is a
     // read, not a write. Oracle: the exact-Jaccard pairs touching the
     // probe side (b ≥ 100000 — a < b puts the mutant second).
+    // N-WAY SimHash fan-in (the d69 pattern for the portable-signature
+    // family): three mod-3 shards, one tagged candidate pass; every
+    // orig↔mutant twin is cross-shard (100000 % 3 ≠ 0), so the single
+    // pass must complete all of them. Shard pairs ∪ cross == d3's
+    // one-shot exact oracle verbatim.
+    "d73_nway_simhash_merge" -> ((s, dir) =>
+      cachedDf(s, s"simnway|$dir") {
+        import graft.operators.IncrementalIndex
+        val fix = simHashMod3Shards(s, dir)
+        val root0 = cloneRoot(s, s"$fix/s0")
+        val (_, cross) = IncrementalIndex.mergeManySimHashIndexes(
+          s, root0, Seq(s"$fix/s1", s"$fix/s2"))
+        val out = s.read.parquet(s"$fix/pairs").unionAll(cross).persist()
+        out.count()
+        cross.unpersist(blocking = false)
+        out
+      }.orderBy("a", "b")),
+
+    // N-WAY SRP fan-in: three shards frozen under ONE SrpParams (the
+    // soundness contract), one tagged candidate pass; perturbed twins
+    // all cross-shard. Shard pairs ∪ cross == e21's exact cosine oracle.
+    "d74_nway_srp_merge" -> ((s, dir) =>
+      cachedDf(s, s"srpnway|$dir") {
+        import graft.operators.IncrementalIndex
+        val fix = srpMod3Shards(s, dir)
+        val root0 = cloneRoot(s, s"$fix/s0")
+        val p = IncrementalIndex.SrpParams(dim = 64,
+          bitsPerTable = Similarity.srpBitsFor(
+            tbl(s, dir, "embeddings").count() * 2), bucketCap = 256)
+        val (_, cross) = IncrementalIndex.mergeManySrpIndexes(
+          s, root0, Seq(s"$fix/s1", s"$fix/s2"), p)
+        val out = s.read.parquet(s"$fix/pairs").unionAll(cross).persist()
+        out.count()
+        cross.unpersist(blocking = false)
+        out
+      }.select(col("a"), col("b"), round(col("cos"), 6).as("cos6"))
+        .orderBy("a", "b")),
+
     // N-WAY shard merge, verdict-family face (the d69 pattern for
     // EXACT dedup): three fingerprint shards fan in with ONE pass —
     // one hash-agg marks groups spanning ≥2 distinct shards, one
@@ -6504,10 +6577,12 @@ object SparkEntry {
     // d3's oracle once more: SimHash shards merged must union to the
     // identical pair list
     "d66_simhash_index_merge" -> duckSimHashPairsSql,
+    "d73_nway_simhash_merge" -> duckSimHashPairsSql,
 
     // e21's oracle once more: SRP shards merged under shared frozen
     // geometry must union to the identical pair list
     "e25_srp_index_merge" -> duckSrpNearDupSql,
+    "d74_nway_srp_merge" -> duckSrpNearDupSql,
 
     "d9_dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS ($duckMutantCorpus),

@@ -174,6 +174,34 @@ object corpus {
       donorRoot: String, maxHamming: Int = 3): (Long, DataFrame) =
     IncrementalIndex.mergeSimHashIndexes(spark, indexRoot, donorRoot, maxHamming)
 
+  /** N-way SimHash merge (d73): one tagged candidate pass over all
+    * donors — portable signatures, so any same-shingleN shards fan in.
+    */
+  def mergeManySimHashIndexes(spark: SparkSession, indexRoot: String,
+      donorRoots: Seq[String], maxHamming: Int = 3): (Long, DataFrame) =
+    IncrementalIndex.mergeManySimHashIndexes(
+      spark, indexRoot, donorRoots, maxHamming)
+
+  def mergeManySimHashIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoots: Seq[String], epochId: Long,
+      maxHamming: Int = 3): Option[(Long, DataFrame)] =
+    IncrementalIndex.mergeManySimHashIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoots, epochId, maxHamming)
+
+  /** N-way SRP merge (d74): sound iff every shard froze IDENTICAL
+    * SrpParams — the binary contract, N-fold.
+    */
+  def mergeManyEmbeddingIndexes(spark: SparkSession, indexRoot: String,
+      donorRoots: Seq[String],
+      p: IncrementalIndex.SrpParams): (Long, DataFrame) =
+    IncrementalIndex.mergeManySrpIndexes(spark, indexRoot, donorRoots, p)
+
+  def mergeManyEmbeddingIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoots: Seq[String], epochId: Long,
+      p: IncrementalIndex.SrpParams): Option[(Long, DataFrame)] =
+    IncrementalIndex.mergeManySrpIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoots, epochId, p)
+
   def mergeExactIndexes(spark: SparkSession, indexRoot: String,
       donorRoot: String): (Long, DataFrame) =
     IncrementalIndex.mergeExactIndexes(spark, indexRoot, donorRoot)

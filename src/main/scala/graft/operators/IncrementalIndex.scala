@@ -1438,6 +1438,89 @@ object IncrementalIndex {
     } finally bandedD.unpersist(blocking = false)
   }
 
+  /** N-WAY SimHash shard merge — [[mergeManyMinHashIndexes]]'s one-pass
+    * fan-in over the SimHash machinery: the donor union plays the batch
+    * role with per-shard tags, so the batch-internal candidates ARE the
+    * donor×donor pairs a fold pays N−1 growing-adopter passes for, and
+    * `batchSharded` keeps a pair iff its sides live in different shards
+    * (shard-internal pairs are already in shard logs). Signatures are
+    * PORTABLE (no frozen per-shard geometry), so any same-shingleN
+    * shards fan in. Gate: d73 == d3's exact oracle with a mod-3 split
+    * that puts every twin pair cross-shard.
+    */
+  def mergeManySimHashIndexes(spark: SparkSession, root: String,
+      donorRoots: Seq[String], maxHamming: Int = 3, bucketCap: Int = 4096,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): (Long, DataFrame) =
+    mergeManySimHashImpl(spark, root, donorRoots, maxHamming, bucketCap,
+      broadcastRowLimit, None).get
+
+  /** Exactly-once N-way SimHash merge (one orchestrator-owned epoch id
+    * for the whole fan-in step, the d69 convention).
+    */
+  def mergeManySimHashIndexesEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, donorRoots: Seq[String], epochId: Long,
+      maxHamming: Int = 3, bucketCap: Int = 4096,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[(Long, DataFrame)] =
+    mergeManySimHashImpl(spark, root, donorRoots, maxHamming, bucketCap,
+      broadcastRowLimit, Some((epochId, pairsRoot)))
+
+  private def mergeManySimHashImpl(spark: SparkSession, root: String,
+      donorRoots: Seq[String], maxHamming: Int, bucketCap: Int,
+      broadcastRowLimit: Long,
+      epoch: Option[(Long, String)]): Option[(Long, DataFrame)] = {
+    require(donorRoots.nonEmpty, "mergeManySimHashIndexes needs donors")
+    if (epoch.exists { case (e, _) => epochCommittedIn(spark, root, e) })
+      return None
+    val donors = donorRoots.map(readSimHashIndex(spark, _))
+    val index = readSimHashIndex(spark, root)
+    val bandedD = donors.zipWithIndex.map { case (d, i) =>
+      bandedOfSimHash(d).withColumn("sh", lit(i + 1))
+    }.reduce(_.unionAll(_)).persist()
+    try {
+      val donorRows = bandedD.count()
+      val statsRoot = subRoot(root, "bucketstats")
+      val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD),
+        bucketCap, epoch.map(_._1))
+      val cands = incrementalBucketCandidates(
+        bandedOfSimHash(index), bandedD, bucketCap, over,
+        donorRows, broadcastRowLimit, batchSharded = true).persist()
+      try {
+        val candIds = cands.select(col("a").as("id"))
+          .unionAll(cands.select(col("b").as("id"))).distinct()
+        val sigs = (index +: donors).reduce(_.unionAll(_))
+        val pruned = sigs.join(broadcast(candIds), "id")
+        val verified = cands
+          .join(broadcast(pruned.select(col("id").as("a"), col("sig").as("siga"))), "a")
+          .join(broadcast(pruned.select(col("id").as("b"), col("sig").as("sigb"))), "b")
+          .select(col("a"), col("b"),
+            bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("int").as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+          .persist()
+        verified.count()
+        val allTombs = donorRoots.flatMap(dr =>
+          VersionedTable.liveVersionDirs(spark, subRoot(dr, "tombstones")))
+        val allStats = donorRoots.flatMap(dr =>
+          VersionedTable.liveVersionDirs(spark, subRoot(dr, "bucketstats")))
+        val allSigs = donorRoots.flatMap(dr =>
+          VersionedTable.liveVersionDirs(spark, dr))
+        val v = epoch match {
+          case None =>
+            if (allTombs.nonEmpty)
+              VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), allTombs)
+            VersionedTable.adoptFiles(spark, statsRoot, allStats)
+            VersionedTable.adoptFiles(spark, root, allSigs)
+          case Some((e, pairsRoot)) =>
+            if (allTombs.nonEmpty)
+              adoptEpochLeg(spark, subRoot(root, "tombstones"), allTombs, e)
+            adoptEpochLeg(spark, statsRoot, allStats, e)
+            writeEpochLeg(spark, verified, pairsRoot, e)
+            adoptEpochLeg(spark, root, allSigs, e)
+        }
+        Some((v, verified))
+      } finally cands.unpersist(blocking = false)
+    } finally bandedD.unpersist(blocking = false)
+  }
+
   /** Compact a SimHash index (signature log + stats sidecar). */
   def compactSimHashIndex(spark: SparkSession, root: String,
       vacuum: Boolean = true): Unit = {
@@ -1955,6 +2038,77 @@ object IncrementalIndex {
             adoptEpochLeg(spark, statsRoot, donorStatsDirs, e)
             writeEpochLeg(spark, verified, pairsRoot, e)
             adoptEpochLeg(spark, root, donorSigDirs, e)
+        }
+        Some((v, verified))
+      } finally cands.unpersist(blocking = false)
+    } finally bandedD.unpersist(blocking = false)
+  }
+
+  /** N-WAY SRP shard merge — the [[mergeManyMinHashIndexes]] fan-in
+    * over the SRP machinery. SOUND iff every shard froze IDENTICAL
+    * `SrpParams` (the binary merge's contract, N-fold): same
+    * hyperplanes ⇒ same buckets ⇒ the tagged donor union's candidates
+    * are complete; possible from logs alone because the SRP log stores
+    * its verify vectors. Gate: d74 == e21's exact cosine oracle with a
+    * mod-3 split that puts every perturbed-twin pair cross-shard.
+    */
+  def mergeManySrpIndexes(spark: SparkSession, root: String,
+      donorRoots: Seq[String], p: SrpParams): (Long, DataFrame) =
+    mergeManySrpImpl(spark, root, donorRoots, p, None).get
+
+  /** Exactly-once N-way SRP merge (one orchestrator-owned epoch id for
+    * the whole fan-in step).
+    */
+  def mergeManySrpIndexesEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, donorRoots: Seq[String], epochId: Long,
+      p: SrpParams): Option[(Long, DataFrame)] =
+    mergeManySrpImpl(spark, root, donorRoots, p, Some((epochId, pairsRoot)))
+
+  private def mergeManySrpImpl(spark: SparkSession, root: String,
+      donorRoots: Seq[String], p: SrpParams,
+      epoch: Option[(Long, String)]): Option[(Long, DataFrame)] = {
+    require(donorRoots.nonEmpty, "mergeManySrpIndexes needs donors")
+    if (epoch.exists { case (e, _) => epochCommittedIn(spark, root, e) })
+      return None
+    // no full-width log cache (the binary merge's reasoning): banding
+    // reads the narrow (id, p, sig) slice, verification a
+    // candidate-pruned (id, v) slice
+    val donors = donorRoots.map(readSrpIndex(spark, _))
+    val index = readSrpIndex(spark, root)
+    val bandedD = donors.zipWithIndex.map { case (d, i) =>
+      bandedOfSrp(d.select("id", "p", "sig")).withColumn("sh", lit(i + 1))
+    }.reduce(_.unionAll(_)).persist()
+    try {
+      val donorRows = bandedD.count()
+      val statsRoot = subRoot(root, "bucketstats")
+      val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD),
+        p.bucketCap, epoch.map(_._1))
+      val cands = incrementalBucketCandidates(
+        bandedOfSrp(index.select("id", "p", "sig")), bandedD, p.bucketCap,
+        over, donorRows, p.broadcastRowLimit, batchSharded = true).persist()
+      try {
+        val vecs = (index +: donors).map(_.select(col("id"), col("v")))
+          .reduce(_.unionAll(_))
+        val verified = Dedup.verifyCosine(cands, vecs, p.threshold)
+        verified.count()
+        val allTombs = donorRoots.flatMap(dr =>
+          VersionedTable.liveVersionDirs(spark, subRoot(dr, "tombstones")))
+        val allStats = donorRoots.flatMap(dr =>
+          VersionedTable.liveVersionDirs(spark, subRoot(dr, "bucketstats")))
+        val allSigs = donorRoots.flatMap(dr =>
+          VersionedTable.liveVersionDirs(spark, dr))
+        val v = epoch match {
+          case None =>
+            if (allTombs.nonEmpty)
+              VersionedTable.adoptFiles(spark, subRoot(root, "tombstones"), allTombs)
+            VersionedTable.adoptFiles(spark, statsRoot, allStats)
+            VersionedTable.adoptFiles(spark, root, allSigs)
+          case Some((e, pairsRoot)) =>
+            if (allTombs.nonEmpty)
+              adoptEpochLeg(spark, subRoot(root, "tombstones"), allTombs, e)
+            adoptEpochLeg(spark, statsRoot, allStats, e)
+            writeEpochLeg(spark, verified, pairsRoot, e)
+            adoptEpochLeg(spark, root, allSigs, e)
         }
         Some((v, verified))
       } finally cands.unpersist(blocking = false)

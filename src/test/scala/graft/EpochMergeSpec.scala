@@ -357,6 +357,68 @@ class EpochMergeSpec extends SparkSpec {
     (shardVerdicts :+ delta :+ d1 :+ d2).foreach(_.unpersist(blocking = false))
   }
 
+  test("n-way simhash and srp merges: one pass equals the fold; replays drop") {
+    import IncrementalIndex.SrpParams
+    // --- simhash: mod-3 shards, fold twin from byte-equal re-ingests
+    val shard = (i: Int) => corpus.filter(pmod(col("doc_id"), lit(3)) === i)
+    val roots = (0 to 2).map(i => tmpDir(s"snw_$i"))
+    val froots = (0 to 2).map(i => tmpDir(s"snwf_$i"))
+    val shardPairs = (0 to 2).map { i =>
+      IncrementalIndex.ingestSimHash(spark, froots(i), shard(i), "doc_id", "text")
+        ._2.unpersist(blocking = false)
+      IncrementalIndex.ingestSimHash(spark, roots(i), shard(i), "doc_id", "text")._2
+    }
+    val pairsRoot = tmpDir("snw_pairs")
+    val Some((_, cross)) = IncrementalIndex.mergeManySimHashIndexesEpoch(
+      spark, roots(0), pairsRoot, Seq(roots(1), roots(2)), epochId = 7L)
+    var fold = Set.empty[(Long, Long)]
+    Seq(1, 2).foreach { i =>
+      val (_, x) = IncrementalIndex.mergeSimHashIndexes(spark, froots(0), froots(i))
+      fold ++= pairSet(x); x.unpersist(blocking = false)
+    }
+    assert(pairSet(cross) == fold,
+      "one-pass simhash fan-in must equal the fold of binary merges")
+    val sigVs = VersionedTable.versions(spark, roots(0))
+    assert(IncrementalIndex.mergeManySimHashIndexesEpoch(
+      spark, roots(0), pairsRoot, Seq(roots(1), roots(2)), epochId = 7L).isEmpty)
+    assert(VersionedTable.versions(spark, roots(0)) == sigVs &&
+      VersionedTable.versions(spark, pairsRoot).size == 1,
+      "a replayed N-way simhash merge must not re-adopt or re-append")
+    (shardPairs :+ cross).foreach(_.unpersist(blocking = false))
+
+    // --- srp: one frozen geometry across three shards
+    val emb = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val dup = emb.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(v, (x, i) -> IF(i = 0, x + 0.01D, x))").as("v"))
+    val vecs = emb.union(dup)
+    val p = SrpParams(dim = 64, bitsPerTable = 8, bucketCap = 256)
+    val vshard = (i: Int) => vecs.filter(pmod(col("vec_id"), lit(3)) === i)
+    val vroots = (0 to 2).map(i => tmpDir(s"vnw_$i"))
+    val vfroots = (0 to 2).map(i => tmpDir(s"vnwf_$i"))
+    (0 to 2).foreach { i =>
+      IncrementalIndex.ingestEmbeddings(spark, vroots(i), vshard(i), "vec_id", "v", p)
+        ._2.unpersist(blocking = false)
+      IncrementalIndex.ingestEmbeddings(spark, vfroots(i), vshard(i), "vec_id", "v", p)
+        ._2.unpersist(blocking = false)
+    }
+    val vpairs = tmpDir("vnw_pairs")
+    val Some((_, vcross)) = IncrementalIndex.mergeManySrpIndexesEpoch(
+      spark, vroots(0), vpairs, Seq(vroots(1), vroots(2)), epochId = 8L, p)
+    var vfold = Set.empty[(Long, Long)]
+    Seq(1, 2).foreach { i =>
+      val (_, x) = IncrementalIndex.mergeSrpIndexes(spark, vfroots(0), vfroots(i), p)
+      vfold ++= pairSet(x); x.unpersist(blocking = false)
+    }
+    assert(pairSet(vcross) == vfold,
+      "one-pass srp fan-in must equal the fold of binary merges")
+    assert(IncrementalIndex.mergeManySrpIndexesEpoch(
+      spark, vroots(0), vpairs, Seq(vroots(1), vroots(2)), epochId = 8L, p).isEmpty)
+    assert(VersionedTable.versions(spark, vpairs).size == 1)
+    vcross.unpersist(blocking = false)
+  }
+
   test("foreign hwm on a shared result root fails loud instead of dropping the pairs leg") {
     // Two adopter lineages sharing ONE pairs root: lineage A2 commits
     // epoch 100 there, so lineage A1's merge at epoch 5 sees the pairs
