@@ -258,6 +258,7 @@ object SparkEntry {
     minHashEvenOddShards(s, dir); minHashMod3Shards(s, dir)
     minHashOriginalsIndex(s, dir); exactShards(s, dir)
     exactMod3Shards(s, dir); simHashMod3Shards(s, dir); srpMod3Shards(s, dir)
+    prefixMod3Shards(s, dir)
     simHashShards(s, dir); prefixShards(s, dir); srpShards(s, dir)
     tfidfShards(s, dir); semDedupShards(s, dir)
   }
@@ -414,6 +415,25 @@ object SparkEntry {
         "vec_id", "v", p)._2)
       parts.reduce(_.unionAll(_)).write.parquet(s"$r/pairs")
       parts.foreach(_.unpersist(blocking = false))
+    }
+
+  /** Mod-3 prefix-filter shard fixture (d75): each shard froze its OWN
+    * element order; twin pairs cross-shard by the +100000 offset.
+    */
+  private def prefixMod3Shards(s: SparkSession, dir: String): String =
+    fixtureRoot(s"prefix3|$dir") { r =>
+      import graft.operators.IncrementalIndex
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      def sh(c: Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+      val sets = nearDupCorpus(tbl(s, dir, "documents"))
+        .select(col("doc_id").as("id"), explode(sh(col("text"))).as("elem"))
+        .distinct().persist()
+      val parts = (0 to 2).map(i => IncrementalIndex.bootstrapPrefixJaccard(
+        s, s"$r/s$i", sets.filter(pmod(col("id"), lit(3)) === i))._2)
+      parts.reduce(_.unionAll(_)).write.parquet(s"$r/pairs")
+      parts.foreach(_.unpersist(blocking = false))
+      sets.unpersist(blocking = false)
     }
 
   /** SRP shard fixture (e25): base vectors at a/, perturbed twins at
@@ -5192,6 +5212,25 @@ object SparkEntry {
     // at 100 TB, deciding whether a crawl batch enters the corpus is a
     // read, not a write. Oracle: the exact-Jaccard pairs touching the
     // probe side (b ≥ 100000 — a < b puts the mutant second).
+    // N-WAY prefix-filter fan-in — the no-adoption family's: every
+    // donor's token arrays re-sort under the adopter's frozen element
+    // order, ONE tagged candidate pass covers index×donors and
+    // donor×donor at once. Shard pair logs stay valid verbatim
+    // (exactness is order-independent): shard pairs ∪ cross == the
+    // one-shot exact Jaccard oracle, integer witnesses included.
+    "d75_nway_prefix_merge" -> ((s, dir) =>
+      cachedDf(s, s"pfxnway|$dir") {
+        import graft.operators.IncrementalIndex
+        val fix = prefixMod3Shards(s, dir)
+        val root0 = cloneRoot(s, s"$fix/s0")
+        val (_, cross) = IncrementalIndex.mergeManyPrefixIndexes(
+          s, root0, Seq(s"$fix/s1", s"$fix/s2"))
+        val out = s.read.parquet(s"$fix/pairs").unionAll(cross).persist()
+        out.count()
+        cross.unpersist(blocking = false)
+        out
+      }.orderBy("ia", "ib")),
+
     // N-WAY SimHash fan-in (the d69 pattern for the portable-signature
     // family): three mod-3 shards, one tagged candidate pass; every
     // orig↔mutant twin is cross-shard (100000 % 3 ≠ 0), so the single
@@ -8066,6 +8105,7 @@ object SparkEntry {
     // of the full gate — the cost is the pipeline's fixed stage count,
     // not the corpus — so the gate keeps full coverage.)
     "d67_prefix_index_merge" -> duckPrefixJoinSql,
+    "d75_nway_prefix_merge" -> duckPrefixJoinSql,
 
     // d59's witnessed exact-Jaccard oracle VERBATIM: the streamed,
     // restart-replayed prefix index must accumulate the identical pairs

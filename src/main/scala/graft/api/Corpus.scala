@@ -160,6 +160,23 @@ object corpus {
     IncrementalIndex.mergePrefixIndexesEpoch(
       spark, indexRoot, resultRoot, donorRoot, epochId, p)
 
+  /** N-way prefix-filter merge (d75): every donor's token arrays
+    * re-sort under the adopter's frozen order, then one tagged
+    * candidate pass covers all shard combinations.
+    */
+  def mergeManyPrefixIndexes(spark: SparkSession, indexRoot: String,
+      donorRoots: Seq[String],
+      p: IncrementalIndex.PrefixJaccardParams =
+        IncrementalIndex.PrefixJaccardParams()): (Long, DataFrame) =
+    IncrementalIndex.mergeManyPrefixIndexes(spark, indexRoot, donorRoots, p)
+
+  def mergeManyPrefixIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoots: Seq[String], epochId: Long,
+      p: IncrementalIndex.PrefixJaccardParams =
+        IncrementalIndex.PrefixJaccardParams()): Option[(Long, DataFrame)] =
+    IncrementalIndex.mergeManyPrefixIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoots, epochId, p)
+
   /** N-way MinHash merge (d69): one candidate pass over ALL donors —
     * the wide-fan-in path; a fold of binary merges re-scans the growing
     * adopter N−1 times.

@@ -1652,10 +1652,17 @@ object IncrementalIndex {
       batchTok: DataFrame, batchStats: DataFrame, verified: DataFrame,
       release: () => Unit)
 
+  /** `shardTags` (the N-way merge): an (id, sh) frame tagging each
+    * batch id with its donor shard — batch-sized, joined onto the
+    * banded batch rows so `batchSharded` candidate filtering can drop
+    * shard-internal pairs inside the join. Exclusive with `crossOnly`
+    * (the binary-merge face), matching the machinery's contract.
+    */
   private def prefixBatchArtifacts(spark: SparkSession, root: String,
       sets: DataFrame, p: PrefixJaccardParams,
       excludeEpoch: Option[Long] = None,
-      crossOnly: Boolean = false): PrefixArtifacts = {
+      crossOnly: Boolean = false,
+      shardTags: Option[DataFrame] = None): PrefixArtifacts = {
     val s0 = sets.persist()
     try {
       // an empty/absent root bootstraps naturally: the FIRST batch's
@@ -1671,7 +1678,11 @@ object IncrementalIndex {
       try {
         val haveIndex = VersionedTable.versions(spark, prefixTokRoot(root)).nonEmpty
         val prior = if (haveIndex) Some(readPrefixIndex(spark, root)) else None
-        val bandedB = bandedOfPrefix(batchTok).persist()
+        val bandedB = (shardTags match {
+          case Some(t) => bandedOfPrefix(batchTok)
+            .join(t.select(col("id").as("doc"), col("sh")), "doc")
+          case None => bandedOfPrefix(batchTok)
+        }).persist()
         val batchRows = bandedB.count() // materializes; drives the broadcast gate
         val batchStats = bucketStats(bandedB)
         val over = overCapBuckets(spark, prefixStatsRoot(root), batchStats,
@@ -1679,10 +1690,12 @@ object IncrementalIndex {
         val cands = (prior match {
           case Some(ix) => incrementalBucketCandidates(
             bandedOfPrefix(ix), bandedB, p.bucketCap, over,
-            batchRows, p.broadcastRowLimit, crossOnly)
+            batchRows, p.broadcastRowLimit, crossOnly,
+            batchSharded = shardTags.nonEmpty)
           case None => incrementalBucketCandidates(
             bandedB.filter(lit(false)), bandedB, p.bucketCap, over,
-            batchRows, p.broadcastRowLimit, crossOnly)
+            batchRows, p.broadcastRowLimit, crossOnly,
+            batchSharded = shardTags.nonEmpty)
         }).persist()
         try {
           // verification with the prefixJaccardJoin exchange discipline:
@@ -1802,6 +1815,66 @@ object IncrementalIndex {
     // every verified pair index×donor by construction
     val a = prefixBatchArtifacts(spark, root, donorSets, p,
       excludeEpoch = epoch.map(_._1), crossOnly = true)
+    try {
+      val v = epoch match {
+        case None =>
+          VersionedTable.write(spark, a.batchStats, prefixStatsRoot(root))
+          VersionedTable.write(spark, a.batchTok, prefixTokRoot(root))
+        case Some((e, pairsRoot)) =>
+          commitEpoch(spark, e,
+            Some((a.batchStats, prefixStatsRoot(root))),
+            Seq(a.verified -> pairsRoot, a.batchTok -> prefixTokRoot(root)))
+      }
+      Some((v, a.verified))
+    } catch {
+      case t: Throwable => a.verified.unpersist(blocking = false); throw t
+    } finally a.release()
+  }
+
+  /** N-WAY prefix-filter shard merge — the fan-in for the one family
+    * that cannot adopt files: every donor's stored token arrays RE-SORT
+    * under the ADOPTER's frozen element order (unseen elements df=0,
+    * still a total order; shingles never recompute from text), then ONE
+    * tagged candidate pass covers index×donors and donor×donor at once
+    * — a fold of [[mergePrefixIndexes]] re-sorts nothing extra but
+    * re-scans the GROWING adopter's token log N−1 times. Exactness is
+    * order-independent, so every shard's own pair log stays valid
+    * verbatim. Gate: d75 == d40/d59's exact Jaccard oracle, integer
+    * witnesses included, with a mod-3 split making every twin pair
+    * cross-shard.
+    */
+  def mergeManyPrefixIndexes(spark: SparkSession, root: String,
+      donorRoots: Seq[String],
+      p: PrefixJaccardParams = PrefixJaccardParams()): (Long, DataFrame) =
+    mergeManyPrefixImpl(spark, root, donorRoots, p, None).get
+
+  /** Exactly-once N-way prefix merge (one orchestrator-owned epoch id
+    * for the whole fan-in step).
+    */
+  def mergeManyPrefixIndexesEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, donorRoots: Seq[String], epochId: Long,
+      p: PrefixJaccardParams = PrefixJaccardParams()): Option[(Long, DataFrame)] =
+    mergeManyPrefixImpl(spark, root, donorRoots, p, Some((epochId, pairsRoot)))
+
+  private def mergeManyPrefixImpl(spark: SparkSession, root: String,
+      donorRoots: Seq[String], p: PrefixJaccardParams,
+      epoch: Option[(Long, String)]): Option[(Long, DataFrame)] = {
+    require(donorRoots.nonEmpty, "mergeManyPrefixIndexes needs donors")
+    if (epoch.exists { case (e, _) =>
+        epochCommittedIn(spark, prefixTokRoot(root), e) })
+      return None
+    val donorLive = donorRoots.map(readPrefixIndex(spark, _))
+    val donorSets = donorLive.map(
+      _.select(col("id"), explode(col("toks")).as("elem")))
+      .reduce(_.unionAll(_))
+    // (id, sh) tags — batch-sized column-pruned id reads, joined onto
+    // the banded batch inside prefixBatchArtifacts so donor-internal
+    // pairs are dropped INSIDE the candidate join
+    val tags = donorLive.zipWithIndex.map { case (d, i) =>
+      d.select(col("id"), lit(i + 1).as("sh"))
+    }.reduce(_.unionAll(_))
+    val a = prefixBatchArtifacts(spark, root, donorSets, p,
+      excludeEpoch = epoch.map(_._1), shardTags = Some(tags))
     try {
       val v = epoch match {
         case None =>

@@ -417,6 +417,43 @@ class EpochMergeSpec extends SparkSpec {
       spark, vroots(0), vpairs, Seq(vroots(1), vroots(2)), epochId = 8L, p).isEmpty)
     assert(VersionedTable.versions(spark, vpairs).size == 1)
     vcross.unpersist(blocking = false)
+
+    // --- prefix: donors re-sort under the adopter's frozen order; one
+    // tagged pass must equal the fold of binary merges
+    import IncrementalIndex.PrefixJaccardParams
+    val pfP = PrefixJaccardParams()
+    val sets = (d: DataFrame) => d.select(col("doc_id").as("id"),
+      explode(split(col("text"), "\\s+")).as("elem")).distinct()
+    val pshard = (i: Int) =>
+      sets(corpus.filter(pmod(col("doc_id"), lit(3)) === i))
+    val proots = (0 to 2).map(i => tmpDir(s"pnw_$i"))
+    val pfroots = (0 to 2).map(i => tmpDir(s"pnwf_$i"))
+    (0 to 2).foreach { i =>
+      IncrementalIndex.ingestPrefixJaccard(spark, proots(i), pshard(i), pfP)
+        ._2.unpersist(blocking = false)
+      IncrementalIndex.ingestPrefixJaccard(spark, pfroots(i), pshard(i), pfP)
+        ._2.unpersist(blocking = false)
+    }
+    def ppairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("ia").cast("long"), col("ib").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ppRoot = tmpDir("pnw_pairs")
+    val Some((_, pcross)) = IncrementalIndex.mergeManyPrefixIndexesEpoch(
+      spark, proots(0), ppRoot, Seq(proots(1), proots(2)), epochId = 9L, pfP)
+    var pfold = Set.empty[(Long, Long)]
+    Seq(1, 2).foreach { i =>
+      val (_, x) = IncrementalIndex.mergePrefixIndexes(spark, pfroots(0), pfroots(i), pfP)
+      pfold ++= ppairs(x); x.unpersist(blocking = false)
+    }
+    assert(ppairs(pcross) == pfold,
+      "one-pass prefix fan-in must equal the fold of binary merges")
+    val tokVs = VersionedTable.versions(spark, s"${proots(0)}/tokens")
+    assert(IncrementalIndex.mergeManyPrefixIndexesEpoch(
+      spark, proots(0), ppRoot, Seq(proots(1), proots(2)), epochId = 9L, pfP).isEmpty)
+    assert(VersionedTable.versions(spark, s"${proots(0)}/tokens") == tokVs &&
+      VersionedTable.versions(spark, ppRoot).size == 1,
+      "a replayed N-way prefix merge must not re-append donor tokens")
+    pcross.unpersist(blocking = false)
   }
 
   test("foreign hwm on a shared result root fails loud instead of dropping the pairs leg") {
