@@ -981,6 +981,119 @@ object ScaleRehearsal {
       return
     }
 
+    if (scope == "nwayfam") {
+      // one-pass vs fold for the NEW fan-in families (exact d72,
+      // simhash d73, srp d74, prefix d75) at 10x, k=3 — the d69
+      // separation argument re-measured per family. Fold twins are
+      // byte-copies of the bootstrapped shards (no second ingest pass).
+      import graft.operators.IncrementalIndex
+      import graft.operators.IncrementalIndex.{SrpParams, PrefixJaccardParams}
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val conf = spark.sparkContext.hadoopConfiguration
+      def timed(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      // generic runner: boot(root, shardIdx) ingests; one(root, donors)
+      // and bin(root, donor) return emitted pair/delta counts
+      def run(dir: String, tag: String, fam: String,
+          boot: (String, Int, String) => Unit,
+          one: (String, Seq[String]) => Long,
+          bin: (String, String) => Long,
+          checkEqual: Boolean = true): String = {
+        val roots = (0 to 2).map(i => s"$base/graft-nf-$fam-$tag-$i")
+        val froots = (0 to 2).map(i => s"$base/graft-nff-$fam-$tag-$i")
+        (roots ++ froots).foreach(r => fs.delete(new Path(r), true))
+        try {
+          (0 to 2).foreach(i => boot(roots(i), i, dir))
+          (0 to 2).foreach(i => org.apache.hadoop.fs.FileUtil.copy(
+            fs, new Path(roots(i)), fs, new Path(froots(i)), false, conf))
+          val (oneSec, nOne) = timed(one(roots(0), roots.drop(1)))
+          val (foldSec, nFold) = timed(
+            (1 to 2).map(i => bin(froots(0), froots(i))).sum)
+          // pair families emit each cross pair exactly once either way;
+          // the exact family's fold deltas OVERLAP across steps (a
+          // 3-shard group is corrected by both binary merges), so its
+          // semantic equality is the spec's applied-verdict check, not
+          // a row-count identity
+          if (checkEqual)
+            require(nOne == nFold, s"$fam one-pass $nOne != fold $nFold")
+          println(f"SCALE nwayfam[$fam/$tag] one-pass $oneSec%.2fs " +
+            f"fold $foldSec%.2fs rows $nOne")
+          f""""${fam}_onepass_$tag":${"%.2f".format(oneSec)},""" +
+            f""""${fam}_fold_$tag":${"%.2f".format(foldSec)},""" +
+            f""""${fam}_rows_$tag":$nOne"""
+        } finally (roots ++ froots).foreach(r => fs.delete(new Path(r), true))
+      }
+      def docsOf(dir: String) = spark.read
+        .parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      def count(df: DataFrame): Long = {
+        val n = df.count(); df.unpersist(blocking = false); n
+      }
+      val exact = (dir: String, tag: String) => run(dir, tag, "exact",
+        (r, i, d) => IncrementalIndex.ingestExact(spark, r,
+          docsOf(d).filter(pmod(col("doc_id"), lit(3)) === i), "doc_id", "text")
+          ._2.unpersist(blocking = false),
+        (r, ds) => count(IncrementalIndex.mergeManyExactIndexes(spark, r, ds)._2),
+        (r, d) => count(IncrementalIndex.mergeExactIndexes(spark, r, d)._2),
+        checkEqual = false)
+      val sim = (dir: String, tag: String) => run(dir, tag, "sim",
+        (r, i, d) => IncrementalIndex.ingestSimHash(spark, r,
+          docsOf(d).filter(pmod(col("doc_id"), lit(3)) === i), "doc_id", "text")
+          ._2.unpersist(blocking = false),
+        (r, ds) => count(IncrementalIndex.mergeManySimHashIndexes(spark, r, ds)._2),
+        (r, d) => count(IncrementalIndex.mergeSimHashIndexes(spark, r, d)._2))
+      def vecsOf(dir: String) = {
+        val base0 = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val off = 1 + 2 * (spark.read.parquet(s"$dir/embeddings.parquet")
+          .agg(max(col("vec_id")).cast("long")).head().getLong(0) / 2 + 1)
+        base0.unionAll(base0.select((col("vec_id") + off).as("vec_id"),
+          expr("transform(v, (x, i) -> IF(i = 0, x + 0.01D, x))").as("v")))
+      }
+      var srpP: SrpParams = null
+      val srp = (dir: String, tag: String) => {
+        srpP = SrpParams(dim = 64, bitsPerTable =
+          graft.operators.Similarity.srpBitsFor(vecsOf(dir).count()),
+          bucketCap = 256)
+        run(dir, tag, "srp",
+          (r, i, d) => IncrementalIndex.ingestEmbeddings(spark, r,
+            vecsOf(d).filter(pmod(col("vec_id"), lit(3)) === i), "vec_id", "v", srpP)
+            ._2.unpersist(blocking = false),
+          (r, ds) => count(IncrementalIndex.mergeManySrpIndexes(spark, r, ds, srpP)._2),
+          (r, d) => count(IncrementalIndex.mergeSrpIndexes(spark, r, d, srpP)._2))
+      }
+      def setsOf(dir: String) = {
+        def sh(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+          graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+        docsOf(dir).select(col("doc_id").as("id"),
+          explode(sh(col("text"))).as("elem")).distinct()
+      }
+      val pfxP = PrefixJaccardParams()
+      val pfx = (dir: String, tag: String) => run(dir, tag, "pfx",
+        (r, i, d) => IncrementalIndex.ingestPrefixJaccard(spark, r,
+          setsOf(d).filter(pmod(col("id"), lit(3)) === i), pfxP)
+          ._2.unpersist(blocking = false),
+        (r, ds) => count(IncrementalIndex.mergeManyPrefixIndexes(spark, r, ds, pfxP)._2),
+        (r, d) => count(IncrementalIndex.mergePrefixIndexes(spark, r, d, pfxP)._2))
+      val warmDir0 = new java.io.File(srcDir).getParent + "/sf0.01"
+      val parts = Seq(exact, sim, srp, pfx).map { f =>
+        f(warmDir0, "warm")
+        SparkEntry.resetSessionCache(spark)
+        f(cliqueDir0, "10x")
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"nwayfam":{${parts.mkString(",")}}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
     if (scope == "serve") {
       // e26's sharded ANN serve at admission-pass volume: the BENCH row
       // is demo-sized (8 queries, util 0.02); here a production-shaped
