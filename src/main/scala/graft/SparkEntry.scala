@@ -261,6 +261,7 @@ object SparkEntry {
     prefixMod3Shards(s, dir)
     simHashShards(s, dir); prefixShards(s, dir); srpShards(s, dir)
     tfidfShards(s, dir); semDedupShards(s, dir)
+    tfidfMod3Shards(s, dir); semDedupRangeShards(s, dir)
   }
 
   /** Even/odd MinHash shard fixture over the near-dup corpus: shard
@@ -470,6 +471,26 @@ object SparkEntry {
         s, s"$r/b", docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     }
 
+  /** Demo-corpus cap for the 8-centroid SemDeDup gates (e22, e27, e28,
+    * st28). Their oracle-expressible frozen-8 geometry makes within-cell
+    * verify candidates grow QUADRATICALLY with clique depth — the sf1
+    * rehearsal's only super-linear rows (e22/e27/st28 at 129/155/178 s,
+    * the named mechanism in SCALING.md; production geometry e24 measures
+    * 1.57 on the same corpus). The mechanism is attributed and priced,
+    * so the demo gates bound their input instead of re-paying it every
+    * rehearsal: vectors with id ≥ the cap (and their +100000 mutants,
+    * derived AFTER the cap) are excluded on BOTH sides — the engine
+    * filters base here and every oracle carries the same
+    * `WHERE vec_id < 4096`. Inert at every gate/bench SF (sf0.001/0.01
+    * hold 500 vectors, sf0.1 holds 2000 — the driver gate corpus is
+    * untouched); binding only on 10×+ rehearsal replicas (20000+), where
+    * it keeps each original plus its first replica — cliques still
+    * exist, the demo semantics still exercise, the quadratic tail is
+    * bounded. e24 keeps the FULL corpus: it is the production-geometry
+    * scale row.
+    */
+  private val semDemoCap = 4096L
+
   /** SemDeDup shard fixture (e27): adopter index over the low-id half
     * (frozen on centroids 0..7, its bootstrap verdicts snapshotted at
     * verdicts/) at a/; donor index over the high-id half under a
@@ -482,6 +503,7 @@ object SparkEntry {
     fixtureRoot(s"semdedup|$dir") { r =>
       import graft.operators.IncrementalIndex
       val base = tbl(s, dir, "embeddings")
+        .filter(col("vec_id") < semDemoCap) // see semDemoCap — oracle carries the same bound
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val mut = base.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
@@ -500,6 +522,62 @@ object SparkEntry {
         s, s"$r/b", corpus.filter(col("vec_id") >= splitId), "vec_id", "v",
         donorCents, threshold = 0.99, cap = 2048)
         .verdicts.unpersist(blocking = false)
+    }
+
+  /** SemDeDup RANGE-shard fixture (e28's N-way geometry): the corpus
+    * (originals [0, N) ∪ mutants [100000, 100000+N)) cut into FOUR
+    * contiguous id ranges — adopter a/ on the low half of the
+    * originals (frozen on centroids 0..7, e22's oracle geometry, its
+    * bootstrap verdicts snapshotted at verdicts/) and donors d1/d2/d3
+    * on the remaining ranges, EACH frozen under its own distinct
+    * centroid set (8..15 / 16..23 / 24..31) so the fan-in genuinely
+    * re-assigns all of them. Every orig↔mutant twin is cross-range by
+    * the +100000 offset (orig in a∪d1, mutant in d2∪d3), so every twin
+    * pair is the one-pass merge's to find. e28 clones a/ — the merge
+    * ingests the donors' members into it.
+    */
+  private def semDedupRangeShards(s: SparkSession, dir: String): String =
+    fixtureRoot(s"semdedupR|$dir") { r =>
+      import graft.operators.IncrementalIndex
+      val base = tbl(s, dir, "embeddings")
+        .filter(col("vec_id") < semDemoCap) // see semDemoCap — oracle carries the same bound
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+      val corpus = base.union(mut)
+      val n = base.count()
+      def cents(from: Long) = base
+        .filter(col("vec_id") >= from && col("vec_id") < from + 8)
+        .select(col("vec_id").as("cid"), col("v").as("cvec"))
+      val kA = IncrementalIndex.bootstrapSemDedup(
+        s, s"$r/a", corpus.filter(col("vec_id") < n / 2), "vec_id", "v",
+        cents(0), threshold = 0.99, cap = 2048).verdicts
+      kA.write.parquet(s"$r/verdicts")
+      kA.unpersist(blocking = false)
+      val ranges = Seq(
+        ("d1", col("vec_id") >= n / 2 && col("vec_id") < 100000L),
+        ("d2", col("vec_id") >= 100000L && col("vec_id") < 100000L + n / 2),
+        ("d3", col("vec_id") >= 100000L + n / 2))
+      ranges.zipWithIndex.foreach { case ((name, pred), i) =>
+        IncrementalIndex.bootstrapSemDedup(
+          s, s"$r/$name", corpus.filter(pred), "vec_id", "v",
+          cents(8L * (i + 1)), threshold = 0.99, cap = 2048)
+          .verdicts.unpersist(blocking = false)
+      }
+    }
+
+  /** Mod-3 TF-IDF shard fixture (d76's N-way geometry): three shards
+    * bootstrapped on doc_id mod 3, each frozen under its OWN (df, N).
+    * Read in place — the TF-IDF merge writes a fresh root and never
+    * touches the shards.
+    */
+  private def tfidfMod3Shards(s: SparkSession, dir: String): String =
+    fixtureRoot(s"tfidf3|$dir") { r =>
+      import graft.operators.IncrementalIndex
+      val docs = tbl(s, dir, "documents")
+      (0 to 2).foreach(i => IncrementalIndex.bootstrapTfidf(
+        s, s"$r/s$i", docs.filter(pmod(col("doc_id"), lit(3)) === i),
+        "doc_id", "text"))
     }
 
   private def minHashPairs(s: SparkSession, dir: String): DataFrame =
@@ -4654,6 +4732,7 @@ object SparkEntry {
       val verdictsRoot = tmpdir("graft-st28-verdicts")
       val ckpt = tmpdir("graft-st28-ckpt")
       val base = tbl(s, dir, "embeddings")
+        .filter(col("vec_id") < semDemoCap) // see semDemoCap — oracle carries the same bound
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       val mut = base.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
@@ -4797,6 +4876,7 @@ object SparkEntry {
         import graft.operators.IncrementalIndex
         val root = tmpdir("graft-incr-sem")
         val base = tbl(s, dir, "embeddings")
+          .filter(col("vec_id") < semDemoCap) // see semDemoCap — oracle carries the same bound
           .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         val mut = base.select((col("vec_id") + 100000).as("vec_id"),
           transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
@@ -4872,6 +4952,31 @@ object SparkEntry {
         val root = cloneRoot(s, s"$fix/a") // the merge ingests into A
         val km = IncrementalIndex.mergeSemDedupIndexes(
           s, root, s"$fix/b", threshold = 0.99, cap = 2048).verdicts
+        val out = s.read.parquet(s"$fix/verdicts").unionAll(km).persist()
+        out.count()
+        km.unpersist(blocking = false)
+        out
+      }.select(col("id").as("vec_id"), col("cid"), col("kept"))
+        .orderBy("vec_id")),
+
+    // N-WAY SemDeDup fan-in — the ORDERED one-pass the id-range
+    // contract makes natural: three donors on contiguous id ranges
+    // (each frozen under its OWN centroid geometry) concatenate into
+    // ONE append-ordered batch, so donor×donor twin pairs complete
+    // inside a single assign + candidate pass instead of k−1 folds
+    // against the growing adopter. Donors are passed OUT of range
+    // order (d2, d3, d1) — the precheck sorts ranges internally and
+    // the one-batch union is order-independent, so the Seq order must
+    // not matter. Adopter verdicts ∪ the one merge's == e22's one-shot
+    // rule verbatim.
+    "e28_nway_semdedup_merge" -> ((s, dir) =>
+      cachedDf(s, s"semnway|$dir") {
+        import graft.operators.IncrementalIndex
+        val fix = semDedupRangeShards(s, dir)
+        val root = cloneRoot(s, s"$fix/a") // the fan-in ingests into A
+        val km = IncrementalIndex.mergeManySemDedupIndexes(
+          s, root, Seq(s"$fix/d2", s"$fix/d3", s"$fix/d1"),
+          threshold = 0.99, cap = 2048).verdicts
         val out = s.read.parquet(s"$fix/verdicts").unionAll(km).persist()
         out.count()
         km.unpersist(blocking = false)
@@ -5178,6 +5283,24 @@ object SparkEntry {
       val fix = tfidfShards(s, dir)
       val rootM = tmpdir("graft-tmerge-m")
       IncrementalIndex.mergeTfidfIndexes(s, rootM, Seq(s"$fix/a", s"$fix/b"))
+      IncrementalIndex.sparseCosineIndexed(s, rootM, col("id") < 50, 0.2)
+        .orderBy("ia", "ib")
+    }),
+
+    // N-WAY TF-IDF fan-in — the scoring family's: k shards' frozen
+    // (df, N) sum in one vocabulary-keyed aggregate and the re-weight
+    // pass (the dominant term) runs ONCE over the union of the
+    // recovered integer tfs, regardless of k; a fold of binary merges
+    // pays k−1 re-weight passes over growing unions and writes k−1
+    // discarded roots. Three mod-3 shards fanned in at once must score
+    // exactly like d41's one-shot full-corpus bootstrap — integer
+    // arithmetic bit-exact, the d68 convention at k=3.
+    "d76_nway_tfidf_merge" -> ((s, dir) => {
+      import graft.operators.IncrementalIndex
+      val fix = tfidfMod3Shards(s, dir)
+      val rootM = tmpdir("graft-tmerge3-m")
+      IncrementalIndex.mergeTfidfIndexes(
+        s, rootM, Seq(s"$fix/s0", s"$fix/s1", s"$fix/s2"))
       IncrementalIndex.sparseCosineIndexed(s, rootM, col("id") < 50, 0.2)
         .orderBy("ia", "ib")
     }),
@@ -6501,12 +6624,35 @@ object SparkEntry {
         |  FROM dots JOIN nrm na ON ia = na.doc_id JOIN nrm nb ON ib = nb.doc_id)
         |SELECT ia, ib, dot, cos FROM sc WHERE cos >= 0.2 ORDER BY ia, ib""".stripMargin,
 
+    // d41's full-corpus frozen-stats oracle VERBATIM (d68's): THREE
+    // shards fanned in at once must still score exactly like a one-shot
+    // bootstrap over the whole corpus — the re-weighting stays
+    // integer-exact at any k
+    "d76_nway_tfidf_merge" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tk
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM documents),
+        |wts AS (SELECT tf.doc_id, tf.tk,
+        |  tf.tf * CAST(round((ln(CAST(n.nn + 1 AS DOUBLE) / (dfq.df + 1)) + 1) * 1000000) AS BIGINT) AS w
+        |  FROM tf JOIN dfq USING (tk) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, SUM(w * w) AS nrm2 FROM wts GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS ia, b.doc_id AS ib, SUM(a.w * b.w) AS dot
+        |  FROM wts a JOIN wts b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 50 GROUP BY 1, 2),
+        |sc AS (SELECT ia, ib, CAST(dot AS BIGINT) AS dot,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6) AS cos
+        |  FROM dots JOIN nrm na ON ia = na.doc_id JOIN nrm nb ON ib = nb.doc_id)
+        |SELECT ia, ib, dot, cos FROM sc WHERE cos >= 0.2 ORDER BY ia, ib""".stripMargin,
+
     // exact SemDeDup semantics, NO chunk replay (cap 2048 disengaged at
     // gate SFs): argmax assignment as d47, then kept = no lower-id
     // same-cell member within the (unrounded) threshold — incremental
     // verdict accumulation must equal this corpus-wide rule exactly
     "e22_incremental_semdedup" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 4096),
         |mut AS (SELECT vec_id + 100000 AS vec_id,
         |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
@@ -6530,7 +6676,31 @@ object SparkEntry {
     // rule — any donor-verdict leakage or double-assignment breaks the
     // hash
     "e27_semdedup_merge" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 4096),
+        |mut AS (SELECT vec_id + 100000 AS vec_id,
+        |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |c AS (SELECT vec_id AS cid, v AS cvec FROM base WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  round(list_cosine_similarity(e.v, c.cvec), 6) AS sim FROM corpus e, c),
+        |a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s)
+        |  WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cid, e.v FROM a JOIN corpus e USING (vec_id)),
+        |drp AS (SELECT DISTINCT r.vec_id FROM m l JOIN m r
+        |  ON l.cid = r.cid AND l.vec_id < r.vec_id
+        |  AND list_cosine_similarity(l.v, r.v) >= 0.99)
+        |SELECT m.vec_id, m.cid, (drp.vec_id IS NULL) AS kept
+        |FROM m LEFT JOIN drp ON m.vec_id = drp.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
+
+    // e22's exact rule VERBATIM again: THREE range donors fanned in as
+    // one append-ordered batch, each re-assigned from its own frozen
+    // geometry to the adopter's, must reproduce the identical one-shot
+    // verdict log — a missed donor×donor cross pair or any donor-cid
+    // leakage breaks the hash
+    "e28_nway_semdedup_merge" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 4096),
         |mut AS (SELECT vec_id + 100000 AS vec_id,
         |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
@@ -6553,7 +6723,7 @@ object SparkEntry {
     // replayed micro-batch flips no verdict but double-appends rows —
     // the hash gate catches the duplicates)
     "st28_stream_semdedup_restart" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 4096),
         |mut AS (SELECT vec_id + 100000 AS vec_id,
         |  list_concat([v[1] + 0.01], v[2:]) AS v FROM base),
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),

@@ -1891,6 +1891,26 @@ object IncrementalIndex {
     } finally a.release()
   }
 
+  /** Measurement/dry-run probe: the N-way prefix merge's RE-SORT term
+    * alone — materialize the donors' (id, elem) rows re-sorted under
+    * the ADOPTER's frozen element order (exactly the input pass
+    * [[mergeManyPrefixIndexes]] pays before its candidate join; prefix
+    * is the no-adoption family, so this pass replaces the signature
+    * families' file-IO adoption term), commit nothing, return the
+    * re-sorted set count. Lets an operator price a planned fan-in's
+    * donor-presentation term without running the merge — and lets the
+    * scale rehearsal separate it from the candidate term by
+    * measurement.
+    */
+  def prefixResortProbe(spark: SparkSession, root: String,
+      donorRoots: Seq[String],
+      p: PrefixJaccardParams = PrefixJaccardParams()): Long = {
+    val donorSets = donorRoots.map(readPrefixIndex(spark, _))
+      .map(_.select(col("id"), explode(col("toks")).as("elem")))
+      .reduce(_.unionAll(_))
+    prefixSortedSets(spark, root, donorSets, p, donorSets.count()).count()
+  }
+
   /** Compact a prefix-filter index: token rows verbatim, `prefixstats`
     * pre-aggregated (the frozen df snapshot has nothing to compact).
     */
@@ -2260,7 +2280,7 @@ object IncrementalIndex {
       broadcastRowLimit: Long = DefaultBroadcastRowLimit): SemDedupIngest = {
     val donor = VersionedTable.readAllVersions(spark, semMembersRoot(donorRoot))
       .select("id", "v")
-    requireIdRangeSharded(spark, root, donor)
+    requireIdRangeSharded(spark, root, Seq(donor))
     ingestSemDedup(spark, root, donor, "id", "v",
       threshold, cap, broadcastRowLimit)
   }
@@ -2282,37 +2302,115 @@ object IncrementalIndex {
     if (epochCommittedIn(spark, semMembersRoot(root), epochId)) return None
     val donor = VersionedTable.readAllVersions(spark, semMembersRoot(donorRoot))
       .select("id", "v")
-    requireIdRangeSharded(spark, root, donor)
+    requireIdRangeSharded(spark, root, Seq(donor))
     ingestSemDedupEpoch(spark, root, verdictsRoot, donor,
       "id", "v", threshold, epochId, cap, broadcastRowLimit)
   }
 
-  /** The SemDeDup merge's id-RANGE precheck: every donor id must sit
-    * ABOVE every adopter member id (min(donor) > max(adopter)), the
-    * append-ordered contract the verdict semantics rest on. One tiny
-    * job over two column-pruned id scans (both logs are about to be
-    * read in full anyway); comparison happens IN Spark so any orderable
-    * id type works without driver-side type dispatch. Null mins/maxes
-    * (empty sides) read as no-violation — an empty donor is a no-op and
-    * an un-bootstrapped adopter has nothing to order against.
+  /** N-WAY SemDeDup shard merge — the ORDERED fan-in the id-range
+    * contract makes natural: k donors whose ranges are pairwise
+    * disjoint and all above the adopter's ids are, concatenated, ONE
+    * valid append-ordered batch, because the ingest's drop-against-
+    * lower-ids rule covers in-batch pairs symmetrically — donor×donor
+    * cross pairs complete inside the single assign + candidate pass. A
+    * fold of binary merges re-pays that pass against the GROWING
+    * adopter k−1 times (the d69 argument, under a stricter sharding
+    * contract). Donor CALLER order is irrelevant: the precheck sorts
+    * ranges internally and the one-batch union is order-independent —
+    * the contract binds the RANGES, not the Seq (spec-pinned with a
+    * shuffled donor Seq). Donor verdicts do not carry over (geometry-
+    * dependent, exactly as the binary merge); the returned verdicts
+    * replace every donor's in the caller's accumulated log. Gate: e28 —
+    * adopter + three range donors, each frozen under its OWN centroid
+    * geometry, equals e22's one-shot bootstrap+ingest rule verbatim.
+    */
+  def mergeManySemDedupIndexes(spark: SparkSession, root: String,
+      donorRoots: Seq[String], threshold: Double, cap: Int = 512,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): SemDedupIngest =
+    mergeManySemDedupImpl(spark, root, None, donorRoots, None,
+      threshold, cap, broadcastRowLimit).get
+
+  /** Exactly-once N-way SemDeDup merge — [[mergeManySemDedupIndexes]]
+    * under the epoch protocol: replay guard first (a redelivery after
+    * the donor shards were torn down must no-op, the mergeMinHashImpl
+    * ordering), then the range precheck, then ONE
+    * [[ingestSemDedupEpoch]]. Returns None on a fully-replayed epoch.
+    */
+  def mergeManySemDedupIndexesEpoch(spark: SparkSession, root: String,
+      verdictsRoot: String, donorRoots: Seq[String], epochId: Long,
+      threshold: Double, cap: Int = 512,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[SemDedupIngest] =
+    mergeManySemDedupImpl(spark, root, Some(verdictsRoot), donorRoots,
+      Some(epochId), threshold, cap, broadcastRowLimit)
+
+  private def mergeManySemDedupImpl(spark: SparkSession, root: String,
+      verdictsRoot: Option[String], donorRoots: Seq[String],
+      epoch: Option[Long], threshold: Double, cap: Int,
+      broadcastRowLimit: Long): Option[SemDedupIngest] = {
+    require(donorRoots.nonEmpty, "mergeManySemDedupIndexes needs donors")
+    if (epoch.exists(e => epochCommittedIn(spark, semMembersRoot(root), e)))
+      return None
+    val donors = donorRoots.map(r =>
+      VersionedTable.readAllVersions(spark, semMembersRoot(r)).select("id", "v"))
+    requireIdRangeSharded(spark, root, donors)
+    val batch = donors.reduce(_.unionAll(_))
+    epoch match {
+      case Some(e) => ingestSemDedupEpoch(spark, root, verdictsRoot.get,
+        batch, "id", "v", threshold, e, cap, broadcastRowLimit)
+      case None => Some(ingestSemDedup(spark, root, batch, "id", "v",
+        threshold, cap, broadcastRowLimit))
+    }
+  }
+
+  /** The SemDeDup merge's id-RANGE precheck, generalized to k donors:
+    * every donor id must sit ABOVE every adopter member id, and donor
+    * ranges must be pairwise DISJOINT — checked by sorting the donors'
+    * (min, max) ranges and requiring each min to exceed the RUNNING max
+    * of every earlier range's max (the running max, not the previous
+    * row's, catches a range nested inside an earlier, wider one). One
+    * tiny job over k+1 column-pruned id scans (the member logs are
+    * about to be read in full anyway); comparisons happen IN Spark so
+    * any orderable id type works without driver-side type dispatch; the
+    * unpartitioned window and the collect hold exactly k donor-count
+    * rows. Null mins/maxes (empty sides) read as no-violation — an
+    * empty donor is a no-op and an un-bootstrapped adopter has nothing
+    * to order against.
     */
   private def requireIdRangeSharded(spark: SparkSession, root: String,
-      donor: DataFrame): Unit = {
-    if (VersionedTable.versions(spark, semMembersRoot(root)).isEmpty) return
-    val adopterIds = VersionedTable.readAllVersions(spark, semMembersRoot(root))
-    val r = donor.agg(min(col("id")).as("dmin"))
-      .crossJoin(adopterIds.agg(max(col("id")).as("amax")))
-      .select(col("dmin"), col("amax"),
-        (col("dmin") <= col("amax")).as("violates"))
-      .head()
-    if (!r.isNullAt(2) && r.getBoolean(2))
+      donors: Seq[DataFrame]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = donors.zipWithIndex.map { case (d, i) =>
+      d.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+        .select(lit(i).as("donor"), col("lo"), col("hi"))
+    }.reduce(_.unionAll(_))
+    val amaxFrame =
+      if (VersionedTable.versions(spark, semMembersRoot(root)).nonEmpty)
+        VersionedTable.readAllVersions(spark, semMembersRoot(root))
+          .agg(max(col("id")).as("amax"))
+      else donors.head.agg(max(col("id")).as("amax")).filter(lit(false))
+    val prevHi = max(col("hi")).over(
+      Window.orderBy(col("lo")).rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = stats.withColumn("prevHi", prevHi)
+      .join(amaxFrame, joinExprs = lit(true), joinType = "left")
+      .select(col("donor"), col("lo"), col("hi"), col("prevHi"), col("amax"),
+        coalesce(col("lo") <= col("amax"), lit(false)).as("belowAdopter"),
+        coalesce(col("lo") <= col("prevHi"), lit(false)).as("overlapsDonor"))
+      .filter(col("belowAdopter") || col("overlapsDonor"))
+      .collect() // ≤ k rows — donor-count-bounded, not data-bounded
+    if (flagged.nonEmpty) {
+      val detail = flagged.map { r =>
+        val cause =
+          if (r.getBoolean(5)) s"min id ${r.get(1)} <= adopter max id ${r.get(4)}"
+          else s"min id ${r.get(1)} <= an earlier donor's max id ${r.get(3)}"
+        s"donor ${r.getInt(0)}: $cause"
+      }.mkString("; ")
       throw new IllegalArgumentException(
-        s"SemDeDup merge requires id-RANGE sharding (every donor id above " +
-          s"every adopter id): donor min id ${r.get(0)} <= adopter max id " +
-          s"${r.get(1)}. An interleaved-id donor (hash sharding) breaks the " +
-          "append-ordered contract the drop-against-lower-ids verdicts rest " +
-          "on — re-shard by id range, or re-bootstrap the union corpus " +
-          "instead of merging")
+        "SemDeDup merge requires id-RANGE sharding (donor ranges pairwise " +
+          s"disjoint and above every adopter id): $detail. An " +
+          "interleaved-id donor (hash sharding) breaks the append-ordered " +
+          "contract the drop-against-lower-ids verdicts rest on — re-shard " +
+          "by id range, or re-bootstrap the union corpus instead of merging")
+    }
   }
 
   /** Incremental SemDeDup ingest: assign ONLY the batch to the frozen
@@ -3055,6 +3153,19 @@ object IncrementalIndex {
     * the caller publishes it, delete-and-retry is idempotent. The
     * adoption families need the epoch protocol precisely because they
     * mutate a LIVE root.
+    *
+    * This IS the family's N-WAY fan-in — `shardRoots` takes any k ≥ 2
+    * and the cost does not fold: the merged (df, N) sum over all k
+    * shards in one vocabulary-keyed aggregate, recovery unions k weight
+    * logs, and the re-weight pass — the dominant term — runs ONCE over
+    * the union, regardless of k. A fold of binary merges
+    * (merge(s0,s1) → m1; merge(m1,s2) → m2; …) is semantically
+    * identical (weights are pure functions of (tf, summed stats), so
+    * intermediate frozen geometries cancel — spec-pinned bit-exact) but
+    * pays k−1 re-weight passes over GROWING unions and writes k−1
+    * discarded roots: Θ(k·corpus) against the one-pass Θ(corpus). Gate:
+    * d76 — three mod-3 shards fanned in at once score exactly like
+    * d41's one-shot full-corpus bootstrap.
     */
   def mergeTfidfIndexes(spark: SparkSession, mergedRoot: String,
       shardRoots: Seq[String]): Long = {

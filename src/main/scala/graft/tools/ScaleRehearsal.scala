@@ -626,6 +626,43 @@ object ScaleRehearsal {
       return
     }
 
+    if (scope.startsWith("probe:")) {
+      // fresh-JVM compilation probe (round 11's d40probe template made a
+      // permanent scope): warm once at sf0.001, then N reps at
+      // SPARK_GRAFT_SF_DIR, recording per-rep wall, NEW whole-stage-
+      // codegen compilations (CodegenMetrics source-count delta) and JIT
+      // wall (CompilationMXBean delta). First-execution compilation
+      // terms then separate from steady-state operator work by
+      // MEASUREMENT: a spike that vanishes by rep 2 with a matching
+      // codegen/JIT delta is compilation; one that persists is real
+      // cost. Run one query per invocation — the probe's value is the
+      // fresh-JVM baseline, and a second query would inherit the
+      // first's warm code cache.
+      val name = scope.stripPrefix("probe:")
+      val reps = sys.env.getOrElse("SPARK_GRAFT_PROF_REPS", "3").toInt
+      val fn = SparkEntry.queries(name)
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      def codegenCount: Long = org.apache.spark.metrics.source
+        .CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount
+      def rep(dir: String): String = {
+        SparkEntry.resetSessionCache(spark)
+        val c0 = codegenCount; val j0 = jit.getTotalCompilationTime
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        f""""wall":$wall%.2f,"codegen":${codegenCount - c0},""" +
+          f""""jit_ms":${jit.getTotalCompilationTime - j0}"""
+      }
+      val warm = s""""warm_sf0001":{${rep(warmDir)}}"""
+      val timed = (1 to reps).map(i => s""""rep$i":{${rep(srcDir)}}""")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"probe":{"query":"$name","sf":"${new java.io.File(srcDir).getName}",""" +
+          (warm +: timed).mkString(",") + "}}\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
     if (scope == "merge") {
       // shard-parallel bootstrap vs one-shot (d64's operator at rehearsal
       // scale): two parity shards bootstrap independently — on a cluster
@@ -981,6 +1018,96 @@ object ScaleRehearsal {
       return
     }
 
+    if (scope == "nway32pfx") {
+      // d75's family at fan-in width: the prefix (no-adoption) one-pass
+      // vs fold at k=16/32 on the 10x corpus. The fold's Θ(k) term was
+      // asserted from the MinHash "nway32" precedent; this measures it
+      // for the costliest family — and SEPARATES the one-pass's two
+      // cost terms: the donor RE-SORT under the adopter's frozen
+      // element order (prefixResortProbe, read-only, run BEFORE the
+      // merge — the family's replacement for the signature families'
+      // file-IO adoption term) vs the single tagged candidate pass
+      // (one-pass wall minus re-sort). Fold twins are byte copies of
+      // the bootstrapped shards; cross-pair counts must agree (pair
+      // families emit each cross pair exactly once either way).
+      import graft.operators.IncrementalIndex
+      import graft.operators.IncrementalIndex.PrefixJaccardParams
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pfxP = PrefixJaccardParams()
+      def setsOf(dir: String) = {
+        def sh(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+          graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("id"), explode(sh(col("text"))).as("elem"))
+          .distinct()
+      }
+      def run(dir: String, tag: String, k: Int): String = {
+        val sets = setsOf(dir).persist()
+        sets.count()
+        val roots = (0 until k).map(i => s"$base/graft-n32p-$tag-$i")
+        val froots = (0 until k).map(i => s"$base/graft-n32pf-$tag-$i")
+        (roots ++ froots).foreach(r => fs.delete(new Path(r), true))
+        try {
+          val bootT0 = System.nanoTime()
+          (0 until k).foreach { i =>
+            IncrementalIndex.ingestPrefixJaccard(spark, roots(i),
+                sets.filter(pmod(col("id"), lit(k)) === i), pfxP)
+              ._2.unpersist(blocking = false)
+          }
+          val bootSec = (System.nanoTime() - bootT0) / 1e9
+          (0 until k).foreach { i =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, new Path(roots(i)),
+              fs, new Path(froots(i)), false, conf)
+          }
+          // the re-sort term alone, read-only, before the merge mutates
+          // the adopter
+          var t0 = System.nanoTime()
+          IncrementalIndex.prefixResortProbe(spark, roots(0), roots.drop(1), pfxP)
+          val resortSec = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val (_, xp) = IncrementalIndex.mergeManyPrefixIndexes(
+            spark, roots(0), roots.drop(1), pfxP)
+          val nCross = xp.count()
+          val oneSec = (System.nanoTime() - t0) / 1e9
+          xp.unpersist(blocking = false)
+          t0 = System.nanoTime()
+          var nFold = 0L
+          (1 until k).foreach { i =>
+            val (_, x) = IncrementalIndex.mergePrefixIndexes(
+              spark, froots(0), froots(i), pfxP)
+            nFold += x.count()
+            x.unpersist(blocking = false)
+          }
+          val foldSec = (System.nanoTime() - t0) / 1e9
+          require(nCross == nFold, s"one-pass $nCross != fold $nFold cross pairs")
+          println(f"SCALE nway32pfx[$tag] k=$k boot $bootSec%.2fs " +
+            f"one-pass $oneSec%.2fs (resort-alone $resortSec%.2fs) " +
+            f"fold $foldSec%.2fs cross $nCross")
+          f""""boot_$tag":${"%.2f".format(bootSec)},""" +
+            f""""onepass_$tag":${"%.2f".format(oneSec)},""" +
+            f""""resort_$tag":${"%.2f".format(resortSec)},""" +
+            f""""fold_$tag":${"%.2f".format(foldSec)},"cross_$tag":$nCross"""
+        } finally {
+          (roots ++ froots).foreach(r => fs.delete(new Path(r), true))
+          sets.unpersist(blocking = false)
+        }
+      }
+      run(new java.io.File(srcDir).getParent + "/sf0.01", "warm", 4)
+      val r10k16 = run(cliqueDir0, "10x_k16", 16)
+      SparkEntry.resetSessionCache(spark)
+      val r10k32 = run(cliqueDir0, "10x_k32", 32)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"nway32pfx":{$r10k16,$r10k32}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
     if (scope == "nwayfam") {
       // one-pass vs fold for the NEW fan-in families (exact d72,
       // simhash d73, srp d74, prefix d75) at 10x, k=3 — the d69
@@ -1156,27 +1283,36 @@ object ScaleRehearsal {
           shards, queries, "vec_id", "embedding", k))
         val (singleSec, _) = timedCount(Ivf.topK(
           vecs, queries, "vec_id", "embedding", k, uniCents, uniCells))
-        // non-exhaustive probes: the scale path a 100 TB serve takes
-        val fastShards = shards.map { case (c, ce, _) => (c, ce, 4) }
-        val fast = Ivf.shardedTopK(
-          fastShards, queries, "vec_id", "embedding", k).persist()
-        val (fastSec, _) = timedCount(fast)
+        // non-exhaustive probes: the scale path a 100 TB serve takes.
+        // One recall point can't drive a recall/cost trade-off — the
+        // CURVE (nprobe 2/4/8/16, each vs the exhaustive answer on the
+        // same shards) is what an operator dials against at 100 TB.
         val exact = Ivf.shardedTopK(
           shards, queries, "vec_id", "embedding", k).persist()
-        val hits = fast.select("query_id", "neighbor_id")
-          .intersect(exact.select("query_id", "neighbor_id")).count()
-        val recall = hits.toDouble / exact.count()
-        fast.unpersist(blocking = false)
+        val nExact = exact.count()
+        val curve = Seq(2, 4, 8, 16).map { np =>
+          val fastShards = shards.map { case (c, ce, cells) =>
+            (c, ce, math.min(np, cells)) }
+          val fast = Ivf.shardedTopK(
+            fastShards, queries, "vec_id", "embedding", k).persist()
+          val (fastSec, _) = timedCount(fast)
+          val hits = fast.select("query_id", "neighbor_id")
+            .intersect(exact.select("query_id", "neighbor_id")).count()
+          val recall = hits.toDouble / nExact
+          fast.unpersist(blocking = false)
+          println(f"SCALE serve[$tag] nprobe$np $fastSec%.2fs recall $recall%.4f")
+          f""""nprobe${np}_$tag":${"%.2f".format(fastSec)},""" +
+            f""""recall${np}_$tag":${"%.4f".format(recall)}"""
+        }
         exact.unpersist(blocking = false)
         println(f"SCALE serve[$tag] corpus $n queries $nq shards $nShards " +
           f"sharded $shardedSec%.2fs single $singleSec%.2fs " +
-          f"nprobe4 $fastSec%.2fs recall $recall%.4f rerank_rows $rerankRows")
+          f"rerank_rows $rerankRows")
         (shardDfs :+ vecs :+ queries).foreach(_.unpersist(blocking = false))
         f""""corpus_$tag":$n,"queries_$tag":$nq,""" +
           f""""sharded_$tag":${"%.2f".format(shardedSec)},""" +
           f""""single_$tag":${"%.2f".format(singleSec)},""" +
-          f""""nprobe4_$tag":${"%.2f".format(fastSec)},""" +
-          f""""recall4_$tag":${"%.4f".format(recall)},""" +
+          curve.mkString(",") + "," +
           f""""rerank_rows_$tag":$rerankRows"""
       }
       run(new java.io.File(srcDir).getParent + "/sf0.01", "warm", 2, 100)

@@ -516,4 +516,148 @@ class EpochMergeSpec extends SparkSpec {
       VersionedTable.versions(spark, smV).isEmpty,
       "the rejection must land before any leg commits")
   }
+
+  private def semCorpus: (DataFrame, DataFrame) = {
+    val base = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+      expr("transform(v, (x, i) -> CASE WHEN i = 0 THEN x + 0.01 ELSE x END)").as("v"))
+    (base, base.union(mut))
+  }
+
+  private def verdictSet(df: DataFrame): Set[(Long, Long, Boolean)] =
+    df.select(col("id").cast("long"), col("cid").cast("long"), col("kept"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  test("n-way semdedup merge: shuffled range donors in one pass equal a fold of binary merges") {
+    val (base, corpus) = semCorpus
+    val n = base.count()
+    val cents = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    def donorCents(from: Long) = base
+      .filter(col("vec_id") >= from && col("vec_id") < from + 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val ranges = Seq(
+      col("vec_id") >= n / 2 && col("vec_id") < 100000L,
+      col("vec_id") >= 100000L && col("vec_id") < 100000L + n / 2,
+      col("vec_id") >= 100000L + n / 2)
+    // two identical adopters (one per strategy); donors each frozen
+    // under their OWN geometry so the fan-in genuinely re-assigns
+    val aOne = tmpDir("nsem_one"); val aFold = tmpDir("nsem_fold")
+    val vA = IncrementalIndex.bootstrapSemDedup(spark, aOne,
+      corpus.filter(col("vec_id") < n / 2), "vec_id", "v", cents,
+      threshold = 0.99, cap = 2048).verdicts
+    IncrementalIndex.bootstrapSemDedup(spark, aFold,
+      corpus.filter(col("vec_id") < n / 2), "vec_id", "v", cents,
+      threshold = 0.99, cap = 2048).verdicts.unpersist(blocking = false)
+    val donorRoots = ranges.zipWithIndex.map { case (pred, i) =>
+      val r = tmpDir(s"nsem_d$i")
+      IncrementalIndex.bootstrapSemDedup(spark, r, corpus.filter(pred),
+        "vec_id", "v", donorCents(8L * (i + 1)), threshold = 0.99,
+        cap = 2048).verdicts.unpersist(blocking = false)
+      r
+    }
+    // one pass, donors deliberately OUT of range order — the contract
+    // binds the ranges, not the Seq
+    val vOne = IncrementalIndex.mergeManySemDedupIndexes(spark, aOne,
+      Seq(donorRoots(1), donorRoots(2), donorRoots(0)),
+      threshold = 0.99, cap = 2048).verdicts
+    // fold of binaries MUST go in range order (each merge's donor must
+    // sit above the grown adopter)
+    val vFold = donorRoots.map(d => IncrementalIndex.mergeSemDedupIndexes(
+      spark, aFold, d, threshold = 0.99, cap = 2048).verdicts)
+    assert(verdictSet(vA) ++ verdictSet(vOne) ==
+      verdictSet(vA) ++ vFold.map(verdictSet).reduce(_ ++ _),
+      "one-pass fan-in and ordered fold must accumulate identical verdicts")
+    assert(verdictSet(vOne).map(_._1) ==
+      vFold.map(verdictSet).reduce(_ ++ _).map(_._1),
+      "the one pass must verdict exactly the union of the donors' members")
+    (vFold :+ vA :+ vOne).foreach(_.unpersist(blocking = false))
+  }
+
+  test("n-way semdedup merge rejects overlapping donor ranges and donors below the adopter") {
+    val (base, corpus) = semCorpus
+    val n = base.count()
+    val cents = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val adopter = tmpDir("nsemr_a")
+    IncrementalIndex.bootstrapSemDedup(spark, adopter,
+      corpus.filter(col("vec_id") >= n / 4 && col("vec_id") < n / 2),
+      "vec_id", "v", cents, threshold = 0.99, cap = 2048)
+      .verdicts.unpersist(blocking = false)
+    // dWide spans [n/2, 100000+n/4); dNested sits INSIDE it — the
+    // running-max check must catch the nesting even though dNested's
+    // min exceeds the PREVIOUS row's min
+    def mk(name: String, pred: org.apache.spark.sql.Column): String = {
+      val r = tmpDir(name)
+      IncrementalIndex.bootstrapSemDedup(spark, r, corpus.filter(pred),
+        "vec_id", "v", cents, threshold = 0.99, cap = 2048)
+        .verdicts.unpersist(blocking = false)
+      r
+    }
+    val dWide = mk("nsemr_w",
+      col("vec_id") >= n / 2 && col("vec_id") < 100000L + n / 4)
+    val dNested = mk("nsemr_n",
+      col("vec_id") >= 100000L + n / 8 && col("vec_id") < 100000L + n / 5)
+    val dBelow = mk("nsemr_b", col("vec_id") < n / 4)
+    val memVs = VersionedTable.versions(spark, s"$adopter/members")
+    val exOverlap = intercept[IllegalArgumentException] {
+      IncrementalIndex.mergeManySemDedupIndexes(spark, adopter,
+        Seq(dWide, dNested), threshold = 0.99, cap = 2048)
+    }
+    assert(exOverlap.getMessage.contains("id-RANGE"))
+    val exBelow = intercept[IllegalArgumentException] {
+      IncrementalIndex.mergeManySemDedupIndexes(spark, adopter,
+        Seq(dWide, dBelow), threshold = 0.99, cap = 2048)
+    }
+    assert(exBelow.getMessage.contains("id-RANGE"))
+    assert(VersionedTable.versions(spark, s"$adopter/members") == memVs,
+      "rejections must land before any leg commits")
+  }
+
+  test("n-way semdedup merge epoch: replay is a no-op, crash suffix completes") {
+    val (base, corpus) = semCorpus
+    val n = base.count()
+    val cents = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val adopter = tmpDir("nseme_a"); val vroot = tmpDir("nseme_v")
+    IncrementalIndex.bootstrapSemDedup(spark, adopter,
+      corpus.filter(col("vec_id") < n / 2), "vec_id", "v", cents,
+      threshold = 0.99, cap = 2048).verdicts.unpersist(blocking = false)
+    val donors = Seq(
+      col("vec_id") >= n / 2 && col("vec_id") < 100000L,
+      col("vec_id") >= 100000L).zipWithIndex.map { case (pred, i) =>
+      val r = tmpDir(s"nseme_d$i")
+      IncrementalIndex.bootstrapSemDedup(spark, r, corpus.filter(pred),
+        "vec_id", "v", cents, threshold = 0.99, cap = 2048)
+        .verdicts.unpersist(blocking = false)
+      r
+    }
+    val first = IncrementalIndex.mergeManySemDedupIndexesEpoch(
+      spark, adopter, vroot, donors, epochId = 3L, threshold = 0.99,
+      cap = 2048)
+    assert(first.nonEmpty)
+    first.foreach(_.verdicts.unpersist(blocking = false))
+    val memVs = VersionedTable.versions(spark, s"$adopter/members")
+    val vVs = VersionedTable.versions(spark, vroot)
+    assert(IncrementalIndex.mergeManySemDedupIndexesEpoch(
+      spark, adopter, vroot, donors, epochId = 3L, threshold = 0.99,
+      cap = 2048).isEmpty, "a redelivered fan-in epoch must no-op")
+    assert(VersionedTable.versions(spark, s"$adopter/members") == memVs &&
+      VersionedTable.versions(spark, vroot) == vVs,
+      "the replay must commit nothing")
+    // crash window: verdict leg committed, member leg lost — the replay
+    // recomputes and commits the missing suffix only
+    dropVersion(s"$adopter/members", memVs.last)
+    resetHwm(s"$adopter/members", "-1")
+    val replay = IncrementalIndex.mergeManySemDedupIndexesEpoch(
+      spark, adopter, vroot, donors, epochId = 3L, threshold = 0.99,
+      cap = 2048)
+    assert(replay.nonEmpty, "a lost member leg must be recommitted")
+    replay.foreach(_.verdicts.unpersist(blocking = false))
+    assert(VersionedTable.versions(spark, s"$adopter/members").size == memVs.size &&
+      VersionedTable.versions(spark, vroot) == vVs,
+      "the crash replay must restore the member leg without double-appending verdicts")
+  }
 }

@@ -918,6 +918,38 @@ class IncrementalIndexSpec extends SparkSpec {
       "post-merge ingest + scoring must be indistinguishable from the twin")
   }
 
+  test("n-way tfidf merge: one pass over k shards equals a fold of binary merges bit-exactly") {
+    // the N-way path IS mergeTfidfIndexes(Seq of k): stats sum once,
+    // ONE re-weight pass. A fold (merge(s0,s1)→m1; merge(m1,s2)→m2)
+    // pays k−1 re-weight passes over growing unions — semantically
+    // identical because weights are pure functions of (tf, summed
+    // stats), so the intermediate frozen geometry cancels. Pin the
+    // bit-exact equality that makes the one-pass the obvious winner.
+    val docs = spark.read.parquet(sf("documents")).select(col("doc_id"), col("text"))
+    val shards = (0 to 2).map { i =>
+      val r = tmpDir(s"tnway_s$i")
+      IncrementalIndex.bootstrapTfidf(spark, r,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), "doc_id", "text")
+      r
+    }
+    val one = tmpDir("tnway_one")
+    IncrementalIndex.mergeTfidfIndexes(spark, one, shards)
+    val m1 = tmpDir("tnway_m1"); val m2 = tmpDir("tnway_m2")
+    IncrementalIndex.mergeTfidfIndexes(spark, m1, Seq(shards(0), shards(1)))
+    IncrementalIndex.mergeTfidfIndexes(spark, m2, Seq(m1, shards(2)))
+    assert(IncrementalIndex.readTfidfCorpusCount(spark, one) ==
+      IncrementalIndex.readTfidfCorpusCount(spark, m2),
+      "one-pass frozen N must equal the fold's")
+    def wRows(rt: String) = IncrementalIndex.readTfidfWeights(spark, rt)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    assert(wRows(one) == wRows(m2),
+      "one-pass weights must be bit-identical to the fold's")
+    def nRows(rt: String) = IncrementalIndex.readTfidfNorms(spark, rt)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nRows(one) == nRows(m2),
+      "one-pass norms must be bit-identical to the fold's")
+  }
+
   test("n-way minhash merge: one pass completes three shards; equals fold-of-binary and one-shot") {
     val roots = (0 to 2).map(i => tmpDir(s"nmerge_$i"))
     val foldRoots = (0 to 2).map(i => tmpDir(s"nmerge_fold_$i"))
