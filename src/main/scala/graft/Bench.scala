@@ -19,6 +19,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // The GLOBAL whole-stage-codegen class cache defaults to 100
+      // entries — smaller than ONE incremental-index pipeline (d54
+      // compiles 136 units, st25 270), so the warm pass's compilations
+      // were fully evicted before the timed pass and the heavy queries
+      // re-paid janino compilation EVERY run. Measured (SCALE_r12
+      // "driftprobe"): d54 steady 21.7s at 100 entries vs 14.9s at
+      // 8192; st25 33.9 → 16.6. This is also the round-over-round
+      // "drift": pipelines grew past 100 units as stages were added,
+      // silently converting one-time compile into every-run thrash. The
+      // same setting is a 100 TB recommendation for long-lived
+      // executors running many distinct pipelines.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet paths so the first timed query doesn't

@@ -28,6 +28,10 @@ object Prof {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // match Bench: the 100-entry default codegen cache is smaller than
+      // one incremental pipeline, so rep 1's compilations would be
+      // evicted before rep 2 (see Bench.scala / SCALE_r12 "driftprobe")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -607,6 +607,14 @@ object ScaleRehearsal {
       // the scheduler a multi-tenant cluster would run anyway
       .config("spark.scheduler.mode",
         if (scope == "mergewall") "FAIR" else "FIFO")
+      // the GLOBAL whole-stage-codegen class cache (static conf): Spark's
+      // 100-entry default is smaller than one incremental pipeline (d54
+      // 136 units, st25 270), turning one-time compile into every-run
+      // thrash — see Bench.scala / SCALE_r12 "driftprobe". Default to the
+      // harness-wide 8192; the drift probes override via env to measure
+      // the thrash itself
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val warmDir = "/root/testdata/sf0.001"

@@ -23,6 +23,10 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: the 100-entry default codegen cache is smaller
+      // than one index pipeline — the heavy suites re-paid compilation
+      // per test without this
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
