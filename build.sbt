@@ -32,4 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the enlarged whole-stage-codegen class cache (see Bench.scala) keeps
+  // thousands of generated classes alive across a 266-query suite; the
+  // JVM's default 240 MB JIT code cache fills late in the suite and the
+  // unique-codegen streaming queries then run partly interpreted
+  // (measured: st23-st27 2.3x slower in the 10x full-suite run while
+  // isolated reps were fine). Size the code cache for the class volume.
+  "-XX:ReservedCodeCacheSize=512m",
 )

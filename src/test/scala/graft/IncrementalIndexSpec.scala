@@ -554,6 +554,31 @@ class IncrementalIndexSpec extends SparkSpec {
     oneShot.unpersist(); p1.unpersist(); p2.unpersist(); sets.unpersist()
   }
 
+  test("prefix resort probe: counts the donors' sets under the adopter's order, commits nothing") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def sh(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+    val sets = corpus
+      .select(col("doc_id").as("id"), explode(sh(col("text"))).as("elem"))
+      .distinct().persist()
+    val roots = (0 to 2).map(i => tmpDir(s"pfxprobe_$i"))
+    (0 to 2).foreach(i => IncrementalIndex.ingestPrefixJaccard(spark,
+      roots(i), sets.filter(pmod(col("id"), lit(3)) === i))
+      ._2.unpersist(blocking = false))
+    def state(r: String) = Seq(s"$r/tokens", s"$r/prefixstats", s"$r/dfstats")
+      .map(VersionedTable.versions(spark, _))
+    val before = roots.map(state)
+    val n = IncrementalIndex.prefixResortProbe(spark, roots(0), roots.drop(1))
+    val donorSets = (1 to 2).map(i =>
+      sets.filter(pmod(col("id"), lit(3)) === i)
+        .select("id").distinct().count()).sum
+    assert(n == donorSets,
+      "the probe must materialize exactly one re-sorted row per donor set")
+    assert(roots.map(state) == before,
+      "the probe is a pure reader — no version may commit anywhere")
+    sets.unpersist()
+  }
+
   test("incremental simhash ingest equals one-shot portable pairs; batch sets disjoint") {
     val root = tmpDir("incr_simhash")
     val r = pmod(col("doc_id") % 100000, lit(3))
