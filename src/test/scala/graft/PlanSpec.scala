@@ -196,12 +196,12 @@ class PlanSpec extends SparkSpec {
       // emit the hash-gated recall_ok bound (e8 was already here for its
       // ADC scan)
       "e2_knn_lsh", "e4_knn_ivf", "e10_knn_ivfpq",
-      // e22/e24/e27 assign cells with d47's broadcast-centroid cross join
-      // (e24 is the production-geometry k=√N twin; e27 is the shard merge
-      // re-assigning the donor's member log under the same frozen
-      // geometry)
+      // e22/e24/e27/e28 assign cells with d47's broadcast-centroid cross
+      // join (e24 is the production-geometry k=√N twin; e27 is the shard
+      // merge re-assigning the donor's member log under the same frozen
+      // geometry; e28 is the N-way fan-in doing it for k donors at once)
       "e22_incremental_semdedup", "e24_semdedup_prod_geometry",
-      "e27_semdedup_merge",
+      "e27_semdedup_merge", "e28_nway_semdedup_merge",
       // d41 cross-joins the broadcast scalar corpus count into the weight
       // arithmetic; visible since r8 because the weight table's columnar
       // cache keeps its lineage in-plan (localCheckpoint used to truncate)
