@@ -110,30 +110,12 @@ object Bench {
       }
     }
     val firstPass = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
-    // Self-defending contention sentinel (the r3 lesson: a suite-level run
-    // absorbed host interference and committed 30× spikes that vanished in
-    // isolation). Any query slower than max(3× suite median, 3s) gets ONE
-    // re-run at the end of the suite; keep the better time and say so. A
-    // real regression reproduces on the re-run and stays visible.
-    val okTimes = firstPass.map(_._2).filter(_ >= 0).sorted
-    val median = if (okTimes.nonEmpty) okTimes(okTimes.size / 2) else 0.0
-    val threshold = math.max(3 * median, 3.0)
-    val byName = ordered.toMap
-    val results = firstPass.map { case (name, t) =>
-      if (t > threshold) {
-        val t2 = timeOne(name, byName(name))
-        if (t2 >= 0 && t2 < t) {
-          System.err.println(f"[bench] rerun $name: $t%.2fs -> $t2%.2fs (suite contention)")
-          name -> t2
-        } else name -> t
-      } else name -> t
-    }
-    val total = results.map(_._2).filter(_ >= 0).sum
     // Per-query ratio vs the committed steady-state PROF.json baseline:
     // a contended bench environment shows up as a UNIFORM ratio shift
     // (r5's driver run: flat ~2.0× across unrelated query families),
     // which a per-query sentinel can't catch — median_ratio_vs_prof
-    // self-identifies it numerically in the artifact itself.
+    // self-identifies it numerically in the artifact itself. Parsed
+    // BEFORE the rerun pass: ratio_vs_prof > 2 is a rerun trigger.
     val profTimes: Map[String, Double] = try {
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_PROF", "PROF.json")))
@@ -145,6 +127,36 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Exception => Map.empty }
+    // Self-defending contention sentinel (the r3 lesson: a suite-level run
+    // absorbed host interference and committed 30× spikes that vanished in
+    // isolation). Two triggers, each earning ONE end-of-suite re-run:
+    // slower than max(3× suite median, 3s) — the absolute spike — or
+    // >2× the query's own PROF steady state (the r12 gap: d62 sat at
+    // 3.2× PROF but under the absolute bar, so it shipped un-re-run).
+    // Keep the better time; record BOTH walls so a reproduced slowdown
+    // stays visible as a real regression, not environment noise.
+    val okTimes = firstPass.map(_._2).filter(_ >= 0).sorted
+    val median = if (okTimes.nonEmpty) okTimes(okTimes.size / 2) else 0.0
+    val threshold = math.max(3 * median, 3.0)
+    val byName = ordered.toMap
+    val reruns = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val results = firstPass.map { case (name, t) =>
+      val profSlow = t >= 0 &&
+        profTimes.get(name).exists(p => p > 0.0 && t / p > 2.0)
+      if (t > threshold || profSlow) {
+        val t2 = timeOne(name, byName(name))
+        val why = if (t > threshold) "suite contention" else "vs PROF"
+        reruns(name) = (t, t2)
+        if (t2 >= 0 && t2 < t) {
+          System.err.println(f"[bench] rerun $name: $t%.2fs -> $t2%.2fs ($why)")
+          name -> t2
+        } else {
+          System.err.println(f"[bench] rerun $name: $t%.2fs -> $t2%.2fs reproduced ($why)")
+          name -> t
+        }
+      } else name -> t
+    }
+    val total = results.map(_._2).filter(_ >= 0).sum
     val ratios = results.flatMap { case (n, t) =>
       profTimes.get(n).filter(_ > 0.0).flatMap(p =>
         if (t >= 0) Some(n -> t / p) else None)
@@ -166,7 +178,12 @@ object Bench {
     val full = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + "%.3f".format(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"batches":${batchesJson(identity)}${ratioFields(identity, ratios)},"sf":"$sfDir"}"""
+      // both walls of every rerun, durable in the artifact: a kept-better
+      // time means noise; near-equal walls mean a reproduced slowdown
+      val rr = reruns.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
+        "\"" + k + "\":[" + "%.3f".format(a) + "," + "%.3f".format(b) + "]"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"reruns":$rr,"batches":${batchesJson(identity)}${ratioFields(identity, ratios)},"sf":"$sfDir"}"""
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")

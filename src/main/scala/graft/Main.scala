@@ -59,13 +59,17 @@ object Main {
       // normalizeTs/rawTsCol's NTZ→LTZ cast is value-identity only under
       // UTC — same pin as every other session builder in the repo
       .config("spark.sql.session.timeZone", "UTC")
-      // Spark's 100-entry default whole-stage-codegen class cache is
-      // smaller than one incremental-index pipeline, so long-lived
-      // drivers/executors running many tables re-pay janino compilation
-      // per run (measured: SCALE_r12 "driftprobe"; d54 21.7s → 14.9s
-      // steady). Static conf, so spark-submit --conf still overrides.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.props.getOrElse("spark.sql.codegen.cache.maxEntries", "8192"))
+    // Spark's 100-entry default whole-stage-codegen class cache is
+    // smaller than one incremental-index pipeline, so long-lived
+    // drivers/executors running many tables re-pay janino compilation
+    // per run (measured: SCALE_r12 "driftprobe"; d54 21.7s → 14.9s
+    // steady). Applied only when no operator-provided value exists —
+    // checked against a defaults-loaded SparkConf, not bare sys.props,
+    // so a spark-defaults.conf value that reached the driver as a conf
+    // (not a system property) is respected rather than clobbered.
+    if (!new org.apache.spark.SparkConf(true)
+        .contains("spark.sql.codegen.cache.maxEntries"))
+      builder.config("spark.sql.codegen.cache.maxEntries", "8192")
     // spark-submit provides spark.master; standalone runs default to local
     if (!sys.props.contains("spark.master"))
       builder.master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))

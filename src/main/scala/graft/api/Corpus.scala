@@ -141,6 +141,30 @@ object corpus {
       spark, indexRoot, resultRoot, donorRoot, epochId, threshold, cap,
       broadcastRowLimit)
 
+  /** N-way SemDeDup merge (e28): k id-range donors fan in as ONE
+    * append-ordered batch — donor×donor cross pairs complete inside a
+    * single assign + candidate pass, where a fold of binary merges
+    * re-pays the pass against the growing adopter k−1 times. The donor
+    * Seq order is irrelevant (the enforced range precheck sorts
+    * internally); the RANGES must be pairwise disjoint and above every
+    * adopter id, or the call rejects before any leg commits.
+    */
+  def mergeManySemDedupIndexes(spark: SparkSession, indexRoot: String,
+      donorRoots: Seq[String], threshold: Double, cap: Int = 512,
+      broadcastRowLimit: Long = IncrementalIndex.DefaultBroadcastRowLimit)
+      : IncrementalIndex.SemDedupIngest =
+    IncrementalIndex.mergeManySemDedupIndexes(
+      spark, indexRoot, donorRoots, threshold, cap, broadcastRowLimit)
+
+  def mergeManySemDedupIndexesEpoch(spark: SparkSession, indexRoot: String,
+      resultRoot: String, donorRoots: Seq[String], epochId: Long,
+      threshold: Double, cap: Int = 512,
+      broadcastRowLimit: Long = IncrementalIndex.DefaultBroadcastRowLimit)
+      : Option[IncrementalIndex.SemDedupIngest] =
+    IncrementalIndex.mergeManySemDedupIndexesEpoch(
+      spark, indexRoot, resultRoot, donorRoots, epochId, threshold, cap,
+      broadcastRowLimit)
+
   def mergeEmbeddingIndexesEpoch(spark: SparkSession, indexRoot: String,
       resultRoot: String, donorRoot: String, epochId: Long,
       p: IncrementalIndex.SrpParams): Option[(Long, DataFrame)] =

@@ -1905,10 +1905,16 @@ object IncrementalIndex {
   def prefixResortProbe(spark: SparkSession, root: String,
       donorRoots: Seq[String],
       p: PrefixJaccardParams = PrefixJaccardParams()): Long = {
+    // persist before the double consumption (the broadcast-gate count +
+    // the probe's own count) — without it the probe re-reads the donor
+    // token logs once more than the merge's real input pass, inflating
+    // the standalone re-sort term it exists to isolate
     val donorSets = donorRoots.map(readPrefixIndex(spark, _))
       .map(_.select(col("id"), explode(col("toks")).as("elem")))
       .reduce(_.unionAll(_))
-    prefixSortedSets(spark, root, donorSets, p, donorSets.count()).count()
+      .persist()
+    try prefixSortedSets(spark, root, donorSets, p, donorSets.count()).count()
+    finally donorSets.unpersist(blocking = false)
   }
 
   /** Compact a prefix-filter index: token rows verbatim, `prefixstats`

@@ -1317,20 +1317,29 @@ object ScaleRehearsal {
               threshold = 0.99, cap = 2048)
               .verdicts.unpersist(blocking = false)
           }
-          val (oneSec, vOne) = timed {
-            val r = IncrementalIndex.mergeManySemDedupIndexes(
-              spark, aOne, dRoots, threshold = 0.99, cap = 2048).verdicts
-            val c = r.count(); r.unpersist(blocking = false); c
+          // agreement = count AND an order-independent value checksum of
+          // (id, cid, kept): a chunk-replay ordering divergence that
+          // flipped kept flags while keeping counts equal would slip a
+          // bare-count comparison
+          def summarize(r: org.apache.spark.sql.DataFrame): (Long, Long) = {
+            val row = r.agg(count(lit(1)),
+              coalesce(sum(xxhash64(col("id"), col("cid"), col("kept"))), lit(0L)))
+              .head()
+            val out = (row.getLong(0), row.getLong(1))
+            r.unpersist(blocking = false); out
           }
-          val (foldSec, vFold) = timed {
+          val (oneSec, (vOne, hOne)) = timed {
+            summarize(IncrementalIndex.mergeManySemDedupIndexes(
+              spark, aOne, dRoots, threshold = 0.99, cap = 2048).verdicts)
+          }
+          val (foldSec, (vFold, hFold)) = timed {
             dRoots.map { d =>
-              val r = IncrementalIndex.mergeSemDedupIndexes(
-                spark, aFold, d, threshold = 0.99, cap = 2048).verdicts
-              val c = r.count(); r.unpersist(blocking = false); c
-            }.sum
+              summarize(IncrementalIndex.mergeSemDedupIndexes(
+                spark, aFold, d, threshold = 0.99, cap = 2048).verdicts)
+            }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
           }
-          require(vOne == vFold,
-            s"semdedup one-pass verdicts $vOne != fold $vFold")
+          require(vOne == vFold && hOne == hFold,
+            s"semdedup one-pass verdicts ($vOne, $hOne) != fold ($vFold, $hFold)")
           println(f"SCALE nwayfam2[sem/$tag] one-pass $oneSec%.2fs " +
             f"fold $foldSec%.2fs verdicts $vOne (k=$k cells)")
           f""""sem_onepass_$tag":${"%.2f".format(oneSec)},""" +

@@ -660,4 +660,51 @@ class EpochMergeSpec extends SparkSpec {
       VersionedTable.versions(spark, vroot) == vVs,
       "the crash replay must restore the member leg without double-appending verdicts")
   }
+
+  test("Corpus n-way semdedup wrappers delegate: verdicts equal the direct call, epoch replays no-op") {
+    import graft.api.{corpus => CorpusApi}
+    val (base, corpus) = semCorpus
+    val n = base.count()
+    val cents = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    // twin adopters — one per surface — so the wrapper's verdicts can be
+    // compared against the direct IncrementalIndex call on equal state
+    val aApi = tmpDir("csem_api"); val aDir = tmpDir("csem_dir")
+    Seq(aApi, aDir).foreach { r =>
+      IncrementalIndex.bootstrapSemDedup(spark, r,
+        corpus.filter(col("vec_id") < n / 2), "vec_id", "v", cents,
+        threshold = 0.99, cap = 2048).verdicts.unpersist(blocking = false)
+    }
+    val donors = Seq(
+      col("vec_id") >= n / 2 && col("vec_id") < 100000L,
+      col("vec_id") >= 100000L).zipWithIndex.map { case (pred, i) =>
+      val r = tmpDir(s"csem_d$i")
+      IncrementalIndex.bootstrapSemDedup(spark, r, corpus.filter(pred),
+        "vec_id", "v", cents, threshold = 0.99, cap = 2048)
+        .verdicts.unpersist(blocking = false)
+      r
+    }
+    val vApi = CorpusApi.mergeManySemDedupIndexes(spark, aApi, donors,
+      threshold = 0.99, cap = 2048).verdicts
+    val vDir = IncrementalIndex.mergeManySemDedupIndexes(spark, aDir, donors,
+      threshold = 0.99, cap = 2048).verdicts
+    assert(verdictSet(vApi) == verdictSet(vDir),
+      "the Corpus wrapper must produce the direct call's verdicts")
+    Seq(vApi, vDir).foreach(_.unpersist(blocking = false))
+    // epoch wrapper: first delivery lands, redelivery no-ops
+    val aEp = tmpDir("csem_ep"); val vroot = tmpDir("csem_epv")
+    IncrementalIndex.bootstrapSemDedup(spark, aEp,
+      corpus.filter(col("vec_id") < n / 2), "vec_id", "v", cents,
+      threshold = 0.99, cap = 2048).verdicts.unpersist(blocking = false)
+    val first = CorpusApi.mergeManySemDedupIndexesEpoch(
+      spark, aEp, vroot, donors, epochId = 11L, threshold = 0.99, cap = 2048)
+    assert(first.nonEmpty)
+    first.foreach(_.verdicts.unpersist(blocking = false))
+    val memVs = VersionedTable.versions(spark, s"$aEp/members")
+    assert(CorpusApi.mergeManySemDedupIndexesEpoch(
+      spark, aEp, vroot, donors, epochId = 11L, threshold = 0.99,
+      cap = 2048).isEmpty, "a redelivered wrapper epoch must no-op")
+    assert(VersionedTable.versions(spark, s"$aEp/members") == memVs,
+      "the replay must commit nothing")
+  }
 }
