@@ -5485,6 +5485,50 @@ object SparkEntry {
         out
       }.orderBy("a", "b")),
 
+    // Incremental perceptual-hash image dedup: m10's average-hash (REAL
+    // PNG decode in column-pruned mapPartitions) composed with d58's
+    // SimHash index machinery — the multimodal surface joins the
+    // incremental-index story by pure reuse of two gated components.
+    // The 64-bit keys ride the same 4×16-bit pigeonhole banding
+    // (lossless for hamming ≤ 3), exact popcount verifies, and both
+    // ingests run under the exactly-once epoch guard. The closed-form
+    // gradient rasters give 13 DISTINCT hashes across the 25 geometries
+    // with genuine hamming-1/2/3 neighbors (and 4+ exclusions), so the
+    // oracle replays decode → hash → all-pairs hamming bit-for-bit in
+    // SQL. Capped at 256 images: the demo geometry is clique-quadratic
+    // by construction (the semDemoCap argument), while real corpora hit
+    // the banded-candidate path this shares with d58.
+    "d77_image_hash_index" -> ((s, dir) =>
+      cachedDf(s, s"imghash|$dir") {
+        import s.implicits._
+        import graft.operators.IncrementalIndex
+        val root = tmpdir("graft-incr-imghash")
+        val pairsRoot = IncrementalIndex.pairsRootOf(root)
+        val media = tbl(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 256).as[Long].map { id =>
+            val w = (8 * (2 + id % 5)).toInt
+            val h = (8 * (2 + (id / 5) % 5)).toInt
+            (id, Multimodal.pngGradientBytes(w, h))
+          }.toDF("doc_id", "media")
+        val sigs = media.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            Multimodal.imageAHash(bytes).map { case (_, _, hash) => (id, hash) }
+          }
+        }.toDF("doc_id", "ahash").persist()
+        val b1 = sigs.filter(col("doc_id") % 3 < 2)
+        val b2 = sigs.filter(col("doc_id") % 3 === 2)
+        val p1 = IncrementalIndex.ingestImageHashesEpoch(
+          s, root, pairsRoot, b1, "doc_id", "ahash", epochId = 0L).get
+        val p2 = IncrementalIndex.ingestImageHashesEpoch(
+          s, root, pairsRoot, b2, "doc_id", "ahash", epochId = 1L).get
+        val out = p1.unionAll(p2).persist()
+        out.count()
+        p1.unpersist(blocking = false)
+        p2.unpersist(blocking = false)
+        sigs.unpersist(blocking = false)
+        out
+      }.orderBy("a", "b")),
+
     // Incremental prefix-filter set-similarity index (d40's persistent
     // twin — the last dedup family without one, and the only EXACT one):
     // global element frequencies FREEZE at bootstrap, fixing the element
@@ -6777,6 +6821,33 @@ object SparkEntry {
     // d3's oracle VERBATIM: the incremental SimHash index must
     // accumulate the identical pair list across its two ingests
     "d58_incremental_simhash" -> duckSimHashPairsSql,
+
+    // m10's closed-form average-hash replayed per image, then the exact
+    // all-pairs hamming ≤ 3 join — the banding the engine uses is
+    // lossless at that radius, so no banding replay is needed
+    "d77_image_hash_index" ->
+      """WITH d AS (SELECT doc_id,
+        |  8 * (2 + doc_id % 5) AS w, 8 * (2 + (doc_id // 5) % 5) AS h
+        |  FROM documents WHERE doc_id < 256),
+        |b AS (SELECT doc_id, w, h, w // 8 AS bw, h // 8 AS bh,
+        |  h * ((w * (w - 1)) // 2) + w * ((h * (h - 1)) // 2) AS g FROM d),
+        |cells AS (SELECT doc_id, w, h, bw, bh, g, bx, by,
+        |  bh * ((bw * (2 * bx * bw + bw - 1)) // 2) +
+        |  bw * ((bh * (2 * by * bh + bh - 1)) // 2) AS s
+        |  FROM b, generate_series(0, 7) t1(bx), generate_series(0, 7) t2(by)),
+        |hs AS (SELECT doc_id,
+        |  SUM(CASE WHEN s * (w * h) > g * (bw * bh)
+        |    THEN (1::HUGEINT << (8 * by + bx)) ELSE 0::HUGEINT END) AS s
+        |  FROM cells GROUP BY doc_id),
+        |hh AS (SELECT doc_id,
+        |  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS ahash
+        |  FROM hs)
+        |SELECT p.doc_id AS a, q.doc_id AS b,
+        |  CAST(bit_count(xor(p.ahash, q.ahash)) AS INT) AS hamming
+        |FROM hh p JOIN hh q ON p.doc_id < q.doc_id
+        |  AND bit_count(xor(p.ahash, q.ahash)) <= 3
+        |ORDER BY a, b""".stripMargin,
 
     // d3's oracle VERBATIM again: the streamed, restart-replayed SimHash
     // ingest must accumulate the identical pair list — a replay that

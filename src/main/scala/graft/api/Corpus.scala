@@ -883,6 +883,30 @@ object corpus {
       }
     }
 
+    /** Incremental perceptual-hash image dedup (d77): the frame carries
+      * PRECOMPUTED 64-bit signatures (`sigCol`, e.g.
+      * [[graft.operators.Multimodal.imageAHash]] over the media bytes —
+      * decode stays in the caller's column-pruned pipeline, the index
+      * never stores pixels), and the SimHash machinery indexes them:
+      * returns the batch's new (a, b, hamming ≤ `maxHamming`) pairs
+      * under the same exactly-once epoch guard as every other wrapper.
+      */
+    def ingestIntoImageHashIndex(
+        indexRoot: String, idCol: String = "doc_id",
+        sigCol: String = "ahash", maxHamming: Int = 3,
+        epochId: Option[Long] = None): DataFrame = {
+      val s = df.sparkSession
+      val pairsRoot = IncrementalIndex.pairsRootOf(indexRoot)
+      resolvedEpoch(idCol, epochId) match {
+        case None => emptyResult("a" -> idType(idCol), "b" -> idType(idCol),
+          "hamming" -> org.apache.spark.sql.types.IntegerType)
+        case Some(e) =>
+          IncrementalIndex.ingestImageHashesEpoch(
+              s, indexRoot, pairsRoot, df, idCol, sigCol, e, maxHamming)
+            .getOrElse(replayedEpochRows(s, pairsRoot, e))
+      }
+    }
+
     /** Incremental exact-dedup ingest (d57): fingerprint this batch,
       * return (id, fp, kept) verdicts against the persisted fingerprint
       * log (kept=false iff the fp is already indexed or a lower-id batch

@@ -1275,8 +1275,24 @@ object IncrementalIndex {
   private def simHashBatchArtifacts(spark: SparkSession, root: String,
       batch: DataFrame, idCol: String, textCol: String, maxHamming: Int,
       shingleN: Int, bucketCap: Int, broadcastRowLimit: Long,
+      excludeEpoch: Option[Long] = None): SimHashArtifacts =
+    sigBatchArtifacts(spark, root,
+      simHashSignatures(batch, idCol, textCol, shingleN),
+      maxHamming, bucketCap, broadcastRowLimit, excludeEpoch)
+
+  /** The SimHash ingest pipeline below the SIGNING step — banding, caps,
+    * candidate generation, popcount verify — over any (id, sig) frame.
+    * 64-bit-safe: the 4×16-bit blocks cover bits 0–63 (arithmetic
+    * shift's sign-fill dies under the 0xFFFF mask), so precomputed
+    * perceptual hashes ride the same machinery as the 60-bit text
+    * signatures, and the pigeonhole banding stays lossless for
+    * hamming ≤ 3 at either width.
+    */
+  private def sigBatchArtifacts(spark: SparkSession, root: String,
+      sigs: DataFrame, maxHamming: Int, bucketCap: Int,
+      broadcastRowLimit: Long,
       excludeEpoch: Option[Long] = None): SimHashArtifacts = {
-    val batchSigs = simHashSignatures(batch, idCol, textCol, shingleN).persist()
+    val batchSigs = sigs.persist()
     try {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
       val prior = if (haveIndex) Some(readSimHashIndex(spark, root)) else None
@@ -1345,6 +1361,62 @@ object IncrementalIndex {
     val a = simHashBatchArtifacts(spark, root, batch, idCol, textCol,
       maxHamming, shingleN, bucketCap, broadcastRowLimit,
       excludeEpoch = Some(epochId))
+    try {
+      commitEpoch(spark, epochId,
+        Some((a.batchStats, subRoot(root, "bucketstats"))),
+        Seq(a.verified -> pairsRoot, a.batchSigs -> root))
+      Some(a.verified)
+    } catch {
+      case t: Throwable => a.verified.unpersist(blocking = false); throw t
+    } finally a.release()
+  }
+
+  /** Incremental perceptual-hash image near-dup index (d77):
+    * [[ingestSimHash]]'s whole pipeline over PRECOMPUTED 64-bit
+    * signatures — the caller supplies (id, sig) rows, e.g.
+    * [[graft.operators.Multimodal.imageAHash]] average-hashes of
+    * decoded rasters, and banding / bucket caps / candidate generation
+    * / exact-popcount verify / tombstones are all the shared SimHash
+    * machinery (the index layout is IDENTICAL, so
+    * [[readSimHashIndex]], [[mergeSimHashIndexes]] and the SimHash
+    * retraction/compaction paths apply to an image-hash index verbatim).
+    * Decode cost stays where it belongs — in the caller's column-pruned
+    * mapPartitions over the media column — and the index never sees a
+    * byte of pixel data. Returns (committed version, new pairs
+    * (a, b, hamming)); accumulated pairs across ingests equal the
+    * one-shot hamming ≤ `maxHamming` all-pairs answer over the union
+    * (the d58 disjoint-union argument, signature-agnostic).
+    */
+  def ingestImageHashes(spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int = 3,
+      bucketCap: Int = 4096,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): (Long, DataFrame) = {
+    require(maxHamming <= 3,
+      "4x16-bit pigeonhole banding is lossless only for hamming <= 3")
+    val a = sigBatchArtifacts(spark, root,
+      batch.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig")),
+      maxHamming, bucketCap, broadcastRowLimit)
+    try {
+      VersionedTable.write(spark, a.batchStats, subRoot(root, "bucketstats"))
+      val v = VersionedTable.write(spark, a.batchSigs, root)
+      (v, a.verified)
+    } finally a.release()
+  }
+
+  /** Exactly-once image-hash ingest — [[ingestSimHashEpoch]]'s protocol
+    * (same crash windows, same two-witness replay detection) over
+    * precomputed signatures. Returns None on a replayed epoch.
+    */
+  def ingestImageHashesEpoch(spark: SparkSession, root: String,
+      pairsRoot: String, batch: DataFrame, idCol: String, sigCol: String,
+      epochId: Long, maxHamming: Int = 3, bucketCap: Int = 4096,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): Option[DataFrame] = {
+    require(maxHamming <= 3,
+      "4x16-bit pigeonhole banding is lossless only for hamming <= 3")
+    if (epochCommittedIn(spark, root, epochId)) return None
+    val a = sigBatchArtifacts(spark, root,
+      batch.select(col(idCol).as("id"), col(sigCol).cast("long").as("sig")),
+      maxHamming, bucketCap, broadcastRowLimit, excludeEpoch = Some(epochId))
     try {
       commitEpoch(spark, epochId,
         Some((a.batchStats, subRoot(root, "bucketstats"))),

@@ -534,4 +534,57 @@ class EpochIngestSpec extends SparkSpec {
       b1.count() + b2.count())
     pr1.unpersist(blocking = false); pr2.unpersist(blocking = false)
   }
+
+  test("image-hash index: accumulated pairs equal one-shot hamming, epoch replays no-op") {
+    import spark.implicits._
+    import graft.api.corpus._
+    // precomputed 64-bit perceptual keys with known structure: base key
+    // per group of 4, members flip 0-3 distinct low bits (in-radius),
+    // groups 32 bits apart (excluded); bit 63 set so negative longs ride
+    // the banding too
+    val sigs = (0L until 40L).map { id =>
+      val group = id / 4
+      val base = (0x8000000000000000L | (group << 32))
+      (id, base ^ ((1L << (id % 4).toInt) - 1L))
+    }.toDF("doc_id", "ahash")
+    def brute(df: org.apache.spark.sql.DataFrame) = {
+      val l = df.select(col("doc_id").as("a"), col("ahash").as("ha"))
+      val r = df.select(col("doc_id").as("b"), col("ahash").as("hb"))
+      l.join(r, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+    }
+    val want = pairSet(brute(sigs))
+    assert(want.nonEmpty && want.size < 40 * 39 / 2,
+      "the fixture must have both in-radius and excluded pairs")
+    val root = tmpDir("imghash_ix")
+    val b1 = sigs.filter(col("doc_id") < 20)
+    val b2 = sigs.filter(col("doc_id") >= 20)
+    val p1 = b1.ingestIntoImageHashIndex(root)
+    val p2 = b2.ingestIntoImageHashIndex(root)
+    assert(pairSet(p1) ++ pairSet(p2) == want,
+      "accumulated ingest pairs must equal the one-shot hamming answer")
+    val versionsBefore = (VersionedTable.versions(spark, root),
+      VersionedTable.versions(spark, s"$root/pairs"))
+    val p2r = b2.ingestIntoImageHashIndex(root) // at-least-once redelivery
+    assert((VersionedTable.versions(spark, root),
+      VersionedTable.versions(spark, s"$root/pairs")) == versionsBefore,
+      "a replayed image-hash batch must be a no-op ingest")
+    assert(pairSet(p2r) == pairSet(p2),
+      "the replay must hand back the epoch's committed pairs")
+    // the layout IS the SimHash layout: the shared merge machinery
+    // applies verbatim — an independently-built shard merges in and the
+    // union equals one-shot over the union corpus
+    val donorSigs = (100L until 108L).map { id =>
+      (id, 0x8000000000000000L | ((id - 100) << 32) | 2L)
+    }.toDF("doc_id", "ahash")
+    val donor = tmpDir("imghash_donor")
+    val pd = donorSigs.ingestIntoImageHashIndex(donor)
+    val (_, cross) = IncrementalIndex.mergeSimHashIndexes(spark, root, donor)
+    assert(pairSet(p1) ++ pairSet(p2) ++ pairSet(pd) ++ pairSet(cross) ==
+      pairSet(brute(sigs.unionAll(donorSigs))),
+      "merged image-hash shards must union to the one-shot answer")
+    Seq(p1, p2, p2r, pd, cross).foreach(_.unpersist(blocking = false))
+  }
 }
