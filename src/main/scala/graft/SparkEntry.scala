@@ -5458,6 +5458,33 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Centroid-routed sharded serve: e26 probes EVERY shard per query —
+    // an O(shards) term that pays 1000 probes for k answers at 1000
+    // shards. The router ranks shards by the best cosine any of their
+    // frozen centroids achieves against the query (one combined
+    // NearestCells kernel over stacked shard centroids — serve-topology
+    // metadata, no new state) and probes only the top-m. At m = shards
+    // the pigeonhole probe bound reaches every shard and the answer
+    // equals e26's exhaustive serve EXACTLY — this gate, against the
+    // same brute-force oracle, with the router path fully executed (no
+    // m==shards special case in the operator). Below m = shards the
+    // recall/cost dial is measured by the SCALE "serve" scope.
+    "e29_routed_ivf_serve" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val embs = tbl(s, dir, "embeddings")
+      val queries = embs.filter(col("vec_id") < 8)
+      val shards = Seq(0, 1).map { i =>
+        val part = embs.filter(col("vec_id") % 2 === i)
+        val cells = Ivf.cellsFor(part.count())
+        (part, Ivf.train(part, "embedding", k = cells,
+          sampleSize = math.max(4096, 8 * cells)), cells)
+      }
+      Ivf.routedShardedTopK(shards, queries, "vec_id", "embedding", k = 5,
+          mShards = shards.size)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Incremental SimHash index (d3's persistent twin, closing the last
     // near-dup family without one): 60-bit portable signatures persist
     // in a delta log; each ingest signs ONLY its batch, block-collision
@@ -6943,6 +6970,11 @@ object SparkEntry {
     // per-shard exhaustive search + global re-rank must equal brute
     // force over the union corpus
     "e26_sharded_ivf_serve" ->
+      bruteForceTopKOracle,
+
+    // e26's oracle verbatim: at m = shards the routed serve must equal
+    // the exhaustive sharded serve, which equals brute force
+    "e29_routed_ivf_serve" ->
       bruteForceTopKOracle,
 
     "e9_knn_ivfpq_full" ->

@@ -236,4 +236,79 @@ object Ivf {
     val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col("neighbor_id"))
     per.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Centroid-routed sharded serve — bounding [[shardedTopK]]'s
+    * O(shards)-per-query probe term: every query there pays a probe in
+    * EVERY shard for k answers, which at 1000 shards is 1000 probes of
+    * which ≥ 992 contribute nothing past the re-rank. Here a query
+    * probes only the `mShards` shards ranked best by the ROUTING signal
+    * — the maximum cosine any of a shard's frozen centroids achieves
+    * against the query, i.e. the same quantity IVF probing uses one
+    * level down, lifted to the shard level and computed from metadata
+    * the serve topology already holds (no extra state, no training).
+    *
+    * Mechanics: all shards' centroids stack into ONE combined
+    * [[graft.functions.NearestCells]] kernel (constant plan size), the
+    * top `maxCells·(mShards−1)+1` combined cells per query guarantee —
+    * pigeonhole, since one shard owns at most `maxCells` of them — that
+    * ≥ `mShards` distinct shards appear; shard rank is first-occurrence
+    * order in that similarity-sorted list, which IS best-centroid-cosine
+    * order (ties toward the lower shard index via the combined cell id).
+    * Each shard then searches only the queries routed to it.
+    *
+    * At `mShards = shards.size` the pigeonhole bound reaches every
+    * shard, so the result equals [[shardedTopK]] EXACTLY — the e29
+    * gate; the router path still executes, nothing is special-cased.
+    * Below that, recall is the measured dial (the nprobe analogy one
+    * level up — the SCALE "serve" scope's curve over m). At combined
+    * centroid counts where the router kernel itself gets heavy
+    * (≳10^6 cells), the same trick applies recursively: cluster the
+    * combined centroids and route through a two-level kernel — shard
+    * metadata, so re-clustering never touches corpus data.
+    */
+  def routedShardedTopK(
+      shards: Seq[(DataFrame, Array[Array[Double]], Int)],
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      mShards: Int, qIdCol: String = "query_id"): DataFrame = {
+    require(shards.nonEmpty, "routedShardedTopK needs at least one shard")
+    require(mShards >= 1 && mShards <= shards.size,
+      s"mShards must be in [1, ${shards.size}], got $mShards")
+    val spark = queries.sparkSession
+    val cells = shards.map(_._2)
+    val total = cells.map(_.length).sum
+    val maxCells = cells.map(_.length).max
+    val bound = math.min(total, maxCells * (mShards - 1) + 1)
+    val combined: Array[Array[Double]] = cells.flatten.toArray
+    // combined cell id -> owning shard, broadcast-joined (a literal-array
+    // lookup would grow the plan with the total cell count)
+    val cellShard = spark.createDataFrame(
+      cells.zipWithIndex.flatMap { case (cs, si) => cs.indices.map(_ => si) }
+        .zipWithIndex.map { case (si, cid) => (cid, si) })
+      .toDF("rcell", "shard")
+    val ranked = queries
+      .select(col(idCol).as(qIdCol),
+        posexplode(probeCells(col(vecCol), combined, bound)).as(Seq("pos", "rcell")))
+      .join(broadcast(cellShard), "rcell")
+      .groupBy(col(qIdCol), col("shard"))
+      .agg(min(col("pos")).as("firstPos"))
+    val w0 = Window.partitionBy(qIdCol).orderBy(col("firstPos"), col("shard"))
+    val routed = ranked.withColumn("srank", row_number().over(w0))
+      .filter(col("srank") <= mShards)
+      .select(col(qIdCol), col("shard"))
+      .persist()
+    try {
+      routed.count()
+      val per = shards.zipWithIndex.map { case ((corpus, cents, np), si) =>
+        val routedQ = queries.join(
+          broadcast(routed.filter(col("shard") === si)
+            .select(col(qIdCol).as(idCol))), idCol)
+        topK(corpus, routedQ, idCol, vecCol, k, cents, np, qIdCol).drop("rank")
+      }.reduce(_.unionAll(_))
+      val w = Window.partitionBy(qIdCol).orderBy(col("sim").desc, col("neighbor_id"))
+      val out = per.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k).persist()
+      out.count()
+      out
+    } finally routed.unpersist(blocking = false)
+  }
 }

@@ -142,4 +142,45 @@ class IvfCellsSpec extends SparkSpec {
         org.apache.spark.sql.Encoders.product[(Long, Long)]).collect().toSet
     assert(full == brute, "full probe must equal brute force at any cell count")
   }
+
+  test("routed sharded serve: m=shards equals exhaustive serve, m=1 routes to the right cluster") {
+    import org.apache.spark.sql.Encoders
+    // exhaustive-equality leg on the real embeddings, two parity shards
+    val queries = embs.filter(col("vec_id") < 8)
+    val shards = Seq(0, 1).map { i =>
+      val part = embs.filter(col("vec_id") % 2 === i)
+      val cells = Ivf.cellsFor(part.count())
+      (part, Ivf.train(part, "embedding", k = cells,
+        sampleSize = math.max(4096, 8 * cells)), cells)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)](Encoders.product[(Long, Long, Int)])
+        .collect().toSet
+    val exhaustive = Ivf.shardedTopK(shards, queries, "vec_id", "embedding", k = 5)
+    val routedAll = Ivf.routedShardedTopK(shards, queries, "vec_id", "embedding",
+      k = 5, mShards = shards.size)
+    assert(rows(routedAll) == rows(exhaustive),
+      "at m = shards the router must reach every shard and equal the exhaustive serve")
+    routedAll.unpersist(blocking = false)
+    // routing leg: two well-separated clusters, one per shard — a query
+    // inside cluster A at m=1 must probe ONLY shard A (its answers all
+    // come from A's id range)
+    import spark.implicits._
+    def cluster(base: Double, ids: Range) = ids.map { i =>
+      (i.toLong, Array(base + 0.001 * i, 1.0 - base, 0.1, 0.2))
+    }
+    val shardA = cluster(0.9, 0 until 40).toDF("vec_id", "embedding")
+    val shardB = cluster(-0.9, 100 until 140).toDF("vec_id", "embedding")
+    val sA = (shardA, Ivf.train(shardA, "embedding", k = 4), 4)
+    val sB = (shardB, Ivf.train(shardB, "embedding", k = 4), 4)
+    val q = Seq((9999L, Array(0.91, 0.1, 0.1, 0.2))).toDF("vec_id", "embedding")
+    val one = Ivf.routedShardedTopK(Seq(sA, sB), q, "vec_id", "embedding",
+      k = 3, mShards = 1)
+    val got = rows(one)
+    one.unpersist(blocking = false)
+    assert(got.map(_._1) == Set(9999L) && got.size == 3 &&
+      got.forall(_._2 < 100),
+      s"an in-cluster query at m=1 must be answered entirely by its own shard, got $got")
+  }
 }
