@@ -76,6 +76,23 @@ object ScaleRehearsal {
     "d2_dedup_minhash", "d9_dedup_clusters", "d40_prefix_join",
     "e3_embedding_neardup", "d41_sparse_cosine")
 
+  /** The suite-level 100× set (round 13): the r12 bench's top-20
+    * wall-clock queries plus the q88 watch row — verdict-named rows
+    * first so a partial run still covers what the judge asked about,
+    * then descending bench wall.
+    */
+  val top20Queries: Seq[String] = Seq(
+    "d56_index_retraction", "d59_incremental_prefix_join",
+    "d62_cluster_canonical", "d58_incremental_simhash",
+    "st20_stream_dedup_index", "st25_stream_prefix_restart",
+    "e24_semdedup_prod_geometry", "q88_pagerank",
+    "d54_incremental_minhash", "st28_stream_semdedup_restart",
+    "e22_incremental_semdedup", "st21_stream_simhash_restart",
+    "d73_nway_simhash_merge", "d75_nway_prefix_merge",
+    "st24_stream_embedding_restart", "d69_nway_index_merge",
+    "e28_nway_semdedup_merge", "st22_stream_tfidf_restart",
+    "e27_semdedup_merge", "d67_prefix_index_merge", "d71_merge_replay")
+
   /** Bump when generation semantics change — stale dirs regenerate.
     * Per-mode suffixes let one mode's generator evolve without
     * invalidating the others' (regeneration costs minutes per dir).
@@ -671,6 +688,134 @@ object ScaleRehearsal {
       return
     }
 
+    if (scope.startsWith("modeprobe:")) {
+      // the probe: template pointed at a MODE corpus (realistic/skew) —
+      // the r12 watch item's tool: the rehearsal's mode rows run LATE in
+      // a JVM that has already executed the whole 266-query main scope,
+      // so a mode-row regression can be JVM position (code-cache /
+      // codegen-cache occupancy) rather than operator cost. A fresh-JVM
+      // probe against the SAME mode corpus with the SAME mode confs
+      // separates the two: steady reps matching the old rows = position;
+      // reproduced walls = a real change. Usage:
+      //   modeprobe:<query>:<real|skew>
+      val parts = scope.stripPrefix("modeprobe:").split(":")
+      require(parts.length == 2, "usage: modeprobe:<query>:<real|skew>")
+      val name = parts(0); val mode = parts(1)
+      require(mode == "real" || mode == "skew", s"unknown mode $mode")
+      val dir = s"$base/graft-sf1-$mode"
+      ensureDir(spark, srcDir, dir, mode)
+      if (mode == "skew") {
+        // the suite's skew scope arms AQE's skew split at rehearsal
+        // scale — the probe must run under identical confs
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      }
+      val reps = sys.env.getOrElse("SPARK_GRAFT_PROF_REPS", "3").toInt
+      val fn = SparkEntry.queries(name)
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      def codegenCount: Long = org.apache.spark.metrics.source
+        .CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount
+      def rep(d: String): String = {
+        SparkEntry.resetSessionCache(spark)
+        val c0 = codegenCount; val j0 = jit.getTotalCompilationTime
+        val t0 = System.nanoTime()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        f""""wall":$wall%.2f,"codegen":${codegenCount - c0},""" +
+          f""""jit_ms":${jit.getTotalCompilationTime - j0}"""
+      }
+      val warm = s""""warm_sf0001":{${rep(warmDir)}}"""
+      val timed = (1 to reps).map(i => s""""rep$i":{${rep(dir)}}""")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"modeprobe":{"query":"$name","mode":"$mode",""" +
+          (warm +: timed).mkString(",") + "}}\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "stcodegen") {
+      // attribution for the streaming demos' ~160 genuinely-unique
+      // codegen units per run (SCALING r12): three components, each
+      // repeated 3× in ONE JVM so the per-rep codegen delta separates
+      // cacheable (rep2+ ≈ 0) from per-run-unique compilation.
+      //   shell  — a bare file stream + foreachBatch(count), fresh
+      //            dirs per rep: micro-batch machinery alone
+      //   ingest — st25's foreachBatch BODY in batch mode (prefix epoch
+      //            ingests on fresh roots): the index pipeline alone
+      //   full   — st25 via the registry: shell + ingest + restart
+      // If full ≈ shell + ingest, the uniqueness lives in whichever
+      // component's reps stay high; a super-additive gap means the
+      // INTERACTION (e.g. cloned-session plan identity) is the term.
+      import graft.operators.IncrementalIndex
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      def codegenCount: Long = org.apache.spark.metrics.source
+        .CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount
+      def measured(f: => Unit): String = {
+        SparkEntry.resetSessionCache(spark)
+        val c0 = codegenCount; val j0 = jit.getTotalCompilationTime
+        val t0 = System.nanoTime()
+        f
+        val wall = (System.nanoTime() - t0) / 1e9
+        f"""{"wall":$wall%.2f,"codegen":${codegenCount - c0},""" +
+          f""""jit_ms":${jit.getTotalCompilationTime - j0}}"""
+      }
+      def tmp(p: String): String =
+        java.nio.file.Files.createTempDirectory(p).toString
+      def sh(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+        graft.functions.ShingleHashesMd5(ColumnBridge.expression(c), 5))
+      val sets = spark.read.parquet(s"$srcDir/documents.parquet")
+        .select(col("doc_id").as("id"), explode(sh(col("text"))).as("elem"))
+        .distinct().persist()
+      sets.count()
+      val b1 = sets.filter(pmod(col("id"), lit(3)) < 2)
+      val b2 = sets.filter(pmod(col("id"), lit(3)) === 2)
+      def shellRep(): Unit = {
+        val work = tmp("graft-stcg-shell"); val ckpt = tmp("graft-stcg-ckpt")
+        b1.limit(1000).coalesce(1).write.mode("append").parquet(s"$work/in")
+        b2.limit(1000).coalesce(1).write.mode("append").parquet(s"$work/in")
+        val sess = spark.newSession()
+        sess.conf.set("spark.sql.streaming.metadataCache.enabled", "false")
+        val q = sess.readStream.schema(sets.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) => batch.count(); () }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def ingestRep(): Unit = {
+        val root = tmp("graft-stcg-ix"); val pairsRoot = tmp("graft-stcg-px")
+        IncrementalIndex.ingestPrefixJaccardEpoch(spark, root, pairsRoot, b1, 0L)
+          .foreach(_.unpersist(blocking = false))
+        IncrementalIndex.ingestPrefixJaccardEpoch(spark, root, pairsRoot, b2, 1L)
+          .foreach(_.unpersist(blocking = false))
+      }
+      val fullFn = SparkEntry.queries("st25_stream_prefix_restart")
+      def fullRep(): Unit =
+        fullFn(spark, srcDir).write.format("noop").mode("overwrite").save()
+      val out = Seq(
+        "shell" -> (() => shellRep()),
+        "ingest" -> (() => ingestRep()),
+        "full" -> (() => fullRep())).map { case (tag, f) =>
+        val reps = (1 to 3).map { i =>
+          val r = measured(f())
+          println(s"SCALE stcodegen[$tag] rep$i $r")
+          s""""rep$i":$r"""
+        }
+        s""""$tag":{${reps.mkString(",")}}"""
+      }
+      sets.unpersist(blocking = false)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"stcodegen":{${out.mkString(",")}}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
     if (scope == "merge") {
       // shard-parallel bootstrap vs one-shot (d64's operator at rehearsal
       // scale): two parity shards bootstrap independently — on a cluster
@@ -1116,6 +1261,75 @@ object ScaleRehearsal {
       return
     }
 
+    if (scope == "nway32tf") {
+      // the TF-IDF fan-in at k=16/32 — the re-weight family's width
+      // row, closing the "measured at k=3 only" gap: one-pass pays ONE
+      // vocabulary-keyed stats sum + ONE re-weight pass at any k; a
+      // fold of binaries re-weights the GROWING union k−1 times and
+      // discards k−2 intermediate roots. Agreement is a value-level
+      // checksum over the merged (id, tk, w) weight rows (bit-exact by
+      // the d76 spec), not a bare corpus count.
+      import graft.operators.IncrementalIndex
+      import org.apache.hadoop.fs.Path
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def timed[T](f: => T): (Double, T) = {
+        val t0 = System.nanoTime(); val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      def weightSum(root: String): (Long, Long) = {
+        val row = IncrementalIndex.readTfidfWeights(spark, root)
+          .agg(count(lit(1)),
+            coalesce(sum(xxhash64(col("id"), col("tk"), col("w"))), lit(0L)))
+          .head()
+        (row.getLong(0), row.getLong(1))
+      }
+      def run(dir: String, tag: String, kShards: Int): String = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val roots = (0 until kShards).map(i => s"$base/graft-ntf32-$tag-$i")
+        val outOne = s"$base/graft-ntf32-$tag-one"
+        val foldOuts = (1 until kShards).map(i => s"$base/graft-ntf32-$tag-f$i")
+        (roots ++ foldOuts :+ outOne).foreach(r => fs.delete(new Path(r), true))
+        try {
+          roots.zipWithIndex.foreach { case (r, i) =>
+            IncrementalIndex.bootstrapTfidf(spark, r,
+              docs.filter(pmod(col("doc_id"), lit(kShards)) === i),
+              "doc_id", "text")
+          }
+          val (oneSec, _) = timed(
+            IncrementalIndex.mergeTfidfIndexes(spark, outOne, roots))
+          val (foldSec, _) = timed {
+            var prev = roots(0)
+            (1 until kShards).foreach { i =>
+              IncrementalIndex.mergeTfidfIndexes(
+                spark, foldOuts(i - 1), Seq(prev, roots(i)))
+              prev = foldOuts(i - 1)
+            }
+          }
+          val (cOne, hOne) = weightSum(outOne)
+          val (cFold, hFold) = weightSum(foldOuts.last)
+          require(cOne == cFold && hOne == hFold,
+            s"tfidf one-pass weights ($cOne, $hOne) != fold ($cFold, $hFold)")
+          println(f"SCALE nway32tf[$tag] k=$kShards one-pass $oneSec%.2fs " +
+            f"fold $foldSec%.2fs weights $cOne")
+          f""""onepass_$tag":${"%.2f".format(oneSec)},""" +
+            f""""fold_$tag":${"%.2f".format(foldSec)},"weights_$tag":$cOne"""
+        } finally (roots ++ foldOuts :+ outOne).foreach(
+          r => fs.delete(new Path(r), true))
+      }
+      run(new java.io.File(srcDir).getParent + "/sf0.01", "warm", 4)
+      val r16 = run(cliqueDir0, "10x_k16", 16)
+      SparkEntry.resetSessionCache(spark)
+      val r32 = run(cliqueDir0, "10x_k32", 32)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"nway32tf":{$r16,$r32}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
     if (scope == "nwayfam") {
       // one-pass vs fold for the NEW fan-in families (exact d72,
       // simhash d73, srp d74, prefix d75) at 10x, k=3 — the d69
@@ -1468,6 +1682,84 @@ object ScaleRehearsal {
       val r100 = run(sf10Dir, "100x", 8, 10000)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
         s"""{"serve":{$r1,$r100}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "router") {
+      // e29's centroid shard-router at the serve scope's geometries: the
+      // dial here is m (shards probed per query), isolated from the
+      // nprobe dial by keeping per-shard probes EXHAUSTIVE — recall loss
+      // is then shard-selection loss alone. m = shards is asserted
+      // equal to the exhaustive serve (the e29 gate, re-pinned at 10x
+      // and 100x production geometry); smaller m prices the O(shards) →
+      // O(m) probe-term cut the router exists for.
+      import graft.operators.Ivf
+      val cliqueDir0 = s"$base/graft-sf1-clique"
+      ensureDir(spark, srcDir, cliqueDir0, "clique")
+      val sf10Dir = s"$base/graft-sf10-real"
+      ensureDir(spark, srcDir, sf10Dir, "real", replicas = 100,
+        only = Some(Set("documents", "embeddings")))
+      val k = 5
+      def run(dir: String, tag: String, nShards: Int, nQueries: Int): String = {
+        val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding").persist()
+        val n = vecs.count()
+        val queries = vecs.limit(nQueries)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            expr("transform(embedding, (x, i) -> " +
+              "IF(i = 0, CAST(x + 0.01 AS FLOAT), x))").as("embedding"))
+          .persist()
+        val nq = queries.count()
+        val mm = vecs.agg(min(col("vec_id")).cast("long"),
+          max(col("vec_id")).cast("long")).head()
+        val lo = mm.getLong(0); val hi = mm.getLong(1) + 1
+        val bounds = (0 to nShards).map(i =>
+          lo + (hi - lo) * i.toDouble / nShards)
+        val shardDfs = (0 until nShards).map(i => vecs.filter(
+          col("vec_id") >= bounds(i) && col("vec_id") < bounds(i + 1)).persist())
+        val shards = shardDfs.map { part =>
+          val cells = Ivf.cellsFor(part.count())
+          (part, Ivf.train(part, "embedding", k = cells,
+            sampleSize = math.max(4096, 8 * cells)), cells)
+        }
+        def timedCount(df: DataFrame): (Double, Long) = {
+          val t0 = System.nanoTime(); val c = df.count()
+          ((System.nanoTime() - t0) / 1e9, c)
+        }
+        val exact = Ivf.shardedTopK(
+          shards, queries, "vec_id", "embedding", k).persist()
+        val (exhSec, nExact) = timedCount(exact)
+        val ms = Seq(1, 2, 4, nShards).distinct.filter(_ <= nShards)
+        val rows = ms.map { m =>
+          val routed = Ivf.routedShardedTopK(
+            shards, queries, "vec_id", "embedding", k, mShards = m)
+          val (routedSec, _) = timedCount(routed)
+          val hits = routed.select("query_id", "neighbor_id")
+            .intersect(exact.select("query_id", "neighbor_id")).count()
+          val recall = hits.toDouble / nExact
+          if (m == nShards) require(hits == nExact,
+            s"routed serve at m=shards must equal the exhaustive serve " +
+              s"($hits of $nExact)")
+          routed.unpersist(blocking = false)
+          println(f"SCALE router[$tag] m=$m $routedSec%.2fs recall $recall%.4f")
+          f""""m${m}_$tag":${"%.2f".format(routedSec)},""" +
+            f""""recall_m${m}_$tag":${"%.4f".format(recall)}"""
+        }
+        exact.unpersist(blocking = false)
+        println(f"SCALE router[$tag] corpus $n queries $nq shards $nShards " +
+          f"exhaustive $exhSec%.2fs")
+        (shardDfs :+ vecs :+ queries).foreach(_.unpersist(blocking = false))
+        f""""corpus_$tag":$n,"shards_$tag":$nShards,""" +
+          f""""exhaustive_$tag":${"%.2f".format(exhSec)},""" + rows.mkString(",")
+      }
+      run(new java.io.File(srcDir).getParent + "/sf0.01", "warm", 2, 100)
+      val r1 = run(cliqueDir0, "sf1", 4, 10000)
+      SparkEntry.resetSessionCache(spark)
+      val r100 = run(sf10Dir, "100x", 8, 10000)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+        s"""{"router":{$r1,$r100}}""" + "\n")
       println(s"[scale] wrote $outJson")
       spark.stop()
       return
@@ -2122,6 +2414,43 @@ object ScaleRehearsal {
         .map { case (tag, dir) => timedRetract(spark, base, dir, batchDir, tag) }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
         s"""{"retract":{${rows.mkString(",")}}}""" + "\n")
+      println(s"[scale] wrote $outJson")
+      spark.stop()
+      return
+    }
+
+    if (scope == "top20") {
+      // third decade for the SUITE's top wall-clock queries: 100×
+      // evidence existed only per-family (merge decades, serve, ingest)
+      // — here the bench's 20 most expensive queries plus the q88 watch
+      // row run on a depth-100 CLIQUE corpus (the adversarial geometry:
+      // TRUE pair volume inside each clique is quadratic in depth, so
+      // rows carrying ~100× the output are expected and attributed, the
+      // r8 d2-at-100× precedent). Plan census per row via runSet's
+      // notes; results stream to the artifact AFTER EVERY QUERY so a
+      // partial run still reports what completed. Query order: the
+      // verdict-named top-wall set first, then descending bench wall.
+      val dir100 = s"$base/graft-sf10-clique"
+      ensureDir(spark, srcDir, dir100, "clique", replicas = 100,
+        only = Some(Set("documents", "embeddings", "lineitem", "orders")))
+      val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
+        .split(",").filter(_.nonEmpty).toSet
+      val names = top20Queries.filterNot(skip)
+      println(s"[scale] provisioning merge fixtures at 100x (untimed, the Bench convention)")
+      val tProv = System.nanoTime()
+      SparkEntry.provisionFixtures(spark, dir100)
+      val provSec = (System.nanoTime() - tProv) / 1e9
+      println(f"[scale] fixtures provisioned in $provSec%.1fs")
+      val done = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(): Unit = java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outJson),
+        s"""{"sf":"sf10(100x-sf0.1-replica,$scheme,clique)","scope":"top20",""" +
+          s""""fixtures_sec":${"%.1f".format(provSec)},""" +
+          s""""queries":{${done.mkString(",")}}}""" + "\n")
+      names.foreach { name =>
+        done ++= runSet(spark, Seq(name), dir100, prof, warmDir)
+        flush()
+      }
       println(s"[scale] wrote $outJson")
       spark.stop()
       return
