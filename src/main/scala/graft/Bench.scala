@@ -31,6 +31,23 @@ object Bench {
       // same setting is a 100 TB recommendation for long-lived
       // executors running many distinct pipelines.
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // The r12 codegen-cache fix had a second hole, attributed this
+      // round (SCALE_r13 "stcodegen" + the cache-key diff probe): the
+      // codegen cache keys on (source, classloader), and Spark 4's
+      // session-artifact isolation hands every newSession/cloneSession
+      // a FRESH executor-side classloader — so the streaming demos
+      // (newSession per query + StreamExecution's internal clone) re-
+      // compiled ~160 ALREADY-CACHED units per run (cache +168/+163
+      // keys per rep with only 14/4 new bodies). No session artifacts
+      // are ever used here; disabling isolation restores one stable
+      // loader and turns those misses into hits. The residual misses
+      // were the codegen-stage id embedded in generated CLASS NAMES
+      // (run-order-dependent); useIdInClassName=false makes the text
+      // stable. Same 100 TB shape as the r12 fix: long-lived executors
+      // running many sessions pay a per-SESSION compile tax, not a
+      // per-data one.
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet paths so the first timed query doesn't

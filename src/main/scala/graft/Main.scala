@@ -70,6 +70,22 @@ object Main {
     if (!new org.apache.spark.SparkConf(true)
         .contains("spark.sql.codegen.cache.maxEntries"))
       builder.config("spark.sql.codegen.cache.maxEntries", "8192")
+    // Second half of the same tax, attributed round 13 (SCALE_r13
+    // "stcodegen"): the codegen cache keys on (source, classloader),
+    // and session-artifact isolation gives every newSession/clone a
+    // fresh executor-side classloader — a per-SESSION recompile of
+    // every pipeline unit (~160 units/run for the streaming ingests)
+    // even when the source text is cached. This driver adds no
+    // session-scoped artifacts, so isolation buys nothing; disable it
+    // unless the operator configured it, and keep generated class
+    // names free of the run-order-dependent codegen-stage id so the
+    // source text itself stays cache-stable.
+    if (!new org.apache.spark.SparkConf(true)
+        .contains("spark.sql.artifact.isolation.enabled"))
+      builder.config("spark.sql.artifact.isolation.enabled", "false")
+    if (!new org.apache.spark.SparkConf(true)
+        .contains("spark.sql.codegen.useIdInClassName"))
+      builder.config("spark.sql.codegen.useIdInClassName", "false")
     // spark-submit provides spark.master; standalone runs default to local
     if (!sys.props.contains("spark.master"))
       builder.master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))

@@ -20,6 +20,9 @@ object Verify {
       // see Bench.scala: the 100-entry default codegen cache thrashes
       // across 260+ queries; raising it cuts the gate's wall materially
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // one stable classloader + stable generated class names: see Bench.scala
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -32,6 +32,9 @@ object Prof {
       // one incremental pipeline, so rep 1's compilations would be
       // evicted before rep 2 (see Bench.scala / SCALE_r12 "driftprobe")
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // one stable classloader + stable generated class names: see Bench.scala
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -632,6 +632,14 @@ object ScaleRehearsal {
       // the thrash itself
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // one stable classloader + stable generated class names: see
+      // Bench.scala (the r13 streaming-codegen attribution). Env
+      // overrides let the stcodegen scope measure the isolation tax
+      // itself.
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
+      .config("spark.sql.codegen.useIdInClassName",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CLASS_ID", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val warmDir = "/root/testdata/sf0.001"

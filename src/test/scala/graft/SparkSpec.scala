@@ -27,6 +27,9 @@ object SparkSpec {
       // than one index pipeline — the heavy suites re-paid compilation
       // per test without this
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // one stable classloader + stable generated class names: see Bench.scala
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
