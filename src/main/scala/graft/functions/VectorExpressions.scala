@@ -247,3 +247,99 @@ case class NearestCells(
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** argmax-by-cosine cell assignment against a FROZEN centroid matrix —
+  * the SemDeDup assignment step as ONE map-only expression. The old
+  * formulation (cross-join each row against a k-row broadcast, 6-dp
+  * round, max(struct) re-aggregate, then join the vectors back by id)
+  * paid an explode ×k, a hash-aggregate exchange and a join-back
+  * exchange per assignment pass; this evaluates the identical argmax in
+  * a primitive loop per row — zero exchanges — with the centroid matrix
+  * living in the expression instance (the [[SrpSignature]] pattern; it
+  * ships once per task in the task binary, same order of bytes as the
+  * old broadcast).
+  *
+  * Semantics are replicated BIT-EXACTLY from the aggregate form the
+  * oracles gate: cosine accumulated in double left-to-right with null
+  * elements as 0 ([[CosineSimilarity]]'s rule), rounded HALF_UP to 6 dp
+  * exactly as Catalyst's `round` does for doubles (NaN/Infinity pass
+  * through un-rounded), candidates compared under SQL double ordering
+  * (java.lang.Double.compare — NaN greatest), ties on the rounded value
+  * broken toward the LOWEST cid (centroids iterate cid-ascending and
+  * only a strictly greater sim replaces the champion). A NULL input row
+  * keeps the old max(struct)-over-all-null-sims verdict: lowest cid,
+  * null simc.
+  *
+  * `cids`/`cvecs` are parallel, sorted ascending by cid; constructed by
+  * [[graft.operators.Dedup.assignCells]] from a centroid-count-bounded
+  * collect (the same frame the old shape collected into a broadcast).
+  */
+case class NearestCell(
+    child: Expression, cids: Array[Long], cvecs: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("simc", DoubleType, nullable = true)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_nearest_cell"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double> input, got $other")
+    }
+
+  @transient private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def round6(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null)
+      return InternalRow(cids(0), null) // all-null sims: lowest cid wins
+    val vd = v.asInstanceOf[ArrayData]
+    val nv = vd.numElements()
+    // extract once per row (the SrpSignature lesson): k centroid loops
+    // over virtual ArrayData getters would re-pay the dispatch k times
+    val vec = new Array[Double](nv)
+    var i = 0
+    while (i < nv) {
+      vec(i) =
+        if (vd.isNullAt(i)) 0.0
+        else if (childIsFloat) vd.getFloat(i).toDouble
+        else vd.getDouble(i)
+      i += 1
+    }
+    var bestCid = cids(0)
+    var bestSim = Double.NaN
+    var first = true
+    var c = 0
+    while (c < cids.length) {
+      val cv = cvecs(c)
+      val n = math.min(nv, cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = vec(j); val y = cv(j)
+        dot += x * y; na += x * x; nb += y * y
+        j += 1
+      }
+      val sim = round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+      if (first || java.lang.Double.compare(sim, bestSim) > 0) {
+        bestSim = sim; bestCid = cids(c); first = false
+      }
+      c += 1
+    }
+    InternalRow(bestCid, bestSim)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -173,20 +173,39 @@ object Dedup {
     */
   def verifyJaccard(
       candidates: DataFrame, shingled: DataFrame, idCol: String, shCol: String): DataFrame = {
-    val l = shingled.select(col(idCol).as("a"), col(shCol).as("sh_a"))
-    val r = shingled.select(col(idCol).as("b"), col(shCol).as("sh_b"))
-    // Candidate pair lists are delete-list-sized by construction, so the
-    // (wide) shingle-hash arrays must never ride a hash-partition shuffle:
-    // 1) map-side prune the corpus to candidate docs (broadcast ids join),
-    // 2) broadcast the pruned, array-carrying sides into the pair list.
-    // Every exchange here is a broadcast of candidate-bounded data.
-    val la = l.join(broadcast(candidates.select("a").distinct()), "a")
-    val rb = r.join(broadcast(candidates.select("b").distinct()), "b")
-    candidates.join(broadcast(la), "a").join(broadcast(rb), "b")
+    // ONE corpus/index scan (the per-side prune form scanned it twice —
+    // once under each side's broadcast): the pair list explodes into
+    // (a, b, side, id) rows — still delete-list-sized — which broadcast
+    // INTO the scan, and each pair's two shingle-hash arrays re-pair
+    // through a candidate-bounded aggregate (exactly 2 rows per pair).
+    // The arrays cross one hash exchange here, but a candidate-bounded
+    // one; the index-sized frame itself still never enters an exchange,
+    // and it streams map-side exactly once.
+    val sides = pairSides(candidates)
+    shingled.select(col(idCol).as("id"), col(shCol).as("sh"))
+      .join(broadcast(sides), "id")
+      .groupBy("a", "b")
+      .agg(
+        first(when(col("isA"), col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(!col("isA"), col("sh")), ignoreNulls = true).as("sh_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .select(col("a"), col("b"), (col("inter") / col("uni")).as("jaccard"))
   }
+
+  /** The candidate pair list exploded to one row per pair SIDE —
+    * (a, b, isA, id) — the broadcast probe [[verifyJaccard]] /
+    * [[verifyCosine]] attach payload columns to with a single scan of
+    * the payload-bearing frame.
+    */
+  private[operators] def pairSides(candidates: DataFrame): DataFrame =
+    candidates.select(explode(array(
+        struct(col("a"), col("b"), lit(true).as("isA"), col("a").as("id")),
+        struct(col("a"), col("b"), lit(false).as("isA"), col("b").as("id"))))
+        .as("s"))
+      .select(col("s.a").as("a"), col("s.b").as("b"),
+        col("s.isA").as("isA"), col("s.id").as("id"))
 
   /** Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     * candidates → exact-Jaccard filter ≥ `threshold`. Returns verified
@@ -420,11 +439,16 @@ object Dedup {
     */
   private[operators] def verifyCosine(
       cands: DataFrame, vecs: DataFrame, threshold: Double): DataFrame = {
-    val va = vecs.select(col("id").as("a"), col("v").as("va"))
-      .join(broadcast(cands.select("a").distinct()), "a")
-    val vb = vecs.select(col("id").as("b"), col("v").as("vb"))
-      .join(broadcast(cands.select("b").distinct()), "b")
-    cands.join(broadcast(va), "a").join(broadcast(vb), "b")
+    // the verifyJaccard shape: exploded pair sides broadcast into ONE
+    // scan of the vector log (the per-side prune form scanned it twice);
+    // vectors re-pair through a candidate-bounded aggregate
+    val sides = pairSides(cands)
+    vecs.join(broadcast(sides), "id")
+      .groupBy("a", "b")
+      .agg(
+        first(when(col("isA"), col("v")), ignoreNulls = true).as("va"),
+        first(when(!col("isA"), col("v")), ignoreNulls = true).as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold).persist()
   }
@@ -472,36 +496,69 @@ object Dedup {
   /** Cell assignment by 6-dp-rounded cosine argmax, lowest cid on ties —
     * the shared assignment step of [[semDedup]] and its incremental twin
     * ([[graft.operators.IncrementalIndex.ingestSemDedup]]). Returns
-    * (id, cid, simc); carries ids and ints only through the aggregate —
-    * vectors rejoin by id afterwards, never through the exchange.
+    * (id, cid, simc). MAP-ONLY: the argmax evaluates per row against the
+    * frozen centroid matrix ([[graft.functions.NearestCell]] — bit-exact
+    * replica of the old cross-join + 6-dp round + max(struct) aggregate),
+    * so assignment adds ZERO exchanges where the aggregate form paid an
+    * explode ×k, a hash-aggregate shuffle, and forced every caller that
+    * needs the vector into a join-back. The centroid collect is
+    * k-bounded — the identical frame the old shape collected into a
+    * broadcast.
     */
   def assignCells(embs: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
+    assignCellsWithVec(embs, idCol, vecCol, centroids)
+      .select(col("id"), col("cid"), col("simc"))
+
+  /** [[assignCells]] keeping the row's vector: (id, v, cid, simc) — free
+    * under the map-only form, and exactly what the pairwise-verify
+    * callers previously re-joined by id to get.
+    */
+  private[graft] def assignCellsWithVec(embs: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cidType = centroids.schema("cid").dataType
+    val cents = centroids.select(col("cid").cast("long"), col("cvec"))
+      .collect() // k-bounded: the frame the old shape broadcast whole
+      .map { r =>
+        val cv = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case null => 0.0
+        }.toArray
+        (r.getLong(0), cv)
+      }.sortBy(_._1)
+    if (cents.isEmpty)
+      // empty centroid set assigned nothing under the old cross-join
+      return embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        lit(null).cast(cidType).as("cid"),
+        lit(null).cast("double").as("simc")).filter(lit(false))
+    def nearest(v: Column) = ColumnBridge.column(graft.functions.NearestCell(
+      ColumnBridge.expression(v), cents.map(_._1), cents.map(_._2)))
     embs
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
-      .select(col("id"), round(cosine(col("v"), col("cvec")), 6).as("sim"), col("cid"))
-      .groupBy("id")
-      .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("w"))
-      .select(col("id"), (-col("w.nc")).as("cid"), col("w.sim").as("simc"))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        nearest(col(vecCol)).as("w"))
+      .select(col("id"), col("v"),
+        col("w.cid").cast(cidType).as("cid"), col("w.simc").as("simc"))
+  }
 
   def semDedup(
       embs: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
       threshold: Double, cap: Int = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cap > 0, s"cap must be positive, got $cap")
-    // argmax carries (id, sim, cid) only — vectors rejoin by id after the
-    // assignment shuffle, not through it (8 centroid copies of every
-    // embedding through an exchange would be the d2 payload mistake)
-    val cells = assignCells(embs, idCol, vecCol, centroids)
-    val ranked = cells
+    // map-only assignment carrying the vector: under the old aggregate
+    // form the vectors paid TWO exchanges to reach the rank window (the
+    // join-back by id, then the window's cid shuffle) — carried in-row
+    // they cross exactly one, the window's own
+    val cells = assignCellsWithVec(embs, idCol, vecCol, centroids)
+    val assigned = cells
       .withColumn("occ", count(lit(1)).over(Window.partitionBy("cid")))
       .withColumn("chunk",
         when(col("occ") <= cap, lit(0L)).otherwise(floor((row_number().over(
           Window.partitionBy("cid").orderBy(desc("simc"), col("id"))) - 1)
           / lit(cap.toLong))))
-    val assigned = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(ranked.select("id", "cid", "chunk", "occ"), "id")
+      .select("id", "v", "cid", "chunk", "occ")
     // over-cap cells emit at {chunk, chunk+1}; key == greatest(lc, rc)
     // admits each |Δchunk| ≤ 1 pair exactly once (Δ=0 at k=c, Δ=1 at the
     // higher chunk; Δ≥2 shares no key). Sub-cap cells emit a single key —

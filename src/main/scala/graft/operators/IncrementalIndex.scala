@@ -134,7 +134,7 @@ object IncrementalIndex {
     */
   private def incrementalBucketCandidates(
       bandedI: DataFrame, bandedB: DataFrame, bucketCap: Int,
-      over: DataFrame, batchRows: Long,
+      over: Option[DataFrame], batchRows: Long,
       broadcastRowLimit: Long = DefaultBroadcastRowLimit,
       crossOnly: Boolean = false,
       batchSharded: Boolean = false): DataFrame = {
@@ -142,19 +142,25 @@ object IncrementalIndex {
     require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
     require(!(crossOnly && batchSharded),
       "crossOnly (binary merge) and batchSharded (N-way merge) are exclusive")
-    val overList = broadcast(over.select(col("band"), col("bucket"))
-      .withColumn("ov", lit(true)))
-    val anyOver = !over.isEmpty
+    // `over` arrives as an already-materialized LOCAL relation (see
+    // [[overCapBuckets]]) or None. In the None case — the common one —
+    // the over-cap split joins never enter the plan at all: both sides
+    // feed the pair joins directly, three broadcast joins lighter than
+    // flagging every banded row against an empty list.
+    val anyOver = over.nonEmpty
     // size gate on the batch-side broadcast: a bookmark-sized batch
     // probes the index map-side; a bootstrap/backfill-sized one would
     // die at the broadcast ceiling, so it takes the (band, bucket)
     // shuffle join instead (the one-shot shape — same pairs, spec-pinned)
     val hintB: DataFrame => DataFrame =
       if (batchRows <= broadcastRowLimit) df => broadcast(df) else identity
-    def split(df: DataFrame) = {
-      val flagged = df.join(overList, Seq("band", "bucket"), "left")
-      (flagged.filter(col("ov").isNull).drop("ov"),
-        flagged.filter(col("ov").isNotNull).drop("ov"))
+    def split(df: DataFrame) = over match {
+      case None => (df, df.filter(lit(false)))
+      case Some(o) =>
+        val overList = broadcast(o.withColumn("ov", lit(true)))
+        val flagged = df.join(overList, Seq("band", "bucket"), "left")
+        (flagged.filter(col("ov").isNull).drop("ov"),
+          flagged.filter(col("ov").isNotNull).drop("ov"))
     }
     val (normalI, bigI) = split(bandedI)
     val (normalB, bigB) = split(bandedB)
@@ -222,12 +228,22 @@ object IncrementalIndex {
     */
   private def overCapBuckets(spark: SparkSession, statsRoot: String,
       batchStats: DataFrame, bucketCap: Int,
-      excludeEpoch: Option[Long] = None): DataFrame = {
-    statsBeforeEpoch(spark, statsRoot, excludeEpoch)
+      excludeEpoch: Option[Long] = None): Option[DataFrame] = {
+    val agg = statsBeforeEpoch(spark, statsRoot, excludeEpoch)
       .map(_.unionAll(batchStats)).getOrElse(batchStats)
       .groupBy("band", "bucket").agg(sum(col("n")).as("occ"))
       .filter(col("occ") > bucketCap)
       .select("band", "bucket")
+    // The list is over-cap-bucket-bounded and ALREADY ships to every
+    // executor as a broadcast — collecting it to the driver first is the
+    // same size bound, and replaces TWO executions of the stats aggregate
+    // (the old `isEmpty` probe + the broadcast's own recompute) with one.
+    // None (the common case) lets candidate generation skip the over-cap
+    // split joins entirely.
+    val rows = agg.collect()
+    if (rows.isEmpty) None
+    else Some(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), agg.schema))
   }
 
   /** The maintained stats log, EXCLUDING the version `excludeEpoch`'s
@@ -1312,12 +1328,17 @@ object IncrementalIndex {
       }).persist()
       try {
         val sigs = prior.map(_.unionAll(batchSigs)).getOrElse(batchSigs)
-        val candIds = broadcast(cands.select(col("a").as("id"))
-          .unionAll(cands.select(col("b").as("id"))).distinct())
-        val pruned = sigs.join(candIds, "id") // index streams map-side
-        val verified = cands
-          .join(broadcast(pruned.select(col("id").as("a"), col("sig").as("siga"))), "a")
-          .join(broadcast(pruned.select(col("id").as("b"), col("sig").as("sigb"))), "b")
+        // the verifyJaccard exchange shape: exploded pair sides broadcast
+        // into ONE scan of the signature log (the per-side prune form
+        // scanned it once per broadcast subtree), signatures re-pair in a
+        // candidate-bounded aggregate
+        val verified = sigs.select(col("id"), col("sig"))
+          .join(broadcast(Dedup.pairSides(cands)), "id")
+          .groupBy("a", "b")
+          .agg(
+            first(when(col("isA"), col("sig")), ignoreNulls = true).as("siga"),
+            first(when(!col("isA"), col("sig")), ignoreNulls = true).as("sigb"))
+          .filter(col("siga").isNotNull && col("sigb").isNotNull)
           .select(col("a"), col("b"),
             bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("int").as("hamming"))
           .filter(col("hamming") <= maxHamming)
@@ -1770,18 +1791,22 @@ object IncrementalIndex {
             batchSharded = shardTags.nonEmpty)
         }).persist()
         try {
-          // verification with the prefixJaccardJoin exchange discipline:
-          // the (wide) sorted-element arrays reach the candidate-bounded
-          // pair list via map-side prune + broadcast, never a
-          // hash-partition shuffle of the index
+          // verification with the verifyJaccard exchange discipline: the
+          // candidate pair list explodes to per-side probe rows that
+          // broadcast into ONE scan of the token log (the per-side prune
+          // form scanned it twice), and each pair's two sorted-element
+          // arrays re-pair through a candidate-bounded aggregate — the
+          // index-sized frame never enters an exchange
           val toks = prior.map(_.unionAll(batchTok)).getOrElse(batchTok)
-          val ta = toks.select(col("id").as("a"), col("toks").as("ta"), col("n").as("na"))
-            .join(broadcast(cands.select("a").distinct()), "a")
-          val tb = toks.select(col("id").as("b"), col("toks").as("tb"), col("n").as("nb"))
-            .join(broadcast(cands.select("b").distinct()), "b")
-          val verified = cands
-            .join(broadcast(ta), "a")
-            .join(broadcast(tb), "b")
+          val verified = toks.select(col("id"), col("toks"), col("n"))
+            .join(broadcast(Dedup.pairSides(cands)), "id")
+            .groupBy("a", "b")
+            .agg(
+              first(when(col("isA"), col("toks")), ignoreNulls = true).as("ta"),
+              first(when(col("isA"), col("n")), ignoreNulls = true).as("na"),
+              first(when(!col("isA"), col("toks")), ignoreNulls = true).as("tb"),
+              first(when(!col("isA"), col("n")), ignoreNulls = true).as("nb"))
+            .filter(col("ta").isNotNull && col("tb").isNotNull)
             .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
             .withColumn("un", col("na") + col("nb") - col("inter"))
             .filter(lit(p.den) * col("inter") >= lit(p.num) * col("un"))
@@ -2517,8 +2542,9 @@ object IncrementalIndex {
       cap: Int, broadcastRowLimit: Long,
       excludeEpoch: Option[Long] = None): SemArtifacts = {
     val cents = VersionedTable.read(spark, semCentroidsRoot(root))
-    val assigned = Dedup.assignCells(batch, idCol, vecCol, cents)
-      .join(batch.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+    // map-only assignment carrying the vector (see assignCellsWithVec):
+    // no argmax aggregate exchange, no join-back of the batch by id
+    val assigned = Dedup.assignCellsWithVec(batch, idCol, vecCol, cents)
       .select(col("id"), col("cid"), (-col("simc")).as("rk"), col("v"))
       .persist()
     try {
@@ -2554,18 +2580,25 @@ object IncrementalIndex {
         // arrival — are ignored rather than flipping an already-recorded
         // verdict, and COUNTED in the result so the mis-ordering is loud)
         val verified = Dedup.verifyCosine(cands, vecs, threshold)
-        val dropped = verified
-          .select(col("b").as("id")).distinct()
-          .join(assigned.select("id"), "id")
+        // the batch streams map-side against the broadcast (candidate-
+        // bounded) dropped-id list; `dropped` is persisted because the
+        // out-of-order probe below derives from it WITHOUT re-touching
+        // the batch — a pair's greater id is out of order iff it is a
+        // verified b that did NOT land in `dropped` (the b∩batch set),
+        // so the old second batch-sized anti-join pass is tiny∖tiny now
+        val dropped = assigned.select("id")
+          .join(broadcast(verified.select(col("b").as("id")).distinct()), "id")
+          .persist()
         val verdicts = assigned.select("id", "cid")
-          .join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
+          .join(broadcast(dropped.withColumn("dup", lit(true))), Seq("id"), "left")
           .select(col("id"), col("cid"),
             coalesce(!col("dup"), lit(true)).as("kept"))
           .persist()
         verdicts.count()
         val outOfOrder = verified
-          .join(assigned.select(col("id").as("b")), Seq("b"), "left_anti")
+          .join(broadcast(dropped.select(col("id").as("b"))), Seq("b"), "left_anti")
           .count()
+        dropped.unpersist(blocking = false)
         verified.unpersist(blocking = false)
         SemArtifacts(assigned.select("id", "cid", "rk", "v"), batchStats,
           verdicts, outOfOrder, () => {

@@ -212,7 +212,22 @@ object VersionedTable {
     sweepOrphans(f, rootPath, orphanTtlMs)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(rootPath, s"_staging-$nonce")
-    df.write.mode("overwrite").parquet(staging.toString)
+    // Size the version's file count to the DATA, not to the writer's
+    // partition count: a bookmark-sized delta written from a 32-partition
+    // aggregate otherwise lands as 32 near-empty files, and every
+    // downstream union read (the delta-log convention reads EVERY
+    // version) pays per-file open + listing for each. The collapse fires
+    // ONLY when the whole delta fits one scan split (< maxPartitionBytes):
+    // such a file holds a single parquet row group either way, so the
+    // id-clustered writers (tfidf/prefix logs — their row-group pruning is
+    // measured at 1.8× on the 100× scoring pass) lose nothing, while a
+    // larger delta keeps its partitioning — and its sorted runs — exactly
+    // as the caller laid it out. Persisted inputs — the batch-artifact
+    // frames all are — carry EXACT sizes in `stats`.
+    val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sized = if (estBytes < targetBytes) df.coalesce(1) else df
+    sized.write.mode("overwrite").parquet(staging.toString)
     // Underscore-prefixed nonce marker: invisible to parquet readers,
     // proves in commitStaged that the committed dir is OURS.
     f.create(new Path(staging, s"_commit-$nonce"), false).close()

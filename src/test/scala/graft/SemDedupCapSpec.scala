@@ -93,3 +93,64 @@ class SemDedupCapSpec extends SparkSpec {
     assert(out.forall { case (a, b) => a < b && b < 300L })
   }
 }
+
+/** r13: cell assignment became the map-only [[graft.functions.NearestCell]]
+  * expression. This pins it bit-exactly to the aggregate formulation it
+  * replaced (cross-join × broadcast centroids → round-6 cosine →
+  * max(struct(sim, -cid))), including the rounded-tie → lowest-cid rule
+  * and the zero-exchange plan shape.
+  */
+class NearestCellSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embs = spark.read.parquet(sf("embeddings"))
+
+  private def corpus = {
+    val base = embs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val mut = base.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v"))
+    base.union(mut)
+  }
+
+  private def cents = embs
+    .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    .filter(col("vec_id") < 8)
+    .select(col("vec_id").as("cid"), col("v").as("cvec"))
+
+  private def legacyAssign(e: org.apache.spark.sql.DataFrame,
+      c: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+    e.select(col("vec_id").as("id"), col("v"))
+      .crossJoin(broadcast(c.select(col("cid"), col("cvec"))))
+      .select(col("id"),
+        round(Dedup.cosine(col("v"), col("cvec")), 6).as("sim"), col("cid"))
+      .groupBy("id")
+      .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("w"))
+      .select(col("id"), (-col("w.nc")).as("cid"), col("w.sim").as("simc"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  test("NearestCell assignment equals the aggregate argmax bit-exactly") {
+    val got = Dedup.assignCells(corpus, "vec_id", "v", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == legacyAssign(corpus, cents))
+  }
+
+  test("rounded ties break to the LOWEST cid") {
+    // two identical centroids under different cids: every vector ties at
+    // 6 dp and must land on the smaller cid, exactly as max(struct(sim,
+    // -cid)) decided
+    val dup = cents.limit(1).select(lit(999L).as("cid"), col("cvec"))
+      .unionAll(cents.limit(1).select(lit(7777L).as("cid"), col("cvec")))
+    val got = Dedup.assignCells(corpus.limit(50), "vec_id", "v", dup)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(999L))
+    assert(got == legacyAssign(corpus.limit(50), dup).map { case (k, v) => k -> v._1 })
+  }
+
+  test("assignment is map-only: zero exchanges in the plan") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = Dedup.assignCells(corpus, "vec_id", "v", cents)
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty, plan.toString)
+  }
+}
